@@ -1,0 +1,41 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Memoized per-(session, sfDir) base-table loaders.
+  *
+  * At harness scale every table is small (≤600k rows at sf0.1), so we
+  * cache all of them: the bench runs ~60 queries that would otherwise
+  * re-scan the same parquet each time. The 100 TB design gate is noted
+  * per call site: in production only *dimension* tables (region, nation,
+  * customer, supplier, part) would be cached/broadcast; fact tables
+  * (lineitem, orders, events, documents, embeddings) stream from
+  * columnar storage so predicate pushdown + column pruning stay active.
+  * Caching here is a bench optimization, never a correctness dependency.
+  */
+object Tables {
+  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+
+  /** Set SPARK_GRAFT_NOCACHE=1 to disable caching (e.g. to inspect
+    * PushedFilters in `.explain` output on the raw parquet scan). */
+  private def cachingEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_NOCACHE").contains("1")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (cachingEnabled) df.cache() else df
+    })
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

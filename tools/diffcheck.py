@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local differential harness (SURVEY §5.2): emulate the driver's DuckDB
+oracle compare before the driver runs it.
+
+Usage: python3 tools/diffcheck.py <sfDir> <outDir>
+  where <outDir> is what graft.Verify wrote (per-query parquet dirs +
+  oracle_sql.json). Registers each base table as a DuckDB view named
+  after the table (bare-name convention per the SparkEntry scaladoc
+  example "FROM lineitem"), runs each oracle SQL, and compares against
+  the Spark-written parquet: column-name sets, row counts, and values
+  cell-by-cell with exact equality (columns sorted by name, like the
+  driver's hash).
+"""
+import sys, os, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    spark_dirs = sorted(d for d in os.listdir(outdir)
+                        if os.path.isdir(os.path.join(outdir, d)))
+    n_pass = n_fail = 0
+    for key in spark_dirs:
+        files = glob.glob(os.path.join(outdir, key, "*.parquet"))
+        if not files:
+            print(f"FAIL {key}: no parquet output"); n_fail += 1; continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{files[0]}')").fetchall()
+        got_cols = [d[0] for d in con.description]
+        if key not in oracle:
+            print(f"SKIP {key}: no oracle (rows={len(got)})"); continue
+        try:
+            exp = con.execute(oracle[key]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {key}: oracle SQL error: {e}"); n_fail += 1; continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {key}: columns spark={sorted(got_cols)} "
+                  f"duck={sorted(exp_cols)}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {key}: rows spark={len(got)} duck={len(exp)}")
+            n_fail += 1; continue
+        # sort columns by name (driver convention), compare cell-exact
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        bad = None
+        for i, (gr, er) in enumerate(zip(got, exp)):
+            for gj, ej in zip(gidx, eidx):
+                gv, ev = gr[gj], er[ej]
+                if not cell_eq(gv, ev):
+                    bad = (i, sorted(got_cols)[gidx.index(gj)], gv, ev)
+                    break
+            if bad: break
+        if bad:
+            i, c, gv, ev = bad
+            print(f"FAIL {key}: row {i} col {c}: spark={gv!r} duck={ev!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {key} ({len(got)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{len(spark_dirs)-n_pass-n_fail} skipped ==")
+    return 1 if n_fail else 0
+
+def cell_eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+        return a == b  # exact — the driver hashes bytes
+    return a == b
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
