@@ -21,6 +21,12 @@ object Det {
     * both Spark and DuckDB: `CAST(ROUND(x*100) AS BIGINT)`. */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** Arbitrary-precision positive real → exact integer micro-units.
+    * Per-row `ROUND(x*1e6)` computes the identical double product and
+    * nearest integer in both engines, so windowed/grouped sums over the
+    * result are order-independent exact integer arithmetic. */
+  def micros(c: Column): Column = round(c * 1000000L, 0).cast("long")
+
   /** Round a real-valued aggregate to 4 dp, emitted as DOUBLE. */
   def r4(c: Column): Column = round(c.cast("double"), 4)
 

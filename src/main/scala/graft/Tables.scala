@@ -24,7 +24,17 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df =
+        if (name == "events") {
+          // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+          // rejects. Read it as raw nanos (legacy conf) and convert with
+          // integer DIV — exact, and identical to DuckDB's ns→µs
+          // truncation (all values are whole µs anyway, measured).
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$sfDir/$name.parquet")
+            .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        } else spark.read.parquet(s"$sfDir/$name.parquet")
       if (cachingEnabled) df.cache() else df
     })
 

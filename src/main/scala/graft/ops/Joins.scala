@@ -1,0 +1,266 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+import Det._
+
+/** SURVEY §2.9 family B — joins.
+  *
+  * Scale design notes (100 TB, §7.4):
+  *  - equi-joins stay declarative so Catalyst/AQE pick broadcast vs
+  *    shuffled-hash vs sort-merge from actual sizes;
+  *  - dimension sides (region/nation/customer/band tables) are
+  *    explicitly `broadcast()` where the dimension is known small —
+  *    the fact table is never shuffled for those joins;
+  *  - the theta/band join broadcasts the tiny band table (BNLJ over a
+  *    broadcast is the right physical shape; at scale a range-bucketed
+  *    equi-join prefix would be added);
+  *  - the as-of join is a partitioned window (single shuffle on the
+  *    partition key, no self-join blowup) — the standard scalable
+  *    emulation; DuckDB's ASOF JOIN or the same window algebra oracles it.
+  */
+object Joins {
+
+  private def revC4 = // l_extendedprice*(1-l_discount) in exact 1e-4 dollars
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(revC4).cast("long").as("rev_c4"),
+          count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // 5-way star: fact → orders → customer → nation → region. The three
+    // rightmost are true dimensions → broadcast; AQE may reorder.
+    "q_join_multiway" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(revC4).cast("long").as("rev_c4"),
+          count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("r_name"))
+    },
+
+    "q_join_broadcast" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(cents(col("o_totalprice"))).cast("long").as("sum_price_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Left outer keeps orderless customers; count(col) skips the NULLs
+    // the outer join manufactures, COALESCE pins the empty-group sum.
+    "q_join_left" -> { (s, dir) =>
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      Tables.customer(s, dir)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).cast("long").as("n_recent"),
+          coalesce(sum(cents(col("o_totalprice"))), lit(0L)).cast("long").as("sum_cents"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Mirror of q_join_left through the physical right-outer path.
+    "q_join_right" -> { (s, dir) =>
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      recent
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).cast("long").as("n_recent"),
+          coalesce(sum(cents(col("o_totalprice"))), lit(0L)).cast("long").as("sum_cents"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Full outer of two small aggregates (per-nation customer vs
+    // supplier counts); at sf0.001 some nations lack suppliers → the
+    // NULL-filling path is genuinely exercised.
+    "q_join_full" -> { (s, dir) =>
+      val cc = Tables.customer(s, dir).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("c_cnt"))
+      val sc = Tables.supplier(s, dir).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).cast("long").as("s_cnt"))
+      cc.join(sc, col("c_nationkey") === col("s_nationkey"), "full")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("c_cnt"), lit(0L)).as("customers"),
+          coalesce(col("s_cnt"), lit(0L)).as("suppliers"))
+        .orderBy(col("nationkey"))
+    },
+
+    "q_join_semi" -> { (s, dir) =>
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_join_anti" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_join_cross" -> { (s, dir) =>
+      Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Theta/band join: orders against a tiny derived band table on a
+    // range predicate → BroadcastNestedLoopJoin (bcdp R7 bilinear
+    // analog: value lands in the grid cell whose bounds contain it).
+    "q_join_range" -> { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(
+        (0.0, 50000.0, "b0_under_50k"),
+        (50000.0, 150000.0, "b1_50k_150k"),
+        (150000.0, 300000.0, "b2_150k_300k"),
+        (300000.0, 1.0e9, "b3_over_300k")).toDF("lo", "hi", "band")
+      Tables.orders(s, dir)
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(cents(col("o_totalprice"))).cast("long").as("sum_price_cents"))
+        .orderBy(col("band"))
+    },
+
+    // As-of join via partitioned window: for each purchase, the most
+    // recent strictly-prior signup ts of the same user. One shuffle on
+    // user_id, no self-join — the shape that scales.
+    "q_join_asof" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("prior_signup",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          tstr(col("ts")).as("purchase_ts"),
+          tstr(col("prior_signup")).as("signup_ts"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  private val revC4Sql =
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      s"""SELECT o_orderstatus,
+         |  CAST(SUM($revC4Sql) AS BIGINT) AS rev_c4,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_join_multiway" ->
+      s"""SELECT r_name,
+         |  CAST(SUM($revC4Sql) AS BIGINT) AS rev_c4,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name
+         |ORDER BY r_name""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_recent,
+        |  CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS sum_cents
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT c_custkey,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_recent,
+        |  CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS sum_cents
+        |FROM (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01') o
+        |RIGHT JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  CAST(COALESCE(c_cnt, 0) AS BIGINT) AS customers,
+        |  CAST(COALESCE(s_cnt, 0) AS BIGINT) AS suppliers
+        |FROM (SELECT c_nationkey, COUNT(*) AS c_cnt FROM customer GROUP BY c_nationkey) cc
+        |FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS s_cnt FROM supplier GROUP BY s_nationkey) sc
+        |  ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM orders
+        |JOIN (VALUES (0.0, 50000.0, 'b0_under_50k'),
+        |             (50000.0, 150000.0, 'b1_50k_150k'),
+        |             (150000.0, 300000.0, 'b2_150k_300k'),
+        |             (300000.0, 1e9, 'b3_over_300k')) AS b(lo, hi, band)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(prior_signup, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup
+        |  FROM events) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+  )
+}

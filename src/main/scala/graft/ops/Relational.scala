@@ -5,25 +5,92 @@ import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
 import Det._
 
-/** SURVEY §2.9 families A (scan/filter/project), B (joins),
-  * C (aggregation), D (windows/sort/limit/set ops).
+/** SURVEY §2.9 families A (scan/projection/filter) and C (aggregation).
   *
   * Every query: pure `(SparkSession, sfDir) => DataFrame`, built-in
   * Catalyst expressions only (whole-stage codegen'd), ends in a total
-  * ORDER BY (§2.8), aggregates partial+final via groupBy (no
-  * groupByKey), joins keyed or broadcast-by-dimension — the shapes that
-  * survive a 1000-executor 100 TB scale-up.
+  * ORDER BY (§2.8). Aggregations are declarative `groupBy.agg` so Spark
+  * plans partial (map-side) + final aggregation — the shape that holds
+  * at 100 TB; filters precede projections so Catalyst pushes them into
+  * the parquet scan.
   */
 object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. Scan / projection / filter --------------------------------
+    "q_scan_project" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey").as("okey"),
+          col("l_linenumber").cast("long").as("lnum"),
+          col("l_returnflag").as("rflag"),
+          cents(col("l_quantity")).as("qty_cents"),
+          tstr(col("l_shipdate")).as("ship_ts"))
+        .orderBy(col("okey"), col("lnum"))
+        .limit(100)
+    },
+
+    // Filter written before the projection so Catalyst pushes both the
+    // predicate and the 2-column read schema into the parquet scan.
+    "q_scan_pushdown" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+          && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    "q_filter_pred" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("F", "P")
+          && (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%"))
+          && col("o_totalprice").between(10000.0, 200000.0)
+          && !(col("o_custkey") % 7 === 0))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // CASE bands / NULLIF+COALESCE / GREATEST+LEAST / unit conversion
+    // (bcdp R12 analog: value*k+b rescaling) — all per-row expressions,
+    // deterministic across engines (identical IEEE ops per row).
+    "q_project_expr" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("rev_c4",
+          cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .select(
+          col("l_orderkey").as("okey"),
+          col("l_linenumber").cast("long").as("lnum"),
+          when(col("rev_c4") < 500000000L, "low")
+            .when(col("rev_c4") < 2000000000L, "mid")
+            .otherwise("high").as("band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+          greatest(cents(col("l_quantity")), lit(2500L)).as("qty_floor_c"),
+          least(cents(col("l_discount")), lit(5L)).as("disc_cap_c"),
+          round(col("l_quantity") * 1.8 + 32, 2).as("qty_f"))
+        .orderBy(col("okey"), col("lnum"))
+    },
+
     // ---- C. Aggregation ------------------------------------------------
-    // TPC-H Q1 shape (bcdp analog: grouped reduction over the long table).
-    // Money kept in exact integer cents end-to-end; averages derived from
-    // the integer sums so both engines divide the same exact integers.
+    "q_agg_global" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          count(lit(1)).cast("long").as("cnt"),
+          sum(cents(col("l_quantity"))).cast("long").as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).cast("long").as("sum_base_cents"),
+          min(tstr(col("l_shipdate"))).as("min_ship"),
+          max(tstr(col("l_shipdate"))).as("max_ship"))
+        .select(col("cnt"), col("sum_qty_cents"), col("sum_base_cents"),
+          round(col("sum_base_cents").cast("double") / 100.0 / col("cnt"), 4).as("avg_price"),
+          col("min_ship"), col("max_ship"))
+    },
+
+    // TPC-H Q1 shape. Money in exact integer cents end-to-end; averages
+    // derived from the integer sums so both engines divide identical
+    // exact integers (§2.8 rule 3).
     "q_agg_groupby" -> { (s, dir) =>
-      val l = Tables.lineitem(s, dir)
-      l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(cents(col("l_quantity"))).cast("long").as("sum_qty_cents"),
@@ -41,10 +108,133 @@ object Relational {
           round(col("sum_base_cents").cast("double") / 100.0 / col("cnt"), 4).as("avg_price"),
           col("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // DISTINCT aggregates (Expand-based two-phase distinct in Spark).
+    "q_agg_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).cast("long").as("nd_part"),
+          countDistinct(col("l_suppkey")).cast("long").as("nd_supp"),
+          sum_distinct(cents(col("l_quantity"))).cast("long").as("sumd_qty_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q_agg_having" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+        .filter(col("n_orders") > 8)
+        .orderBy(col("o_custkey"))
+    },
+
+    "q_agg_rollup" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    "q_agg_cube" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    "q_agg_gsets" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+          col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+          col("c_nationkey").asc_nulls_first)
+    },
+
+    // Real-valued statistical aggregates: round-4 both sides (§2.8 rule 3
+    // residual-risk class; values are O(10)-O(1e4) with ~1e-12 relative
+    // FP noise, far inside the 4-dp grid).
+    "q_agg_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r4(var_samp(col("l_quantity"))).as("var_qty"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          r4(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"),
+          count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // HLL sketch differs across engines → declared no-oracle (◦); exact
+    // companion column carried for eyeballing.
+    "q_agg_approx_hll" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).cast("long").as("approx_nd_part"),
+          countDistinct(col("l_partkey")).cast("long").as("exact_nd_part"))
+        .orderBy(col("l_linestatus"))
     }
   )
 
+  private val lineitemCents =
+    "CAST(ROUND(l_quantity*100) AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+        |  l_returnflag AS rflag,
+        |  CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_cents,
+        |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts
+        |FROM lineitem
+        |ORDER BY okey, lnum
+        |LIMIT 100""".stripMargin,
+
+    "q_scan_pushdown" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','P')
+        |  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+        |  AND o_totalprice BETWEEN 10000.0 AND 200000.0
+        |  AND NOT (o_custkey % 7 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_project_expr" ->
+      """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+        |  CASE WHEN CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) < 500000000 THEN 'low'
+        |       WHEN CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) < 2000000000 THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  GREATEST(CAST(ROUND(l_quantity*100) AS BIGINT), 2500) AS qty_floor_c,
+        |  LEAST(CAST(ROUND(l_discount*100) AS BIGINT), 5) AS disc_cap_c,
+        |  ROUND(l_quantity*1.8 + 32, 2) AS qty_f
+        |FROM lineitem
+        |ORDER BY okey, lnum""".stripMargin,
+
+    "q_agg_global" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price,
+        |  MIN(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS min_ship,
+        |  MAX(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS max_ship
+        |FROM lineitem""".stripMargin,
+
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -57,6 +247,55 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+        |  CAST(SUM(DISTINCT CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sumd_qty_cents
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(*) > 8
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_agg_gsets" ->
+      """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(CAST(STDDEV_SAMP(l_quantity) AS DOUBLE), 4) AS sd_qty,
+        |  ROUND(CAST(VAR_SAMP(l_quantity) AS DOUBLE), 4) AS var_qty,
+        |  ROUND(CAST(CORR(l_quantity, l_extendedprice) AS DOUBLE), 4) AS corr_qp,
+        |  ROUND(CAST(COVAR_SAMP(l_quantity, l_discount) AS DOUBLE), 4) AS cov_qd,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    // q_agg_approx_hll: intentionally no oracle (sketches differ across engines)
   )
 }

@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+import Det._
+
+/** SURVEY §2.9 family D — window functions, sort/limit, set ops.
+  *
+  * Determinism: every window spec orders by a key set made unique with
+  * an id tie-break, so row_number-class functions are reproducible;
+  * rank/dense_rank additionally get a deliberately coarse (tie-rich)
+  * ordering where the tie semantics themselves are under test.
+  * Scale notes: all windows are partitioned (per-customer/per-user) so
+  * state is bounded per key — except ntile, which is inherently global
+  * (single-partition sort); at 100 TB that becomes a range-partitioned
+  * percentile computation and is flagged as such here.
+  */
+object Windows {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> { (s, dir) =>
+      val wFine = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wCoarse = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"),
+          row_number().over(wFine).cast("long").as("rn"),
+          rank().over(wCoarse).cast("long").as("rnk"),
+          dense_rank().over(wCoarse).cast("long").as("drnk"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    "q_win_topk_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    "q_win_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          tstr(col("o_orderdate")).as("odate"),
+          count(lit(1)).over(w).cast("long").as("running_n"),
+          sum(cents(col("o_totalprice"))).over(w).cast("long").as("running_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // 4-row moving average over exact integer micro-units: the windowed
+    // sum is order-independent integer math, divided once at the end.
+    "q_win_sliding" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(sum(micros(col("value"))).over(w).cast("double") / 1000000.0
+            / count(lit(1)).over(w), 4).as("mavg"))
+        .orderBy(col("event_id"))
+    },
+
+    "q_win_lag_lead" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .cast("long").as("prev_gap_us"),
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+            .cast("long").as("next_gap_us"))
+        .orderBy(col("event_id"))
+    },
+
+    // ntile over a global ordering — inherently single-partition; fine
+    // at dimension-table size, a range-partitioned quantile at 100 TB.
+    "q_win_ntile" -> { (s, dir) =>
+      val w = Window.orderBy(cents(col("c_acctbal")).desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          cents(col("c_acctbal")).as("bal_cents"),
+          ntile(4).over(w).cast("long").as("tile"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_sort_multi" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("price_cents").desc, col("o_orderkey"))
+        .limit(500)
+    },
+
+    // Global top-k → Spark fuses into TakeOrderedAndProject (no full sort).
+    "q_limit_topk" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"),
+          col("l_linenumber").cast("long").as("lnum"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("okey"), col("lnum"))
+        .limit(100)
+    },
+
+    "q_set_union_all" -> { (s, dir) =>
+      val a = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val b = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      a.unionByName(b).orderBy(col("custkey"))
+    },
+
+    "q_set_union" -> { (s, dir) =>
+      val a = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val b = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      a.unionByName(b).distinct().orderBy(col("custkey"))
+    },
+
+    "q_set_intersect" -> { (s, dir) =>
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val frequent = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 5)
+        .select(col("o_custkey").as("custkey"))
+      urgent.intersect(frequent).orderBy(col("custkey"))
+    },
+
+    "q_set_except" -> { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+        .except(Tables.orders(s, dir).select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS drnk
+        |FROM orders
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_topk_group" ->
+      """SELECT o_custkey, o_orderkey, price_cents, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS running_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_sliding" ->
+      """SELECT event_id, user_id,
+        |  ROUND(CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0
+        |        / (COUNT(*) OVER w), 4) AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_win_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS BIGINT) AS prev_gap_us,
+        |  CAST(epoch_us(LEAD(ts, 1) OVER w) - epoch_us(ts) AS BIGINT) AS next_gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_custkey,
+        |  CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents,
+        |  CAST(NTILE(4) OVER (ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT) DESC, c_custkey) AS BIGINT) AS tile
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders
+        |ORDER BY o_orderstatus ASC NULLS FIRST, price_cents DESC, o_orderkey
+        |LIMIT 500""".stripMargin,
+
+    "q_limit_topk" ->
+      """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+        |  CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |ORDER BY price_cents DESC, okey, lnum
+        |LIMIT 100""".stripMargin,
+
+    "q_set_union_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+        |ORDER BY custkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |ORDER BY custkey""".stripMargin
+  )
+}
