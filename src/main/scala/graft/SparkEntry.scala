@@ -7,9 +7,11 @@ object SparkEntry {
     queries("q_agg_groupby")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries
+    ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
+      ops.Functions.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle
+    ops.Relational.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
+      ops.Functions.oracle
 }

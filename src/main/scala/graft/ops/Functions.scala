@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+import Det._
+
+/** SURVEY §2.9 family E — scalar function surface (§2.5), one query per
+  * family, each exercising ≥5 functions present in both Spark 4.1 and
+  * DuckDB 1.0. All per-row expressions (identical IEEE/Unicode ops per
+  * row in both engines → deterministic without rounding tricks, except
+  * real-valued math which is round-4).
+  *
+  * Cross-engine alignments (measured this session):
+  *  - Spark dayofweek is 1=Sunday, DuckDB 0=Sunday → Spark emits -1;
+  *  - length/levenshtein/ranking ints cast BIGINT on both sides;
+  *  - array elements are float32: cast to DOUBLE before any arithmetic
+  *    (§2.8 rule 7b), folds written left-assoc identically.
+  */
+object Functions {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 8).as("sub8"),
+          length(col("p_name")).cast("long").as("len"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+          regexp_replace(col("p_type"), lit(" "), lit("_")).as("rep"),
+          lpad(col("p_brand"), 12, "*").as("pad"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trm"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("rex"),
+          levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"),
+          md5(col("p_name")).as("md5h"),
+          when(col("p_name").like("%red%"), 1L).otherwise(0L).as("has_red"))
+        .orderBy(col("p_partkey"))
+    },
+
+    "q_fn_date" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow0"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          tstr(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_y2k"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q_fn_math" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          floor(col("c_acctbal")).cast("long").as("flr"),
+          ceil(col("c_acctbal")).cast("long").as("cl"),
+          abs(cents(col("c_acctbal"))).as("abs_cents"),
+          (cents(col("c_acctbal")) % 97).as("mod97"),
+          pow(col("c_custkey") % 10, 2).cast("long").as("pow2"),
+          r4(sqrt(abs(col("c_acctbal")))).as("sqrt_abs"),
+          r4(log(abs(cents(col("c_acctbal"))) + lit(1))).as("ln_c"),
+          r4(log10(abs(cents(col("c_acctbal"))) + lit(1))).as("log10_c"),
+          signum(col("c_acctbal")).cast("long").as("sgn"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Higher-order functions over the float32 embedding (no UDFs): the
+    // fold is written left-assoc and the oracle spells the identical
+    // chain of +, so both engines sum in index order (§2.8 rule 7b).
+    "q_fn_array" -> { (s, dir) =>
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("alen"),
+          r4(element_at(emb, 1)).as("e1"),
+          r4(element_at(emb, -1)).as("elast"),
+          r4(aggregate(slice(emb, 1, 8), lit(0.0), (acc, x) => acc + x)).as("sum8"),
+          r4(element_at(transform(emb, x => x * 2), 3)).as("dbl3"))
+        .orderBy(col("vec_id"))
+    },
+
+    "q_fn_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("cnt"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy(col("event_type"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substr(p_name, 1, 8) AS sub8,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  concat(p_brand, '#', p_type) AS cat,
+        |  replace(p_type, ' ', '_') AS rep,
+        |  lpad(p_brand, 12, '*') AS pad,
+        |  trim('  ' || p_brand || '  ') AS trm,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS rex,
+        |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+        |  md5(p_name) AS md5h,
+        |  CAST(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS BIGINT) AS has_red
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_math" ->
+      """SELECT c_custkey,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS flr,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS cl,
+        |  abs(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS abs_cents,
+        |  CAST(ROUND(c_acctbal*100) AS BIGINT) % 97 AS mod97,
+        |  CAST(power(c_custkey % 10, 2) AS BIGINT) AS pow2,
+        |  ROUND(sqrt(abs(c_acctbal)), 4) AS sqrt_abs,
+        |  ROUND(ln(abs(CAST(ROUND(c_acctbal*100) AS BIGINT)) + 1), 4) AS ln_c,
+        |  ROUND(log10(abs(CAST(ROUND(c_acctbal*100) AS BIGINT)) + 1), 4) AS log10_c,
+        |  CAST(sign(c_acctbal) AS BIGINT) AS sgn
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_fn_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS alen,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+        |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS elast,
+        |  ROUND(0.0 + CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+        |      + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+        |      + CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE)
+        |      + CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE), 4) AS sum8,
+        |  ROUND(CAST(embedding[3] AS DOUBLE) * 2, 4) AS dbl3
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_fn_json" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+}
