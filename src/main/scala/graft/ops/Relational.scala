@@ -81,7 +81,7 @@ object Relational {
           min(tstr(col("l_shipdate"))).as("min_ship"),
           max(tstr(col("l_shipdate"))).as("max_ship"))
         .select(col("cnt"), col("sum_qty_cents"), col("sum_base_cents"),
-          round(col("sum_base_cents").cast("double") / 100.0 / col("cnt"), 4).as("avg_price"),
+          (col("sum_base_cents").cast("double") / 100.0 / col("cnt")).as("avg_price"),
           col("min_ship"), col("max_ship"))
     },
 
@@ -104,8 +104,8 @@ object Relational {
           col("l_returnflag"), col("l_linestatus"),
           col("sum_qty_cents"), col("sum_base_cents"),
           col("sum_disc_c4"), col("sum_charge_c6"),
-          round(col("sum_qty_cents").cast("double") / 100.0 / col("cnt"), 4).as("avg_qty"),
-          round(col("sum_base_cents").cast("double") / 100.0 / col("cnt"), 4).as("avg_price"),
+          (col("sum_qty_cents").cast("double") / 100.0 / col("cnt")).as("avg_qty"),
+          (col("sum_base_cents").cast("double") / 100.0 / col("cnt")).as("avg_price"),
           col("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -230,7 +230,7 @@ object Relational {
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
-        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
         |  MIN(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS min_ship,
         |  MAX(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS max_ship
         |FROM lineitem""".stripMargin,
@@ -241,8 +241,8 @@ object Relational {
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_c6,
-        |  ROUND(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_qty,
-        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+import Det._
+
+/** SURVEY §2.9 family F — streaming semantics, batch-emulated (§2.7).
+  *
+  * Each query is the *final* result the Structured Streaming variant
+  * (graft.streaming.EventStreams) would emit in complete mode once the
+  * source is exhausted: a streaming query is an incremental view over
+  * an unbounded table, so the batch plan over the full events table is
+  * its fixpoint. Event-time only (no processing time), value sums in
+  * exact integer micro-units.
+  *
+  * Scale notes: tumbling/sliding aggregation states are bounded by
+  * (#windows × #keys); the session query is two partitioned windows
+  * (one shuffle on user_id); watermarking is one broadcast scalar.
+  */
+object Streaming {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(micros(col("value"))).cast("long").as("sum_micros"))
+        .select(tstr(col("window.start")).as("ws"), col("cnt"), col("sum_micros"))
+        .orderBy(col("ws"))
+    },
+
+    // Spark emits, per event, the four 15-min-stepped 1-hour windows
+    // containing it (epoch-aligned). The oracle reproduces exactly that
+    // set via generate_series over the (known, bounded) ts domain +
+    // range containment — empty windows drop out of both inner joins.
+    "q_stream_sliding" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(micros(col("value"))).cast("long").as("sum_micros"))
+        .select(tstr(col("window.start")).as("ws"), col("cnt"), col("sum_micros"))
+        .orderBy(col("ws"))
+    },
+
+    // Session windows (30-min gap) as gaps-and-islands: the SAME window
+    // algebra runs in the oracle, so the session ids line up by
+    // construction (§2.7).
+    "q_stream_session" -> { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(wOrd)))
+        .withColumn("new_s",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(
+          tstr(min(col("ts"))).as("session_start"),
+          tstr(max(col("ts"))).as("session_end"),
+          count(lit(1)).cast("long").as("n_events"),
+          sum(micros(col("value"))).cast("long").as("sum_micros"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+
+    // Watermark = max(ts) − 1 hour over the exhausted source; rows past
+    // it are "late" and dropped before aggregating.
+    "q_stream_watermark" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val wm = e.agg(max(col("ts")).as("max_ts"))
+      e.crossJoin(broadcast(wm))
+        .filter(col("ts") <= col("max_ts") - expr("INTERVAL 1 HOUR"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(micros(col("value"))).cast("long").as("sum_micros"))
+        .orderBy(col("event_type"))
+    },
+
+    // dropDuplicatesWithinWatermark analog: first event per
+    // (user_id, event_type) in event-time order.
+    "q_stream_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          tstr(col("ts")).as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY ws""".stripMargin,
+
+    "q_stream_sliding" ->
+      """SELECT strftime(g.ws, '%Y-%m-%d %H:%M:%S') AS ws,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(ROUND(e.value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+        |FROM generate_series(TIMESTAMP '2023-12-31 23:00:00',
+        |                     TIMESTAMP '2024-01-31 00:00:00',
+        |                     INTERVAL 15 MINUTE) AS g(ws)
+        |JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR
+        |GROUP BY g.ws
+        |ORDER BY ws""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), islands AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+        |FROM islands
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
+
+    "q_stream_watermark" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+        |FROM events
+        |WHERE ts <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        |FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}
