@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scale-path deduplication & ANN operators (LLM-data pipeline tier).
+  *
+  * These are the operators a 100 TB training-data pipeline actually
+  * runs; the declared exact variants (q_dedup_exact / q_dedup_near)
+  * verify semantics against DuckDB, while these hash-based forms are
+  * the O(n·sig) shapes that replace the exact shingle self-join at
+  * scale. They are deterministic (seeded xxhash64) but use Spark's
+  * hash functions, which DuckDB cannot reproduce → declared rows-only
+  * (no oracle), per the driver contract for non-SQL-expressible ops.
+  *
+  * Shapes:
+  *  - MinHash: per doc, K = numPerm minimum xxhash64(shingle, seed)
+  *    values → signature; LSH: split signature into bands, hash each
+  *    band, group by (band_idx, band_hash) → candidate buckets; only
+  *    bucket-mates are compared. Shuffle volume is O(n·bands), never
+  *    O(n²).
+  *  - SimHash: 64-bit signature from per-token hash bit votes; near-dup
+  *    candidates = equal signature (or banded 16-bit chunks).
+  *  - Embedding ANN: random-hyperplane LSH — sign bits of dot(v, rᵢ)
+  *    for seeded pseudo-random hyperplanes → bucket join, cosine only
+  *    within buckets.
+  */
+object Dedup {
+
+  /** Distinct 3-gram word shingles per doc: (doc_id, lang, sh). */
+  private[ops] def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signature: for each of numPerm seeded permutations, the min
+    * of xxhash64(seed, shingle) over the doc's shingle set — one
+    * aggregation, no joins. */
+  def minHashSignatures(docs: DataFrame, numPerm: Int): DataFrame = {
+    val aggs = (0 until numPerm).map(p =>
+      min(xxhash64(lit(p), col("sh"))).as(s"h$p"))
+    shingles(docs).groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures → candidate pairs with
+    * estimated Jaccard = fraction of matching signature components.
+    * bands*rowsPerBand must equal numPerm. */
+  def minHashCandidates(docs: DataFrame, numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numPerm / bands
+    val sig = minHashSignatures(docs, numPerm)
+    val sigArr = array((0 until numPerm).map(p => col(s"h$p")): _*)
+    val banded = sig.select(col("doc_id"), sigArr.as("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",", slice(sigArr, b * rows + 1, lit(rows))))
+              .as("bhash")))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bhash"))
+    val a = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bhash")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bool => bool)).cast("double") / numPerm).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash from token-level xxhash64 bit votes (weighted by
+    * token frequency implicitly via repetition). */
+  def simHash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    toks.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Random-hyperplane LSH bucket id for an embedding: sign bits of the
+    * dot products against `nPlanes` seeded pseudo-random hyperplanes
+    * (components derived from xxhash64(plane, dim) — deterministic, no
+    * data shipping). */
+  def hyperplaneBucket(emb: Column, nPlanes: Int): Column = {
+    val planes = (0 until nPlanes).map { p =>
+      // pseudo-random ±1 per (plane, dim) from the dim index hash
+      val signedDot = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
+          when(xxhash64(lit(p), i).bitwiseAND(1) === 1, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(signedDot > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Bucketed approximate cosine near-dup over embeddings: exact cosine
+    * only within hyperplane buckets. */
+  def annCandidates(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    val withB = embeddings.select(col("vec_id"), emb.as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), nPlanes))
+    val a = withB.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
+    val b = withB.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    a.join(b, "bucket").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(dot, 4).as("cos4")) // unit-norm vectors
+  }
+
+  /** Rows-only queries (deterministic but Spark-hash-based → no oracle). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> { (s, dir) =>
+      minHashCandidates(Tables.documents(s, dir), numPerm = 16, bands = 4)
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("a"), col("b"))
+    },
+    "q_dedup_simhash" -> { (s, dir) =>
+      val sh = simHash(Tables.documents(s, dir))
+      val a = sh.select(col("simhash"), col("doc_id").as("a"))
+      val b = sh.select(col("simhash"), col("doc_id").as("b"))
+      a.join(b, "simhash").filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("simhash"))
+        .orderBy(col("a"), col("b"))
+    },
+    "q_vec_ann_lsh" -> { (s, dir) =>
+      annCandidates(Tables.embeddings(s, dir), nPlanes = 8)
+        .filter(col("cos4") >= 0.2)
+        .orderBy(col("a"), col("b"))
+    }
+  )
+}

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+import Det._
+
+/** SURVEY §2.9 family H — text analysis & deduplication (the LLM-data
+  * extension over `documents`).
+  *
+  * Scale notes (§7.4): every op is blocking-based — the near-dup join
+  * is on (lang, shingle), never an O(n²) cross join; at 100 TB the
+  * shingle key would be `xxhash64(shingle)` (8-byte shuffle key instead
+  * of a string) and the pair-generation capped per shingle (stop-shingle
+  * removal); both are noted inline. ops.Dedup carries the
+  * MinHash-LSH / SimHash scale path as library operators.
+  */
+object Text {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> { (s, dir) =>
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val sumLen = length(translate(col("text"), " ", "")).cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nTok.as("n_tok"), sumLen.as("sum_len"),
+          (sumLen.cast("double") / nTok).as("avg_tok_len"),
+          (col("n_chars") === length(col("text"))).cast("long").as("chk"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q_text_lang" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    "q_text_topterms" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("freq"))
+        .orderBy(col("term"))
+    },
+
+    // tf-idf with top-3 terms per doc. The idf join is a broadcast (the
+    // term dictionary is tiny relative to the corpus); ordering is on
+    // the ROUNDED score so both engines rank the same 4-dp grid, term
+    // as tie-break.
+    "q_text_tfidf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf"))
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(n))
+        .withColumn("score4",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score4").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score4"), col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+
+    // Exact dedup: hash-groupBy on content digest, canonical = min id.
+    "q_dedup_exact" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("md5h"))
+        .agg(min(col("doc_id")).cast("long").as("canonical"),
+          count(lit(1)).cast("long").as("members"))
+        .filter(col("members") > 1)
+        .orderBy(col("md5h"))
+    },
+
+    // Near-dup via 3-gram word shingles: distinct shingle sets,
+    // same-(lang, shingle) blocked self-join, exact Jaccard ≥ 0.8.
+    // 100 TB path: key the join on xxhash64(shingle), drop shingles with
+    // document-frequency above a cap (stop-shingles dominate pair
+    // generation), or switch to ops.Dedup.minHashLsh banding.
+    "q_dedup_near" -> { (s, dir) =>
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          concat(col("tok"), lit(" "), col("t1"), lit(" "), col("t2")).as("sh"))
+        .distinct()
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("sz"))
+      val a = sh.select(col("doc_id").as("a"), col("lang"), col("sh"))
+      val b = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+      val common = a.join(b,
+          col("sh") === col("sh_b") && col("lang") === col("lang_b") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("common"))
+      val jac = col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))
+      common
+        .join(sz.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+        .withColumn("jac", jac)
+        .filter(col("jac") >= 0.8)
+        .select(col("a"), col("b"), col("common"), col("sz_a"), col("sz_b"), col("jac"))
+        .orderBy(col("a"), col("b"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_len,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_tok_len,
+        |  CAST(n_chars = length(text) AS BIGINT) AS chk
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_lang" ->
+      """SELECT lang, source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_text_topterms" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term
+        |ORDER BY term""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, term, score4, rn FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dft.df), 4) AS score4,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dft.df), 4) DESC, tf.term)
+        |      AS BIGINT) AS rn
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n) t
+        |WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS md5h,
+        |  CAST(MIN(doc_id) AS BIGINT) AS canonical,
+        |  CAST(COUNT(*) AS BIGINT) AS members
+        |FROM documents
+        |GROUP BY md5(text)
+        |HAVING COUNT(*) > 1
+        |ORDER BY md5h""".stripMargin,
+
+    "q_dedup_near" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+        |  FROM d, UNNEST(range(len(d.toks) - 2)) AS u(i)
+        |), sz AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.a, p.b, p.common, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) AS jac
+        |FROM pairs p
+        |JOIN sz sa ON p.a = sa.doc_id
+        |JOIN sz sb ON p.b = sb.doc_id
+        |WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.8
+        |ORDER BY a, b""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis extension operators (LLM-data pipeline tier, beyond
+  * the declared §2.9 H set): language-ID scoring, quality scoring,
+  * BPE-ish token estimation, rolling-hash fingerprinting.
+  *
+  * q_text_langid / q_text_quality are pure SQL-expressible → oracled.
+  * q_text_fingerprint depends on Spark's xxhash64 → rows-only.
+  */
+object TextAnalysis {
+
+  /** Stopword evidence sets for the n-gram-free language-ID heuristic.
+    * (On the synthetic 31-token vocabulary these mostly score 0 — the
+    * operator's *shape* is what matters: per-language evidence ratios
+    * and an argmax, all codegen'd expressions.) */
+  private val stop = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  private def evidence(lang: String): Column =
+    (size(filter(toks, t => t.isInCollection(stop(lang)))).cast("double")
+      / size(toks))
+
+  def langIdScores(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: col("lang").as("tagged_lang") +:
+      stop.keys.toSeq.sorted.map(l => evidence(l).as(s"score_$l")): _*)
+
+  /** Quality score: length / punctuation-ratio / stopword-ratio /
+    * mean-token-length components, combined into [0,1]. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct = (nChars - length(translate(col("text"), ".,;:!?", ""))).cast("double")
+    val lenScore = least(nChars / 400.0, lit(1.0))
+    val punctRatio = punct / nChars
+    val meanTok = (nChars - (nTok - 1)) / nTok
+    docs.select(col("doc_id"), lenScore.as("len_score"),
+      punctRatio.as("punct_ratio"), meanTok.as("mean_tok_len"),
+      ((lenScore + (lit(1.0) - punctRatio)) / 2.0).as("quality"))
+  }
+
+  /** BPE-ish token-count estimate: whitespace words + ceil(word_len/4)
+    * sub-word pieces (the standard ~4-chars-per-token heuristic),
+    * computed as a higher-order fold — no UDF. */
+  def tokenEstimate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(transform(toks, t => ceil(length(t).cast("double") / 4.0).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("n_bpe_est"))
+
+  /** Rolling-hash document fingerprint: xxhash64 over 8-token windows,
+    * keep the k smallest (winnowing) — the classic content-defined
+    * fingerprint for containment detection. Spark-hash-based. */
+  def fingerprints(docs: DataFrame, window: Int = 8, keep: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      slice(array_sort(transform(
+        sequence(lit(0), greatest(size(toks) - window, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
+        1, keep).as("fingerprint"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> { (s, dir) =>
+      langIdScores(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+    "q_text_quality" -> { (s, dir) =>
+      qualityScore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+    "q_text_tokens_est" -> { (s, dir) =>
+      tokenEstimate(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+    // rows-only (xxhash64-based)
+    "q_text_fingerprint" -> { (s, dir) =>
+      fingerprints(Tables.documents(s, dir))
+        .select(col("doc_id"), element_at(col("fingerprint"), 1).as("min_fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private def evidenceSql(lang: String): String = {
+    val set = stop(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS DOUBLE) / len(string_split(text, ' '))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" ->
+      s"""SELECT doc_id, lang AS tagged_lang,
+         |  ${evidenceSql("de")} AS score_de,
+         |  ${evidenceSql("en")} AS score_en,
+         |  ${evidenceSql("es")} AS score_es,
+         |  ${evidenceSql("fr")} AS score_fr
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  LEAST(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_score,
+        |  CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+        |    / len(string_split(text, ' ')) AS mean_tok_len,
+        |  (LEAST(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+        |    + (1.0 - CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
+        |        / length(text))) / 2.0 AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens_est" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    // q_text_fingerprint: rows-only (xxhash64 not reproducible in DuckDB)
+  )
+}

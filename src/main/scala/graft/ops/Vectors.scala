@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+import Det._
+
+/** SURVEY §2.9 family I — vector similarity & the text+vector join (the
+  * LLM-data extension over `embeddings`).
+  *
+  * All arithmetic follows §2.8 rule 7b: float32 components are cast to
+  * DOUBLE before any op, folds are left-assoc in index order, matching
+  * the oracle's `list_inner_product` summation.
+  *
+  * Scale notes: the knn query broadcasts the (bounded) query set and
+  * streams the candidate side — a brute-force top-k that is the correct
+  * baseline shape at any scale when the query set is small; the
+  * LSH-bucketed variant for large query sets lives in ops.Dedup
+  * (random-hyperplane signatures → per-bucket joins).
+  */
+object Vectors {
+
+  /** float32 array → double array (§2.8 7b). */
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Σ xᵢyᵢ as a left-assoc fold in index order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_norm" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          round(sqrt(norm2(dbl(col("embedding")))), 4).as("l2_4"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Brute-force cosine top-5: 10 query vectors (broadcast) × all
+    // candidates. Ranking is on the rounded cosine + id tie-break so
+    // both engines walk the same 4-dp grid.
+    "q_vec_knn" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), dbl(col("embedding")).as("qv"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), dbl(col("embedding")).as("cv"))
+      val cos4 = round(
+        dot(col("qv"), col("cv")) / (sqrt(norm2(col("qv"))) * sqrt(norm2(col("cv")))), 4)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos4").desc, col("c_id"))
+      c.crossJoin(broadcast(q))
+        .withColumn("cos4", cos4)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"), col("cos4"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // Per-(label, dimension) centroid: components quantized to exact
+    // integer 1e-6 units so the grouped sums are order-independent;
+    // the final mean is one double division (unrounded, bit-stable).
+    "q_vec_centroid" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("m", round(col("v").cast("double") * 1000000L, 0).cast("long"))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("m")).cast("long").as("sum_m"))
+        .select(col("label"), col("dim"), col("n"),
+          (col("sum_m").cast("double") / 1000000.0 / col("n")).as("mean_c"))
+        .orderBy(col("label"), col("dim"))
+    },
+
+    // Text ⋈ vectors: one relation carrying linguistic and geometric
+    // features — the multimodal building block (doc_id = vec_id).
+    "q_multimodal_join" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          col("label"),
+          round(sqrt(norm2(dbl(col("embedding")))), 4).as("l2_4"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private val qvCast = "CAST(embedding AS DOUBLE[])"
+
+  val oracle: Map[String, String] = Map(
+    "q_vec_norm" ->
+      s"""SELECT vec_id, label,
+         |  ROUND(sqrt(list_inner_product($qvCast, $qvCast)), 4) AS l2_4
+         |FROM embeddings
+         |ORDER BY vec_id""".stripMargin,
+
+    "q_vec_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id >= 10
+        |), s AS (
+        |  SELECT q_id, c_id,
+        |    ROUND(list_inner_product(qv, cv)
+        |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 4) AS cos4
+        |  FROM c CROSS JOIN q
+        |)
+        |SELECT q_id, c_id, cos4, rn FROM (
+        |  SELECT q_id, c_id, cos4,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos4 DESC, c_id) AS BIGINT) AS rn
+        |  FROM s) t
+        |WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+
+    "q_vec_centroid" ->
+      """SELECT label, CAST(pos - 1 AS BIGINT) AS dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / COUNT(*) AS mean_c
+        |FROM (
+        |  SELECT label, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings) t
+        |GROUP BY label, pos
+        |ORDER BY label, dim""".stripMargin,
+
+    "q_multimodal_join" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |  label,
+         |  ROUND(sqrt(list_inner_product($qvCast, $qvCast)), 4) AS l2_4
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |ORDER BY doc_id""".stripMargin
+  )
+}
