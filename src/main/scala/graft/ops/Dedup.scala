@@ -37,13 +37,16 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signature: for each of numPerm seeded permutations, the min
-    * of xxhash64(seed, shingle) over the doc's shingle set — one
+  /** MinHash signature: hash each shingle string to 64 bits ONCE, then
+    * derive the numPerm permutations by re-hashing the long (integer
+    * hashing is ~10× cheaper than string hashing; standard trick) and
+    * take the per-permutation min over the doc's shingle set — one
     * aggregation, no joins. */
   def minHashSignatures(docs: DataFrame, numPerm: Int): DataFrame = {
+    val base = shingles(docs).withColumn("h0", xxhash64(col("sh")))
     val aggs = (0 until numPerm).map(p =>
-      min(xxhash64(lit(p), col("sh"))).as(s"h$p"))
-    shingles(docs).groupBy(col("doc_id"))
+      min(xxhash64(lit(p), col("h0"))).as(s"h$p"))
+    base.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -60,6 +63,7 @@ object Dedup {
             xxhash64(concat_ws(",", slice(sigArr, b * rows + 1, lit(rows))))
               .as("bhash")))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bhash"))
+      .cache() // both sides of the bucket self-join
     val a = banded.select(col("band"), col("bhash"),
       col("doc_id").as("a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bhash"),
@@ -109,6 +113,7 @@ object Dedup {
     val emb = transform(col("embedding"), x => x.cast("double"))
     val withB = embeddings.select(col("vec_id"), emb.as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), nPlanes))
+      .cache() // both sides of the bucket self-join
     val a = withB.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
     val b = withB.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
     val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
@@ -125,7 +130,7 @@ object Dedup {
         .orderBy(col("a"), col("b"))
     },
     "q_dedup_simhash" -> { (s, dir) =>
-      val sh = simHash(Tables.documents(s, dir))
+      val sh = simHash(Tables.documents(s, dir)).cache() // both join sides
       val a = sh.select(col("simhash"), col("doc_id").as("a"))
       val b = sh.select(col("simhash"), col("doc_id").as("b"))
       a.join(b, "simhash").filter(col("a") < col("b"))

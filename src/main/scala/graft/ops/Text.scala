@@ -54,6 +54,7 @@ object Text {
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).cast("long").as("tf"))
+        .cache() // feeds both the idf aggregation and the scored join
       val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
       val n = docs.agg(count(lit(1)).cast("long").as("n"))
       val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(n))
@@ -92,6 +93,7 @@ object Text {
         .select(col("doc_id"), col("lang"),
           concat(col("tok"), lit(" "), col("t1"), lit(" "), col("t2")).as("sh"))
         .distinct()
+        .cache() // read 3× below (both self-join sides + sizes)
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("sz"))
       val a = sh.select(col("doc_id").as("a"), col("lang"), col("sh"))
       val b = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("sh").as("sh_b"))

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.ClimateOps
+
+/** FIXTURES §3 mini-climate-grid: hand-computed expectations for the
+  * bcdp-surface transforms (SURVEY §2.1 R3-R12). */
+class ClimateOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // 2 datasets × 4 timesteps (2 in DJF) × (2 lats × 2 lons, one lon ≥ 180)
+  private lazy val grid = {
+    val rows = for {
+      ds <- Seq("modelA", "obs")
+      (t, v0) <- Seq(("2000-01-15 00:00:00", 1.0), ("2000-04-15 00:00:00", 3.0),
+        ("2000-07-15 00:00:00", 5.0), ("2000-12-15 00:00:00", 7.0))
+      lat <- Seq(-10.0, 10.0)
+      lon <- Seq(20.0, 200.0) // 200 wraps to -160
+    } yield (ds, java.sql.Timestamp.valueOf(t), lat, lon,
+      v0 + lat / 100.0 + (if (ds == "obs") 0.5 else 0.0))
+    rows.toDF("dataset", "time", "lat", "lon", "value")
+  }
+
+  test("homogenize wraps lon into [-180,180)") {
+    val out = ClimateOps.homogenize(grid.withColumnRenamed("lon", "longitude"),
+      Map("longitude" -> "lon"))
+    val lons = out.select("lon").distinct().as[Double].collect().sorted
+    assert(lons.toSeq == Seq(-160.0, 20.0))
+  }
+
+  test("subset keeps only in-bounds cells") {
+    val out = ClimateOps.subset(grid, 0.0, 90.0, 0.0, 90.0,
+      "2000-01-01 00:00:00", "2000-06-30 00:00:00")
+    // lat=10, lon=20, t in {Jan,Apr} × 2 datasets = 4 rows
+    assert(out.count() == 4)
+  }
+
+  test("selectSeason DJF keeps Dec/Jan/Feb timesteps") {
+    val out = ClimateOps.selectSeason(grid, Seq(12, 1, 2))
+    assert(out.select(month($"time")).distinct().as[Int].collect().toSet == Set(1, 12))
+    assert(out.count() == 16) // 2 of 4 timesteps
+  }
+
+  test("climatology averages per (dataset, month, cell)") {
+    val out = ClimateOps.climatology(grid)
+    // each (dataset, month, lat, lon) has exactly 1 sample here → clim = value
+    assert(out.count() == grid.count())
+    val one = out.filter($"dataset" === "modelA" && $"moy" === 1
+      && $"lat" === 10.0 && $"lon" === 20.0).select("clim").as[Double].head()
+    assert(math.abs(one - 1.1) < 1e-12) // 1.0 + 10/100
+  }
+
+  test("anomaly subtracts the per-cell month mean (single-sample → 0)") {
+    val out = ClimateOps.anomaly(grid)
+    val maxAbs = out.agg(max(abs($"anomaly"))).as[Double].head()
+    assert(maxAbs < 1e-12)
+  }
+
+  test("regridBin bins onto the coarse mesh with counts") {
+    val out = ClimateOps.regridBin(grid, 20.0, 200.0)
+    // lats -10,10 → bins -20,0; lons 20,200 → bins 0,200 → 4 bins per (ds,t)
+    assert(out.count() == 2 * 4 * 4)
+    assert(out.agg(sum($"n_cells")).as[Long].head() == grid.count())
+  }
+
+  test("zonalMean collapses lon") {
+    val out = ClimateOps.zonalMean(grid)
+    assert(out.count() == 2 * 4 * 2) // (ds, t, lat)
+  }
+
+  test("convertUnits is value*k+b") {
+    val out = ClimateOps.convertUnits(grid, 2.0, 1.0)
+    val got = out.filter($"dataset" === "modelA" && month($"time") === 1
+      && $"lat" === -10.0 && $"lon" === 20.0).select("value").as[Double].head()
+    assert(math.abs(got - (0.9 * 2 + 1)) < 1e-12)
+  }
+
+  test("noleapToTimestamp skips Feb 29 in leap years") {
+    val df = Seq((2000, 59), (2000, 60), (2001, 60)).toDF("yr", "doy")
+    val out = df.select(date_format(
+      ClimateOps.noleapToTimestamp($"yr", $"doy"), "yyyy-MM-dd").as("d"))
+      .as[String].collect().toSeq
+    // noleap day 59 = Feb 28; day 60 = Mar 1 (skipping Feb 29 in 2000)
+    assert(out == Seq("2000-02-28", "2000-03-01", "2001-03-01"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2 cross-query invariants on sf0.001 — structural relations
+  * that must hold between independent query results. */
+class InvariantsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("every declared query has either an oracle or a documented skip") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q_agg_approx_hll", "q_dedup_minhash",
+      "q_dedup_simhash", "q_vec_ann_lsh", "q_text_fingerprint",
+      "q_multimodal_decode"))
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("semi ⊎ anti partitions customers") {
+    val total = Tables.customer(spark, dir).count()
+    assert(q("q_join_semi").count() + // has urgent order
+      Tables.customer(spark, dir).join(
+        Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti").count() == total)
+  }
+
+  test("rollup grand-total row equals global count") {
+    val rollup = q("q_agg_rollup")
+    val grand = rollup.filter(col("gid") === 3).select("cnt").head().getLong(0)
+    assert(grand == Tables.lineitem(spark, dir).count())
+  }
+
+  test("union_all bag count = sum of both sides") {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(q("q_set_union_all").count() == urgent + building)
+  }
+
+  test("running window final value equals the group total") {
+    val running = q("q_win_running")
+    val finalPerCust = running.groupBy("o_custkey")
+      .agg(max("running_n").as("final_n"))
+    val direct = Tables.orders(spark, dir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+    val bad = finalPerCust.join(direct, "o_custkey")
+      .filter(col("final_n") =!= col("n")).count()
+    assert(bad == 0)
+  }
+
+  test("topk-per-group is a prefix of the ranked output") {
+    assert(q("q_win_topk_group").count() ==
+      q("q_win_rank").filter(col("rn") <= 3).count())
+  }
+
+  test("embedding norms are ~1 (unit vectors)") {
+    val norms = q("q_vec_norm").agg(min("l2_4"), max("l2_4")).head()
+    assert(norms.getDouble(0) > 0.99 && norms.getDouble(1) < 1.01)
+  }
+
+  test("watermark drops exactly the last hour's events") {
+    val e = Tables.events(spark, dir)
+    val total = e.count()
+    val kept = q("q_stream_watermark").agg(sum("cnt")).head().getLong(0)
+    assert(kept < total) // something was late
+    val maxTs = e.agg(max("ts")).head().getTimestamp(0)
+    val late = e.filter(col("ts") > lit(maxTs) - expr("INTERVAL 1 HOUR")).count()
+    assert(kept + late == total)
+  }
+
+  test("dedup keeps exactly one row per (user, event_type)") {
+    val d = q("q_stream_dedup")
+    assert(d.count() == d.select("user_id", "event_type").distinct().count())
+    assert(d.count() == Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct().count())
+  }
+
+  test("exact-dup groups all share identical text") {
+    // mini-docs fixture: two exact dups, one near-dup pair, one unrelated
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en", "src0", 15L),
+      (2L, "a b c d e f g h", "en", "src1", 15L), // exact dup of 1
+      (3L, "a b c d e f g x", "en", "src2", 15L), // near dup
+      (4L, "z z z z z z z z", "de", "src3", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val groups = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("canonical"), count(lit(1)).as("members"))
+      .filter(col("members") > 1).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("canonical") == 1L)
+  }
+
+  test("minhash signatures of identical texts are identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6", "en"),
+      (2L, "w1 w2 w3 w4 w5 w6", "en"),
+      (3L, "q1 q2 q3 q4 q5 q6", "en")).toDF("doc_id", "text", "lang")
+    val sig = ops.Dedup.minHashSignatures(docs, 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+}
