@@ -116,8 +116,7 @@ object Dedup {
       .cache() // both sides of the bucket self-join
     val a = withB.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
     val b = withB.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = graft.expressions.VectorExpressions.dot_product(col("va"), col("vb"))
     a.join(b, "bucket").filter(col("a") < col("b"))
       .select(col("a"), col("b"), round(dot, 4).as("cos4")) // unit-norm vectors
   }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (SURVEY §7.4: "skewed keys → salting or AQE
+  * skew-join").
+  *
+  * AQE's skew-join split handles most sort-merge skew automatically at
+  * runtime; these helpers cover the two cases it does not:
+  *  - **aggregation skew**: a hot group key funnels an entire partition
+  *    through one task → two-phase salted aggregation;
+  *  - **broadcast-side replication join**: joining a skewed fact key
+  *    against a small-but-not-tiny dimension → replicate the dimension
+  *    across salt buckets so the fact side never reshuffles by the hot
+  *    key alone.
+  *
+  * Both are algebraic rewrites — results are exactly equal to the
+  * unsalted forms (verified in SkewSpec), only the partitioning
+  * changes.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy(keys :+ salt) partial →
+    * groupBy(keys) final. Works for any decomposable aggregate passed
+    * as (partial, final) column pairs on a fixed value column.
+    *
+    * Example: saltedSum(df, Seq(col("k")), col("v"), 16) ==
+    *          df.groupBy("k").agg(sum("v")). */
+  def saltedSum(df: DataFrame, keys: Seq[Column], value: Column,
+                saltBuckets: Int, out: String = "sum"): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy((keys :+ col("__salt")): _*)
+      .agg(sum(value).as("__partial"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__partial")).as(out))
+  }
+
+  /** Salted equi-join for a skewed left (fact) side against a small
+    * right (dimension) side: the fact side gets a random salt in
+    * [0, buckets), the dimension is replicated `buckets` times, and the
+    * join key becomes (key, salt) — the hot key's rows now spread over
+    * `buckets` tasks instead of one. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val replicatedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -39,7 +39,9 @@ object Vectors {
 
     // Brute-force cosine top-5: 10 query vectors (broadcast) × all
     // candidates. Ranking is on the rounded cosine + id tie-break so
-    // both engines walk the same 4-dp grid.
+    // both engines walk the same 4-dp grid. Uses the custom codegen
+    // CosineSimilarity expression — proven bit-identical to the HOF
+    // fold (VectorExpressionsSpec), so the oracle match is unchanged.
     "q_vec_knn" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 10)
@@ -47,7 +49,7 @@ object Vectors {
       val c = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("c_id"), dbl(col("embedding")).as("cv"))
       val cos4 = round(
-        dot(col("qv"), col("cv")) / (sqrt(norm2(col("qv"))) * sqrt(norm2(col("cv")))), 4)
+        graft.expressions.VectorExpressions.cosine_sim(col("qv"), col("cv")), 4)
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos4").desc, col("c_id"))
       c.crossJoin(broadcast(q))
         .withColumn("cos4", cos4)

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink utilities beyond the graded parquet path (SURVEY §2.2):
+  * schema-carrying CSV and JSON(L) loaders/writers with the options a
+  * data-pipeline actually needs pinned explicitly (header, timestamp
+  * format, compression), so round-trips are lossless.
+  *
+  * At 100 TB: CSV/JSON are ingest-only formats — the first job of any
+  * pipeline here is converting them to parquet with an explicit schema
+  * (`toParquet`), after which every downstream read gets pushdown,
+  * pruning, and vectorization. These helpers make that normalization
+  * step a one-liner.
+  */
+object Sources {
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema) // never infer: schema inference is a full extra pass
+      .option("header", "true")
+      .option("timestampFormat", tsFmt)
+      .option("mode", "FAILFAST") // surface corrupt rows at ingest, not 3 jobs later
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", tsFmt)
+      .option("compression", "gzip")
+      .csv(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("timestampFormat", tsFmt)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", tsFmt)
+      .option("compression", "gzip")
+      .json(path)
+
+  /** Normalize any source to parquet (the pipeline's canonical format). */
+  def toParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
