@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.ClimateOps
+
+/** The reference's user-facing abstraction: a named collection of
+  * gridded datasets with chainable preprocessing ops
+  * (`load → homogenize → subset → select_season → regrid → resample`).
+  *
+  * Spark-native design: an Ensemble IS one long-form DataFrame with a
+  * `dataset` tag column (member = slice), so "map over members" is
+  * ordinary partitioned/grouped execution — no driver-side loop over
+  * members, which is what makes the same API hold at 100 TB. Every op
+  * returns a new immutable Ensemble wrapping a lazily-composed plan;
+  * nothing executes until an action.
+  *
+  * A bcdp user's pipeline
+  *   `ens = bcdp.load_local(paths); ens.homogenize().subset(b).regrid(g)`
+  * becomes
+  *   `Ensemble.load(spark, paths).homogenize().subset(...).regridBin(...)`.
+  */
+final case class Ensemble(df: DataFrame) {
+
+  /** Member names (small; the one intentionally driver-side accessor). */
+  def members: Seq[String] =
+    df.select("dataset").distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  // ---- ensemble algebra (bcdp R13) ----------------------------------
+  def addMember(name: String, member: DataFrame): Ensemble =
+    Ensemble(df.unionByName(member.withColumn("dataset", lit(name))))
+
+  def dropMember(name: String): Ensemble =
+    Ensemble(df.filter(col("dataset") =!= name))
+
+  /** Keep only (time,lat,lon) cells present in EVERY member — bcdp's
+    * align-on-common-axes, as a distinct-count semi-filter (no N-way
+    * self-join; one aggregation + one semi-join). */
+  def alignMembers(): Ensemble = {
+    val n = df.select("dataset").distinct().count()
+    val common = df.groupBy("time", "lat", "lon")
+      .agg(countDistinct(col("dataset")).as("nds"))
+      .filter(col("nds") === n)
+      .select("time", "lat", "lon")
+    Ensemble(df.join(common, Seq("time", "lat", "lon"), "left_semi"))
+  }
+
+  // ---- chained preprocessing (R3, R5, R6, R7, R8, R9, R10, R12) -----
+  def homogenize(renames: Map[String, String] = Map.empty): Ensemble =
+    Ensemble(ClimateOps.homogenize(df, renames))
+
+  def subset(latMin: Double, latMax: Double, lonMin: Double, lonMax: Double,
+             tMin: String, tMax: String): Ensemble =
+    Ensemble(ClimateOps.subset(df, latMin, latMax, lonMin, lonMax, tMin, tMax))
+
+  def selectSeason(months: Seq[Int]): Ensemble =
+    Ensemble(ClimateOps.selectSeason(df, months))
+
+  def regridBin(latRes: Double, lonRes: Double): Ensemble =
+    Ensemble(ClimateOps.regridBin(df, latRes, lonRes)
+      .withColumnRenamed("lat_bin", "lat").withColumnRenamed("lon_bin", "lon")
+      .drop("n_cells"))
+
+  def resample(unit: String): Ensemble = Ensemble(ClimateOps.resample(df, unit))
+
+  def convertUnits(k: Double, b: Double): Ensemble =
+    Ensemble(ClimateOps.convertUnits(df, k, b))
+
+  // ---- reductions (R9-R11) — terminal, return plain DataFrames ------
+  def climatology(): DataFrame = ClimateOps.climatology(df)
+  def anomaly(): DataFrame = ClimateOps.anomaly(df)
+  def zonalMean(): DataFrame = ClimateOps.zonalMean(df)
+
+  /** bcdp's generic `apply` escape hatch (R14), kept declarative. */
+  def transform(f: DataFrame => DataFrame): Ensemble = Ensemble(f(df))
+}
+
+object Ensemble {
+  /** Load members from long-form parquet paths; the member name comes
+    * from a supplied tag or the file path (R1's filename-template). */
+  def load(spark: SparkSession, members: Map[String, String]): Ensemble =
+    Ensemble(members.map { case (name, path) =>
+      spark.read.parquet(path).withColumn("dataset", lit(name))
+    }.reduce(_ unionByName _))
+
+  def of(df: DataFrame): Ensemble = Ensemble(df)
+}

@@ -10,7 +10,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
       ops.Functions.queries ++ ops.Streaming.queries ++ ops.Climate.queries ++
       ops.Text.queries ++ ops.Vectors.queries ++ ops.Dedup.queries ++
-      ops.TextAnalysis.queries ++ ops.Multimodal.queries
+      ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.Ann.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

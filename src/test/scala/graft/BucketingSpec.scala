@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Bucketing
+
+/** Bucketed join must be shuffle-free and result-identical. */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", Files.createTempDirectory("graft_wh").toString)
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(rmrf)
+    p.delete()
+  }
+
+  test("bucketed lineitem⋈orders has no Exchange and matches plain join") {
+    // the session may be shared across suites (getOrCreate) with a
+    // default warehouse; clear orphan locations from previous JVMs and
+    // pin the plan-shape confs at runtime (builder confs don't apply to
+    // a reused session): AQE off so the final plan is inspectable,
+    // broadcast off so the join is the bucketed SortMergeJoin
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("li_b", "o_b").foreach(t => rmrf(new java.io.File(wh, t)))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "okey"),
+      "li_b", "okey", 8)
+    Bucketing.writeBucketed(
+      Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "okey"),
+      "o_b", "okey", 8)
+    val joined = Bucketing.bucketedJoin(spark, "li_b", "o_b", "okey")
+    assert(Bucketing.isShuffleFree(joined),
+      "expected no Exchange in:\n" + joined.queryExecution.executedPlan)
+    val plain = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+    assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bcdp-style chained pipeline over the fluent Ensemble facade. */
+class EnsembleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def member(name: String, lats: Seq[Double]) = {
+    val rows = for {
+      t <- Seq("2000-01-10 00:00:00", "2000-07-10 00:00:00")
+      lat <- lats
+      lon <- Seq(10.0, 190.0)
+    } yield (name, java.sql.Timestamp.valueOf(t), lat, lon, lat + lon / 1000.0)
+    rows.toDF("dataset", "time", "lat", "lon", "value")
+  }
+
+  test("chained pipeline: homogenize → subset → season → regrid → members") {
+    val ens = Ensemble.of(member("m1", Seq(0.0, 20.0))
+        .unionByName(member("m2", Seq(0.0, 20.0, 40.0))))
+      .homogenize() // lon 190 → -170
+      .subset(-90, 90, -180, 180, "1999-01-01 00:00:00", "2000-12-31 00:00:00")
+      .selectSeason(Seq(12, 1, 2)) // keeps only the January timestep
+    assert(ens.members == Seq("m1", "m2"))
+    assert(ens.df.select(month($"time")).distinct().as[Int].collect().toSeq == Seq(1))
+    val regridded = ens.regridBin(30.0, 60.0)
+    assert(regridded.df.columns.toSet == Set("dataset", "time", "lat", "lon", "value"))
+  }
+
+  test("alignMembers keeps only cells present in every member") {
+    val ens = Ensemble.of(member("m1", Seq(0.0, 20.0))
+      .unionByName(member("m2", Seq(0.0, 20.0, 40.0))))
+    val aligned = ens.alignMembers()
+    // lat=40 exists only in m2 → dropped everywhere
+    assert(aligned.df.filter($"lat" === 40.0).count() == 0)
+    // common cells survive for both members
+    assert(aligned.df.count() == 2 * 2 * 2 * 2) // members × times × lats × lons
+  }
+
+  test("addMember / dropMember algebra") {
+    val ens = Ensemble.of(member("m1", Seq(0.0)))
+      .addMember("obs", member("ignored", Seq(0.0)).drop("dataset"))
+    assert(ens.members == Seq("m1", "obs"))
+    assert(ens.dropMember("m1").members == Seq("obs"))
+  }
+}

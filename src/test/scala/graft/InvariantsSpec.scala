@@ -20,8 +20,8 @@ class InvariantsSpec extends AnyFunSuite {
   test("every declared query has either an oracle or a documented skip") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_hll", "q_dedup_minhash",
-      "q_dedup_simhash", "q_vec_ann_lsh", "q_text_fingerprint",
-      "q_multimodal_decode"))
+      "q_dedup_simhash", "q_vec_ann_lsh", "q_vec_ann_ivf",
+      "q_text_fingerprint", "q_multimodal_decode"))
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
