@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.AsOf
+
+/** The custom AsOfJoinExec must agree with the oracle-matched window
+  * emulation (q_join_asof) on the same task: most recent prior signup
+  * per purchase, per user. */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("AsOfJoinExec plan is used and matches the window emulation") {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+
+    val joined = AsOf.join(spark, purchases, signups,
+      "user_id", "s_user", "ts", "s_ts")
+    assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "custom exec not planned:\n" + joined.queryExecution.executedPlan)
+
+    val got = joined.select(col("event_id"),
+      Det.tstr(col("ts")).as("purchase_ts"),
+      Det.tstr(col("s_ts")).as("signup_ts"))
+    val expected = SparkEntry.queries("q_join_asof")(spark, dir)
+      .select(col("event_id"), col("purchase_ts"), col("signup_ts"))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+  }
+
+  test("mini fixture: exact backward-join semantics incl. no-match NULL") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (1L, 200L), (2L, 50L))
+      .toDF("k", "t").select(col("k"), col("t"), col("t").as("lt"))
+    val r = Seq((1L, 90L, "a"), (1L, 150L, "b"), (3L, 10L, "c"))
+      .toDF("k2", "t2", "v")
+    val res = AsOf.join(spark, l, r, "k", "k2", "t", "t2")
+      .select("k", "t", "v").collect()
+      .map(x => (x.getLong(0), x.getLong(1), if (x.isNullAt(2)) null else x.getString(2)))
+      .toSet
+    assert(res == Set((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, null)))
+  }
+}
