@@ -141,6 +141,23 @@ object Joins {
         .orderBy(col("band"))
     },
 
+    // Same task through the custom tier-(c) operator (plans.AsOfJoin):
+    // merge-pass exec with O(1) state instead of a window carrying the
+    // signup column through every row. Shares q_join_asof's oracle —
+    // the two implementations must hash-match the same DuckDB result.
+    "q_join_asof_native" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      graft.plans.AsOf.join(s, purchases, signups, "user_id", "s_user", "ts", "s_ts")
+        .select(col("event_id"), col("user_id"),
+          tstr(col("ts")).as("purchase_ts"),
+          tstr(col("s_ts")).as("signup_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // As-of join via partitioned window: for each purchase, the most
     // recent strictly-prior signup ts of the same user. One shuffle on
     // user_id, no self-join — the shape that scales.
@@ -250,7 +267,11 @@ object Joins {
         |GROUP BY band
         |ORDER BY band""".stripMargin,
 
-    "q_join_asof" ->
+    "q_join_asof_native" -> asofOracle,
+    "q_join_asof" -> asofOracle
+  )
+
+  private lazy val asofOracle =
       """SELECT event_id, user_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
         |  strftime(prior_signup, '%Y-%m-%d %H:%M:%S') AS signup_ts
@@ -262,5 +283,4 @@ object Joins {
         |  FROM events) t
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin
-  )
 }
