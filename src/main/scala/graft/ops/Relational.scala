@@ -173,6 +173,22 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Interpolated percentiles over exact integer cents at binary-exact
+    // quantiles (0.25/0.5/0.75): a + f·(b−a) with f a power-of-two
+    // fraction and a,b integers is exact in both engines — no rounding
+    // needed, the doubles are equal by construction.
+    "q_agg_percentile" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("qc", cents(col("l_quantity")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(qc, 0.25)").as("p25"),
+          expr("percentile(qc, 0.5)").as("p50"),
+          expr("percentile(qc, 0.75)").as("p75"),
+          count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // HLL sketch differs across engines → declared no-oracle (◦); exact
     // companion column carried for eyeballing.
     "q_agg_approx_hll" -> { (s, dir) =>
@@ -285,6 +301,16 @@ object Relational {
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(ROUND(l_quantity*100) AS BIGINT), 0.25) AS p25,
+        |  quantile_cont(CAST(ROUND(l_quantity*100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(ROUND(l_quantity*100) AS BIGINT), 0.75) AS p75,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_stats" ->
       """SELECT l_returnflag,

@@ -92,6 +92,21 @@ object Windows {
         .orderBy(col("c_custkey"))
     },
 
+    // Value window functions over the full partition frame; one row per
+    // customer after DISTINCT (all rows in a partition agree).
+    "q_win_value" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .distinct()
+        .orderBy(col("o_custkey"))
+    },
+
     "q_sort_multi" -> { (s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -195,6 +210,16 @@ object Windows {
         |  CAST(NTILE(4) OVER (ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT) DESC, c_custkey) AS BIGINT) AS tile
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_win_value" ->
+      """SELECT DISTINCT o_custkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_ok,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus,

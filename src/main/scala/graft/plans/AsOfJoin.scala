@@ -31,7 +31,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftBy: Expression, rightBy: Expression,
-                        leftOn: Expression, rightOn: Expression)
+                        leftOn: Expression, rightOn: Expression,
+                        strict: Boolean)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -42,7 +43,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftBy: Expression, rightBy: Expression,
-                        leftOn: Expression, rightOn: Expression)
+                        leftOn: Expression, rightOn: Expression,
+                        strict: Boolean)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -61,66 +63,65 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val leftOutput = left.output
     val rightOutput = right.output
     val lBy = leftBy; val rBy = rightBy; val lOn = leftOn; val rOn = rightOn
+    val strictCmp = strict
+    val keyType = leftBy.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lByProj = UnsafeProjection.create(Seq(lBy), leftOutput)
-      val rByProj = UnsafeProjection.create(Seq(rBy), rightOutput)
+      // interpreted total order on the by-key's type: works for any
+      // ordered DataType (integral, string, timestamp, ...) and matches
+      // the ASC NULLS FIRST sort this node requires of its children
+      val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(keyType)
+      val lByBound = org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(lBy, leftOutput)
+      val rByBound = org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(rBy, rightOutput)
       val lOnBound = org.apache.spark.sql.catalyst.expressions.BindReferences
         .bindReference(lOn, leftOutput)
       val rOnBound = org.apache.spark.sql.catalyst.expressions.BindReferences
         .bindReference(rOn, rightOutput)
       val nullRight = new GenericInternalRow(rightOutput.size)
       val joined = new JoinedRow
-      val out = UnsafeProjection.create(output, leftOutput ++ rightOutput)
+      // bind against the operator's OWN output (right side nullable!) —
+      // binding to leftOutput ++ rightOutput would drop the null checks
+      // and read the null-fill row's longs as 0
+      val out = UnsafeProjection.create(output, output)
 
       // buffered right state: the last right row (copied) whose (by, on)
-      // is <= the current left position, plus the lookahead row
+      // is admissible for the current left position, plus the lookahead
       var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
       var buffered: InternalRow = null
-      var bufferedBy: InternalRow = null
+      var bufferedBy: Any = null
 
       def onVal(e: Expression, row: InternalRow): Long =
         e.eval(row).asInstanceOf[Number].longValue()
+      def admissible(rT: Long, lT: Long): Boolean =
+        if (strictCmp) rT < lT else rT <= lT
 
       lIter.map { lRow =>
-        val lKey = lByProj(lRow).copy()
+        val lKey = lByBound.eval(lRow)
         val lTime = onVal(lOnBound, lRow)
         // drop buffered state from a previous by-group
-        if (bufferedBy != null && bufferedBy != lKey) { buffered = null; bufferedBy = null }
-        // advance the right side while it stays <= the left position
+        if (bufferedBy != null && keyOrd.compare(bufferedBy, lKey) != 0) {
+          buffered = null; bufferedBy = null
+        }
+        // advance the right side while it stays admissible
         var continue = rHead != null
         while (continue) {
-          val rKey = rByProj(rHead)
-          val cmp = compareKeys(rKey, lKey)
+          val rKey = rByBound.eval(rHead)
+          val cmp = keyOrd.compare(rKey, lKey)
           if (cmp < 0) { // right group is behind: skip
             rHead = if (rIter.hasNext) rIter.next().copy() else null
             continue = rHead != null
-          } else if (cmp == 0 && onVal(rOnBound, rHead) <= lTime) {
-            buffered = rHead; bufferedBy = rKey.copy()
+          } else if (cmp == 0 && admissible(onVal(rOnBound, rHead), lTime)) {
+            buffered = rHead; bufferedBy = rKey
             rHead = if (rIter.hasNext) rIter.next().copy() else null
             continue = rHead != null
           } else continue = false
         }
-        val r = if (buffered != null && bufferedBy == lKey) buffered else nullRight
+        val r = if (buffered != null && bufferedBy != null
+          && keyOrd.compare(bufferedBy, lKey) == 0) buffered else nullRight
         out(joined(lRow, r))
       }
-    }
-  }
-
-  private def compareKeys(a: InternalRow, b: InternalRow): Int = {
-    // keys are single-expression UnsafeRows: compare via hashCode-free
-    // byte ordering — equality is what correctness needs; inequality
-    // only steers skipping, and both sides are sorted by the same key
-    // ordering, so any consistent total order works. Use toString of
-    // the unsafe bytes? No: both rows are UnsafeRow with identical
-    // schema → compare their bytes lexicographically.
-    val ua = a.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
-    val ub = b.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
-    if (ua.equals(ub)) 0
-    else {
-      // fall back to comparing the first field as long (by-keys in graft
-      // are integral/string; for integral keys this is the sort order)
-      val x = ua.getLong(0); val y = ub.getLong(0)
-      java.lang.Long.compare(x, y)
     }
   }
 
@@ -129,10 +130,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** User-facing API + registration. Current limitation: the `by` key
-  * must be integral (the merge's group-skip comparator reads it as a
-  * long) — string keys would add a comparator lookup, not needed for
-  * the harness surface. */
+/** User-facing API + registration. The by-key may be any ordered type
+  * (interpreted ordering per DataType); `strict = true` joins on
+  * `right.on < left.on` instead of `<=` (exclusive prior). */
 object AsOf {
   /** Register the planning strategy once per session (idempotent). */
   def register(spark: SparkSession): Unit =
@@ -144,19 +144,21 @@ object AsOf {
     * both; on = ordering columns (left/right). */
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
            leftBy: String, rightBy: String,
-           leftOn: String, rightOn: String): DataFrame = {
+           leftOn: String, rightOn: String,
+           strict: Boolean = false): DataFrame = {
     register(spark)
     val plan = AsOfJoinPlan(
       GraftBridge.logicalPlan(left), GraftBridge.logicalPlan(right),
       GraftBridge.expression(left(leftBy)), GraftBridge.expression(right(rightBy)),
-      GraftBridge.expression(left(leftOn)), GraftBridge.expression(right(rightOn)))
+      GraftBridge.expression(left(leftOn)), GraftBridge.expression(right(rightOn)),
+      strict)
     GraftBridge.dataset(spark, plan)
   }
 
   object AsOfStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lb, rb, lo, ro) =>
-        AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro) :: Nil
+      case AsOfJoinPlan(l, r, lb, rb, lo, ro, st) =>
+        AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, st) :: Nil
       case _ => Nil
     }
   }

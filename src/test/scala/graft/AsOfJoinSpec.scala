@@ -40,6 +40,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).count() == 0)
   }
 
+  test("string by-keys work (interpreted ordering)") {
+    import spark.implicits._
+    val l = Seq(("a", 100L), ("b", 50L)).toDF("k", "t")
+    val r = Seq(("a", 90L, 1L), ("b", 60L, 2L)).toDF("k2", "t2", "v")
+    val res = AsOf.join(spark, l, r, "k", "k2", "t", "t2")
+      .select("k", "v").collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(res == Set(("a", 1L), ("b", -1L))) // b@50 has no prior right
+  }
+
+  test("strict mode excludes equal-timestamp matches") {
+    import spark.implicits._
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 100L, "eq"), (1L, 90L, "prior")).toDF("k2", "t2", "v")
+    val inclusive = AsOf.join(spark, l, r, "k", "k2", "t", "t2")
+      .select("v").head().getString(0)
+    val strict = AsOf.join(spark, l, r, "k", "k2", "t", "t2", strict = true)
+      .select("v").head().getString(0)
+    assert(inclusive == "eq" && strict == "prior")
+  }
+
   test("mini fixture: exact backward-join semantics incl. no-match NULL") {
     import spark.implicits._
     val l = Seq((1L, 100L), (1L, 200L), (2L, 50L))

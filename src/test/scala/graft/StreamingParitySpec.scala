@@ -39,6 +39,23 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stateful flatMapGroupsWithState sessionization == batch gaps-and-islands") {
+    val q = EventStreams.sessionsStateful(spark, EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_sessions").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("par_sessions")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("session_start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_micros(col("session_end_us")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_micros"))
+    val batch = SparkEntry.queries("q_stream_session")(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_micros")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming tumbling = batch tumbling minus still-open tail windows") {
     val streamed = runStream("par_tumbling", EventStreams.tumbling)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
