@@ -173,6 +173,37 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Correlated scalar subquery through the SQL entry point (exercises
+    // Catalyst's RewriteCorrelatedScalarSubquery decorrelation). The
+    // inner AVG runs over exact integer cents whose per-customer double
+    // sums stay < 2^53 → identical in both engines.
+    "q_subq_correlated" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+          |FROM orders_v o
+          |WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
+          |  2 * (SELECT AVG(CAST(ROUND(i.o_totalprice*100) AS BIGINT))
+          |       FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Pivot: event_type counts fanned into columns. The oracle uses
+    // portable conditional aggregation; Spark's pivot leaves NULL for
+    // absent combinations → COALESCE to 0 to match COUNT(CASE ...).
+    "q_agg_pivot" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, dir)
+        .withColumn("ubin", expr("user_id DIV 10"))
+        .groupBy(col("ubin"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("ubin") +:
+          types.map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+        .orderBy(col("ubin"))
+    },
+
     // Interpolated percentiles over exact integer cents at binary-exact
     // quantiles (0.25/0.5/0.75): a + f·(b−a) with f a power-of-two
     // fraction and a,b integers is exact in both engines — no rounding
@@ -301,6 +332,26 @@ object Relational {
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "q_subq_correlated" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+        |FROM orders o
+        |WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
+        |  2 * (SELECT AVG(CAST(ROUND(i.o_totalprice*100) AS BIGINT))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT user_id // 10 AS ubin,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY ubin""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,

@@ -92,6 +92,19 @@ object Windows {
         .orderBy(col("c_custkey"))
     },
 
+    // RANGE frame: how many same-status orders are within $500 below —
+    // value-based frames are deterministic even under order ties.
+    "q_win_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("price_cents"))
+        .rangeBetween(-50000L, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("price_cents", cents(col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price_cents"),
+          count(lit(1)).over(w).cast("long").as("n_within_500"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Value window functions over the full partition frame; one row per
     // customer after DISTINCT (all rows in a partition agree).
     "q_win_value" -> { (s, dir) =>
@@ -210,6 +223,15 @@ object Windows {
         |  CAST(NTILE(4) OVER (ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT) DESC, c_custkey) AS BIGINT) AS tile
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_win_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, price_cents,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY price_cents
+        |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_500
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |        CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+        |      FROM orders) t
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_win_value" ->
       """SELECT DISTINCT o_custkey,
