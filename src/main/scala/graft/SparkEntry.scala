@@ -10,11 +10,13 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
       ops.Functions.queries ++ ops.Streaming.queries ++ ops.Climate.queries ++
       ops.Text.queries ++ ops.Vectors.queries ++ ops.Dedup.queries ++
-      ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.Ann.queries
+      ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.Ann.queries ++
+      ops.Profiling.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
       ops.Functions.oracle ++ ops.Streaming.oracle ++ ops.Climate.oracle ++
-      ops.Text.oracle ++ ops.Vectors.oracle ++ ops.TextAnalysis.oracle
+      ops.Text.oracle ++ ops.Vectors.oracle ++ ops.TextAnalysis.oracle ++
+      ops.Profiling.oracle
 }

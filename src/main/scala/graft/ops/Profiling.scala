@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+import Det._
+
+/** Pipeline utilities every large-scale training-data job needs:
+  * deterministic sampling and table profiling — both as declarative,
+  * oracle-matched queries.
+  *
+  *  - Deterministic sampling: filter on a content-hash prefix of the
+  *    primary key (md5 here because both engines compute identical
+  *    digests — at 100 TB you'd use xxhash64 for speed). Unlike
+  *    TABLESAMPLE / rand(), the sample is stable across runs, engines,
+  *    partitionings and cluster sizes — reproducibility is the point.
+  *  - Profiling: one aggregation pass computing row counts, key
+  *    cardinalities, null counts, and value ranges — the
+  *    `df.summary()` analog, written explicitly so it hash-matches.
+  */
+object Profiling {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ~1/16 deterministic sample of lineitem keyed on the PK digest.
+    "q_sample_det" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))), 1, 1) === "0")
+        .select(col("l_orderkey").as("okey"),
+          col("l_linenumber").cast("long").as("lnum"),
+          cents(col("l_quantity")).as("qty_cents"))
+        .orderBy(col("okey"), col("lnum"))
+    },
+
+    "q_profile_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("l_orderkey")).cast("long").as("nd_orderkey"),
+          countDistinct(col("l_partkey")).cast("long").as("nd_partkey"),
+          countDistinct(col("l_returnflag")).cast("long").as("nd_returnflag"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).cast("long").as("nulls_returnflag"),
+          min(cents(col("l_quantity"))).cast("long").as("min_qty_cents"),
+          max(cents(col("l_quantity"))).cast("long").as("max_qty_cents"),
+          min(tstr(col("l_shipdate"))).as("min_ship"),
+          max(tstr(col("l_shipdate"))).as("max_ship"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_det" ->
+      """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+        |  CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY okey, lnum""".stripMargin,
+
+    "q_profile_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_orderkey,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_partkey,
+        |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS nd_returnflag,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_returnflag,
+        |  CAST(MIN(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS min_qty_cents,
+        |  CAST(MAX(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS max_qty_cents,
+        |  MIN(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS min_ship,
+        |  MAX(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) AS max_ship
+        |FROM lineitem""".stripMargin
+  )
+}
