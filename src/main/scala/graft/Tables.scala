@@ -45,8 +45,13 @@ object Tables {
         case null => Long.MaxValue
         case fs => fs.map(_.length()).sum
       }
-      if (total < 256L * 1024 * 1024)
+      if (total < 256L * 1024 * 1024) {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        // and don't fan tiny shuffles across a big core count: 4
+        // partitions keep every stage 1-wave even at local[32]
+        val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        if (parts > 4) spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
       true
     })
 
