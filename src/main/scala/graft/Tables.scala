@@ -38,22 +38,42 @@ object Tables {
     * off for the session; at production scale the gate leaves it on,
     * where runtime re-planning (skew splits, join demotion) is worth
     * its cost. Size, not scale-factor name, drives the decision. */
-  private val tuned = TrieMap.empty[(Int, String), Boolean]
-  private def tuneForScale(spark: SparkSession, sfDir: String): Unit =
-    tuned.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
-      val total = new java.io.File(sfDir).listFiles() match {
-        case null => Long.MaxValue
-        case fs => fs.map(_.length()).sum
-      }
-      if (total < 256L * 1024 * 1024) {
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        // and don't fan tiny shuffles across a big core count: 4
-        // partitions keep every stage 1-wave even at local[32]
-        val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-        if (parts > 4) spark.conf.set("spark.sql.shuffle.partitions", "4")
-      }
-      true
+  /** Set SPARK_GRAFT_NOTUNE=1 to leave AQE/partition confs untouched. */
+  private val dirSize = TrieMap.empty[String, Long]
+  private val sessionDefaults = TrieMap.empty[Int, (String, String)]
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    else f.length()
+
+  private def tuneForScale(spark: SparkSession, sfDir: String): Unit = {
+    if (sys.env.get("SPARK_GRAFT_NOTUNE").contains("1")) return
+    // size measured RECURSIVELY (Spark-written tables are directories of
+    // part files — a flat sum would see ~4 KB per table and misfire the
+    // gate on production-scale data) and memoized per dir; the conf is
+    // re-applied on every call so interleaving a tiny and a large dir in
+    // one session always runs each query under its own dir's regime.
+    val total = dirSize.getOrElseUpdate(sfDir, {
+      val root = new java.io.File(sfDir)
+      if (root.exists()) dirBytes(root) else Long.MaxValue
     })
+    val defaults = sessionDefaults.getOrElseUpdate(System.identityHashCode(spark), (
+      spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.shuffle.partitions")))
+    if (total < 256L * 1024 * 1024) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // don't fan tiny shuffles across a big core count: 4 partitions
+      // keep every stage 1-wave even at local[32]
+      if (defaults._2.toInt > 4)
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    } else {
+      // large input: the session's own settings apply (AQE on, operator
+      // parallelism as configured) — and restore them if a tiny dir was
+      // loaded earlier in this session
+      spark.conf.set("spark.sql.adaptive.enabled", defaults._1)
+      spark.conf.set("spark.sql.shuffle.partitions", defaults._2)
+    }
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tuneForScale(spark, sfDir)
