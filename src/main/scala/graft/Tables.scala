@@ -15,7 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Caching here is a bench optimization, never a correctness dependency.
   */
 object Tables {
-  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+  // keyed by sessionUUID (collision-free and stable, unlike
+  // identityHashCode which can collide or be reused after GC); the
+  // UUID lives on the classic SparkSession in Spark 4
+  private val cache = TrieMap.empty[(String, String, String), DataFrame]
+
+  private def uuid(spark: SparkSession): String =
+    org.apache.spark.sql.GraftBridge.sessionUUID(spark)
 
   /** Set SPARK_GRAFT_NOCACHE=1 to disable caching (e.g. to inspect
     * PushedFilters in `.explain` output on the raw parquet scan). */
@@ -40,14 +46,16 @@ object Tables {
     * its cost. Size, not scale-factor name, drives the decision. */
   /** Set SPARK_GRAFT_NOTUNE=1 to leave AQE/partition confs untouched. */
   private val dirSize = TrieMap.empty[String, Long]
-  private val sessionDefaults = TrieMap.empty[Int, (String, String)]
+  private val sessionDefaults = TrieMap.empty[String, (String, String)]
 
   private def dirBytes(f: java.io.File): Long =
     if (f.isDirectory) Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
     else f.length()
 
   private def tuneForScale(spark: SparkSession, sfDir: String): Unit = {
-    if (sys.env.get("SPARK_GRAFT_NOTUNE").contains("1")) return
+    // env for operators; system property for in-process tools (AqeProbe)
+    if (sys.env.get("SPARK_GRAFT_NOTUNE").contains("1")
+      || sys.props.get("graft.notune").contains("1")) return
     // size measured RECURSIVELY (Spark-written tables are directories of
     // part files — a flat sum would see ~4 KB per table and misfire the
     // gate on production-scale data) and memoized per dir; the conf is
@@ -57,7 +65,7 @@ object Tables {
       val root = new java.io.File(sfDir)
       if (root.exists()) dirBytes(root) else Long.MaxValue
     })
-    val defaults = sessionDefaults.getOrElseUpdate(System.identityHashCode(spark), (
+    val defaults = sessionDefaults.getOrElseUpdate(uuid(spark), (
       spark.conf.get("spark.sql.adaptive.enabled"),
       spark.conf.get("spark.sql.shuffle.partitions")))
     if (total < 256L * 1024 * 1024) {
@@ -77,7 +85,7 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tuneForScale(spark, sfDir)
-    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
+    cache.getOrElseUpdate((uuid(spark), sfDir, name), {
       val df =
         if (name == "events") {
           // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the vector hot path (SURVEY §4.3's
   * optional custom-Expression tier).
@@ -109,17 +110,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
+  /** Both entry points coerce inputs to ARRAY<DOUBLE> (the expressions
+    * read elements with getDouble and do no type checking of their own,
+    * so a raw float32 array would be read with the wrong stride). */
+  private def asDouble(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    Cast(e, ArrayType(DoubleType))
+
   /** Column-level API. */
   def dot_product(a: Column, b: Column): Column = GraftBridge.column(
-    DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+    DotProduct(asDouble(GraftBridge.expression(a)), asDouble(GraftBridge.expression(b))))
   def cosine_sim(a: Column, b: Column): Column = GraftBridge.column(
-    CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+    CosineSimilarity(asDouble(GraftBridge.expression(a)), asDouble(GraftBridge.expression(b))))
 
   /** SQL registration: `SELECT cosine_sim(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", exprs => DotProduct(asDouble(exprs(0)), asDouble(exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", exprs => CosineSimilarity(asDouble(exprs(0)), asDouble(exprs(1))), "built-in")
   }
 }

@@ -31,7 +31,10 @@ object Bucketing {
     spark.table(left).join(spark.table(right), key)
 
   /** True when the executed plan needs no shuffle (the point of
-    * bucketing). */
+    * bucketing). Matches shuffle exchanges specifically — a
+    * BroadcastExchange moves no partitioned data and is not a shuffle. */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange") &&
+      !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning") &&
+      !df.queryExecution.executedPlan.toString.contains("Exchange rangepartitioning")
 }

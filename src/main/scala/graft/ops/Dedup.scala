@@ -31,8 +31,13 @@ object Dedup {
   /** Distinct 3-gram word shingles per doc: (doc_id, lang, sh). */
   private[ops] def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = split(col("text"), " ")
+    // docs shorter than n tokens contribute no shingles; without the
+    // guard sequence(0, negative) counts DOWN and slice(toks, 0, n)
+    // throws at runtime
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array())
     docs.select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(0), size(toks) - n),
+        explode(transform(idx,
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("sh"))
       .distinct()
   }

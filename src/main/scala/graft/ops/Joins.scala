@@ -267,7 +267,19 @@ object Joins {
         |GROUP BY band
         |ORDER BY band""".stripMargin,
 
-    "q_join_asof_native" -> asofOracle,
+    // DuckDB's native ASOF JOIN has the operator's exact inclusive
+    // (right.on <= left.on) semantics, so this oracle stays correct
+    // even under equal-timestamp ties, where the window-emulation
+    // oracle's (ts, event_id) tie-break would diverge.
+    "q_join_asof_native" ->
+      """SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(s.s_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id AS s_user, ts AS s_ts FROM events
+        |                WHERE event_type = 'signup') s
+        |  ON p.user_id = s.s_user AND p.ts >= s.s_ts
+        |ORDER BY p.event_id""".stripMargin,
     "q_join_asof" -> asofOracle
   )
 

@@ -102,13 +102,18 @@ object Streaming {
         |ORDER BY ws""".stripMargin,
 
     "q_stream_sliding" ->
-      """SELECT strftime(g.ws, '%Y-%m-%d %H:%M:%S') AS ws,
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) - INTERVAL 1 HOUR AS lo,
+        |         max(ts) AS hi
+        |  FROM events
+        |), g AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS ws
+        |  FROM bounds
+        |)
+        |SELECT strftime(g.ws, '%Y-%m-%d %H:%M:%S') AS ws,
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(ROUND(e.value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
-        |FROM generate_series(TIMESTAMP '2023-12-31 23:00:00',
-        |                     TIMESTAMP '2024-01-31 00:00:00',
-        |                     INTERVAL 15 MINUTE) AS g(ws)
-        |JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR
+        |FROM g JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR
         |GROUP BY g.ws
         |ORDER BY ws""".stripMargin,
 

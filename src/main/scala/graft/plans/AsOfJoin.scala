@@ -100,27 +100,34 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { lRow =>
         val lKey = lByBound.eval(lRow)
         val lTime = onVal(lOnBound, lRow)
-        // drop buffered state from a previous by-group
-        if (bufferedBy != null && keyOrd.compare(bufferedBy, lKey) != 0) {
-          buffered = null; bufferedBy = null
+        if (lKey == null) {
+          // SQL join semantics: a NULL key matches nothing (null-key
+          // right rows, which sort first under NULLS FIRST, are simply
+          // never admitted into the buffer below either)
+          out(joined(lRow, nullRight))
+        } else {
+          // drop buffered state from a previous by-group
+          if (bufferedBy != null && keyOrd.compare(bufferedBy, lKey) != 0) {
+            buffered = null; bufferedBy = null
+          }
+          // advance the right side while it stays admissible
+          var continue = rHead != null
+          while (continue) {
+            val rKey = rByBound.eval(rHead)
+            val cmp = if (rKey == null) -1 else keyOrd.compare(rKey, lKey)
+            if (cmp < 0) { // right group behind (or null-keyed): skip
+              rHead = if (rIter.hasNext) rIter.next().copy() else null
+              continue = rHead != null
+            } else if (cmp == 0 && admissible(onVal(rOnBound, rHead), lTime)) {
+              buffered = rHead; bufferedBy = rKey
+              rHead = if (rIter.hasNext) rIter.next().copy() else null
+              continue = rHead != null
+            } else continue = false
+          }
+          val r = if (buffered != null && bufferedBy != null
+            && keyOrd.compare(bufferedBy, lKey) == 0) buffered else nullRight
+          out(joined(lRow, r))
         }
-        // advance the right side while it stays admissible
-        var continue = rHead != null
-        while (continue) {
-          val rKey = rByBound.eval(rHead)
-          val cmp = keyOrd.compare(rKey, lKey)
-          if (cmp < 0) { // right group is behind: skip
-            rHead = if (rIter.hasNext) rIter.next().copy() else null
-            continue = rHead != null
-          } else if (cmp == 0 && admissible(onVal(rOnBound, rHead), lTime)) {
-            buffered = rHead; bufferedBy = rKey
-            rHead = if (rIter.hasNext) rIter.next().copy() else null
-            continue = rHead != null
-          } else continue = false
-        }
-        val r = if (buffered != null && bufferedBy != null
-          && keyOrd.compare(bufferedBy, lKey) == 0) buffered else nullRight
-        out(joined(lRow, r))
       }
     }
   }

@@ -4,6 +4,9 @@ import org.apache.spark.sql.SparkSession
   * separate fixed planning overhead from data work. */
 object AqeProbe {
   def main(args: Array[String]): Unit = {
+    // without this, Tables.tuneForScale would re-disable AQE inside
+    // every query and both timed passes would measure the same config
+    sys.props("graft.notune") = "1"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
