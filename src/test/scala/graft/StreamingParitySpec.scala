@@ -39,21 +39,64 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
-  test("stateful flatMapGroupsWithState sessionization == batch gaps-and-islands") {
-    val q = EventStreams.sessionsStateful(spark, EventStreams.readEvents(spark, dir))
-      .writeStream.outputMode("append").format("memory")
-      .queryName("par_sessions").start()
-    q.processAllAvailable(); q.stop()
-    val streamed = spark.table("par_sessions")
+  /** Parity law for the INCREMENTAL sessionizer: every emitted session
+    * matches the batch fixpoint exactly, and the only missing ones are
+    * open tails the final watermark (max ts − 1 h) hasn't closed
+    * (session_end + 30 min gap ≥ watermark). */
+  private def checkSessionParity(table: String): Unit = {
+    val streamed = spark.table(table)
       .select(col("user_id"),
         date_format(timestamp_micros(col("session_start_us")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(timestamp_micros(col("session_end_us")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n_events"), col("sum_micros"))
     val batch = SparkEntry.queries("q_stream_session")(spark, dir)
       .select("user_id", "session_start", "session_end", "n_events", "sum_micros")
-    assert(streamed.count() == batch.count())
-    assert(streamed.exceptAll(batch).count() == 0)
-    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streamed emitted a session the batch fixpoint doesn't have")
+    val maxTs = Tables.events(spark, dir).agg(max("ts")).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - (60 + 30) * 60 * 1000)
+    val missing = batch.exceptAll(streamed)
+    val nonTail = missing.filter(col("session_end") <
+      date_format(lit(cutoff), "yyyy-MM-dd HH:mm:ss"))
+    assert(nonTail.count() == 0,
+      "batch sessions missing from the stream that the watermark should have closed")
+    assert(streamed.count() > 0)
+  }
+
+  test("incremental stateful sessionization == batch fixpoint (single batch)") {
+    val q = EventStreams.sessionsStateful(spark, EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_sessions").start()
+    q.processAllAvailable(); q.stop()
+    checkSessionParity("par_sessions")
+  }
+
+  test("incremental stateful sessionization survives MULTI-batch replay") {
+    // split events into 6 chronological files so maxFilesPerTrigger=1
+    // forces 6 batches with advancing watermarks between them
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos
+    val (lo, hi) = {
+      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
+    }
+    val step = (hi - lo) / 6 + 1
+    (0 until 6).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_chunk$i").toString
+      raw.filter(col("ts") >= lo + i * step && col("ts") < lo + (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir, f"chunk_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L) // ascending mod-times
+    }
+    val q = EventStreams.sessionsStateful(spark,
+        EventStreams.readEventsStream(spark, streamDir, maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("par_sessions_mb").start()
+    q.processAllAvailable(); q.stop()
+    checkSessionParity("par_sessions_mb")
   }
 
   test("streaming tumbling = batch tumbling minus still-open tail windows") {
