@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.plans.AsOf
+
+/** One-line installation of graft's engine extensions — the idiomatic
+  * packaging for a Spark-native library:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or in code:
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Installs:
+  *  - the AsOfJoin planner strategy (plans.AsOfJoinPlan → merge exec);
+  *  - SQL functions `dot_product(a, b)` and `cosine_sim(a, b)` over
+  *    ARRAY<DOUBLE> (inputs auto-cast), backed by the codegen
+  *    expressions.
+  *
+  * (Queries built through the `AsOf.join` / `VectorExpressions` Scala
+  * APIs self-register on first use; this class exists so plain-SQL
+  * users and spark-submit deployments get the same surface.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def asDouble(e: Expression) =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOf.AsOfStrategy)
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(asDouble(exprs(0)), asDouble(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(asDouble(exprs(0)), asDouble(exprs(1)))))
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must install the strategy + SQL functions into
+  * a session built with withExtensions — the spark-submit deployment
+  * path. (Needs its own SparkSession, so stop the shared one's context
+  * interference by using a distinct app name; sessions share the
+  * SparkContext in local mode, extensions are per-session.) */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ext-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("SQL functions and as-of strategy install via withExtensions") {
+    val c = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c," +
+        " dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(c.getDouble(0) == 1.0 && c.getDouble(1) == 11.0)
+    // float arrays auto-cast through the injected wrapper too
+    val f = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c").head()
+    assert(f.getDouble(0) == 1.0)
+    // the strategy is present without any AsOf.join call having run
+    assert(spark.sessionState.planner.strategies
+      .exists(_.getClass.getName.contains("AsOfStrategy")) ||
+      spark.sessionState.planner.extraPlanningStrategies
+        .exists(_.getClass.getName.contains("AsOfStrategy")))
+  }
+}
