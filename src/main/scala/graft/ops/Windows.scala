@@ -92,6 +92,18 @@ object Windows {
         .orderBy(col("c_custkey"))
     },
 
+    // percent_rank/cume_dist: ratios of exact integer ranks over a
+    // total order → bit-identical doubles in both engines, no rounding.
+    "q_win_percentrank" -> { (s, dir) =>
+      val w = Window.orderBy(cents(col("c_acctbal")), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          cents(col("c_acctbal")).as("bal_cents"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    },
+
     // RANGE frame: how many same-status orders are within $500 below —
     // value-based frames are deterministic even under order ties.
     "q_win_range_frame" -> { (s, dir) =>
@@ -153,6 +165,25 @@ object Windows {
       val b = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("custkey"))
       a.unionByName(b).distinct().orderBy(col("custkey"))
+    },
+
+    // Multiset (bag) semantics: multiplicity = min / difference of the
+    // two sides' multiplicities. Duplicate output rows are identical,
+    // so the ORDER BY stays a total order over distinct row values.
+    "q_set_intersect_all" -> { (s, dir) =>
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val highValue = Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("custkey"))
+      urgent.intersectAll(highValue).orderBy(col("custkey"))
+    },
+
+    "q_set_except_all" -> { (s, dir) =>
+      val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val highValue = Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("custkey"))
+      urgent.exceptAll(highValue).orderBy(col("custkey"))
     },
 
     "q_set_intersect" -> { (s, dir) =>
@@ -223,6 +254,27 @@ object Windows {
         |  CAST(NTILE(4) OVER (ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT) DESC, c_custkey) AS BIGINT) AS tile
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_win_percentrank" ->
+      """SELECT c_custkey,
+        |  CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY CAST(ROUND(c_acctbal*100) AS BIGINT), c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        |ORDER BY custkey""".stripMargin,
 
     "q_win_range_frame" ->
       """SELECT o_orderkey, o_orderstatus, price_cents,
