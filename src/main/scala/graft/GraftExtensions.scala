@@ -31,15 +31,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     org.apache.spark.sql.catalyst.expressions.Cast(e,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
+  private def binary(name: String, exprs: Seq[Expression])
+      (mk: (Expression, Expression) => Expression): Expression = {
+    require(exprs.length == 2,
+      s"$name requires exactly 2 arguments, got ${exprs.length}")
+    mk(asDouble(exprs(0)), asDouble(exprs(1)))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOf.AsOfStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(asDouble(exprs(0)), asDouble(exprs(1)))))
+      (exprs: Seq[Expression]) => binary("dot_product", exprs)(DotProduct.apply)))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(asDouble(exprs(0)), asDouble(exprs(1)))))
+      (exprs: Seq[Expression]) => binary("cosine_sim", exprs)(CosineSimilarity.apply)))
   }
 }

@@ -45,8 +45,11 @@ object GridSource {
 
   case class GridSpec(latMin: Double, latMax: Double, lonMin: Double,
                       lonMax: Double, latRes: Double, lonRes: Double) {
-    def nLat: Long = math.max(0L, math.floor((latMax - latMin) / latRes).toLong)
-    def nLon: Long = math.max(0L, math.floor((lonMax - lonMin) / lonRes).toLong)
+    // +1e-9 guards inexact decimal quotients: (0.3-0)/0.1 is
+    // 2.9999999999999996 in doubles and a bare floor would silently
+    // drop the last grid band
+    def nLat: Long = math.max(0L, math.floor((latMax - latMin) / latRes + 1e-9).toLong)
+    def nLon: Long = math.max(0L, math.floor((lonMax - lonMin) / lonRes + 1e-9).toLong)
   }
 
   def spec(o: CaseInsensitiveStringMap): GridSpec = GridSpec(

@@ -118,9 +118,14 @@ object EventStreams {
                   closed += cur
                   cur = Session(user, e.ts_us, e.ts_us, 1L, e.v_micros)
                 } else {
+                  // min/max, not assignment: a late-but-in-watermark event
+                  // must never move the session end (and its timeout)
+                  // backward
                   cur = Session(user,
-                    if (cur.n_events == 0) e.ts_us else cur.session_start_us,
-                    e.ts_us, cur.n_events + 1, cur.sum_micros + e.v_micros)
+                    if (cur.n_events == 0) e.ts_us
+                    else math.min(cur.session_start_us, e.ts_us),
+                    math.max(cur.session_end_us, e.ts_us),
+                    cur.n_events + 1, cur.sum_micros + e.v_micros)
                 }
               }
               state.update(cur)

@@ -46,6 +46,7 @@ object ClimatePipelineDemo {
       .selectSeason(Seq(12, 1, 2))        // DJF
       .regridBin(5.0, 5.0)                // onto the coarse mesh
       .convertUnits(1.0, 273.15)          // °C → K offset, say
+      .transform(_.cache())               // six actions below share the lineage
 
     println(s"[demo] members=${ens.members.mkString(",")} cells=${ens.df.count()}")
 

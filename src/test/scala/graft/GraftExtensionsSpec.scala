@@ -5,17 +5,23 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The extensions class must install the strategy + SQL functions into
   * a session built with withExtensions — the spark-submit deployment
-  * path. (Needs its own SparkSession, so stop the shared one's context
-  * interference by using a distinct app name; sessions share the
-  * SparkContext in local mode, extensions are per-session.) */
+  * path. Extensions are per-session, so the suite clears the shared
+  * default-session handle to force a fresh session (same SparkContext). */
 class GraftExtensionsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // getOrCreate returns any pre-existing default session (shared by
+    // other suites in this JVM) and silently DROPS withExtensions —
+    // clear the active/default handles so a genuinely new session
+    // (reusing the shared SparkContext) is built with the extensions
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
 
   test("SQL functions and as-of strategy install via withExtensions") {
     val c = spark.sql(
