@@ -62,9 +62,39 @@ object Multimodal {
       }
   }
 
-  /** Rows-only query: media schema → partitioned decode → feature join
-    * back to metadata. (Oracle-less: exercises the binary/mapPartitions
-    * path, which has no DuckDB analog.) */
+  /** Frame sampling: split the payload into `n` equal byte ranges
+    * ("frames" — for video this is the keyframe stride, for audio the
+    * window hop), emitted one row per frame. Pure column ops: the
+    * payload bytes never leave the executor, and the explode keeps the
+    * shuffle key narrow (media_id, frame_idx). */
+  def frameSample(media: DataFrame, n: Int): DataFrame = {
+    val len = length(col("payload"))
+    media.select(col("media_id"), col("meta"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => substring(col("payload"),
+            (i * len / n + 1).cast("int"),
+            greatest((len / n).cast("int"), lit(1)))))
+          .as(Seq("frame_idx", "frame_bytes")))
+  }
+
+  /** "Resize" for feature vectors: average-pool an Array[Float] feature
+    * down to `outDim` buckets — the standard embedding-downsample, as a
+    * higher-order expression (no UDF). */
+  def resizeFeature(feature: org.apache.spark.sql.Column, outDim: Int)
+      : org.apache.spark.sql.Column = {
+    val f = transform(feature, x => x.cast("double"))
+    val n = size(feature)
+    transform(sequence(lit(0), lit(outDim - 1)), b => {
+      val lo = (b * n / outDim)
+      val hi = ((b + 1) * n / outDim)
+      aggregate(slice(f, lo + 1, greatest(hi - lo, lit(1))),
+        lit(0.0), (acc, x) => acc + x) / greatest(hi - lo, lit(1))
+    })
+  }
+
+  /** Rows-only queries: media schema → partitioned decode / frame
+    * sampling / feature resize. (Oracle-less: the binary/mapPartitions
+    * path has no DuckDB analog.) */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> { (s, dir) =>
       val media = mediaTable(s, dir)
@@ -74,6 +104,20 @@ object Multimodal {
           col("meta.width").as("width"), col("n_bytes"),
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
         .orderBy(col("media_id"))
+    },
+
+    // frame-sample the payload, decode per frame (stub), resize the
+    // 8-dim frame feature down to 4 buckets — the full media pipeline
+    // shape: sample → decode → pool.
+    "q_multimodal_frames" -> { (s, dir) =>
+      val frames = frameSample(mediaTable(s, dir), n = 4)
+        .withColumn("frame_len", length(col("frame_bytes")).cast("long"))
+      frames
+        .select(col("media_id"), col("frame_idx"), col("frame_len"),
+          round(element_at(
+            resizeFeature(transform(sequence(lit(1), col("frame_len")),
+              i => (i % 256).cast("float")), 4), 1), 4).as("pooled0"))
+        .orderBy(col("media_id"), col("frame_idx"))
     }
   )
 }
