@@ -29,7 +29,8 @@ object Profiling {
         .select(col("l_orderkey").as("okey"),
           col("l_linenumber").cast("long").as("lnum"),
           cents(col("l_quantity")).as("qty_cents"))
-        .orderBy(col("okey"), col("lnum"))
+        // total order over output values ((okey, lnum) has dups)
+        .orderBy(col("okey"), col("lnum"), col("qty_cents"))
     },
 
     "q_profile_stats" -> { (s, dir) =>
@@ -53,7 +54,7 @@ object Profiling {
         |  CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_cents
         |FROM lineitem
         |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
-        |ORDER BY okey, lnum""".stripMargin,
+        |ORDER BY okey, lnum, qty_cents""".stripMargin,
 
     "q_profile_stats" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -26,7 +26,11 @@ object Relational {
           col("l_returnflag").as("rflag"),
           cents(col("l_quantity")).as("qty_cents"),
           tstr(col("l_shipdate")).as("ship_ts"))
-        .orderBy(col("okey"), col("lnum"))
+        // (l_orderkey, l_linenumber) is NOT unique in the harness data
+        // (118k dup pairs at sf0.1) — the sort must cover every output
+        // column to be a total order over row values
+        .orderBy(col("okey"), col("lnum"), col("qty_cents"),
+          col("rflag"), col("ship_ts"))
         .limit(100)
     },
 
@@ -68,7 +72,9 @@ object Relational {
           greatest(cents(col("l_quantity")), lit(2500L)).as("qty_floor_c"),
           least(cents(col("l_discount")), lit(5L)).as("disc_cap_c"),
           round(col("l_quantity") * 1.8 + 32, 2).as("qty_f"))
-        .orderBy(col("okey"), col("lnum"))
+        // total order over all output values ((okey, lnum) has dups)
+        .orderBy(col("okey"), col("lnum"), col("band"), col("flag_or_none"),
+          col("qty_floor_c"), col("disc_cap_c"), col("qty_f"))
     },
 
     // ---- C. Aggregation ------------------------------------------------
@@ -242,7 +248,7 @@ object Relational {
         |  CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_cents,
         |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts
         |FROM lineitem
-        |ORDER BY okey, lnum
+        |ORDER BY okey, lnum, qty_cents, rflag, ship_ts
         |LIMIT 100""".stripMargin,
 
     "q_scan_pushdown" ->
@@ -271,7 +277,7 @@ object Relational {
         |  LEAST(CAST(ROUND(l_discount*100) AS BIGINT), 5) AS disc_cap_c,
         |  ROUND(l_quantity*1.8 + 32, 2) AS qty_f
         |FROM lineitem
-        |ORDER BY okey, lnum""".stripMargin,
+        |ORDER BY okey, lnum, band, flag_or_none, qty_floor_c, disc_cap_c, qty_f""".stripMargin,
 
     "q_agg_global" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
