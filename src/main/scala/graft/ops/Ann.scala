@@ -35,7 +35,8 @@ object Ann {
     val vecs = embeddings
       .withColumn("features", array_to_vector(
         transform(col("embedding"), x => x.cast("double"))))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .cache() // k-means iterates over this ~6x, then assignment reads it again
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(6)
       .fit(vecs.select("features"))
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("features"), col("prediction").as("cell"))
