@@ -35,12 +35,17 @@ final case class Ensemble(df: DataFrame) {
 
   /** Keep only (time,lat,lon) cells present in EVERY member — bcdp's
     * align-on-common-axes, as a distinct-count semi-filter (no N-way
-    * self-join; one aggregation + one semi-join). */
+    * self-join; one aggregation + one semi-join). The member count is
+    * computed INSIDE the plan (1-row broadcast agg crossed onto the
+    * per-cell counts), so composing this op runs no Spark job — at
+    * 100 TB an eager distinct().count() here would full-scan the
+    * ensemble before the pipeline even built. */
   def alignMembers(): Ensemble = {
-    val n = df.select("dataset").distinct().count()
+    val total = df.agg(countDistinct(col("dataset")).as("n_total"))
     val common = df.groupBy("time", "lat", "lon")
       .agg(countDistinct(col("dataset")).as("nds"))
-      .filter(col("nds") === n)
+      .crossJoin(broadcast(total))
+      .filter(col("nds") === col("n_total"))
       .select("time", "lat", "lon")
     Ensemble(df.join(common, Seq("time", "lat", "lon"), "left_semi"))
   }

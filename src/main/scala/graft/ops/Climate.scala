@@ -87,6 +87,20 @@ object ClimateOps {
     val adjDoy = when(isLeap && doyCol >= 60, doyCol + 1).otherwise(doyCol)
     to_timestamp(concat(yearCol, lit("-01-01"))) + make_dt_interval(adjDoy - 1)
   }
+
+  /** R4 normalize_times, 360-day calendar (HadGEM-style: every month is
+    * exactly 30 days, doy ∈ [1, 360]). Month = (doy-1)/30 + 1, day =
+    * (doy-1)%30 + 1; days 29/30 of a "February" overflow the Gregorian
+    * month and are clamped to its last real day (cftime's standard
+    * convert-calendar behavior: nearest valid date, never a month
+    * shift). Pure expression, codegen-friendly. */
+  def cal360ToTimestamp(yearCol: Column, doyCol: Column): Column = {
+    val y = yearCol.cast("int")
+    val m = (((doyCol - 1) / 30).cast("int") + 1)
+    val d = ((doyCol - 1) % 30).cast("int") + 1
+    val dClamped = least(d, dayofmonth(last_day(make_date(y, m, lit(1)))))
+    to_timestamp(make_date(y, m, dClamped))
+  }
 }
 
 /** SURVEY §2.9 family G — the climate surface exercised on harness data

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -29,7 +30,7 @@ import graft.Tables
 object Dedup {
 
   /** Distinct 3-gram word shingles per doc: (doc_id, lang, sh). */
-  private[ops] def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  private[graft] def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = split(col("text"), " ")
     // docs shorter than n tokens contribute no shingles; without the
     // guard sequence(0, negative) counts DOWN and slice(toks, 0, n)
@@ -55,19 +56,53 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding over MinHash signatures → candidate pairs with
-    * estimated Jaccard = fraction of matching signature components.
-    * bands*rowsPerBand must equal numPerm. */
-  def minHashCandidates(docs: DataFrame, numPerm: Int = 16, bands: Int = 4): DataFrame = {
+  /** Exact-dedup pre-pass: byte-identical texts share every shingle and
+    * hence every MinHash band, so N copies of one boilerplate page would
+    * form one N²/2-pair bucket. Collapse each identical-text group to
+    * its min-doc_id representative BEFORE hashing; the collapsed pairs
+    * are exact duplicates, which the exact path (q_dedup_exact) already
+    * reports. Shuffles only (md5, doc_id) — never the text. */
+  private[graft] def exactCollapse(docs: DataFrame): DataFrame = {
+    val repIds = docs.groupBy(md5(col("text")).as("tkey"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(repIds, Seq("doc_id"), "left_semi")
+  }
+
+  /** (doc_id, sig, band, bhash) — one row per doc per band. */
+  private[graft] def bandedSignatures(docs: DataFrame, numPerm: Int,
+                                    bands: Int): DataFrame = {
     val rows = numPerm / bands
     val sig = minHashSignatures(docs, numPerm)
     val sigArr = array((0 until numPerm).map(p => col(s"h$p")): _*)
-    val banded = sig.select(col("doc_id"), sigArr.as("sig"),
+    sig.select(col("doc_id"), sigArr.as("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             xxhash64(concat_ws(",", slice(sigArr, b * rows + 1, lit(rows))))
               .as("bhash")))).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bhash"))
+  }
+
+  /** LSH banding over MinHash signatures → candidate pairs with
+    * estimated Jaccard = fraction of matching signature components.
+    * bands*rowsPerBand must equal numPerm.
+    *
+    * Scale guards (the 100 TB path):
+    *  - exact-collapse first (see [[exactCollapse]]) so identical docs
+    *    never pile into one bucket;
+    *  - any remaining (band, bhash) bucket with more than `maxBucket`
+    *    members is dropped whole — in crawl data such buckets are
+    *    near-identical boilerplate whose members the OTHER bands (or a
+    *    dedicated template pass) still cover; pair work stays
+    *    O(n · bands · maxBucket) instead of O(max-bucket²). Use
+    *    [[hotBuckets]] to audit what was dropped. */
+  def minHashCandidates(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedSignatures(exactCollapse(docs), numPerm, bands)
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bhash"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
       .cache() // both sides of the bucket self-join
     val a = banded.select(col("band"), col("bhash"),
       col("doc_id").as("a"), col("sig").as("sig_a"))
@@ -79,6 +114,16 @@ object Dedup {
           bool => bool)).cast("double") / numPerm).as("est_jaccard"))
       .distinct()
   }
+
+  /** Audit companion to [[minHashCandidates]]: the (band, bhash) buckets
+    * the cap dropped, with their member counts — the "dropped mass" a
+    * production run would log/alert on. */
+  def hotBuckets(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
+                 maxBucket: Int = 1000): DataFrame =
+    bandedSignatures(exactCollapse(docs), numPerm, bands)
+      .groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") > maxBucket)
 
   /** 64-bit SimHash from token-level xxhash64 bit votes, weighted by
     * token frequency. Tokens are pre-aggregated to (doc, hash, count)
@@ -117,11 +162,18 @@ object Dedup {
   }
 
   /** Bucketed approximate cosine near-dup over embeddings: exact cosine
-    * only within hyperplane buckets. */
-  def annCandidates(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
+    * only within hyperplane buckets. Buckets larger than `maxBucket`
+    * are dropped whole (same guard as [[minHashCandidates]] — with
+    * random hyperplanes a bucket that big means a degenerate embedding
+    * cluster; pair work stays O(n · maxBucket)). */
+  def annCandidates(embeddings: DataFrame, nPlanes: Int = 8,
+                    maxBucket: Int = 4096): DataFrame = {
     val emb = transform(col("embedding"), x => x.cast("double"))
     val withB = embeddings.select(col("vec_id"), emb.as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), nPlanes))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
       .cache() // both sides of the bucket self-join
     val a = withB.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
     val b = withB.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
@@ -137,12 +189,19 @@ object Dedup {
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("a"), col("b"))
     },
+    // Equal-signature is an EQUIVALENCE relation, so star pairs (group
+    // representative = min doc_id, paired with every other member) carry
+    // the same dedup clusters as all-pairs in O(n) output — N identical
+    // boilerplate docs emit N-1 pairs instead of N²/2, with no join at
+    // all. (For size-2 groups, star == all-pairs, so harness output is
+    // unchanged.) This doesn't apply to MinHash banding, where bucket
+    // co-membership is NOT transitive — there we cap instead.
     "q_dedup_simhash" -> { (s, dir) =>
-      val sh = simHash(Tables.documents(s, dir)).cache() // both join sides
-      val a = sh.select(col("simhash"), col("doc_id").as("a"))
-      val b = sh.select(col("simhash"), col("doc_id").as("b"))
-      a.join(b, "simhash").filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("simhash"))
+      val w = Window.partitionBy(col("simhash"))
+      simHash(Tables.documents(s, dir))
+        .withColumn("a", min(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("a"))
+        .select(col("a"), col("doc_id").as("b"), col("simhash"))
         .orderBy(col("a"), col("b"))
     },
     "q_vec_ann_lsh" -> { (s, dir) =>

@@ -235,6 +235,16 @@ object Relational {
           approx_count_distinct(col("l_partkey")).cast("long").as("approx_nd_part"),
           countDistinct(col("l_partkey")).cast("long").as("exact_nd_part"))
         .orderBy(col("l_linestatus"))
+    },
+
+    // Hash-verified companion to q_agg_approx_hll: the same grouping
+    // with only the exact distinct count, so the HLL family contributes
+    // an oracle-green row too (the sketch key stays rows-only).
+    "q_agg_hll_exact" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .agg(countDistinct(col("l_partkey")).cast("long").as("exact_nd_part"))
+        .orderBy(col("l_linestatus"))
     }
   )
 
@@ -378,7 +388,14 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
     // q_agg_approx_hll: intentionally no oracle (sketches differ across engines)
+
+    "q_agg_hll_exact" ->
+      """SELECT l_linestatus,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd_part
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin
   )
 }

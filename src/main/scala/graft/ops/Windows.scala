@@ -59,14 +59,18 @@ object Windows {
 
     // 4-row moving average over exact integer micro-units: the windowed
     // sum is order-independent integer math, divided once at the end.
+    // Emitted UNROUNDED: identical IEEE op sequence on exact integers is
+    // bit-stable across engines, while ROUND(x,4) on a x.xxxx5 value
+    // flips between Spark (BigDecimal HALF_UP) and DuckDB (scaled
+    // double) — the SURVEY §2.8 hazard q_climate_anomaly documents.
     "q_win_sliding" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(-3, Window.currentRow)
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
-          round(sum(micros(col("value"))).over(w).cast("double") / 1000000.0
-            / count(lit(1)).over(w), 4).as("mavg"))
+          (sum(micros(col("value"))).over(w).cast("double") / 1000000.0
+            / count(lit(1)).over(w)).as("mavg"))
         .orderBy(col("event_id"))
     },
 
@@ -233,8 +237,8 @@ object Windows {
 
     "q_win_sliding" ->
       """SELECT event_id, user_id,
-        |  ROUND(CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0
-        |        / (COUNT(*) OVER w), 4) AS mavg
+        |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0
+        |        / (COUNT(*) OVER w) AS mavg
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)

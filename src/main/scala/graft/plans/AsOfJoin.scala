@@ -65,12 +65,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lBy = leftBy; val rBy = rightBy; val lOn = leftOn; val rOn = rightOn
     val strictCmp = strict
     val keyType = leftBy.dataType
+    val onType = leftOn.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      // interpreted total order on the by-key's type: works for any
-      // ordered DataType (integral, string, timestamp, ...) and matches
-      // the ASC NULLS FIRST sort this node requires of its children
+      // interpreted total orders on the by-key's and on-key's types:
+      // work for any ordered DataType (integral, string, decimal,
+      // timestamp, ...) and match the ASC NULLS FIRST sort this node
+      // requires of its children
       val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(keyType)
+      val onOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(onType)
       val lByBound = org.apache.spark.sql.catalyst.expressions.BindReferences
         .bindReference(lBy, leftOutput)
       val rByBound = org.apache.spark.sql.catalyst.expressions.BindReferences
@@ -92,18 +96,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var buffered: InternalRow = null
       var bufferedBy: Any = null
 
-      def onVal(e: Expression, row: InternalRow): Long =
-        e.eval(row).asInstanceOf[Number].longValue()
-      def admissible(rT: Long, lT: Long): Boolean =
-        if (strictCmp) rT < lT else rT <= lT
+      def admissible(rT: Any, lT: Any): Boolean = {
+        val c = onOrd.compare(rT, lT)
+        if (strictCmp) c < 0 else c <= 0
+      }
 
       lIter.map { lRow =>
         val lKey = lByBound.eval(lRow)
-        val lTime = onVal(lOnBound, lRow)
-        if (lKey == null) {
-          // SQL join semantics: a NULL key matches nothing (null-key
-          // right rows, which sort first under NULLS FIRST, are simply
-          // never admitted into the buffer below either)
+        val lTime = lOnBound.eval(lRow)
+        if (lKey == null || lTime == null) {
+          // SQL join semantics: a NULL by-key matches nothing, and a
+          // NULL left `on` has no "prior" point in time — both emit the
+          // null-filled right side. (Null-key right rows, which sort
+          // first under NULLS FIRST, are never admitted into the buffer
+          // below either; with a null lTime we also must not advance the
+          // right side, since admissibility is undefined.)
           out(joined(lRow, nullRight))
         } else {
           // drop buffered state from a previous by-group
@@ -118,10 +125,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (cmp < 0) { // right group behind (or null-keyed): skip
               rHead = if (rIter.hasNext) rIter.next().copy() else null
               continue = rHead != null
-            } else if (cmp == 0 && admissible(onVal(rOnBound, rHead), lTime)) {
-              buffered = rHead; bufferedBy = rKey
-              rHead = if (rIter.hasNext) rIter.next().copy() else null
-              continue = rHead != null
+            } else if (cmp == 0) {
+              val rT = rOnBound.eval(rHead)
+              if (rT == null) {
+                // null right `on` (sorts first in its group): never
+                // admissible — skip it rather than stall the advance
+                rHead = if (rIter.hasNext) rIter.next().copy() else null
+                continue = rHead != null
+              } else if (admissible(rT, lTime)) {
+                buffered = rHead; bufferedBy = rKey
+                rHead = if (rIter.hasNext) rIter.next().copy() else null
+                continue = rHead != null
+              } else continue = false
             } else continue = false
           }
           val r = if (buffered != null && bufferedBy != null
@@ -154,6 +169,13 @@ object AsOf {
            leftOn: String, rightOn: String,
            strict: Boolean = false): DataFrame = {
     register(spark)
+    // fail fast with a typed error instead of a runtime cast/sort crash
+    val lOnT = left.schema(leftOn).dataType
+    val rOnT = right.schema(rightOn).dataType
+    require(lOnT == rOnT,
+      s"as-of `on` columns must share one data type; got $lOnT vs $rOnT")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(lOnT),
+      s"as-of `on` type $lOnT has no total order")
     val plan = AsOfJoinPlan(
       GraftBridge.logicalPlan(left), GraftBridge.logicalPlan(right),
       GraftBridge.expression(left(leftBy)), GraftBridge.expression(right(rightBy)),

@@ -73,4 +73,50 @@ class AsOfJoinSpec extends AnyFunSuite {
       .toSet
     assert(res == Set((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, null)))
   }
+
+  test("string `on` columns order lexicographically") {
+    import spark.implicits._
+    // dates as ISO strings: lexicographic == chronological
+    val l = Seq((1L, "2024-03-15")).toDF("k", "t")
+    val r = Seq((1L, "2024-03-01", "prior"), (1L, "2024-04-01", "future"))
+      .toDF("k2", "t2", "v")
+    val got = AsOf.join(spark, l, r, "k", "k2", "t", "t2")
+      .select("v").head().getString(0)
+    assert(got == "prior")
+  }
+
+  test("decimal `on` columns work") {
+    import spark.implicits._
+    val l = Seq((1L, BigDecimal("10.50"))).toDF("k", "t")
+    val r = Seq((1L, BigDecimal("10.49"), "prior"),
+      (1L, BigDecimal("10.51"), "future")).toDF("k2", "t2", "v")
+    val got = AsOf.join(spark, l, r, "k", "k2", "t", "t2")
+      .select("v").head().getString(0)
+    assert(got == "prior")
+  }
+
+  test("null `on` values: left-null matches nothing, right-null never admissible") {
+    import spark.implicits._
+    val l = Seq((1L, Some(100L)), (1L, None), (2L, Some(10L)))
+      .toDF("k", "t")
+    val r = Seq((1L, Some(90L), "a"), (1L, (None: Option[Long]), "nullrow"),
+      (2L, Some(5L), "b")).toDF("k2", "t2", "v")
+    val res = AsOf.join(spark, l, r, "k", "k2", "t", "t2")
+      .select("k", "t", "v").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) null else x.getString(2))).toSet
+    // (1, null) gets no match; the null-on right row is skipped, so it
+    // neither matches nor blocks (1,100)←"a" and (2,10)←"b"
+    assert(res == Set((1L, 100L, "a"), (1L, -1L, null), (2L, 10L, "b")))
+  }
+
+  test("mismatched `on` types fail fast with a typed error") {
+    import spark.implicits._
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, "2024-01-01", "x")).toDF("k2", "t2", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(spark, l, r, "k", "k2", "t", "t2")
+    }
+    assert(e.getMessage.contains("share one data type"))
+  }
 }

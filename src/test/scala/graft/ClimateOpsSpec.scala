@@ -92,4 +92,22 @@ class ClimateOpsSpec extends AnyFunSuite {
     // noleap day 59 = Feb 28; day 60 = Mar 1 (skipping Feb 29 in 2000)
     assert(out == Seq("2000-02-28", "2000-03-01", "2001-03-01"))
   }
+
+  test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
+    val df = Seq(
+      (2001, 30),  // Jan 30       → Jan 30
+      (2001, 31),  // Feb 1        → Feb 1
+      (2001, 59),  // Feb 29       → clamp to Feb 28 (non-leap)
+      (2001, 60),  // Feb 30       → clamp to Feb 28
+      (2000, 59),  // Feb 29, leap → Feb 29 (valid, no clamp)
+      (2000, 60),  // Feb 30, leap → clamp to Feb 29
+      (2001, 61),  // Mar 1        → Mar 1
+      (2001, 360)  // Dec 30       → Dec 30 (last 360-day doy)
+    ).toDF("yr", "doy")
+    val out = df.select(date_format(
+      ClimateOps.cal360ToTimestamp($"yr", $"doy"), "yyyy-MM-dd").as("d"))
+      .as[String].collect().toSeq
+    assert(out == Seq("2001-01-30", "2001-02-01", "2001-02-28", "2001-02-28",
+      "2000-02-29", "2000-02-29", "2001-03-01", "2001-12-30"))
+  }
 }

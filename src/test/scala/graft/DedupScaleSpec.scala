@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-1 verdict's one remaining 100 TB scale-killer: unbounded
+  * equal-signature / equal-bucket self-joins in the hash dedup paths.
+  * These tests plant the degenerate input (1,000 identical boilerplate
+  * docs — the crawl-data worst case) and assert pair output stays
+  * linear, not quadratic. */
+class DedupScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** 1,000 byte-identical docs + 1 guaranteed near-dup pair + 2
+    * unrelated docs. Docs 2001/2002 have DIFFERENT text but IDENTICAL
+    * 3-gram shingle sets (cyclic repetition of "a b c"), so their
+    * MinHash signatures are equal by construction — every band collides
+    * deterministically, no probabilistic banding luck in the test. */
+  private lazy val boiler = {
+    val dup = (1L to 1000L).map(i =>
+      (i, "the same boilerplate page text repeated verbatim", "en"))
+    val rest = Seq(
+      (2001L, "a b c a b c a b c", "en"),
+      (2002L, "a b c a b c a b c a b c", "en"), // same shingle set as 2001
+      (2003L, "one two three four five six seven eight", "en"),
+      (2004L, "uno dos tres cuatro cinco seis siete ocho", "es"))
+    (dup ++ rest).toDF("doc_id", "text", "lang")
+  }
+
+  test("1,000 identical docs do NOT explode MinHash candidates (exact-collapse)") {
+    val pairs = ops.Dedup.minHashCandidates(boiler, numPerm = 16, bands = 4)
+    val n = pairs.count()
+    // without the exact-collapse pre-pass this would be ≥ 1000·999/2 =
+    // 499,500 pairs from the identical-text bucket alone
+    assert(n < 100, s"candidate explosion: $n pairs")
+    // the equal-shingle-set pair must surface with a perfect estimate
+    val nd = pairs.filter($"a" === 2001L && $"b" === 2002L).collect()
+    assert(nd.length == 1 && nd(0).getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("exactCollapse keeps one min-id representative per text") {
+    val reps = ops.Dedup.exactCollapse(boiler)
+    assert(reps.count() == 5) // 1 rep for the 1000 dups + 4 distinct docs
+    assert(reps.filter($"doc_id" === 1L).count() == 1) // min id survives
+  }
+
+  test("maxBucket cap drops oversized buckets and hotBuckets reports them") {
+    // cap=1 → every bucket with ≥2 members (i.e. every candidate-
+    // producing bucket) is dropped → zero pairs
+    val capped = ops.Dedup.minHashCandidates(boiler, 16, 4, maxBucket = 1)
+    assert(capped.count() == 0)
+    // and the audit query surfaces the dropped mass: the near-dup pair
+    // shares at least one band-bucket of size 2 > 1
+    val hot = ops.Dedup.hotBuckets(boiler, 16, 4, maxBucket = 1)
+    assert(hot.count() > 0)
+    assert(hot.agg(max($"members")).head().getLong(0) >= 2)
+  }
+
+  test("SimHash star pairs stay linear on identical docs") {
+    val sh = ops.Dedup.simHash(boiler)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"simhash")
+    val star = sh.withColumn("a", min($"doc_id").over(w))
+      .filter($"doc_id" =!= $"a")
+    // 1000 identical docs → exactly 999 star pairs (rep=1 × each other
+    // member), never 499,500; the near-dup pair only collides if all 64
+    // bits vote equal, which a one-token edit may or may not flip — so
+    // only bound the total
+    val n = star.count()
+    assert(n >= 999 && n <= 1002, s"got $n star pairs")
+  }
+
+  test("hyperplane LSH finds planted same-direction vectors (guaranteed collision)") {
+    // a scaled copy has identical dot-product signs against EVERY
+    // hyperplane → identical bucket, cosine 1.0: recall is structural,
+    // not probabilistic
+    val base = Array.tabulate(8)(i => (i + 1).toFloat / 10f)
+    val scaled = base.map(_ * 0.5f)
+    val other = Array.tabulate(8)(i => if (i % 2 == 0) -1f else 1f)
+    val emb = Seq((1L, base), (2L, scaled), (3L, other))
+      .toDF("vec_id", "embedding")
+    val cands = ops.Dedup.annCandidates(emb, nPlanes = 8)
+    assert(cands.filter($"a" === 1L && $"b" === 2L).count() == 1)
+  }
+
+  test("annCandidates maxBucket cap bounds degenerate embedding buckets") {
+    // 500 copies of one direction → one bucket of 500; cap=100 drops it
+    val clones = (1L to 500L).map(i => (i, Array.tabulate(8)(j => (j + 1).toFloat)))
+    val emb = clones.toDF("vec_id", "embedding")
+    val capped = ops.Dedup.annCandidates(emb, nPlanes = 8, maxBucket = 100)
+    assert(capped.count() == 0)
+  }
+}

@@ -46,6 +46,20 @@ class EnsembleSpec extends AnyFunSuite {
     assert(aligned.df.count() == 2 * 2 * 2 * 2) // members × times × lats × lons
   }
 
+  test("alignMembers composes lazily — no Spark job at plan time") {
+    val ens = Ensemble.of(member("m1", Seq(0.0, 20.0))
+      .unionByName(member("m2", Seq(0.0, 20.0, 40.0))))
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val aligned = ens.alignMembers() // compose only — must run nothing
+    Thread.sleep(300) // let any (erroneous) async job-start event land
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"alignMembers ran ${after - before} eager Spark job(s) at plan time")
+    // and the lazily-built plan still produces the aligned result
+    assert(aligned.df.filter($"lat" === 40.0).count() == 0)
+  }
+
   test("addMember / dropMember algebra") {
     val ens = Ensemble.of(member("m1", Seq(0.0)))
       .addMember("obs", member("ignored", Seq(0.0)).drop("dataset"))

