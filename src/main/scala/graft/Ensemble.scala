@@ -66,6 +66,16 @@ final case class Ensemble(df: DataFrame) {
       .withColumnRenamed("lat_bin", "lat").withColumnRenamed("lon_bin", "lon")
       .drop("n_cells"))
 
+  /** R7 method=linear: bilinear interpolation onto a uniform target
+    * mesh (see ClimateOps.regridBilinear for the join shape). */
+  def regridBilinear(srcLatRes: Double, srcLonRes: Double,
+                     latMin: Double, latMax: Double,
+                     lonMin: Double, lonMax: Double,
+                     dstLatRes: Double, dstLonRes: Double): Ensemble =
+    Ensemble(ClimateOps.regridBilinear(df, srcLatRes, srcLonRes,
+        latMin, latMax, lonMin, lonMax, dstLatRes, dstLonRes)
+      .withColumnRenamed("tlat", "lat").withColumnRenamed("tlon", "lon"))
+
   def resample(unit: String): Ensemble = Ensemble(ClimateOps.resample(df, unit))
 
   def convertUnits(k: Double, b: Double): Ensemble =

@@ -70,6 +70,60 @@ object ClimateOps {
         (floor(col("lon") / lonRes) * lonRes).as("lon_bin"))
       .agg(avg(col("value")).as("value"), count(lit(1)).as("n_cells"))
 
+  /** R7 regrid, method=linear: bilinear interpolation of a uniform
+    * source grid onto a uniform target mesh.
+    *
+    * Shape (the 100 TB path): each target node is exploded into its ≤4
+    * surrounding source-corner references carrying the bilinear weight,
+    * then ONE equi-join against the source on exact corner coordinates
+    * (snapped to integer microdegrees so double keys join reliably),
+    * then one aggregation per target node: Σ(w·v)/Σ(w). The
+    * renormalization makes boundary nodes (fewer than 4 corners
+    * present) interpolate from the corners that exist — xarray/xesmf's
+    * behavior for unmapped edges. No cross join of data with data: the
+    * mesh is tiny and the join co-partitions on corner coords.
+    *
+    * The Σ over ≤4 doubles is a hash-agg (order not guaranteed) →
+    * fine for the library op, but the oracle analog below uses a
+    * fixed-association 4-join formula instead. */
+  def regridBilinear(df: DataFrame, srcLatRes: Double, srcLonRes: Double,
+                     latMin: Double, latMax: Double,
+                     lonMin: Double, lonMax: Double,
+                     dstLatRes: Double, dstLonRes: Double): DataFrame = {
+    val spark = df.sparkSession
+    def micro(c: Column): Column = round(c * 1000000.0, 0).cast("long")
+    val nLat = math.floor((latMax - latMin) / dstLatRes).toLong
+    val nLon = math.floor((lonMax - lonMin) / dstLonRes).toLong
+    val mesh = spark.range(nLat + 1)
+      .select((lit(latMin) + col("id") * dstLatRes).as("tlat"))
+      .crossJoin(spark.range(nLon + 1)
+        .select((lit(lonMin) + col("id") * dstLonRes).as("tlon")))
+    val targets = df.select("dataset", "time").distinct().crossJoin(mesh)
+    // corner references: (lat0|lat1, lon0|lon1) with bilinear weights
+    val lat0 = floor(col("tlat") / srcLatRes) * srcLatRes
+    val lon0 = floor(col("tlon") / srcLonRes) * srcLonRes
+    val fl = (col("tlat") - lat0) / srcLatRes
+    val fo = (col("tlon") - lon0) / srcLonRes
+    val corners = targets
+      .withColumn("c", explode(array(
+        struct(micro(lat0).as("klat"), micro(lon0).as("klon"),
+          ((lit(1.0) - fl) * (lit(1.0) - fo)).as("w")),
+        struct(micro(lat0).as("klat"), micro(lon0 + srcLonRes).as("klon"),
+          ((lit(1.0) - fl) * fo).as("w")),
+        struct(micro(lat0 + srcLatRes).as("klat"), micro(lon0).as("klon"),
+          (fl * (lit(1.0) - fo)).as("w")),
+        struct(micro(lat0 + srcLatRes).as("klat"), micro(lon0 + srcLonRes).as("klon"),
+          (fl * fo).as("w")))))
+      .select(col("dataset"), col("time"), col("tlat"), col("tlon"),
+        col("c.klat"), col("c.klon"), col("c.w"))
+      .filter(col("w") > 0.0) // interior nodes keep ≤4, on-node keeps 1
+    val src = df.select(col("dataset"), col("time"),
+      micro(col("lat")).as("klat"), micro(col("lon")).as("klon"), col("value"))
+    corners.join(src, Seq("dataset", "time", "klat", "klon"))
+      .groupBy(col("dataset"), col("time"), col("tlat"), col("tlon"))
+      .agg((sum(col("w") * col("value")) / sum(col("w"))).as("value"))
+  }
+
   /** R11 zonal mean: collapse the lon axis. */
   def zonalMean(df: DataFrame): DataFrame =
     df.groupBy(col("dataset"), col("time"), col("lat"))
@@ -165,6 +219,35 @@ object Climate {
         .orderBy(col("event_id"))
     },
 
+    // R7 method=linear analog: bilinear interpolation on the
+    // (user-band × hour) grid of mean values, sampled at the fractional
+    // offset (+0.25, +0.25) inside each complete cell. Weights 9/16,
+    // 3/16, 3/16, 1/16 are exact binary fractions, the blend is written
+    // as ONE fixed-association expression (w00·v00 + w01·v01 + w10·v10
+    // + w11·v11) on both engines — no aggregation order in the FP path,
+    // so the unrounded double is bit-stable. Incomplete edge cells
+    // (glon=23, max glat) drop out of the inner 4-join on both sides.
+    "q_climate_regrid_bilinear" -> { (s, dir) =>
+      val src = Tables.events(s, dir)
+        .withColumn("m", micros(col("value")))
+        .groupBy(floor(col("user_id") / 10).cast("long").as("glat"),
+          hour(col("ts")).cast("long").as("glon"))
+        .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+        .select(col("glat"), col("glon"),
+          (col("sm").cast("double") / 1000000.0 / col("n")).as("v"))
+      val v00 = src.select(col("glat"), col("glon"), col("v").as("v00"))
+      val v01 = src.select(col("glat"), (col("glon") - 1).as("glon"), col("v").as("v01"))
+      val v10 = src.select((col("glat") - 1).as("glat"), col("glon"), col("v").as("v10"))
+      val v11 = src.select((col("glat") - 1).as("glat"), (col("glon") - 1).as("glon"),
+        col("v").as("v11"))
+      v00.join(v01, Seq("glat", "glon")).join(v10, Seq("glat", "glon"))
+        .join(v11, Seq("glat", "glon"))
+        .select(col("glat"), col("glon"),
+          (lit(0.5625) * col("v00") + lit(0.1875) * col("v01")
+            + lit(0.1875) * col("v10") + lit(0.0625) * col("v11")).as("interp_v"))
+        .orderBy(col("glat"), col("glon"))
+    },
+
     // R7/R11 regrid-bin analog: (user-band × value-band) 2-D binning
     // with per-bin count + mean — conservative regrid onto a coarse mesh.
     "q_climate_regrid" -> { (s, dir) =>
@@ -218,6 +301,20 @@ object Climate {
          |FROM events
          |WINDOW w AS (PARTITION BY hour(ts))
          |ORDER BY event_id""".stripMargin,
+
+    "q_climate_regrid_bilinear" ->
+      s"""WITH src AS (
+         |  SELECT CAST(FLOOR(user_id / 10) AS BIGINT) AS glat,
+         |         CAST(hour(ts) AS BIGINT) AS glon,
+         |         CAST(SUM($m) AS DOUBLE) / 1000000.0 / COUNT(*) AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT a.glat, a.glon,
+         |  0.5625 * a.v + 0.1875 * b.v + 0.1875 * c.v + 0.0625 * d.v AS interp_v
+         |FROM src a
+         |JOIN src b ON b.glat = a.glat     AND b.glon = a.glon + 1
+         |JOIN src c ON c.glat = a.glat + 1 AND c.glon = a.glon
+         |JOIN src d ON d.glat = a.glat + 1 AND d.glon = a.glon + 1
+         |ORDER BY a.glat, a.glon""".stripMargin,
 
     "q_climate_regrid" ->
       s"""SELECT CAST(FLOOR(user_id / 10) AS BIGINT) AS ubin,

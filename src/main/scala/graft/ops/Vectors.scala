@@ -59,6 +59,25 @@ object Vectors {
         .orderBy(col("q_id"), col("rn"))
     },
 
+    // Exact embedding-cosine near-dup — the oracle-verifiable baseline
+    // the ANN paths (q_vec_ann_lsh / q_vec_ann_ivf) approximate.
+    // Label-blocked pair join: ~10× less pair work than all-pairs at
+    // harness scale; at 100 TB the block key comes from LSH buckets /
+    // IVF cells instead (same plan shape, ops.Dedup.annCandidates).
+    // Threshold compares the 4-dp-rounded cosine on both engines.
+    "q_dedup_embed" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"), dbl(col("embedding")).as("v"))
+      val a = e.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("b"), col("v").as("vb"))
+      a.join(b, "label").filter(col("a") < col("b"))
+        .withColumn("cos4", round(
+          graft.expressions.VectorExpressions.cosine_sim(col("va"), col("vb")), 4))
+        .filter(col("cos4") >= 0.3)
+        .select(col("a"), col("b"), col("label"), col("cos4"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // Per-(label, dimension) centroid: components quantized to exact
     // integer 1e-6 units so the grouped sums are order-independent;
     // the final mean is one double division (unrounded, bit-stable).
@@ -115,6 +134,19 @@ object Vectors {
         |  FROM s) t
         |WHERE rn <= 5
         |ORDER BY q_id, rn""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS a, b.vec_id AS b, a.label AS label,
+        |  ROUND(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) AS cos4
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.3
+        |ORDER BY a, b""".stripMargin,
 
     "q_vec_centroid" ->
       """SELECT label, CAST(pos - 1 AS BIGINT) AS dim,

@@ -93,6 +93,20 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(out == Seq("2000-02-28", "2000-03-01", "2001-03-01"))
   }
 
+  test("regridBilinear interpolates exactly on a value linear in coords") {
+    // v = 10·lat + lon is reproduced exactly by bilinear interpolation
+    val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val src = (for { la <- Seq(0.0, 1.0); lo <- Seq(0.0, 1.0) }
+      yield ("m", t, la, lo, 10.0 * la + lo)).toDF("dataset", "time", "lat", "lon", "value")
+    val out = ClimateOps.regridBilinear(src, 1.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.5, 0.5)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)) -> r.getDouble(4)).toMap
+    assert(out.size == 9) // 3×3 target mesh
+    assert(math.abs(out((0.5, 0.5)) - 5.5) < 1e-12) // cell center
+    assert(math.abs(out((0.0, 0.5)) - 0.5) < 1e-12) // edge midpoint
+    assert(math.abs(out((1.0, 1.0)) - 11.0) < 1e-12) // exactly on a node
+    assert(math.abs(out((1.0, 0.5)) - 10.5) < 1e-12)
+  }
+
   test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
     val df = Seq(
       (2001, 30),  // Jan 30       → Jan 30
