@@ -124,6 +124,59 @@ object ClimateOps {
       .agg((sum(col("w") * col("value")) / sum(col("w"))).as("value"))
   }
 
+  /** R7 regrid, method=nearest, for ARBITRARY source node layouts —
+    * including 2-D curvilinear grids (rotated-pole / tripolar ocean
+    * meshes), which bin-average and bilinear can't index because node
+    * coordinates aren't separable functions of (i,j). Treats the source
+    * as a scatter of (lat, lon, value) nodes:
+    *
+    *  1. block the plane into blockDeg° tiles;
+    *  2. explode each TARGET node into its 3×3 neighbor tiles (targets
+    *     are the small side — a mesh, not the data);
+    *  3. one equi-join on the tile key against the source scatter;
+    *  4. per target node, keep the minimum-distance source node
+    *     (squared-degree metric, (lat, lon) tie-break — total order).
+    *
+    * Work is O(|targets|·9·occupancy), never all-pairs. Targets with no
+    * source node in their 3×3 tiles drop out (bounded search radius —
+    * nearest-beyond-radius is reported as missing, like xesmf's
+    * unmapped-point mask). Choose blockDeg ≥ the max expected node
+    * spacing. */
+  def regridNearest(df: DataFrame, latMin: Double, latMax: Double,
+                    lonMin: Double, lonMax: Double,
+                    dstLatRes: Double, dstLonRes: Double,
+                    blockDeg: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nLat = math.floor((latMax - latMin) / dstLatRes).toLong
+    val nLon = math.floor((lonMax - lonMin) / dstLonRes).toLong
+    val mesh = spark.range(nLat + 1)
+      .select((lit(latMin) + col("id") * dstLatRes).as("tlat"))
+      .crossJoin(spark.range(nLon + 1)
+        .select((lit(lonMin) + col("id") * dstLonRes).as("tlon")))
+    val targets = df.select("dataset", "time").distinct().crossJoin(mesh)
+    val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
+      struct(lit(dy).as("dy"), lit(dx).as("dx")))): _*)
+    val cands = targets
+      .withColumn("o", explode(offsets))
+      .select(col("dataset"), col("time"), col("tlat"), col("tlon"),
+        (floor(col("tlat") / blockDeg) + col("o.dy")).as("blat"),
+        (floor(col("tlon") / blockDeg) + col("o.dx")).as("blon"))
+    val src = df.select(col("dataset"), col("time"),
+      floor(col("lat") / blockDeg).as("blat"),
+      floor(col("lon") / blockDeg).as("blon"),
+      col("lat"), col("lon"), col("value"))
+    val d2 = (col("lat") - col("tlat")) * (col("lat") - col("tlat")) +
+      (col("lon") - col("tlon")) * (col("lon") - col("tlon"))
+    val w = Window.partitionBy(col("dataset"), col("time"), col("tlat"), col("tlon"))
+      .orderBy(col("d2"), col("lat"), col("lon"))
+    cands.join(src, Seq("dataset", "time", "blat", "blon"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dataset"), col("time"), col("tlat"), col("tlon"), col("value"))
+  }
+
   /** R11 zonal mean: collapse the lon axis. */
   def zonalMean(df: DataFrame): DataFrame =
     df.groupBy(col("dataset"), col("time"), col("lat"))
@@ -248,6 +301,42 @@ object Climate {
         .orderBy(col("glat"), col("glon"))
     },
 
+    // R7 method=nearest analog (the curvilinear-capable path): treat
+    // the distinct (user_id, hour) pairs as an irregular scatter of
+    // source nodes and snap a 10×10 target mesh to each node's nearest
+    // source by blocked NN — target nodes explode into 3×3 neighbor
+    // tiles (block=16), one equi-join, rank by squared distance with
+    // (sx, sy) tie-break. ALL-INTEGER math end to end: coordinates,
+    // distances and values are BIGINTs, so the hash match is exact by
+    // construction. Both engines compute the same bounded-radius
+    // algorithm (tile join expressed as BETWEEN in SQL).
+    "q_climate_regrid_nearest" -> { (s, dir) =>
+      val src = Tables.events(s, dir)
+        .groupBy(col("user_id").as("sx"), hour(col("ts")).cast("long").as("sy"))
+        .agg(count(lit(1)).cast("long").as("v"))
+        .select(floor(col("sx") / 16).cast("long").as("bx"),
+          floor(col("sy") / 16).cast("long").as("by"),
+          col("sx"), col("sy"), col("v"))
+      val tgt = s.range(10).select((col("id") * 15 + 7).as("tx"))
+        .crossJoin(s.range(10).select((col("id") * 2 + 1).as("ty")))
+      val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
+        struct(lit(dy.toLong).as("dy"), lit(dx.toLong).as("dx")))): _*)
+      val cands = tgt.withColumn("o", explode(offsets))
+        .select(col("tx"), col("ty"),
+          (floor(col("tx") / 16).cast("long") + col("o.dy")).as("bx"),
+          (floor(col("ty") / 16).cast("long") + col("o.dx")).as("by"))
+      val d2 = (col("sx") - col("tx")) * (col("sx") - col("tx")) +
+        (col("sy") - col("ty")) * (col("sy") - col("ty"))
+      val w = Window.partitionBy(col("tx"), col("ty"))
+        .orderBy(col("d2"), col("sx"), col("sy"))
+      cands.join(src, Seq("bx", "by"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("tx"), col("ty"), col("sx"), col("sy"), col("v"), col("d2"))
+        .orderBy(col("tx"), col("ty"))
+    },
+
     // R7/R11 regrid-bin analog: (user-band × value-band) 2-D binning
     // with per-bin count + mean — conservative regrid onto a coarse mesh.
     "q_climate_regrid" -> { (s, dir) =>
@@ -315,6 +404,32 @@ object Climate {
          |JOIN src c ON c.glat = a.glat + 1 AND c.glon = a.glon
          |JOIN src d ON d.glat = a.glat + 1 AND d.glon = a.glon + 1
          |ORDER BY a.glat, a.glon""".stripMargin,
+
+    "q_climate_regrid_nearest" ->
+      """WITH src AS (
+        |  SELECT user_id AS sx, CAST(hour(ts) AS BIGINT) AS sy,
+        |         CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), tgt AS (
+        |  SELECT tu.i * 15 + 7 AS tx, th.i * 2 + 1 AS ty
+        |  FROM range(0, 10) tu(i) CROSS JOIN range(0, 10) th(i)
+        |), cand AS (
+        |  SELECT t.tx, t.ty, s.sx, s.sy, s.v,
+        |    (s.sx - t.tx) * (s.sx - t.tx) + (s.sy - t.ty) * (s.sy - t.ty) AS d2
+        |  FROM tgt t JOIN src s
+        |    ON CAST(FLOOR(s.sx / 16) AS BIGINT)
+        |         BETWEEN CAST(FLOOR(t.tx / 16) AS BIGINT) - 1
+        |             AND CAST(FLOOR(t.tx / 16) AS BIGINT) + 1
+        |   AND CAST(FLOOR(s.sy / 16) AS BIGINT)
+        |         BETWEEN CAST(FLOOR(t.ty / 16) AS BIGINT) - 1
+        |             AND CAST(FLOOR(t.ty / 16) AS BIGINT) + 1
+        |)
+        |SELECT tx, ty, sx, sy, v, d2 FROM (
+        |  SELECT tx, ty, sx, sy, v, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY d2, sx, sy) AS rn
+        |  FROM cand) r
+        |WHERE rn = 1
+        |ORDER BY tx, ty""".stripMargin,
 
     "q_climate_regrid" ->
       s"""SELECT CAST(FLOOR(user_id / 10) AS BIGINT) AS ubin,

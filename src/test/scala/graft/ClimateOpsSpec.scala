@@ -107,6 +107,21 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(math.abs(out((1.0, 0.5)) - 10.5) < 1e-12)
   }
 
+  test("regridNearest snaps targets to nearest scattered (curvilinear) node") {
+    val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    // nodes deliberately off any separable lat/lon axis (curvilinear)
+    val src = Seq(
+      ("m", t, 0.1, 0.2, 1.0),
+      ("m", t, 0.9, 1.1, 2.0),
+      ("m", t, 2.2, 0.1, 3.0)).toDF("dataset", "time", "lat", "lon", "value")
+    val out = ClimateOps.regridNearest(src, 0.0, 2.0, 0.0, 2.0, 1.0, 1.0)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)) -> r.getDouble(4)).toMap
+    assert(out.size == 9) // every target found a node within its tiles
+    assert(out((0.0, 0.0)) == 1.0)
+    assert(out((1.0, 1.0)) == 2.0)
+    assert(out((2.0, 0.0)) == 3.0)
+  }
+
   test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
     val df = Seq(
       (2001, 30),  // Jan 30       → Jan 30
