@@ -31,13 +31,21 @@ object Dedup {
 
   /** Distinct 3-gram word shingles per doc: (doc_id, lang, sh). */
   private[graft] def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = split(col("text"), " ")
+    // materialize the token array into its own projection FIRST: the
+    // transform() lambda below is evaluated interpreted (HOFs don't
+    // codegen), so an expression referenced inside it re-evaluates per
+    // element — leaving split() inline made it run once per shingle,
+    // O(tokens²) per doc (measured 2× overall at sf0.1). A bound column
+    // reference is a cheap per-element read.
+    val toked = docs.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("toks"))
+    val toks = col("toks")
     // docs shorter than n tokens contribute no shingles; without the
     // guard sequence(0, negative) counts DOWN and slice(toks, 0, n)
     // throws at runtime
     val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array())
-    docs.select(col("doc_id"), col("lang"),
+    toked.select(col("doc_id"), col("lang"),
         explode(transform(idx,
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("sh"))
       .distinct()
@@ -124,6 +132,24 @@ object Dedup {
       .groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("members"))
       .filter(col("members") > maxBucket)
+
+  /** End-to-end corpus dedup: the docs to KEEP after (1) exact dedup —
+    * one min-id representative per identical text — and (2) near-dedup —
+    * greedy one-pass drop of the higher-id side of every MinHash-LSH
+    * candidate pair at or above `estJaccardMin`. The greedy pass keeps
+    * cluster minima without an iterative connected-components step
+    * (chains may over-drop: if b≈a and c≈b, c drops even when c≉a —
+    * the standard trade in production dedup; full CC would iterate a
+    * label-propagation join to fixpoint). Returns the surviving rows
+    * with all their columns; one aggregation + the capped LSH join —
+    * no O(n²) stage anywhere. */
+  def dedupCorpus(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
+                  estJaccardMin: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val drops = minHashCandidates(docs, numPerm, bands, maxBucket)
+      .filter(col("est_jaccard") >= estJaccardMin)
+      .select(col("b").as("doc_id")).distinct()
+    exactCollapse(docs).join(drops, Seq("doc_id"), "left_anti")
+  }
 
   /** 64-bit SimHash from token-level xxhash64 bit votes, weighted by
     * token frequency. Tokens are pre-aggregated to (doc, hash, count)

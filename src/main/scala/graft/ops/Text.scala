@@ -78,39 +78,54 @@ object Text {
     },
 
     // Near-dup via 3-gram word shingles: distinct shingle sets,
-    // same-(lang, shingle) blocked self-join, exact Jaccard ≥ 0.8.
-    // 100 TB path: key the join on xxhash64(shingle), drop shingles with
-    // document-frequency above a cap (stop-shingles dominate pair
-    // generation), or switch to ops.Dedup.minHashLsh banding.
+    // same-(lang, shingle-hash) blocked self-join, exact Jaccard ≥ 0.8
+    // — see nearDuplicates below for the scale shape.
     "q_dedup_near" -> { (s, dir) =>
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("t1", lead(col("tok"), 1).over(w))
-        .withColumn("t2", lead(col("tok"), 2).over(w))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          concat(col("tok"), lit(" "), col("t1"), lit(" "), col("t2")).as("sh"))
-        .distinct()
-        .cache() // read 3× below (both self-join sides + sizes)
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("sz"))
-      val a = sh.select(col("doc_id").as("a"), col("lang"), col("sh"))
-      val b = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
-      val common = a.join(b,
-          col("sh") === col("sh_b") && col("lang") === col("lang_b") && col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).cast("long").as("common"))
-      val jac = col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))
-      common
-        .join(sz.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
-        .join(sz.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
-        .withColumn("jac", jac)
-        .filter(col("jac") >= 0.8)
-        .select(col("a"), col("b"), col("common"), col("sz_a"), col("sz_b"), col("jac"))
+      nearDuplicates(Tables.documents(s, dir), jaccardMin = 0.8)
         .orderBy(col("a"), col("b"))
     }
   )
+
+  /** Exact shingle-Jaccard near-dup, built for the 100 TB regime:
+    *
+    *  - shingles come from `Dedup.shingles` (pure projection:
+    *    split + slice + explode — no per-doc window shuffle);
+    *  - the self-join is keyed on `xxhash64(shingle)` — an 8-byte
+    *    shuffle key instead of the shingle string (~3× less shuffle
+    *    volume; 64-bit collisions are negligible at any corpus size
+    *    that fits a cluster);
+    *  - `stopDfCap` drops shingles present in more than that many docs
+    *    BEFORE pair generation (a shingle shared by d docs produces
+    *    O(d²) join rows — boilerplate shingles dominate crawl-scale
+    *    pair work while carrying no near-dup signal). Sizes and Jaccard
+    *    are computed over the retained shingle universe, so results
+    *    stay internally consistent. Int.MaxValue disables the cap
+    *    (the oracle-graded configuration). */
+  def nearDuplicates(docs: DataFrame, jaccardMin: Double = 0.8,
+                     stopDfCap: Int = Int.MaxValue): DataFrame = {
+    val base = Dedup.shingles(docs)
+      .select(col("doc_id"), col("lang"), xxhash64(col("sh")).as("h"))
+    val kept =
+      if (stopDfCap == Int.MaxValue) base
+      else base.withColumn("df", count(lit(1)).over(
+          Window.partitionBy(col("lang"), col("h"))))
+        .filter(col("df") <= stopDfCap).drop("df")
+    val sh = kept.cache() // read 3× below (both self-join sides + sizes)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("sz"))
+    val a = sh.select(col("doc_id").as("a"), col("lang"), col("h"))
+    val b = sh.select(col("doc_id").as("b"), col("lang").as("lang_b"), col("h").as("h_b"))
+    val common = a.join(b,
+        col("h") === col("h_b") && col("lang") === col("lang_b") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("common"))
+    val jac = col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))
+    common
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+      .withColumn("jac", jac)
+      .filter(col("jac") >= jaccardMin)
+      .select(col("a"), col("b"), col("common"), col("sz_a"), col("sz_b"), col("jac"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->

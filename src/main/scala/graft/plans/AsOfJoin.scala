@@ -32,7 +32,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftBy: Expression, rightBy: Expression,
                         leftOn: Expression, rightOn: Expression,
-                        strict: Boolean)
+                        strict: Boolean, tolerance: Long = Long.MaxValue)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -44,7 +44,7 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftBy: Expression, rightBy: Expression,
                         leftOn: Expression, rightOn: Expression,
-                        strict: Boolean)
+                        strict: Boolean, tolerance: Long = Long.MaxValue)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -64,6 +64,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightOutput = right.output
     val lBy = leftBy; val rBy = rightBy; val lOn = leftOn; val rOn = rightOn
     val strictCmp = strict
+    val tol = tolerance
     val keyType = leftBy.dataType
     val onType = leftOn.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -95,11 +96,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
       var buffered: InternalRow = null
       var bufferedBy: Any = null
+      var bufferedOn: Long = 0L // numeric on-value, tracked when tol set
 
       def admissible(rT: Any, lT: Any): Boolean = {
         val c = onOrd.compare(rT, lT)
         if (strictCmp) c < 0 else c <= 0
       }
+      // tolerance mode: on-values are numeric/timestamp (validated in
+      // AsOf.join), stored as integral internals → safe longValue
+      val checkTol = tol != Long.MaxValue
+      def asLong(v: Any): Long = v.asInstanceOf[Number].longValue()
 
       lIter.map { lRow =>
         val lKey = lByBound.eval(lRow)
@@ -134,13 +140,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 continue = rHead != null
               } else if (admissible(rT, lTime)) {
                 buffered = rHead; bufferedBy = rKey
+                if (checkTol) bufferedOn = asLong(rT)
                 rHead = if (rIter.hasNext) rIter.next().copy() else null
                 continue = rHead != null
               } else continue = false
             } else continue = false
           }
+          // the buffered row is the LATEST admissible one, so if it is
+          // outside the lookback tolerance, no earlier row is inside it
           val r = if (buffered != null && bufferedBy != null
-            && keyOrd.compare(bufferedBy, lKey) == 0) buffered else nullRight
+            && keyOrd.compare(bufferedBy, lKey) == 0
+            && (!checkTol || asLong(lTime) - bufferedOn <= tol)) buffered
+          else nullRight
           out(joined(lRow, r))
         }
       }
@@ -163,11 +174,17 @@ object AsOf {
         spark.experimental.extraStrategies :+ AsOfStrategy
 
   /** left.asOfJoin(right): by = equality key column name present in
-    * both; on = ordering columns (left/right). */
+    * both; on = ordering columns (left/right). `tolerance` bounds the
+    * lookback in the on-key's native internal units (µs for timestamps,
+    * the value itself for integrals): a prior right row further back
+    * than that yields the null fill instead — pandas/flink-style
+    * `merge_asof(tolerance=...)`. Tolerance requires an
+    * integral/timestamp/date on-type. */
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
            leftBy: String, rightBy: String,
            leftOn: String, rightOn: String,
-           strict: Boolean = false): DataFrame = {
+           strict: Boolean = false,
+           tolerance: Long = Long.MaxValue): DataFrame = {
     register(spark)
     // fail fast with a typed error instead of a runtime cast/sort crash
     val lOnT = left.schema(leftOn).dataType
@@ -176,18 +193,29 @@ object AsOf {
       s"as-of `on` columns must share one data type; got $lOnT vs $rOnT")
     require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(lOnT),
       s"as-of `on` type $lOnT has no total order")
+    if (tolerance != Long.MaxValue) {
+      import org.apache.spark.sql.types._
+      require(tolerance >= 0, s"as-of tolerance must be non-negative: $tolerance")
+      val numericInternal = lOnT match {
+        case LongType | IntegerType | ShortType | ByteType |
+             TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }
+      require(numericInternal,
+        s"as-of tolerance requires an integral/timestamp/date `on` type; got $lOnT")
+    }
     val plan = AsOfJoinPlan(
       GraftBridge.logicalPlan(left), GraftBridge.logicalPlan(right),
       GraftBridge.expression(left(leftBy)), GraftBridge.expression(right(rightBy)),
       GraftBridge.expression(left(leftOn)), GraftBridge.expression(right(rightOn)),
-      strict)
+      strict, tolerance)
     GraftBridge.dataset(spark, plan)
   }
 
   object AsOfStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lb, rb, lo, ro, st) =>
-        AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, st) :: Nil
+      case AsOfJoinPlan(l, r, lb, rb, lo, ro, st, tol) =>
+        AsOfJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, st, tol) :: Nil
       case _ => Nil
     }
   }

@@ -78,6 +78,41 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(n >= 999 && n <= 1002, s"got $n star pairs")
   }
 
+  test("dedupCorpus keeps exact reps and drops near-dup higher ids") {
+    val kept = ops.Dedup.dedupCorpus(boiler)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1000 identical docs → rep 1; near-dup 2002 drops (2001 kept);
+    // 2003/2004 unrelated survive
+    assert(kept == Set(1L, 2001L, 2003L, 2004L))
+  }
+
+  test("nearDuplicates stop-shingle cap bounds boilerplate pair work") {
+    // 50 docs sharing one boilerplate shingle run + distinct tails:
+    // without the cap every pair shares ≥1 shingle and enters the join
+    val docs = (1L to 50L).map(i =>
+      (i, s"common boiler plate text here tail$i tip$i top$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val uncapped = ops.Text.nearDuplicates(docs, jaccardMin = 0.0)
+    assert(uncapped.count() == 50L * 49 / 2) // all pairs share the run
+    // the boilerplate shingles have df=50 > cap → only doc-specific
+    // shingles remain, which are disjoint → zero pairs
+    val capped = ops.Text.nearDuplicates(docs, jaccardMin = 0.0, stopDfCap = 10)
+    assert(capped.count() == 0)
+  }
+
+  test("as-of tolerance bounds the lookback window") {
+    val l = Seq((1L, 1000L), (1L, 5000L)).toDF("k", "t")
+    val r = Seq((1L, 900L, "recent"), (1L, 100L, "stale")).toDF("k2", "t2", "v")
+    val res = plans.AsOf.join(spark, l, r, "k", "k2", "t", "t2",
+        tolerance = 500L)
+      .select("t", "v").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    // t=1000 ← r@900 (gap 100 ≤ 500); t=5000: latest admissible r@900
+    // is 4100 back > 500 → null fill
+    assert(res == Map(1000L -> "recent", 5000L -> null))
+  }
+
   test("hyperplane LSH finds planted same-direction vectors (guaranteed collision)") {
     // a scaled copy has identical dot-product signs against EVERY
     // hyperplane → identical bucket, cosine 1.0: recall is structural,
