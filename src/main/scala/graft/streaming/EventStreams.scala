@@ -66,6 +66,28 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Watermarked stream-stream INTERVAL join: each purchase event joins
+    * the same user's signup events from the preceding 24 hours. Both
+    * sides carry watermarks and the join predicate bounds s_ts relative
+    * to p_ts on both ends, so the state store retains each side only
+    * for watermark + interval — the canonical bounded-state
+    * stream-stream join (an unbounded-interval join would keep signup
+    * state forever). Works as a self-join of one source stream. */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+      col("p_user") === col("s_user")
+        && col("s_ts") <= col("p_ts")
+        && col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("s_ts"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           ts_us: Long, v_micros: Long)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
@@ -151,7 +173,8 @@ object EventStreams {
       ("stream_tumbling", tumbling, "append"),
       ("stream_sliding", sliding, "append"),
       ("stream_session", session, "append"),
-      ("stream_dedup", dedup, "append"))
+      ("stream_dedup", dedup, "append"),
+      ("stream_join", purchaseSignupJoin, "append"))
     runs.foreach { case (name, mk, mode) =>
       val q = mk(readEvents(spark, sfDir)).writeStream
         .outputMode(mode).format("memory").queryName(name).start()

@@ -39,6 +39,28 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = runStream("par_join", EventStreams.purchaseSignupJoin)
+      .select("p_id", "s_ts")
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val s = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val batch = p.join(s,
+        col("p_user") === col("s_user")
+          && col("s_ts") <= col("p_ts")
+          && col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+      .select("p_id", "s_ts")
+    // inner stream-stream join emits matches as both sides arrive; a
+    // single-batch replay of a static directory emits them all
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   /** Parity law for the INCREMENTAL sessionizer: every emitted session
     * matches the batch fixpoint exactly, and the only missing ones are
     * open tails the final watermark (max ts − 1 h) hasn't closed
