@@ -77,6 +77,15 @@ object TextAnalysis {
     "q_text_tokens_est" -> { (s, dir) =>
       tokenEstimate(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
+    // Redaction-style scrub — the PII-removal shape of a training-data
+    // pipeline (here the stand-in sensitive term is the vocab token
+    // "dup"): count hits, replace whole-word matches, re-collapse
+    // whitespace. All codegen'd regex expressions; \b and ' +' mean the
+    // same thing in Java regex and RE2, so the cleaned string is
+    // byte-identical across engines.
+    "q_text_clean" -> { (s, dir) =>
+      scrub(Tables.documents(s, dir), "dup", "<T>").orderBy(col("doc_id"))
+    },
     // rows-only (xxhash64-based)
     "q_text_fingerprint" -> { (s, dir) =>
       fingerprints(Tables.documents(s, dir))
@@ -84,6 +93,18 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Whole-word redaction: replace every `\b term \b` match with
+    * `mask`, collapse any doubled whitespace the removal left, and
+    * report the hit count per doc. */
+  def scrub(docs: org.apache.spark.sql.DataFrame, term: String,
+            mask: String): org.apache.spark.sql.DataFrame = {
+    val pat = "\\b" + term + "\\b"
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_hits"),
+      trim(regexp_replace(regexp_replace(col("text"), pat, mask), " +", " "))
+        .as("clean"))
+  }
 
   private def evidenceSql(lang: String): String = {
     val set = stop(lang).map(w => s"'$w'").mkString(", ")
@@ -118,6 +139,14 @@ object TextAnalysis {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |    t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\bdup\b')) AS BIGINT) AS n_hits,
+        |  trim(regexp_replace(regexp_replace(text, '\bdup\b', '<T>', 'g'),
+        |    ' +', ' ', 'g')) AS clean
         |FROM documents
         |ORDER BY doc_id""".stripMargin
     // q_text_fingerprint: rows-only (xxhash64 not reproducible in DuckDB)

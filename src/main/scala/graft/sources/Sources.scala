@@ -48,4 +48,26 @@ object Sources {
   /** Normalize any source to parquet (the pipeline's canonical format). */
   def toParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Lakehouse-layout sink: parquet partitioned by the event date with
+    * rows sorted inside each file on `sortCols`.
+    *
+    * Why this exact shape at 100 TB:
+    *  - `partitionBy(p_date)` → directory-level partition PRUNING: a
+    *    date-ranged query never opens out-of-range files;
+    *  - `repartition(p_date)` first → exactly one task (and hence one
+    *    file, absent AQE splits) per date instead of #tasks × #dates
+    *    small files — the small-file problem is the classic failure of
+    *    naive partitioned writes;
+    *  - `sortWithinPartitions(sortCols)` → parquet row-group min/max
+    *    stats become tight, so predicate pushdown on the sort keys
+    *    skips row groups inside each file (data skipping). */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, path: String,
+                           sortCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .repartition(col("p_date"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").partitionBy("p_date").parquet(path)
+  }
 }

@@ -35,6 +35,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(e).count() == 0 && e.exceptAll(back).count() == 0)
   }
 
+  test("writeDatePartitioned: pruned read opens only the matching date dirs") {
+    val tmp = Files.createTempDirectory("graft_lake").toString
+    val e = Tables.events(spark, dir)
+    Sources.writeDatePartitioned(e, "ts", s"$tmp/events", Seq("user_id", "ts"))
+    // partition directories exist per date
+    val dateDirs = new java.io.File(s"$tmp/events").listFiles()
+      .filter(_.getName.startsWith("p_date=")).map(_.getName).sorted
+    assert(dateDirs.nonEmpty && dateDirs.head == "p_date=2024-01-01")
+    // round-trip is lossless (minus the derived partition column)
+    val back = spark.read.parquet(s"$tmp/events")
+    assert(back.count() == e.count())
+    // a date filter becomes a partition filter on the scan (directory
+    // pruning, not a data filter) and returns exactly that day's rows
+    val pruned = back.filter(col("p_date") === "2024-01-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"),
+      s"no partition pruning in plan:\n$plan")
+    assert(pruned.count() ==
+      e.filter(to_date(col("ts")) === "2024-01-03").count())
+  }
+
   test("withPathFields extracts filename-template metadata") {
     // raw read, not Tables: input_file_name() is empty over a cached
     // (InMemoryRelation) plan — path fields only exist at scan time
