@@ -175,6 +175,17 @@ object Ann {
   // anti-pattern)
   private val indexCache = TrieMap.empty[(String, String, Int, Long), IvfIndex]
 
+  /** Release every memoized index (unpersisting its cached
+    * assignments). Long-lived JVMs that cycle SparkSessions (test
+    * suites, notebook kernels) should call this on session teardown —
+    * the memo is keyed by session UUID, so entries for stopped sessions
+    * would otherwise pin their cached plans forever. */
+  def clearIndexes(): Unit = {
+    indexCache.values.foreach(i =>
+      try i.assigned.unpersist() catch { case _: Exception => () })
+    indexCache.clear()
+  }
+
   /** Memoized index over the harness embeddings table, excluding the
     * query ids (vec_id < 10 are the probe set, matching q_vec_knn). */
   private def harnessIndex(s: SparkSession, dir: String, nlist: Int,

@@ -92,8 +92,11 @@ object ClimateOps {
                      dstLatRes: Double, dstLonRes: Double): DataFrame = {
     val spark = df.sparkSession
     def micro(c: Column): Column = round(c * 1000000.0, 0).cast("long")
-    val nLat = math.floor((latMax - latMin) / dstLatRes).toLong
-    val nLon = math.floor((lonMax - lonMin) / dstLonRes).toLong
+    // +1e-9: an exact-span quotient like 0.3/0.1 lands just BELOW the
+    // integer in doubles (2.999…96) — without the epsilon the latMax /
+    // lonMax row of the mesh silently disappears
+    val nLat = math.floor((latMax - latMin) / dstLatRes + 1e-9).toLong
+    val nLon = math.floor((lonMax - lonMin) / dstLonRes + 1e-9).toLong
     val mesh = spark.range(nLat + 1)
       .select((lit(latMin) + col("id") * dstLatRes).as("tlat"))
       .crossJoin(spark.range(nLon + 1)
@@ -137,19 +140,23 @@ object ClimateOps {
     *  4. per target node, keep the minimum-distance source node
     *     (squared-degree metric, (lat, lon) tie-break — total order).
     *
-    * Work is O(|targets|·9·occupancy), never all-pairs. Targets with no
-    * source node in their 3×3 tiles drop out (bounded search radius —
-    * nearest-beyond-radius is reported as missing, like xesmf's
-    * unmapped-point mask). Choose blockDeg ≥ the max expected node
-    * spacing. */
+    * Work is O(|targets|·9·occupancy), never all-pairs. The search
+    * radius is exactly blockDeg: every node within that distance lies
+    * in the 3×3 tiles (guaranteed seen), and candidates beyond it are
+    * filtered out — so the result is the TRUE nearest within blockDeg,
+    * or no row (xesmf's unmapped-point mask). Choose blockDeg ≥ the max
+    * expected node spacing. */
   def regridNearest(df: DataFrame, latMin: Double, latMax: Double,
                     lonMin: Double, lonMax: Double,
                     dstLatRes: Double, dstLonRes: Double,
                     blockDeg: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val nLat = math.floor((latMax - latMin) / dstLatRes).toLong
-    val nLon = math.floor((lonMax - lonMin) / dstLonRes).toLong
+    // +1e-9: an exact-span quotient like 0.3/0.1 lands just BELOW the
+    // integer in doubles (2.999…96) — without the epsilon the latMax /
+    // lonMax row of the mesh silently disappears
+    val nLat = math.floor((latMax - latMin) / dstLatRes + 1e-9).toLong
+    val nLon = math.floor((lonMax - lonMin) / dstLonRes + 1e-9).toLong
     val mesh = spark.range(nLat + 1)
       .select((lit(latMin) + col("id") * dstLatRes).as("tlat"))
       .crossJoin(spark.range(nLon + 1)
@@ -172,6 +179,13 @@ object ClimateOps {
       .orderBy(col("d2"), col("lat"), col("lon"))
     cands.join(src, Seq("dataset", "time", "blat", "blon"))
       .withColumn("d2", d2)
+      // radius guard: the 3×3 tiles see EVERY node within blockDeg of
+      // the target but only SOME nodes beyond it, so without this
+      // filter a target whose true nearest lies just outside the tiles
+      // would silently get a farther in-tile node. Capping at blockDeg
+      // makes the contract exact: the true nearest within blockDeg, or
+      // no row.
+      .filter(col("d2") <= blockDeg * blockDeg)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("dataset"), col("time"), col("tlat"), col("tlon"), col("value"))

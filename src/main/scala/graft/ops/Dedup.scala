@@ -69,7 +69,10 @@ object Dedup {
     * form one N²/2-pair bucket. Collapse each identical-text group to
     * its min-doc_id representative BEFORE hashing; the collapsed pairs
     * are exact duplicates, which the exact path (q_dedup_exact) already
-    * reports. Shuffles only (md5, doc_id) — never the text. */
+    * reports. The rep-id aggregation shuffles only (md5, doc_id); the
+    * semi-join then broadcasts repIds when it fits, else co-partitions
+    * the corpus on doc_id — one corpus shuffle, the same price any
+    * id-keyed filter pays. */
   private[graft] def exactCollapse(docs: DataFrame): DataFrame = {
     val repIds = docs.groupBy(md5(col("text")).as("tkey"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -125,7 +128,10 @@ object Dedup {
 
   /** Audit companion to [[minHashCandidates]]: the (band, bhash) buckets
     * the cap dropped, with their member counts — the "dropped mass" a
-    * production run would log/alert on. */
+    * production run would log/alert on. Recomputes the signature
+    * pipeline (the audit is an occasional diagnostic, not part of the
+    * hot path); share a cached `bandedSignatures` manually if auditing
+    * every run. */
   def hotBuckets(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
                  maxBucket: Int = 1000): DataFrame =
     bandedSignatures(exactCollapse(docs), numPerm, bands)

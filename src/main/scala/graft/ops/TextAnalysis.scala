@@ -96,13 +96,16 @@ object TextAnalysis {
 
   /** Whole-word redaction: replace every `\b term \b` match with
     * `mask`, collapse any doubled whitespace the removal left, and
-    * report the hit count per doc. */
+    * report the hit count per doc. The term is regex-quoted and the
+    * mask replacement-quoted, so metacharacter inputs ("C++", "$1")
+    * redact literally instead of crashing or group-referencing. */
   def scrub(docs: org.apache.spark.sql.DataFrame, term: String,
             mask: String): org.apache.spark.sql.DataFrame = {
-    val pat = "\\b" + term + "\\b"
+    val pat = "\\b" + java.util.regex.Pattern.quote(term) + "\\b"
+    val rep = java.util.regex.Matcher.quoteReplacement(mask)
     docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_hits"),
-      trim(regexp_replace(regexp_replace(col("text"), pat, mask), " +", " "))
+      trim(regexp_replace(regexp_replace(col("text"), pat, rep), " +", " "))
         .as("clean"))
   }
 

@@ -147,10 +147,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             } else continue = false
           }
           // the buffered row is the LATEST admissible one, so if it is
-          // outside the lookback tolerance, no earlier row is inside it
+          // outside the lookback tolerance, no earlier row is inside
+          // it. Tolerance test = bufferedOn >= lTime - tol, with the
+          // subtraction underflow (extreme negative lTime - tol wraps
+          // positive) treated as "window covers everything" — a naive
+          // lTime - bufferedOn difference can overflow Long and wrongly
+          // admit a far-stale row.
+          def withinTol: Boolean = {
+            val lT = asLong(lTime)
+            val lo = lT - tol
+            lo > lT || bufferedOn >= lo
+          }
           val r = if (buffered != null && bufferedBy != null
             && keyOrd.compare(bufferedBy, lKey) == 0
-            && (!checkTol || asLong(lTime) - bufferedOn <= tol)) buffered
+            && (!checkTol || withinTol)) buffered
           else nullRight
           out(joined(lRow, r))
         }
