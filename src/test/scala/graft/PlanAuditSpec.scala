@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins — the properties that make the same code
+  * scale to 100 TB. Each assertion names the plan feature it guards:
+  * losing it wouldn't fail correctness tests, only blow up at scale,
+  * so it must be guarded explicitly. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projection reach the parquet scan (pushdown + pruning)") {
+    // raw read, not Tables: a cached relation hides the scan
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("small-side joins broadcast (no shuffle of the fact table)") {
+    val p = plan(SparkEntry.queries("q_join_broadcast")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("order-by-limit plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(SparkEntry.queries("q_limit_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"full sort planned:\n$p")
+  }
+
+  test("expression pipeline stays inside whole-stage codegen") {
+    val p = plan(SparkEntry.queries("q_project_expr")(spark, dir))
+    // codegen'd operators print with the "*(n)" stage prefix
+    assert(p.contains("*("), s"no codegen span:\n$p")
+  }
+
+  test("groupBy aggregates map-side first (partial + final HashAggregate)") {
+    val p = plan(SparkEntry.queries("q_agg_groupby")(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("custom codegen expressions don't break the codegen span") {
+    val e = Tables.embeddings(spark, dir)
+    val df = e.select(graft.expressions.VectorExpressions.cosine_sim(
+      transform(col("embedding"), x => x.cast("double")),
+      transform(col("embedding"), x => x.cast("double"))).as("c"))
+    assert(plan(df).contains("*("))
+  }
+}
