@@ -157,6 +157,53 @@ object Dedup {
     exactCollapse(docs).join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected components over an undirected edge list (a, b) by
+    * iterative min-label propagation: every node starts as its own
+    * label; each round it takes the min of its label and its
+    * neighbors'; fixpoint = component minima. Converges in O(component
+    * diameter) rounds (near-dup clusters are shallow — boilerplate
+    * stars and short chains — so a handful of rounds closes them;
+    * `maxIter` bounds the worst case). Each round is one join + one
+    * aggregation — the standard large-graph CC shape when a full
+    * GraphX/pregel dependency isn't warranted. */
+  def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val e = edges.select(col("a"), col("b")).cache()
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("doc")).distinct()
+      .withColumn("label", col("doc")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbr = sym.join(labels.select(col("doc").as("b"), col("label")), "b")
+        .groupBy(col("a").as("doc")).agg(min(col("label")).as("nl"))
+      val next = labels.join(nbr, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.select(col("doc"), col("label").as("old")), "doc")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters over the capped MinHash-LSH candidate graph:
+    * (doc_id, cluster) where cluster = min doc_id of the connected
+    * component. The exact-CC alternative to [[dedupCorpus]]'s greedy
+    * one-pass drop — use this when chain over-drops matter. */
+  def dupClusters(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
+                  estJaccardMin: Double = 0.5, maxBucket: Int = 1000,
+                  maxIter: Int = 10): DataFrame =
+    components(
+      minHashCandidates(docs, numPerm, bands, maxBucket)
+        .filter(col("est_jaccard") >= estJaccardMin)
+        .select(col("a"), col("b")),
+      maxIter)
+      .select(col("doc").as("doc_id"), col("label").as("cluster"))
+
   /** 64-bit SimHash from token-level xxhash64 bit votes, weighted by
     * token frequency. Tokens are pre-aggregated to (doc, hash, count)
     * first, so the 64 vote sums run over distinct tokens per doc (≤

@@ -78,6 +78,31 @@ object Streaming {
         .orderBy(col("event_type"))
     },
 
+    // Batch fixpoint of the watermarked stream-stream INTERVAL join
+    // (EventStreams.purchaseSignupJoin): purchases ⋈ same-user signups
+    // from the preceding 24 h. Same-user ties are impossible on ts
+    // (events has no (user_id, ts) ties — FIXTURES §1), so ordering by
+    // the join pair's ids+times is total.
+    "q_stream_join" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      p.join(sg,
+          col("p_user") === col("s_user")
+            && col("s_ts") <= col("p_ts")
+            && col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+        // µs epochs, not formatted strings: second-truncated strings
+        // could tie for one purchase's multiple signups and leave the
+        // row order engine-dependent; (p_id, s_us) is unique
+        .select(col("p_id"), col("p_user"),
+          unix_micros(col("p_ts")).as("p_us"),
+          unix_micros(col("s_ts")).as("s_us"))
+        .orderBy(col("p_id"), col("s_us"))
+    },
+
     // dropDuplicatesWithinWatermark analog: first event per
     // (user_id, event_type) in event-time order.
     "q_stream_dedup" -> { (s, dir) =>
@@ -158,6 +183,16 @@ object Streaming {
         |                       ORDER BY ts, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user,
+        |  CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+        |  CAST(epoch_us(s.ts) AS BIGINT) AS s_us
+        |FROM events p JOIN events s
+        |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND p.user_id = s.user_id
+        | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 24 HOURS
+        |ORDER BY p_id, s_us""".stripMargin
   )
 }

@@ -86,6 +86,24 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2001L, 2003L, 2004L))
   }
 
+  test("components: min-label propagation closes chains and leaves islands") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, plus 20-21-22 star at 20
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("a", "b")
+    val labels = ops.Dedup.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+  }
+
+  test("dupClusters groups the planted near-dup pair into one cluster") {
+    val clusters = ops.Dedup.dupClusters(boiler)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(2002L) == 2001L) // near-dup pair shares cluster 2001
+    assert(!clusters.contains(2003L)) // isolated docs form no edges
+  }
+
   test("nearDuplicates stop-shingle cap bounds boilerplate pair work") {
     // 50 docs sharing one boilerplate shingle run + distinct tails:
     // without the cap every pair shares ≥1 shingle and enters the join
