@@ -52,7 +52,11 @@ object Tables {
     if (f.isDirectory) Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
     else f.length()
 
-  private def tuneForScale(spark: SparkSession, sfDir: String): Unit = {
+  // synchronized: the conf writes are session-global, so two threads
+  // loading dirs of different sizes concurrently would interleave the
+  // AQE/partition settings (harness is single-threaded; the lock makes
+  // the library safe for concurrent callers at negligible cost)
+  private def tuneForScale(spark: SparkSession, sfDir: String): Unit = synchronized {
     // env for operators; system property for in-process tools (AqeProbe)
     if (sys.env.get("SPARK_GRAFT_NOTUNE").contains("1")
       || sys.props.get("graft.notune").contains("1")) return

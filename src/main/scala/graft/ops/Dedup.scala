@@ -51,13 +51,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct 64-bit shingle hashes per doc: (doc_id, lang, h0). The
+    * hash is applied BEFORE the distinct, so the dedup shuffle carries
+    * 8-byte keys instead of shingle strings — the variant every
+    * downstream consumer (MinHash, near-dup join) actually wants;
+    * [[shingles]] keeps the string form for diagnostics/tests. Distinct
+    * over hashes equals distinct over strings modulo 64-bit collisions
+    * (negligible at any corpus size that fits a cluster). */
+  private[graft] def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toked = docs.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("toks"))
+    val toks = col("toks")
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array())
+    toked.select(col("doc_id"), col("lang"),
+        explode(transform(idx,
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("h0"))
+      .distinct()
+  }
+
   /** MinHash signature: hash each shingle string to 64 bits ONCE, then
     * derive the numPerm permutations by re-hashing the long (integer
     * hashing is ~10× cheaper than string hashing; standard trick) and
     * take the per-permutation min over the doc's shingle set — one
     * aggregation, no joins. */
   def minHashSignatures(docs: DataFrame, numPerm: Int): DataFrame = {
-    val base = shingles(docs).withColumn("h0", xxhash64(col("sh")))
+    val base = shingleHashes(docs)
     val aggs = (0 until numPerm).map(p =>
       min(xxhash64(lit(p), col("h0"))).as(s"h$p"))
     base.groupBy(col("doc_id"))

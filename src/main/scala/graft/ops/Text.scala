@@ -103,8 +103,8 @@ object Text {
     *    (the oracle-graded configuration). */
   def nearDuplicates(docs: DataFrame, jaccardMin: Double = 0.8,
                      stopDfCap: Int = Int.MaxValue): DataFrame = {
-    val base = Dedup.shingles(docs)
-      .select(col("doc_id"), col("lang"), xxhash64(col("sh")).as("h"))
+    val base = Dedup.shingleHashes(docs)
+      .select(col("doc_id"), col("lang"), col("h0").as("h"))
     val kept =
       if (stopDfCap == Int.MaxValue) base
       else base.withColumn("df", count(lit(1)).over(
