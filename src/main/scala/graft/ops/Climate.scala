@@ -70,6 +70,24 @@ object ClimateOps {
         (floor(col("lon") / lonRes) * lonRes).as("lon_bin"))
       .agg(avg(col("value")).as("value"), count(lit(1)).as("n_cells"))
 
+  /** Per-(dataset, time) uniform target mesh (tlat, tlon) shared by the
+    * regrid interpolators. The +1e-9 matters: an exact-span quotient
+    * like 0.3/0.1 lands just BELOW the integer in doubles (2.999…96) —
+    * without the epsilon the latMax/lonMax row of the mesh silently
+    * disappears. */
+  private def targetMesh(df: DataFrame, latMin: Double, latMax: Double,
+                         lonMin: Double, lonMax: Double,
+                         dstLatRes: Double, dstLonRes: Double): DataFrame = {
+    val spark = df.sparkSession
+    val nLat = math.floor((latMax - latMin) / dstLatRes + 1e-9).toLong
+    val nLon = math.floor((lonMax - lonMin) / dstLonRes + 1e-9).toLong
+    val mesh = spark.range(nLat + 1)
+      .select((lit(latMin) + col("id") * dstLatRes).as("tlat"))
+      .crossJoin(spark.range(nLon + 1)
+        .select((lit(lonMin) + col("id") * dstLonRes).as("tlon")))
+    df.select("dataset", "time").distinct().crossJoin(mesh)
+  }
+
   /** R7 regrid, method=linear: bilinear interpolation of a uniform
     * source grid onto a uniform target mesh.
     *
@@ -90,18 +108,8 @@ object ClimateOps {
                      latMin: Double, latMax: Double,
                      lonMin: Double, lonMax: Double,
                      dstLatRes: Double, dstLonRes: Double): DataFrame = {
-    val spark = df.sparkSession
-    def micro(c: Column): Column = round(c * 1000000.0, 0).cast("long")
-    // +1e-9: an exact-span quotient like 0.3/0.1 lands just BELOW the
-    // integer in doubles (2.999…96) — without the epsilon the latMax /
-    // lonMax row of the mesh silently disappears
-    val nLat = math.floor((latMax - latMin) / dstLatRes + 1e-9).toLong
-    val nLon = math.floor((lonMax - lonMin) / dstLonRes + 1e-9).toLong
-    val mesh = spark.range(nLat + 1)
-      .select((lit(latMin) + col("id") * dstLatRes).as("tlat"))
-      .crossJoin(spark.range(nLon + 1)
-        .select((lit(lonMin) + col("id") * dstLonRes).as("tlon")))
-    val targets = df.select("dataset", "time").distinct().crossJoin(mesh)
+    // Det.micros: exact integer-microdegree join keys
+    val targets = targetMesh(df, latMin, latMax, lonMin, lonMax, dstLatRes, dstLonRes)
     // corner references: (lat0|lat1, lon0|lon1) with bilinear weights
     val lat0 = floor(col("tlat") / srcLatRes) * srcLatRes
     val lon0 = floor(col("tlon") / srcLonRes) * srcLonRes
@@ -109,19 +117,19 @@ object ClimateOps {
     val fo = (col("tlon") - lon0) / srcLonRes
     val corners = targets
       .withColumn("c", explode(array(
-        struct(micro(lat0).as("klat"), micro(lon0).as("klon"),
+        struct(micros(lat0).as("klat"), micros(lon0).as("klon"),
           ((lit(1.0) - fl) * (lit(1.0) - fo)).as("w")),
-        struct(micro(lat0).as("klat"), micro(lon0 + srcLonRes).as("klon"),
+        struct(micros(lat0).as("klat"), micros(lon0 + srcLonRes).as("klon"),
           ((lit(1.0) - fl) * fo).as("w")),
-        struct(micro(lat0 + srcLatRes).as("klat"), micro(lon0).as("klon"),
+        struct(micros(lat0 + srcLatRes).as("klat"), micros(lon0).as("klon"),
           (fl * (lit(1.0) - fo)).as("w")),
-        struct(micro(lat0 + srcLatRes).as("klat"), micro(lon0 + srcLonRes).as("klon"),
+        struct(micros(lat0 + srcLatRes).as("klat"), micros(lon0 + srcLonRes).as("klon"),
           (fl * fo).as("w")))))
       .select(col("dataset"), col("time"), col("tlat"), col("tlon"),
         col("c.klat"), col("c.klon"), col("c.w"))
       .filter(col("w") > 0.0) // interior nodes keep ≤4, on-node keeps 1
     val src = df.select(col("dataset"), col("time"),
-      micro(col("lat")).as("klat"), micro(col("lon")).as("klon"), col("value"))
+      micros(col("lat")).as("klat"), micros(col("lon")).as("klon"), col("value"))
     corners.join(src, Seq("dataset", "time", "klat", "klon"))
       .groupBy(col("dataset"), col("time"), col("tlat"), col("tlon"))
       .agg((sum(col("w") * col("value")) / sum(col("w"))).as("value"))
@@ -151,17 +159,7 @@ object ClimateOps {
                     dstLatRes: Double, dstLonRes: Double,
                     blockDeg: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    // +1e-9: an exact-span quotient like 0.3/0.1 lands just BELOW the
-    // integer in doubles (2.999…96) — without the epsilon the latMax /
-    // lonMax row of the mesh silently disappears
-    val nLat = math.floor((latMax - latMin) / dstLatRes + 1e-9).toLong
-    val nLon = math.floor((lonMax - lonMin) / dstLonRes + 1e-9).toLong
-    val mesh = spark.range(nLat + 1)
-      .select((lit(latMin) + col("id") * dstLatRes).as("tlat"))
-      .crossJoin(spark.range(nLon + 1)
-        .select((lit(lonMin) + col("id") * dstLonRes).as("tlon")))
-    val targets = df.select("dataset", "time").distinct().crossJoin(mesh)
+    val targets = targetMesh(df, latMin, latMax, lonMin, lonMax, dstLatRes, dstLonRes)
     val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
       struct(lit(dy).as("dy"), lit(dx).as("dx")))): _*)
     val cands = targets

@@ -186,8 +186,9 @@ object Dedup {
     * aggregation — the standard large-graph CC shape when a full
     * GraphX/pregel dependency isn't warranted. */
   def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    val e = edges.select(col("a"), col("b")).cache()
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val e = edges.select(col("a"), col("b"))
+    // cache the SYMMETRIZED list: it is what every iteration joins
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).cache()
     var labels = sym.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc")).cache()
     var changed = 1L
@@ -205,7 +206,7 @@ object Dedup {
       labels = next
       it += 1
     }
-    e.unpersist()
+    sym.unpersist()
     labels
   }
 
