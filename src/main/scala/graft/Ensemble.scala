@@ -85,6 +85,7 @@ final case class Ensemble(df: DataFrame) {
   def climatology(): DataFrame = ClimateOps.climatology(df)
   def anomaly(): DataFrame = ClimateOps.anomaly(df)
   def zonalMean(): DataFrame = ClimateOps.zonalMean(df)
+  def spatialMeanWeighted(): DataFrame = ClimateOps.spatialMeanWeighted(df)
 
   /** bcdp's generic `apply` escape hatch (R14), kept declarative. */
   def transform(f: DataFrame => DataFrame): Ensemble = Ensemble(f(df))

@@ -194,6 +194,19 @@ object ClimateOps {
     df.groupBy(col("dataset"), col("time"), col("lat"))
       .agg(avg(col("value")).as("value"))
 
+  /** R11 area-weighted spatial mean: Σ value·cos(lat) / Σ cos(lat) per
+    * (dataset, time). On a uniform lat/lon mesh a cell's area shrinks
+    * with cos(latitude), so the unweighted mean over-counts the poles —
+    * this is THE standard global-mean reduction in climate analysis
+    * (xarray's `weighted(cos(lat)).mean()`). One aggregation; no
+    * oracle key (libm cos is not bit-portable across engines), spec'd
+    * against hand-computed fixtures instead. */
+  def spatialMeanWeighted(df: DataFrame): DataFrame = {
+    val w = cos(radians(col("lat")))
+    df.groupBy(col("dataset"), col("time"))
+      .agg((sum(col("value") * w) / sum(w)).as("value"))
+  }
+
   /** R12 unit conversion: value*k + b (e.g. K→°C is k=1, b=-273.15). */
   def convertUnits(df: DataFrame, k: Double, b: Double): DataFrame =
     df.withColumn("value", col("value") * k + b)

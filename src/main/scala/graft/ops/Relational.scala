@@ -237,6 +237,22 @@ object Relational {
         .orderBy(col("l_linestatus"))
     },
 
+    // Weighted mean with EXACT integer weights (user_id) — the shape of
+    // the climate area-weighted reduction (ClimateOps.spatialMeanWeighted
+    // with cos-lat quantized to integers): both weighted sum and weight
+    // total are exact integer aggregations, one double division at the
+    // end. Magnitude budget: micros ≤ 5e8 × weight ≤ 150 × 1e5 rows ≈
+    // 7.5e15 « Long.Max.
+    "q_agg_weighted" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(micros(col("value")) * col("user_id")).cast("long").as("wsum"),
+          sum(col("user_id")).cast("long").as("wtot"))
+        .select(col("event_type"), col("wsum"), col("wtot"),
+          (col("wsum").cast("double") / col("wtot") / 1000000.0).as("wavg"))
+        .orderBy(col("event_type"))
+    },
+
     // Hash-verified companion to q_agg_approx_hll: the same grouping
     // with only the exact distinct count, so the HLL family contributes
     // an oracle-green row too (the sketch key stays rows-only).
@@ -390,6 +406,16 @@ object Relational {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     // q_agg_approx_hll: intentionally no oracle (sketches differ across engines)
+
+    "q_agg_weighted" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT) * user_id) AS BIGINT) AS wsum,
+        |  CAST(SUM(user_id) AS BIGINT) AS wtot,
+        |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT) * user_id) AS DOUBLE)
+        |    / SUM(user_id) / 1000000.0 AS wavg
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_agg_hll_exact" ->
       """SELECT l_linestatus,

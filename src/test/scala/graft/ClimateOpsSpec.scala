@@ -122,6 +122,18 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(out((2.0, 0.0)) == 3.0)
   }
 
+  test("spatialMeanWeighted: cos-lat area weighting down-weights the poles") {
+    val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    // equator cell (weight cos0 = 1) value 10, 60°N cell (cos60 = 0.5)
+    // value 40 → weighted mean (10·1 + 40·0.5) / 1.5 = 20; the
+    // unweighted mean would be 25
+    val src = Seq(("m", t, 0.0, 0.0, 10.0), ("m", t, 60.0, 0.0, 40.0))
+      .toDF("dataset", "time", "lat", "lon", "value")
+    val got = ClimateOps.spatialMeanWeighted(src)
+      .select("value").as[Double].head()
+    assert(math.abs(got - 20.0) < 1e-9)
+  }
+
   test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
     val df = Seq(
       (2001, 30),  // Jan 30       → Jan 30
