@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, MinHashAgg}
 import graft.plans.AsOf
 
 /** One-line installation of graft's engine extensions — the idiomatic
@@ -20,7 +20,9 @@ import graft.plans.AsOf
   *  - the AsOfJoin planner strategy (plans.AsOfJoinPlan → merge exec);
   *  - SQL functions `dot_product(a, b)` and `cosine_sim(a, b)` over
   *    ARRAY<DOUBLE> (inputs auto-cast), backed by the codegen
-  *    expressions.
+  *    expressions;
+  *  - the aggregate `minhash_sig(h, numPerm)` — one-pass MinHash
+  *    signature over 64-bit shingle hashes (TypedImperativeAggregate).
   *
   * (Queries built through the `AsOf.join` / `VectorExpressions` Scala
   * APIs self-register on first use; this class exists so plain-SQL
@@ -48,5 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => binary("cosine_sim", exprs)(CosineSimilarity.apply)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"minhash_sig requires (hash, numPerm), got ${exprs.length} args")
+        val numPerm = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig numPerm must be an integer literal, got $other")
+        }
+        MinHashAgg(exprs.head, numPerm).toAggregateExpression()
+      }))
   }
 }

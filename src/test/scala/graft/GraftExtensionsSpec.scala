@@ -38,4 +38,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sessionState.planner.extraPlanningStrategies
         .exists(_.getClass.getName.contains("AsOfStrategy")))
   }
+
+  test("minhash_sig aggregate works from plain SQL") {
+    val sig = spark.sql(
+      """SELECT minhash_sig(h, 4) AS sig FROM VALUES (1L), (2L), (3L) t(h)""")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4)
+    // a second run over the same values is identical (deterministic)
+    val sig2 = spark.sql(
+      """SELECT minhash_sig(h, 4) AS sig FROM VALUES (1L), (2L), (3L) t(h)""")
+      .head().getSeq[Long](0)
+    assert(sig == sig2)
+  }
 }
