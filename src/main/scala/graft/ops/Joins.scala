@@ -142,6 +142,7 @@ object Joins {
     },
 
     // Same task through the custom tier-(c) operator (plans.AsOfJoin):
+    // (bandedIntervalJoin below is the BIG-BIG form of this family)
     // merge-pass exec with O(1) state instead of a window carrying the
     // signup column through every row. Shares q_join_asof's oracle —
     // the two implementations must hash-match the same DuckDB result.
@@ -295,4 +296,38 @@ object Joins {
         |  FROM events) t
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin
+
+  /** Big-big interval join: left rows (key, tUs) matched to right rows
+    * (key, tUs2) with `tUs2 ∈ [tUs − beforeUs, tUs]`.
+    *
+    * The theta form (`range` predicate in the join condition) plans as
+    * a nested-loop join — fine when one side broadcasts (q_join_range's
+    * band table), fatal when BOTH sides are fact tables. Banding turns
+    * it into an equi-join: band = tUs div bandUs; each LEFT row
+    * explodes into the ⌈beforeUs/bandUs⌉+1 bands its window spans, the
+    * join runs on (key, band) — a plain shuffled hash/sort-merge join —
+    * and the exact interval predicate filters residually. With
+    * bandUs = beforeUs (the default) each left row lands in ≤2 bands,
+    * so join input is ≤2×|L| + |R| rows; every true match shares a band
+    * by construction, so the rewrite is lossless. The right side is
+    * NOT exploded — it is the bigger side in the typical
+    * events-vs-events case, and banding one side suffices. */
+  def bandedIntervalJoin(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTimeUs: String, rightTimeUs: String,
+                         beforeUs: Long,
+                         bandUs: Long = 0L): DataFrame = {
+    val w = if (bandUs > 0) bandUs else beforeUs
+    val nBands = (beforeUs / w).toInt + 1
+    val l = left.withColumn("_band", explode(
+        transform(sequence(lit(0), lit(nBands)),
+          i => (col(leftTimeUs) - col(leftTimeUs) % w) / w - i)))
+      .filter(col("_band") >= (col(leftTimeUs) - beforeUs - (col(leftTimeUs) - beforeUs) % w) / w)
+    val r = right.withColumn("_band", (col(rightTimeUs) - col(rightTimeUs) % w) / w)
+    l.join(r,
+        l(leftKey) === r(rightKey) && l("_band") === r("_band")
+          && r(rightTimeUs) <= l(leftTimeUs)
+          && r(rightTimeUs) >= l(leftTimeUs) - beforeUs)
+      .drop("_band")
+  }
 }

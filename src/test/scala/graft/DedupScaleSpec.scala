@@ -131,6 +131,30 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(res == Map(1000L -> "recent", 5000L -> null))
   }
 
+  test("bandedIntervalJoin == theta interval join (lossless rewrite)") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+        unix_micros($"ts").as("p_us"))
+    val sg = e.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), unix_micros($"ts").as("s_us"))
+    val dayUs = 24L * 3600 * 1000000
+    val theta = p.join(sg,
+        $"p_user" === $"s_user" && $"s_us" <= $"p_us"
+          && $"s_us" >= $"p_us" - dayUs)
+      .select("p_id", "s_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bandedDf = ops.Joins.bandedIntervalJoin(p, sg,
+      "p_user", "s_user", "p_us", "s_us", beforeUs = dayUs)
+    // the whole point: an EQUI-join plan (hash/merge), not a nested loop
+    val plan = bandedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), s"still a nested loop:\n$plan")
+    val banded = bandedDf
+      .select("p_id", "s_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(theta.nonEmpty && banded == theta)
+  }
+
   test("hyperplane LSH finds planted same-direction vectors (guaranteed collision)") {
     // a scaled copy has identical dot-product signs against EVERY
     // hyperplane → identical bucket, cosine 1.0: recall is structural,
