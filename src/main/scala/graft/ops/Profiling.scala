@@ -20,7 +20,37 @@ import Det._
   */
 object Profiling {
 
+  /** Data-quality expectations (the Deequ / Great-Expectations shape):
+    * named row-level predicates evaluated in ONE aggregation pass —
+    * each expectation becomes a conditional count, so 20 checks cost
+    * the same scan as one. Returns a single row of violation counts;
+    * a pipeline gates on `all columns == 0`. */
+  def expect(df: DataFrame,
+             expectations: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val aggs = expectations.map { case (name, pred) =>
+      sum(when(!pred, 1L).otherwise(0L)).cast("long").as(s"viol_$name")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-pass expectation suite over lineitem (all pass on the
+    // harness data — the zero row IS the assertion) + an orphan count
+    // via anti-join for the referential check.
+    "q_profile_expect" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val checks = expect(li, Seq(
+        "qty_range" -> col("l_quantity").between(0.0, 100.0),
+        "price_positive" -> (col("l_extendedprice") > 0.0),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "status_domain" -> col("l_linestatus").isin("F", "O"),
+        "keys_nonnull" -> (col("l_orderkey").isNotNull && col("l_partkey").isNotNull)))
+      val orphans = li.join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("viol_orphan_orderkey"))
+      checks.crossJoin(orphans)
+    },
+
     // ~1/16 deterministic sample of lineitem keyed on the PK digest.
     "q_sample_det" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -49,6 +79,18 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_profile_expect" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 0.0 AND 100.0) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,
+        |  CAST(SUM(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_positive,
+        |  CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_flag_domain,
+        |  CAST(SUM(CASE WHEN NOT (l_linestatus IN ('F','O')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_status_domain,
+        |  CAST(SUM(CASE WHEN NOT (l_orderkey IS NOT NULL AND l_partkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS viol_keys_nonnull,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS viol_orphan_orderkey
+        |FROM lineitem""".stripMargin,
+
     "q_sample_det" ->
       """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
         |  CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_cents
