@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
@@ -31,7 +31,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class MinHashAgg(child: Expression, numPerm: Int,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
+
+  require(numPerm > 0, s"minhash_sig numPerm must be positive, got $numPerm")
+
+  // analysis-time contract: input coerces to BIGINT (an INT hash column
+  // auto-casts; a STRING column fails analysis cleanly instead of
+  // throwing ClassCastException mid-query). Return type inferred:
+  // AbstractDataType is private[sql] in Spark 4 and can't be named here.
+  override def inputTypes = Seq(LongType)
 
   // seeds precomputed once: hash(p, IntegerType, 42) per permutation
   private lazy val permSeeds: Array[Long] =

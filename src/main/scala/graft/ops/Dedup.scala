@@ -30,13 +30,18 @@ import graft.Tables
 object Dedup {
 
   /** Distinct 3-gram word shingles per doc: (doc_id, lang, sh). */
-  private[graft] def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    // materialize the token array into its own projection FIRST: the
-    // transform() lambda below is evaluated interpreted (HOFs don't
-    // codegen), so an expression referenced inside it re-evaluates per
-    // element — leaving split() inline made it run once per shingle,
-    // O(tokens²) per doc (measured 2× overall at sf0.1). A bound column
-    // reference is a cheap per-element read.
+  /** Shared shingle explode: one distinct row per (doc, shingle), with
+    * `wrap` applied to the shingle string before the distinct (identity
+    * for the string form; xxhash64 for the hash form).
+    *
+    * The token array is materialized into its own projection FIRST: the
+    * transform() lambda below is evaluated interpreted (HOFs don't
+    * codegen), so an expression referenced inside it re-evaluates per
+    * element — leaving split() inline made it run once per shingle,
+    * O(tokens²) per doc (measured 2× overall at sf0.1). A bound column
+    * reference is a cheap per-element read. */
+  private def shingleCol(docs: DataFrame, n: Int, outName: String,
+                         wrap: Column => Column): DataFrame = {
     val toked = docs.select(col("doc_id"), col("lang"),
       split(col("text"), " ").as("toks"))
     val toks = col("toks")
@@ -47,9 +52,12 @@ object Dedup {
       .otherwise(array())
     toked.select(col("doc_id"), col("lang"),
         explode(transform(idx,
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("sh"))
+          i => wrap(concat_ws(" ", slice(toks, i + 1, lit(n)))))).as(outName))
       .distinct()
   }
+
+  private[graft] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleCol(docs, n, "sh", identity)
 
   /** Distinct 64-bit shingle hashes per doc: (doc_id, lang, h0). The
     * hash is applied BEFORE the distinct, so the dedup shuffle carries
@@ -58,17 +66,8 @@ object Dedup {
     * [[shingles]] keeps the string form for diagnostics/tests. Distinct
     * over hashes equals distinct over strings modulo 64-bit collisions
     * (negligible at any corpus size that fits a cluster). */
-  private[graft] def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toked = docs.select(col("doc_id"), col("lang"),
-      split(col("text"), " ").as("toks"))
-    val toks = col("toks")
-    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array())
-    toked.select(col("doc_id"), col("lang"),
-        explode(transform(idx,
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("h0"))
-      .distinct()
-  }
+  private[graft] def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleCol(docs, n, "h0", xxhash64(_))
 
   /** MinHash signature: hash each shingle string to 64 bits ONCE, then
     * derive the numPerm permutations by re-hashing the long (integer
@@ -193,7 +192,11 @@ object Dedup {
     * stars and short chains — so a handful of rounds closes them;
     * `maxIter` bounds the worst case). Each round is one join + one
     * aggregation — the standard large-graph CC shape when a full
-    * GraphX/pregel dependency isn't warranted. */
+    * GraphX/pregel dependency isn't warranted. Throws if `maxIter`
+    * rounds don't reach the fixpoint (silent partial labels would
+    * violate the cluster-minimum contract). The returned DataFrame is
+    * CACHED (it is the loop's fixpoint; recomputing it replays every
+    * round) — the caller owns the `unpersist()`. */
   def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     val e = edges.select(col("a"), col("b"))
     // cache the SYMMETRIZED list: it is what every iteration joins
@@ -216,6 +219,16 @@ object Dedup {
       it += 1
     }
     sym.unpersist()
+    // wrong-but-silent is worse than loud: labels that stopped moving
+    // before fixpoint are NOT component minima (a chain longer than
+    // maxIter hops keeps propagating) — refuse to return them
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIter rounds " +
+          s"($changed labels still moving) — raise maxIter above the " +
+          "largest component diameter")
+    }
     labels
   }
 

@@ -317,7 +317,10 @@ object Joins {
                          leftTimeUs: String, rightTimeUs: String,
                          beforeUs: Long,
                          bandUs: Long = 0L): DataFrame = {
+    require(beforeUs >= 0, s"beforeUs must be non-negative, got $beforeUs")
     val w = if (bandUs > 0) bandUs else beforeUs
+    require(w > 0,
+      "band width is zero: pass bandUs > 0 when beforeUs == 0 (exact-instant window)")
     val nBands = (beforeUs / w).toInt + 1
     val l = left.withColumn("_band", explode(
         transform(sequence(lit(0), lit(nBands)),

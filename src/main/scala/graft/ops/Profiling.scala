@@ -23,12 +23,13 @@ object Profiling {
   /** Data-quality expectations (the Deequ / Great-Expectations shape):
     * named row-level predicates evaluated in ONE aggregation pass —
     * each expectation becomes a conditional count, so 20 checks cost
-    * the same scan as one. Returns a single row of violation counts;
-    * a pipeline gates on `all columns == 0`. */
+    * the same scan as one. A predicate that evaluates NULL counts as a
+    * VIOLATION (a NULL quantity failing a range check must not slip a
+    * `viol == 0` gate). Returns a single row of violation counts. */
   def expect(df: DataFrame,
              expectations: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     val aggs = expectations.map { case (name, pred) =>
-      sum(when(!pred, 1L).otherwise(0L)).cast("long").as(s"viol_$name")
+      sum(when(pred, 0L).otherwise(1L)).cast("long").as(s"viol_$name")
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -81,11 +82,11 @@ object Profiling {
   val oracle: Map[String, String] = Map(
     "q_profile_expect" ->
       """SELECT
-        |  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 0.0 AND 100.0) THEN 1 ELSE 0 END) AS BIGINT) AS viol_qty_range,
-        |  CAST(SUM(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_positive,
-        |  CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_flag_domain,
-        |  CAST(SUM(CASE WHEN NOT (l_linestatus IN ('F','O')) THEN 1 ELSE 0 END) AS BIGINT) AS viol_status_domain,
-        |  CAST(SUM(CASE WHEN NOT (l_orderkey IS NOT NULL AND l_partkey IS NOT NULL) THEN 1 ELSE 0 END) AS BIGINT) AS viol_keys_nonnull,
+        |  CAST(SUM(CASE WHEN (l_quantity BETWEEN 0.0 AND 100.0) THEN 0 ELSE 1 END) AS BIGINT) AS viol_qty_range,
+        |  CAST(SUM(CASE WHEN (l_extendedprice > 0.0) THEN 0 ELSE 1 END) AS BIGINT) AS viol_price_positive,
+        |  CAST(SUM(CASE WHEN (l_returnflag IN ('A','N','R')) THEN 0 ELSE 1 END) AS BIGINT) AS viol_flag_domain,
+        |  CAST(SUM(CASE WHEN (l_linestatus IN ('F','O')) THEN 0 ELSE 1 END) AS BIGINT) AS viol_status_domain,
+        |  CAST(SUM(CASE WHEN (l_orderkey IS NOT NULL AND l_partkey IS NOT NULL) THEN 0 ELSE 1 END) AS BIGINT) AS viol_keys_nonnull,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
         |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
         |    AS viol_orphan_orderkey
