@@ -104,6 +104,51 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(!clusters.contains(2003L)) // isolated docs form no edges
   }
 
+  test("components == local union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      // local union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(x => x -> find(x)).toMap
+      val got = ops.Dedup.components(edges.toDF("a", "b"), maxIter = 40)
+      val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.unpersist()
+      assert(gotMap == expected, s"trial $trial mismatch")
+    }
+  }
+
+  test("bandedIntervalJoin == theta on seeded random intervals (incl. custom bandUs)") {
+    val rnd = new scala.util.Random(11)
+    val left = Seq.fill(120)((rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      .toDF("l_id", "lk", "lt")
+    val right = Seq.fill(150)((rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong))
+      .toDF("rk", "rt")
+    for (beforeUs <- Seq(1L, 137L, 1000L); bandUs <- Seq(0L, 64L)) {
+      val theta = left.join(right,
+          $"lk" === $"rk" && $"rt" <= $"lt" && $"rt" >= $"lt" - beforeUs)
+        .select("l_id", "rt").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val banded = ops.Joins.bandedIntervalJoin(left, right,
+          "lk", "rk", "lt", "rt", beforeUs, bandUs)
+        .select("l_id", "rt").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(banded == theta, s"mismatch at beforeUs=$beforeUs bandUs=$bandUs")
+    }
+  }
+
   test("nearDuplicates stop-shingle cap bounds boilerplate pair work") {
     // 50 docs sharing one boilerplate shingle run + distinct tails:
     // without the cap every pair shares ≥1 shingle and enters the join
