@@ -101,3 +101,74 @@ object MinHashAgg {
       MinHashAgg(GraftBridge.expression(shingleHash), numPerm)
         .toAggregateExpression())
 }
+
+/** 64-bit SimHash as a single custom aggregate over raw token-hash
+  * occurrences: bit i of the result is set when more occurrences voted
+  * 1 than 0 at that bit. One buffer of 64 vote counters replaces BOTH
+  * stages of the composed form (`Dedup.simHash`'s per-(doc, token)
+  * count pre-aggregation and its 64 weighted bit-vote sums) — each
+  * occurrence votes ±1 directly, which equals the count-weighted vote
+  * by commutativity, so the signature is bit-identical
+  * (SimHashAggSpec). */
+case class SimHashAgg(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) { buf(i) += ((h >>> i) & 1L) * 2 - 1; i += 1 }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (buf(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "simhash_sig"
+}
+
+object SimHashAgg {
+  /** Column API: `simhash_sig(tokenHash)` → BIGINT signature. */
+  def simhash_sig(tokenHash: Column): Column =
+    GraftBridge.column(
+      SimHashAgg(GraftBridge.expression(tokenHash)).toAggregateExpression())
+}

@@ -266,6 +266,18 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash via the one-pass UDAF (expressions.SimHashAgg):
+    * bit-identical to [[simHash]] (SimHashAggSpec) but ONE aggregation
+    * over raw token occurrences — each occurrence votes ±1 per bit
+    * directly, so the per-(doc, token) count pre-aggregation (a whole
+    * extra shuffle) disappears. */
+  def simHashAgg(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.expressions.SimHashAgg.simhash_sig(col("h")).as("simhash"))
+
   /** Random-hyperplane LSH bucket id for an embedding: sign bits of the
     * dot products against `nPlanes` seeded pseudo-random hyperplanes
     * (components derived from xxhash64(plane, dim) — deterministic, no
@@ -319,7 +331,7 @@ object Dedup {
     // co-membership is NOT transitive — there we cap instead.
     "q_dedup_simhash" -> { (s, dir) =>
       val w = Window.partitionBy(col("simhash"))
-      simHash(Tables.documents(s, dir))
+      simHashAgg(Tables.documents(s, dir))
         .withColumn("a", min(col("doc_id")).over(w))
         .filter(col("doc_id") =!= col("a"))
         .select(col("a"), col("doc_id").as("b"), col("simhash"))

@@ -32,6 +32,15 @@ class MinHashAggSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHashAgg == composed two-stage simHash on real docs") {
+    val docs = Tables.documents(spark, dir)
+    val viaAgg = ops.Dedup.simHashAgg(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = ops.Dedup.simHash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == composed)
+  }
+
   test("partial/final merge path: multi-partition input gives the same signature") {
     import spark.implicits._
     val hashes = (1L to 10000L).map(h => (1L, h * 2654435761L))
