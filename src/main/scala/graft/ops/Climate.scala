@@ -211,6 +211,26 @@ object ClimateOps {
   def convertUnits(df: DataFrame, k: Double, b: Double): DataFrame =
     df.withColumn("value", col("value") * k + b)
 
+  /** §1.1 multi-variable Datasets: an xarray.Dataset holds several
+    * variables over shared dims; the long form adds a `variable`
+    * discriminator column. melt (wide → long) is a pure projection via
+    * `stack` — no shuffle, codegen'd; [[pivotVariables]] inverts it. */
+  def meltVariables(df: DataFrame, varCols: Seq[String]): DataFrame = {
+    require(varCols.nonEmpty, "meltVariables needs at least one variable column")
+    val keys = df.columns.filterNot(varCols.contains)
+    val stackArgs = varCols.map(v => s"'$v', `$v`").mkString(", ")
+    df.select(keys.map(col) :+
+      expr(s"stack(${varCols.length}, $stackArgs) AS (variable, value)"): _*)
+  }
+
+  /** Long → wide: one value column per variable. `first` is
+    * deterministic here because the long form has exactly one row per
+    * (cell, variable). One shuffle on the cell key. */
+  def pivotVariables(df: DataFrame): DataFrame =
+    df.groupBy(col("dataset"), col("time"), col("lat"), col("lon"))
+      .pivot("variable")
+      .agg(first(col("value")))
+
   /** R4 normalize_times: map a (year, day-of-year) pair from a noleap
     * (365-day) calendar onto the proleptic Gregorian axis by skipping
     * Feb 29 — the standard alignment trick, as a pure expression. */

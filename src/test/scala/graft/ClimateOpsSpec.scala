@@ -122,6 +122,23 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(out((2.0, 0.0)) == 3.0)
   }
 
+  test("meltVariables ↔ pivotVariables round-trip (multi-variable Dataset)") {
+    val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val wide = Seq(
+      ("m", t, 0.0, 10.0, 288.5, 101.3),
+      ("m", t, 0.0, 20.0, 290.1, 100.9))
+      .toDF("dataset", "time", "lat", "lon", "tas", "psl")
+    val long = ClimateOps.meltVariables(wide, Seq("tas", "psl"))
+    assert(long.count() == 4)
+    assert(long.columns.toSeq ==
+      Seq("dataset", "time", "lat", "lon", "variable", "value"))
+    assert(long.filter($"variable" === "tas" && $"lon" === 10.0)
+      .select("value").as[Double].head() == 288.5)
+    val back = ClimateOps.pivotVariables(long)
+      .select("dataset", "time", "lat", "lon", "tas", "psl")
+    assert(back.exceptAll(wide).count() == 0 && wide.exceptAll(back).count() == 0)
+  }
+
   test("spatialMeanWeighted: cos-lat area weighting down-weights the poles") {
     val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     // equator cell (weight cos0 = 1) value 10, 60°N cell (cos60 = 0.5)
