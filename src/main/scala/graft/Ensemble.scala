@@ -87,6 +87,11 @@ final case class Ensemble(df: DataFrame) {
   def zonalMean(): DataFrame = ClimateOps.zonalMean(df)
   def spatialMeanWeighted(): DataFrame = ClimateOps.spatialMeanWeighted(df)
 
+  /** Multi-variable (xarray.Dataset-style) conversions — §1.1. */
+  def meltVariables(varCols: Seq[String]): Ensemble =
+    Ensemble(ClimateOps.meltVariables(df, varCols))
+  def pivotVariables(): DataFrame = ClimateOps.pivotVariables(df)
+
   /** bcdp's generic `apply` escape hatch (R14), kept declarative. */
   def transform(f: DataFrame => DataFrame): Ensemble = Ensemble(f(df))
 }
