@@ -3,34 +3,100 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
-/** NetCDF ingestion design (bcdp R1 analog) — DESIGN STUB.
+/** NetCDF ingestion (bcdp R1 analog).
   *
   * The reference loads ensembles of gridded NetCDF files
   * (`open_mfdataset` + filename-template metadata extraction). No
-  * NetCDF library ships in this offline container (SURVEY §7.5), so
-  * this file documents + skeletons the Spark-native design; the graded
-  * source is parquet.
+  * NetCDF *library* ships in this offline container — but NetCDF-3
+  * CLASSIC is a small public binary spec, so round 2 ships a
+  * dependency-free parser ([[NetcdfClassic]]) and [[readClassic]], a
+  * REAL distributed loader: Spark's `binaryFile` source hands each
+  * task whole files (the per-file granularity NetCDF forces — a
+  * multi-TB ensemble is thousands of files, so parallelism comes from
+  * the file count, exactly like dask's per-file chunks in the
+  * reference), each task parses its file and emits long-form rows, and
+  * everything downstream (subset pushdown on the emitted frame,
+  * regrid, climatology) is ordinary engine code.
   *
-  * Design (DataSourceV2):
-  *  - `TableProvider` "netcdf" → `Table` whose schema is the long-form
-  *    climate frame `(dataset, variable, time, lat, lon, lev, value)`
-  *    plus a `MapType(String,String)` attrs column for units/metadata;
-  *  - `ScanBuilder` implements `SupportsPushDownFilters` for the
-  *    time/lat/lon Bounds predicates (NetCDF's coordinate indexes make
-  *    hyperslab reads cheap — the pushdown maps 1:1 onto
-  *    `Variable.read(origin, shape)` section reads) and
-  *    `SupportsPushDownRequiredColumns` for variable selection;
-  *  - one `InputPartition` per (file, variable, time-chunk) so a
-  *    1000-executor cluster reads a multi-TB ensemble in parallel
-  *    without any single task holding a whole file;
-  *  - filename-template fields (model name, run id) come from
-  *    partition metadata, exactly like `input_file_name()` +
-  *    `regexp_extract` on the parquet path today.
-  *
-  * Until a NetCDF jar is available, `read` converts pre-exported
-  * parquet (same long form) — the rest of the engine is agnostic.
+  * NetCDF-4/HDF5 files (magic `\x89HDF`) genuinely need the HDF5
+  * library and are rejected with a clear error; the DataSourceV2
+  * upgrade path (hyperslab pushdown via `SupportsPushDownFilters`, one
+  * InputPartition per (file, variable, time-chunk)) remains documented
+  * for when a full netcdf jar is available.
   */
 object NetcdfSource {
+
+  final case class GridRow(dataset: String, variable: String,
+                           time: java.sql.Timestamp,
+                           lat: Double, lon: Double, value: Double)
+
+  /** CF time decoding: "<unit> since <date>[ <time>]" → µs offset
+    * per step unit and epoch-µs base. */
+  private[sources] def cfTimeBase(units: String): (Long, Long) = {
+    val re = "(seconds|minutes|hours|days) since (\\d{4}-\\d{2}-\\d{2})[ T]?(\\d{2}:\\d{2}:\\d{2})?.*".r
+    units match {
+      case re(u, d, t) =>
+        val ldt = java.time.LocalDateTime.parse(
+          d + "T" + (if (t == null) "00:00:00" else t))
+        val base = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+        val step = u match {
+          case "seconds" => 1000000L
+          case "minutes" => 60L * 1000000
+          case "hours" => 3600L * 1000000
+          case "days" => 86400L * 1000000
+        }
+        (base, step)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported CF time units '$units'")
+    }
+  }
+
+  /** Distributed NetCDF-3 classic → long-form DataFrame. Supports
+    * (time, lat, lon) and (lat, lon) variables; `dataset` is the file
+    * basename (compose with [[withPathFields]] for template fields). */
+  def readClassic(spark: SparkSession, pathGlob: String, varName: String,
+                  latVar: String = "lat", lonVar: String = "lon",
+                  timeVar: String = "time"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val nc = NetcdfClassic.parse(bytes)
+        val v = nc.variable(varName)
+        val dimNames = v.dimIds.map(nc.dim(_).name)
+        val lats = nc.read(latVar)
+        val lons = nc.read(lonVar)
+        val data = nc.read(varName)
+        val ds = path.substring(path.lastIndexOf('/') + 1)
+        dimNames match {
+          case Seq(`timeVar`, `latVar`, `lonVar`) =>
+            val tv = nc.variable(timeVar)
+            val units = tv.attrs.collectFirst {
+              case NetcdfClassic.NcAttr("units", s: String) => s
+            }.getOrElse(throw new IllegalArgumentException(
+              s"time variable '$timeVar' has no units attribute"))
+            val (base, step) = cfTimeBase(units)
+            val times = nc.read(timeVar).map(t =>
+              new java.sql.Timestamp((base + (t * step).toLong) / 1000L))
+            for {
+              ti <- times.indices.iterator
+              li <- lats.indices
+              oi <- lons.indices
+            } yield GridRow(ds, varName, times(ti), lats(li), lons(oi),
+              data((ti * lats.length + li) * lons.length + oi))
+          case Seq(`latVar`, `lonVar`) =>
+            for {
+              li <- lats.indices.iterator
+              oi <- lons.indices
+            } yield GridRow(ds, varName, null, lats(li), lons(oi),
+              data(li * lons.length + oi))
+          case other => throw new IllegalArgumentException(
+            s"unsupported dim layout $other for '$varName' " +
+              s"(expected ($timeVar, $latVar, $lonVar) or ($latVar, $lonVar))")
+        }
+      }
+      .toDF()
+  }
   val longFormSchema: StructType = StructType(Seq(
     StructField("dataset", StringType),
     StructField("variable", StringType),
@@ -51,7 +117,8 @@ object NetcdfSource {
     }
   }
 
-  /** Placeholder reader: long-form parquet exported from NetCDF. */
+  /** Long-form parquet fallback (pre-exported NetCDF-4 data, or the
+    * output of a one-time `readClassic → parquet` normalization). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(longFormSchema).parquet(path)
 }

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{NetcdfClassic, NetcdfSource}
+import graft.sources.NetcdfClassic.{NcAttr, NcDim}
+
+/** The dependency-free NetCDF-3 classic path: byte-level golden fixture
+  * (assembled by hand, independent of the writer, straight from the
+  * Unidata spec), writer↔parser round-trip, and the distributed
+  * long-form loader end-to-end into the climate ops. */
+class NetcdfSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("parser reads a hand-assembled spec-literal file") {
+    // CDF-1: one dim "x"(3), no gattrs, one double var "v"(x) with one
+    // char attr units="m" — every byte placed per the classic spec
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeBytes("CDF"); o.writeByte(1)       // magic + version
+    o.writeInt(0)                              // numrecs
+    o.writeInt(0x0A); o.writeInt(1)            // NC_DIMENSION, 1 dim
+    o.writeInt(1); o.writeBytes("x"); o.write(Array[Byte](0, 0, 0)) // name "x" padded
+    o.writeInt(3)                              // dim length
+    o.writeInt(0); o.writeInt(0)               // gatt_list ABSENT
+    o.writeInt(0x0B); o.writeInt(1)            // NC_VARIABLE, 1 var
+    o.writeInt(1); o.writeBytes("v"); o.write(Array[Byte](0, 0, 0)) // name "v"
+    o.writeInt(1); o.writeInt(0)               // 1 dim, dimid 0
+    o.writeInt(0x0C); o.writeInt(1)            // vatt_list: 1 attr
+    o.writeInt(5); o.writeBytes("units"); o.write(Array[Byte](0, 0, 0)) // "units" padded
+    o.writeInt(2); o.writeInt(1)               // NC_CHAR, 1 char
+    o.writeBytes("m"); o.write(Array[Byte](0, 0, 0)) // value padded
+    o.writeInt(6)                              // NC_DOUBLE
+    o.writeInt(24)                             // vsize = 3*8
+    val begin = bos.size() + 4                 // begin comes right after itself
+    o.writeInt(begin)
+    o.writeDouble(1.5); o.writeDouble(2.5); o.writeDouble(-3.0)
+    val nc = NetcdfClassic.parse(bos.toByteArray)
+    assert(nc.dims == Seq(NcDim("x", 3)))
+    assert(nc.vars.head.name == "v")
+    assert(nc.vars.head.attrs == Seq(NcAttr("units", "m")))
+    assert(nc.read("v").toSeq == Seq(1.5, 2.5, -3.0))
+  }
+
+  private def writeGridFile(path: String, name: String, nt: Int,
+                            bias: Double): Unit = {
+    val lats = Array(0.0, 10.0)
+    val lons = Array(100.0, 110.0, 120.0)
+    val times = Array.tabulate(nt)(_.toDouble) // days since base
+    val data = Array.tabulate(nt * 2 * 3) { i => bias + i.toDouble }
+    val bytes = NetcdfClassic.write(
+      dims = Seq(NcDim("time", nt), NcDim("lat", 2), NcDim("lon", 3)),
+      vars = Seq(
+        ("time", Seq(0), Seq(NcAttr("units", "days since 2000-01-01")), times),
+        ("lat", Seq(1), Seq(NcAttr("units", "degrees_north")), lats),
+        ("lon", Seq(2), Seq(NcAttr("units", "degrees_east")), lons),
+        ("tas", Seq(0, 1, 2), Seq(NcAttr("units", "K")), data)))
+    Files.write(Paths.get(path), bytes)
+  }
+
+  test("writer ↔ parser round-trip preserves dims, attrs, values") {
+    val tmp = Files.createTempDirectory("nc").toString
+    writeGridFile(s"$tmp/m1.nc", "m1", nt = 2, bias = 100.0)
+    val nc = NetcdfClassic.parse(Files.readAllBytes(Paths.get(s"$tmp/m1.nc")))
+    assert(nc.dims.map(_.name) == Seq("time", "lat", "lon"))
+    assert(nc.variable("tas").attrs == Seq(NcAttr("units", "K")))
+    assert(nc.read("lat").toSeq == Seq(0.0, 10.0))
+    assert(nc.read("tas").length == 12)
+    assert(nc.read("tas")(0) == 100.0 && nc.read("tas")(11) == 111.0)
+  }
+
+  test("readClassic loads a 2-file ensemble into the long form, CF times decoded") {
+    val tmp = Files.createTempDirectory("ncens").toString
+    writeGridFile(s"$tmp/modelA.nc", "modelA", nt = 2, bias = 0.0)
+    writeGridFile(s"$tmp/modelB.nc", "modelB", nt = 2, bias = 1000.0)
+    val df = NetcdfSource.readClassic(spark, s"$tmp/*.nc", "tas")
+    assert(df.count() == 2 * 2 * 2 * 3) // files × times × lats × lons
+    assert(df.select("dataset").distinct().count() == 2)
+    // CF "days since 2000-01-01": second timestep = 2000-01-02
+    val t1 = df.filter(col("dataset") === "modelA.nc"
+        && col("lat") === 0.0 && col("lon") === 100.0)
+      .orderBy(col("time")).select(date_format(col("time"), "yyyy-MM-dd"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(t1 == Seq(("2000-01-01", 0.0), ("2000-01-02", 6.0)))
+    // and the frame feeds the climate ops directly (rename value→tas form)
+    val binned = ops.ClimateOps.regridBin(
+      df.select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")),
+      latRes = 20.0, lonRes = 30.0)
+    assert(binned.count() > 0)
+  }
+
+  test("NetCDF-4/HDF5 magic is rejected with a clear error") {
+    val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F') ++ new Array[Byte](16)
+    val e = intercept[IllegalArgumentException] {
+      NetcdfClassic.parse(hdf5)
+    }
+    assert(e.getMessage.contains("bad magic"))
+  }
+}
