@@ -104,5 +104,12 @@ object Ensemble {
       spark.read.parquet(path).withColumn("dataset", lit(name))
     }.reduce(_ unionByName _))
 
+  /** bcdp `load_local` for NetCDF-3 classic ensembles: every file the
+    * glob matches becomes a member (dataset = file basename), loaded
+    * distributed via NetcdfSource.readClassic. */
+  def loadNetcdf(spark: SparkSession, pathGlob: String, varName: String): Ensemble =
+    Ensemble(graft.sources.NetcdfSource.readClassic(spark, pathGlob, varName)
+      .select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")))
+
   def of(df: DataFrame): Ensemble = Ensemble(df)
 }

@@ -32,13 +32,20 @@ object ClimateOps {
     renamed.withColumn("lon", ((col("lon") + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)
   }
 
-  /** R5 subset(bounds): conjunctive range predicate — pushdown-friendly. */
+  /** R5 subset(bounds): conjunctive range predicate — pushdown-friendly.
+    * A lon range with lonMin > lonMax crosses the antimeridian (e.g.
+    * 170 → −170 selects the Pacific strip) and becomes a disjunction,
+    * exactly bcdp's Bounds semantics for dateline-spanning regions. */
   def subset(df: DataFrame, latMin: Double, latMax: Double,
              lonMin: Double, lonMax: Double,
-             tMin: String, tMax: String): DataFrame =
+             tMin: String, tMax: String): DataFrame = {
+    val lonPred =
+      if (lonMin <= lonMax) col("lon").between(lonMin, lonMax)
+      else col("lon") >= lonMin || col("lon") <= lonMax
     df.filter(col("lat").between(latMin, latMax)
-      && col("lon").between(lonMin, lonMax)
+      && lonPred
       && col("time").between(lit(tMin).cast("timestamp"), lit(tMax).cast("timestamp")))
+  }
 
   /** R6 select_season: keep timesteps whose month is in the season
     * (DJF-style wrap is just the month set {12,1,2}). */

@@ -44,6 +44,16 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(out.count() == 4)
   }
 
+  test("subset with lonMin > lonMax crosses the antimeridian") {
+    val t = java.sql.Timestamp.valueOf("2000-01-15 00:00:00")
+    val pts = Seq(("m", t, 0.0, 175.0, 1.0), ("m", t, 0.0, -175.0, 2.0),
+      ("m", t, 0.0, 0.0, 3.0)).toDF("dataset", "time", "lat", "lon", "value")
+    val got = ClimateOps.subset(pts, -90, 90, 170.0, -170.0,
+        "2000-01-01 00:00:00", "2000-12-31 00:00:00")
+      .select("value").as[Double].collect().toSet
+    assert(got == Set(1.0, 2.0)) // Pacific strip only; lon=0 excluded
+  }
+
   test("selectSeason DJF keeps Dec/Jan/Feb timesteps") {
     val out = ClimateOps.selectSeason(grid, Seq(12, 1, 2))
     assert(out.select(month($"time")).distinct().as[Int].collect().toSet == Set(1, 12))

@@ -97,6 +97,42 @@ class NetcdfSpec extends AnyFunSuite {
     assert(binned.count() > 0)
   }
 
+  test("record variables read across records (hand-assembled, unlimited dim)") {
+    // dims: time(UNLIMITED), x(2); one record var v(time, x) — the
+    // single-record-variable no-padding case; numrecs = 2
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.writeBytes("CDF"); o.writeByte(1)
+    o.writeInt(2)                               // numrecs = 2
+    o.writeInt(0x0A); o.writeInt(2)             // 2 dims
+    o.writeInt(4); o.writeBytes("time"); o.writeInt(0)   // record dim
+    o.writeInt(1); o.writeBytes("x"); o.write(Array[Byte](0, 0, 0)); o.writeInt(2)
+    o.writeInt(0); o.writeInt(0)                // no gattrs
+    o.writeInt(0x0B); o.writeInt(1)             // 1 var
+    o.writeInt(1); o.writeBytes("v"); o.write(Array[Byte](0, 0, 0))
+    o.writeInt(2); o.writeInt(0); o.writeInt(1) // dims (time, x)
+    o.writeInt(0); o.writeInt(0)                // no vattrs
+    o.writeInt(6)                               // double
+    o.writeInt(16)                              // vsize: 2 doubles per record
+    val begin = bos.size() + 4
+    o.writeInt(begin)
+    Seq(1.0, 2.0, 3.0, 4.0).foreach(o.writeDouble) // rec0: 1,2; rec1: 3,4
+    val nc = NetcdfClassic.parse(bos.toByteArray)
+    assert(nc.numRecs == 2 && nc.dims.head == NcDim("time", 0))
+    assert(nc.read("v").toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("Ensemble.loadNetcdf: the bcdp load_local entry point end-to-end") {
+    val tmp = Files.createTempDirectory("ncload").toString
+    writeGridFile(s"$tmp/m1.nc", "m1", nt = 1, bias = 0.0)
+    writeGridFile(s"$tmp/m2.nc", "m2", nt = 1, bias = 50.0)
+    val ens = Ensemble.loadNetcdf(spark, s"$tmp/*.nc", "tas")
+    assert(ens.members == Seq("m1.nc", "m2.nc"))
+    // the fluent pipeline runs directly on the loaded ensemble
+    val clim = ens.homogenize().climatology()
+    assert(clim.count() == 2 * 6) // members × (2 lats × 3 lons), 1 month
+  }
+
   test("NetCDF-4/HDF5 magic is rejected with a clear error") {
     val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F') ++ new Array[Byte](16)
     val e = intercept[IllegalArgumentException] {
