@@ -64,6 +64,33 @@ object ClimatePipelineDemo {
       .agg(round(avg("bias"), 4).as("mean_bias"))
       .head().getDouble(0)
     println(s"[demo] mean model-obs bias=$bias (planted 1.5)")
+
+    // --- R1 for real: the same pipeline fed from .nc FILES on disk ---
+    // (write a 2-member NetCDF-3 classic ensemble, load it back with
+    // Ensemble.loadNetcdf — the bcdp.load_local path — and reduce)
+    import graft.sources.NetcdfClassic
+    import graft.sources.NetcdfClassic.{NcAttr, NcDim}
+    val ncDir = java.nio.file.Files.createTempDirectory("demo_nc").toString
+    def writeNc(name: String, bias2: Double): Unit = {
+      val lats = Array(-10.0, 0.0, 10.0)
+      val lons = Array(100.0, 110.0)
+      val times = Array(0.0, 31.0) // days since 2000-01-01 (Jan, Feb)
+      val data = Array.tabulate(times.length * lats.length * lons.length)(
+        i => 280.0 + bias2 + (i % 6))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$ncDir/$name.nc"),
+        NetcdfClassic.write(
+          Seq(NcDim("time", 2), NcDim("lat", 3), NcDim("lon", 2)),
+          Seq(
+            ("time", Seq(0), Seq(NcAttr("units", "days since 2000-01-01")), times),
+            ("lat", Seq(1), Seq(NcAttr("units", "degrees_north")), lats),
+            ("lon", Seq(2), Seq(NcAttr("units", "degrees_east")), lons),
+            ("tas", Seq(0, 1, 2), Seq(NcAttr("units", "K")), data))))
+    }
+    writeNc("modelA", 1.5); writeNc("obs", 0.0)
+    val fromNc = Ensemble.loadNetcdf(spark, s"$ncDir/*.nc", "tas")
+      .homogenize().resample("month")
+    println(s"[demo] netcdf members=${fromNc.members.mkString(",")} " +
+      s"rows=${fromNc.df.count()}")
     spark.stop()
   }
 }
