@@ -174,6 +174,28 @@ object Joins {
           tstr(col("ts")).as("purchase_ts"),
           tstr(col("prior_signup")).as("signup_ts"))
         .orderBy(col("event_id"))
+    },
+
+    // As-of with TOLERANCE (pandas merge_asof(tolerance=...)): the
+    // prior signup only counts if it is within the 24 h lookback;
+    // older matches yield the null fill. Same window emulation plus a
+    // bounded-age gate — also AsOfJoinSpec proves plans.AsOf.join with
+    // tolerance agrees with this oracle-matched form on the same data.
+    "q_join_asof_tol" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("prior_signup",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("recent_signup",
+          when(col("prior_signup") >= col("ts") - expr("INTERVAL 24 HOURS"),
+            col("prior_signup")))
+        .select(col("event_id"), col("user_id"),
+          tstr(col("ts")).as("purchase_ts"),
+          tstr(col("recent_signup")).as("signup_ts"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -281,7 +303,21 @@ object Joins {
         |                WHERE event_type = 'signup') s
         |  ON p.user_id = s.s_user AND p.ts >= s.s_ts
         |ORDER BY p.event_id""".stripMargin,
-    "q_join_asof" -> asofOracle
+    "q_join_asof" -> asofOracle,
+
+    "q_join_asof_tol" ->
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(CASE WHEN prior_signup >= ts - INTERVAL 24 HOURS
+        |           THEN prior_signup END, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup
+        |  FROM events) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
   )
 
   private lazy val asofOracle =

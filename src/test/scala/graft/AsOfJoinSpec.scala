@@ -40,6 +40,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).count() == 0)
   }
 
+  test("native tolerance agrees with the oracle-matched window emulation") {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val dayUs = 24L * 3600 * 1000000
+    val got = AsOf.join(spark, purchases, signups,
+        "user_id", "s_user", "ts", "s_ts", tolerance = dayUs)
+      .select(col("event_id"),
+        Det.tstr(col("ts")).as("purchase_ts"),
+        Det.tstr(col("s_ts")).as("signup_ts"))
+    val expected = SparkEntry.queries("q_join_asof_tol")(spark, dir)
+      .select(col("event_id"), col("purchase_ts"), col("signup_ts"))
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(got).count() == 0)
+  }
+
   test("string by-keys work (interpreted ordering)") {
     import spark.implicits._
     val l = Seq(("a", 100L), ("b", 50L)).toDF("k", "t")
