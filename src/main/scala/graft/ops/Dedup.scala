@@ -278,6 +278,48 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(graft.expressions.SimHashAgg.simhash_sig(col("h")).as("simhash"))
 
+  /** SimHash near-dup candidate pairs within Hamming distance ≤
+    * `maxHamming`: split the 64-bit signature into `maxHamming + 1`
+    * bands — by pigeonhole, a pair with ≤ maxHamming differing bits
+    * must agree EXACTLY on at least one band — bucket-join per band
+    * (capped, same hot-bucket guard as MinHash), then filter by the
+    * true popcount distance. Equal-signature matching (the
+    * q_dedup_simhash star form) is the degenerate maxHamming = 0 case;
+    * this is the general operator crawl dedup actually runs
+    * (Manku/Jain/Sarma's simhash dedup shape). */
+  def simHashCandidates(docs: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (bands need ≥ 4 bits), got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sh = simHashAgg(docs)
+    val bands = (0 until nBands).map { i =>
+      val lo = i * width
+      val w = if (i == nBands - 1) 64 - lo else width // last takes remainder
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask).as("bval"))
+    }
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bval"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bval"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+      .cache() // both sides of the bucket self-join
+    val a = banded.select(col("band"), col("bval"),
+      col("doc_id").as("a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("band"), col("bval"),
+      col("doc_id").as("b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "bval")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Random-hyperplane LSH bucket id for an embedding: sign bits of the
     * dot products against `nPlanes` seeded pseudo-random hyperplanes
     * (components derived from xxhash64(plane, dim) — deterministic, no

@@ -54,6 +54,26 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("simHashCandidates == brute-force Hamming pairs (pigeonhole banding is exact)") {
+    val docs = Tables.documents(spark, dir)
+    val sigs = ops.Dedup.simHashAgg(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val maxH = 3
+    // brute force over all pairs, locally (500 docs → 125k popcounts)
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= maxH
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b), h)
+    }).toSet
+    val got = ops.Dedup.simHashCandidates(docs, maxHamming = maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"banding missed/added pairs: got ${got.size}, expected ${expected.size}")
+    assert(expected.nonEmpty) // the planted near-dups produce close signatures
+  }
+
   test("winnowing fingerprints: identical text ⇒ identical fingerprint, and planted pairs share windows") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
