@@ -34,7 +34,30 @@ object Profiling {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Deterministic STRATIFIED sampling: exactly `n` rows per stratum
+    * (language, source, label...), chosen by content-hash rank — the
+    * balanced-subset builder of every training-data pipeline
+    * ("20k docs per language"), stable across engines, partitionings
+    * and cluster sizes, unlike sampleBy's Bernoulli draw which is
+    * neither exact-count nor reproducible cross-engine. One window
+    * pass. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 20 docs per language, content-hash ranked.
+    "q_sample_stratified" -> { (s, dir) =>
+      stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 20)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
     // One-pass expectation suite over lineitem (all pass on the
     // harness data — the zero row IS the assertion) + an orphan count
     // via anti-join for the referential check.
@@ -80,6 +103,15 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
+
     "q_profile_expect" ->
       """SELECT
         |  CAST(SUM(CASE WHEN (l_quantity BETWEEN 0.0 AND 100.0) THEN 0 ELSE 1 END) AS BIGINT) AS viol_qty_range,
