@@ -293,7 +293,12 @@ object Dedup {
       s"maxHamming must be in [0, 15] (bands need ≥ 4 bits), got $maxHamming")
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val sh = simHashAgg(docs)
+    // exact-collapse first, for a stronger reason than MinHash: equal
+    // texts have equal signatures in EVERY band, so a boilerplate group
+    // either explodes quadratically in all bands at once or (above the
+    // cap) is dropped from all bands simultaneously — the "other bands
+    // still cover it" escape hatch doesn't exist here
+    val sh = simHashAgg(exactCollapse(docs))
     val bands = (0 until nBands).map { i =>
       val lo = i * width
       val w = if (i == nBands - 1) 64 - lo else width // last takes remainder

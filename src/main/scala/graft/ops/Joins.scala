@@ -163,13 +163,7 @@ object Joins {
     // recent strictly-prior signup ts of the same user. One shuffle on
     // user_id, no self-join — the shape that scales.
     "q_join_asof" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, dir)
-        .withColumn("prior_signup",
-          max(when(col("event_type") === "signup", col("ts"))).over(w))
-        .filter(col("event_type") === "purchase")
+      purchasesWithPriorSignup(s, dir)
         .select(col("event_id"), col("user_id"),
           tstr(col("ts")).as("purchase_ts"),
           tstr(col("prior_signup")).as("signup_ts"))
@@ -180,15 +174,10 @@ object Joins {
     // prior signup only counts if it is within the 24 h lookback;
     // older matches yield the null fill. Same window emulation plus a
     // bounded-age gate — also AsOfJoinSpec proves plans.AsOf.join with
-    // tolerance agrees with this oracle-matched form on the same data.
+    // tolerance agrees with this oracle-matched form on this (tie-free)
+    // data.
     "q_join_asof_tol" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, dir)
-        .withColumn("prior_signup",
-          max(when(col("event_type") === "signup", col("ts"))).over(w))
-        .filter(col("event_type") === "purchase")
+      purchasesWithPriorSignup(s, dir)
         .withColumn("recent_signup",
           when(col("prior_signup") >= col("ts") - expr("INTERVAL 24 HOURS"),
             col("prior_signup")))
@@ -198,6 +187,20 @@ object Joins {
         .orderBy(col("event_id"))
     }
   )
+
+  /** Shared emulation body for the two as-of keys: purchases annotated
+    * with the most recent strictly-prior signup ts per user — one
+    * window definition, so the frame/tie-break can never drift between
+    * the plain and tolerance variants. */
+  private def purchasesWithPriorSignup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("prior_signup",
+        max(when(col("event_type") === "signup", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+  }
 
   private val revC4Sql =
     "CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"

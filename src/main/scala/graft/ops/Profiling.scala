@@ -44,6 +44,8 @@ object Profiling {
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
                        n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("rn"),
+      "stratifiedSample adds an 'rn' rank column; rename the existing one first")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
     df.withColumn("rn", row_number().over(w).cast("long"))

@@ -40,6 +40,11 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).count() == 0)
   }
 
+  // PRECONDITION: the emulation's ROWS frame excludes a SAME-timestamp
+  // signup with a larger event_id while the native inclusive <= admits
+  // it — they agree only because events has no (user_id, ts) ties at
+  // any sf (FIXTURES §1, measured). If a future data generation added
+  // cross-type ts ties, this becomes a semantics choice, not a bug.
   test("native tolerance agrees with the oracle-matched window emulation") {
     val e = Tables.events(spark, dir)
     val purchases = e.filter(col("event_type") === "purchase")

@@ -56,7 +56,9 @@ class RecallSpec extends AnyFunSuite {
 
   test("simHashCandidates == brute-force Hamming pairs (pigeonhole banding is exact)") {
     val docs = Tables.documents(spark, dir)
-    val sigs = ops.Dedup.simHashAgg(docs)
+    // brute force over the exact-collapsed corpus — the operator's own
+    // universe (exact dups are q_dedup_exact's output, not candidates)
+    val sigs = ops.Dedup.simHashAgg(ops.Dedup.exactCollapse(docs))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val maxH = 3
     // brute force over all pairs, locally (500 docs → 125k popcounts)
