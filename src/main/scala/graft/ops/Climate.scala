@@ -306,15 +306,22 @@ object Climate {
         .orderBy(col("hr"))
     },
 
-    // R10 anomaly analog: value − hour-of-day mean, via window (exact
-    // integer sums inside; one double division at the end, identical
-    // formula text on both sides).
+    // R10 anomaly analog: value − hour-of-day mean. Two-pass shape:
+    // groupBy(hour) reduces to 24 exact-integer (sum, count) rows that
+    // broadcast-join back onto the fact rows. A window partitioned by
+    // hour computes the same numbers but funnels 1/24th of the table
+    // through each sort task — at 100× scale that single-reducer sort
+    // is the bottleneck; the partial-agg + broadcast form touches each
+    // row once with no per-group sort and is exactly how the
+    // climatology key already aggregates (identical integer math ⇒
+    // identical hash).
     "q_climate_anomaly" -> { (s, dir) =>
-      val w = Window.partitionBy(hour(col("ts")))
+      val hourly = Tables.events(s, dir)
+        .groupBy(hour(col("ts")).as("_hr"))
+        .agg(sum(micros(col("value"))).as("sw"), count(lit(1)).as("cw"))
       Tables.events(s, dir)
         .withColumn("m", micros(col("value")))
-        .withColumn("sw", sum(col("m")).over(w))
-        .withColumn("cw", count(lit(1)).over(w))
+        .join(broadcast(hourly), hour(col("ts")) === col("_hr"))
         // No rounding: every operand is an exact integer, so the double
         // result is bit-identical across engines (identical IEEE op
         // sequence) — rounding would only *introduce* a decimal-vs-binary

@@ -39,17 +39,82 @@ object Profiling {
     * balanced-subset builder of every training-data pipeline
     * ("20k docs per language"), stable across engines, partitionings
     * and cluster sizes, unlike sampleBy's Bernoulli draw which is
-    * neither exact-count nor reproducible cross-engine. One window
-    * pass. */
+    * neither exact-count nor reproducible cross-engine.
+    *
+    * Scale shape: a naive `row_number` over `partitionBy(stratum)`
+    * funnels each ENTIRE stratum through one reducer task (5 language
+    * strata at 100 TB ⇒ ~20 TB through one sort). Instead: a first
+    * aggregation pass counts each stratum, a hash-prefix threshold
+    * sized to `overselect`×n/cnt pre-filters to ~overselect·n rows per
+    * stratum, and only that bounded survivor set is windowed. The
+    * survivor set is downward-closed in the (md5, key) sort order — a
+    * threshold on the leading 60 bits of the same md5 that orders the
+    * window — so survivor-local ranks equal full-stratum ranks and the
+    * result is EXACTLY the full-window top-n whenever a stratum keeps
+    * ≥ min(n, cnt) survivors. Strata where the (binomially distributed,
+    * mean overselect·n) draw undershoots — or with cnt ≤ overselect·n,
+    * which skip the filter entirely — are handled by a declarative
+    * fallback branch that windows those strata in full, so the output
+    * is provably identical to the one-window form on every input, with
+    * no driver-side action. */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
-                       n: Int): DataFrame = {
+                       n: Int, overselect: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(!df.columns.contains("rn"),
-      "stratifiedSample adds an 'rn' rank column; rename the existing one first")
+    require(n > 0, s"sample size must be positive, got $n")
+    require(overselect >= 2, s"overselect must be >= 2, got $overselect")
+    val reserved = Seq("rn", "_stratum", "_cnt", "_gstratum", "_got", "_defstratum")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"stratifiedSample reserves column name '$r'; rename the existing one first"))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= n)
+    def top(in: DataFrame): DataFrame =
+      in.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= n)
+
+    val survivors = stratifiedSurvivors(df, stratumCol, keyCol, n, overselect)
+    val counts = stratumCounts(df, stratumCol)
+    // guard: strata whose survivor count undershot min(n, cnt) (strata
+    // with zero survivors surface via the left join's null _got)
+    val got = survivors.groupBy(col("_stratum").as("_gstratum"))
+      .agg(count(lit(1)).cast("long").as("_got"))
+    val deficient = counts
+      .join(got, col("_stratum") <=> col("_gstratum"), "left")
+      .filter(coalesce(col("_got"), lit(0L)) < least(lit(n.toLong), col("_cnt")))
+      .select(col("_stratum").as("_defstratum"))
+    val good = top(survivors
+      .join(broadcast(deficient), col(stratumCol) <=> col("_defstratum"), "left_anti")
+      .drop("_stratum", "_cnt"))
+    val fallback = top(df
+      .join(broadcast(deficient), col(stratumCol) <=> col("_defstratum"), "left_semi"))
+    good.unionByName(fallback)
+  }
+
+  /** Pass 1: stratum cardinalities — one row per stratum, tiny. */
+  private def stratumCounts(df: DataFrame, stratumCol: String): DataFrame =
+    df.groupBy(col(stratumCol).as("_stratum"))
+      .agg(count(lit(1)).cast("long").as("_cnt"))
+
+  /** The pre-filtered rows [[stratifiedSample]] feeds its window
+    * (before the deficiency fallback), carrying `_stratum`/`_cnt`.
+    * Kept separately callable as the test seam: DedupScaleSpec asserts
+    * this stays bounded per stratum on a skewed fixture. */
+  private[graft] def stratifiedSurvivors(df: DataFrame, stratumCol: String,
+                                       keyCol: String, n: Int,
+                                       overselect: Int = 4): DataFrame = {
+    val cap = overselect.toLong * n
+    // leading 60 bits of the SAME md5 the window orders by, as a long;
+    // lexicographic hex order == numeric order, so {prefix60 < T} is a
+    // prefix of each stratum's sort order (equal-prefix ties included
+    // whole — the set stays downward-closed)
+    val prefix60 = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val tMax = 1L << 60
+    // null-safe join: a NULL stratum is a legal window group and must
+    // survive the counts round-trip
+    df.join(broadcast(stratumCounts(df, stratumCol)),
+        col(stratumCol) <=> col("_stratum"))
+      .filter(col("_cnt") <= cap ||
+        prefix60 < (lit(tMax.toDouble) * cap / col("_cnt")).cast("long"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

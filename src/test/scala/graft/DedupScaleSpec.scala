@@ -220,4 +220,39 @@ class DedupScaleSpec extends AnyFunSuite {
     val capped = ops.Dedup.annCandidates(emb, nPlanes = 8, maxBucket = 100)
     assert(capped.count() == 0)
   }
+
+  test("stratifiedSample windows a bounded survivor set, result == full window") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed fixture: one 20,000-row stratum + one 30-row stratum —
+    // the r2-verdict funnel would sort all 20k rows in ONE task
+    val skewed = ((1L to 20000L).map(i => (i, "big")) ++
+      (100001L to 100030L).map(i => (i, "small"))).toDF("id", "stratum")
+    val n = 5
+    // window input is capped near overselect·n = 20 for both strata
+    // (binomial, mean 20) — 20,000 rows never reach one sort task
+    val surv = ops.Profiling.stratifiedSurvivors(skewed, "stratum", "id", n)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(surv("big") <= 100, s"big-stratum window input not bounded: $surv")
+    // exactness: identical rows AND ranks vs the one-window reference
+    val got = ops.Profiling.stratifiedSample(skewed, "stratum", "id", n)
+      .select("stratum", "id", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy($"stratum").orderBy(md5($"id".cast("string")), $"id")
+    val ref = skewed.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= n)
+      .select("stratum", "id", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref && got.size == 2 * n)
+  }
+
+  test("stratifiedSample deficiency fallback keeps tiny strata exact") {
+    // strata smaller than n: keep-all path + fallback must emit every
+    // row with correct ranks (cnt < n ⇒ output = whole stratum)
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "stratum")
+    val got = ops.Profiling.stratifiedSample(tiny, "stratum", "id", n = 5)
+      .select("stratum", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
 }
