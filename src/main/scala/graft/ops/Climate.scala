@@ -165,7 +165,20 @@ object ClimateOps {
   def regridNearest(df: DataFrame, latMin: Double, latMax: Double,
                     lonMin: Double, lonMax: Double,
                     dstLatRes: Double, dstLonRes: Double,
-                    blockDeg: Double = 2.0): DataFrame = {
+                    blockDeg: Double = 2.0): DataFrame =
+    blockedRanked(df, latMin, latMax, lonMin, lonMax, dstLatRes, dstLonRes, blockDeg)
+      .filter(col("rn") === 1)
+      .select(col("dataset"), col("time"), col("tlat"), col("tlon"), col("value"))
+
+  /** Shared tile-blocked candidate ranking for the scatter regridders:
+    * each target node sees every source node within blockDeg via its
+    * 3×3 neighbor tiles, ranked by squared distance with (lat, lon)
+    * tie-break. Emits (dataset, time, tlat, tlon, lat, lon, value, d2,
+    * rn). */
+  private def blockedRanked(df: DataFrame, latMin: Double, latMax: Double,
+                            lonMin: Double, lonMax: Double,
+                            dstLatRes: Double, dstLonRes: Double,
+                            blockDeg: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val targets = targetMesh(df, latMin, latMax, lonMin, lonMax, dstLatRes, dstLonRes)
     val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
@@ -193,8 +206,39 @@ object ClimateOps {
       // no row.
       .filter(col("d2") <= blockDeg * blockDeg)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("dataset"), col("time"), col("tlat"), col("tlon"), col("value"))
+  }
+
+  /** R7 regrid, method=linear, for CURVILINEAR source grids (the
+    * limitation regridBilinear documents: its corner snapping assumes
+    * uniform source spacing). On a rotated-pole/tripolar mesh node
+    * coordinates aren't separable functions of (i, j), so corner
+    * arithmetic is impossible without the mesh topology — the standard
+    * scatter-data fallback (and what ESMF's nearest-neighbor family
+    * degrades to `[P]` SURVEY §2.1 R7) is inverse-distance weighting
+    * over the k nearest nodes: value = Σ(vᵢ/d²ᵢ)/Σ(1/d²ᵢ), a true
+    * interpolator (exact on nodes, continuous, local). Same
+    * tile-blocked candidate shape as [[regridNearest]] — work stays
+    * O(|targets|·9·occupancy), never all-pairs; targets with no node
+    * within blockDeg stay unmapped (no row), targets sitting exactly
+    * on a node take that node's value (the d² → 0 limit). */
+  def regridIdw(df: DataFrame, latMin: Double, latMax: Double,
+                lonMin: Double, lonMax: Double,
+                dstLatRes: Double, dstLonRes: Double,
+                k: Int = 3, blockDeg: Double = 2.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    blockedRanked(df, latMin, latMax, lonMin, lonMax, dstLatRes, dstLonRes, blockDeg)
+      .filter(col("rn") <= k)
+      .groupBy(col("dataset"), col("time"), col("tlat"), col("tlon"))
+      .agg(
+        // exact node hit: IDW's 1/d² divides by zero at d²=0 (ANSI mode
+        // throws) — keep those rows out of the sums and take the node
+        // value directly (min() for a deterministic pick among
+        // coincident duplicate nodes)
+        min(when(col("d2") === 0.0, col("value"))).as("_exact"),
+        (sum(when(col("d2") > 0.0, col("value") / col("d2")))
+          / sum(when(col("d2") > 0.0, lit(1.0) / col("d2")))).as("_idw"))
+      .select(col("dataset"), col("time"), col("tlat"), col("tlon"),
+        coalesce(col("_exact"), col("_idw")).as("value"))
   }
 
   /** R11 zonal mean: collapse the lon axis. */
@@ -397,6 +441,56 @@ object Climate {
         .orderBy(col("tx"), col("ty"))
     },
 
+    // R7 method=linear on a CURVILINEAR scatter (ClimateOps.regridIdw
+    // analog): 3-nearest inverse-distance-weighted interpolation over
+    // the same blocked integer scatter as the nearest key. The ≤3
+    // neighbors pivot into FIXED slots (rn=1,2,3), and the blend is one
+    // fixed-association expression ((t1+t2)+t3)/((w1+w2)+w3) over
+    // exact-integer v and d² — identical IEEE op sequence in both
+    // engines, so the unrounded double hash-matches (the bilinear key's
+    // discipline). Exact node hits (d²=0) short-circuit to the node
+    // value — ANSI Spark throws on the 0-divisor otherwise.
+    "q_climate_regrid_idw" -> { (s, dir) =>
+      val src = Tables.events(s, dir)
+        .groupBy(col("user_id").as("sx"), hour(col("ts")).cast("long").as("sy"))
+        .agg(count(lit(1)).cast("long").as("v"))
+        .select(floor(col("sx") / 16).cast("long").as("bx"),
+          floor(col("sy") / 16).cast("long").as("by"),
+          col("sx"), col("sy"), col("v"))
+      val tgt = s.range(10).select((col("id") * 15 + 7).as("tx"))
+        .crossJoin(s.range(10).select((col("id") * 2 + 1).as("ty")))
+      val offsets = array((-1 to 1).flatMap(dy => (-1 to 1).map(dx =>
+        struct(lit(dy.toLong).as("dy"), lit(dx.toLong).as("dx")))): _*)
+      val cands = tgt.withColumn("o", explode(offsets))
+        .select(col("tx"), col("ty"),
+          (floor(col("tx") / 16).cast("long") + col("o.dy")).as("bx"),
+          (floor(col("ty") / 16).cast("long") + col("o.dx")).as("by"))
+      val ndE = (col("sx") - col("tx")) * (col("sx") - col("tx")) +
+        (col("sy") - col("ty")) * (col("sy") - col("ty"))
+      val w = Window.partitionBy(col("tx"), col("ty"))
+        .orderBy(col("nd"), col("sx"), col("sy"))
+      cands.join(src, Seq("bx", "by"))
+        .withColumn("nd", ndE)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("tx"), col("ty"))
+        .agg(
+          max(when(col("rn") === 1, col("nd"))).as("d1"),
+          max(when(col("rn") === 1, col("v"))).as("v1"),
+          max(when(col("rn") === 2, col("nd"))).as("d2s"),
+          max(when(col("rn") === 2, col("v"))).as("v2"),
+          max(when(col("rn") === 3, col("nd"))).as("d3"),
+          max(when(col("rn") === 3, col("v"))).as("v3"))
+        .select(col("tx"), col("ty"),
+          when(col("d1") === 0, col("v1").cast("double"))
+            .otherwise(
+              (col("v1") / col("d1") + coalesce(col("v2") / col("d2s"), lit(0.0))
+                + coalesce(col("v3") / col("d3"), lit(0.0)))
+              / (lit(1.0) / col("d1") + coalesce(lit(1.0) / col("d2s"), lit(0.0))
+                + coalesce(lit(1.0) / col("d3"), lit(0.0)))).as("idw_v"))
+        .orderBy(col("tx"), col("ty"))
+    },
+
     // R7/R11 regrid-bin analog: (user-band × value-band) 2-D binning
     // with per-bin count + mean — conservative regrid onto a coarse mesh.
     "q_climate_regrid" -> { (s, dir) =>
@@ -489,6 +583,46 @@ object Climate {
         |    ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY d2, sx, sy) AS rn
         |  FROM cand) r
         |WHERE rn = 1
+        |ORDER BY tx, ty""".stripMargin,
+
+    "q_climate_regrid_idw" ->
+      """WITH src AS (
+        |  SELECT user_id AS sx, CAST(hour(ts) AS BIGINT) AS sy,
+        |         CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), tgt AS (
+        |  SELECT tu.i * 15 + 7 AS tx, th.i * 2 + 1 AS ty
+        |  FROM range(0, 10) tu(i) CROSS JOIN range(0, 10) th(i)
+        |), cand AS (
+        |  SELECT t.tx, t.ty, s.sx, s.sy, s.v,
+        |    (s.sx - t.tx) * (s.sx - t.tx) + (s.sy - t.ty) * (s.sy - t.ty) AS nd
+        |  FROM tgt t JOIN src s
+        |    ON CAST(FLOOR(s.sx / 16) AS BIGINT)
+        |         BETWEEN CAST(FLOOR(t.tx / 16) AS BIGINT) - 1
+        |             AND CAST(FLOOR(t.tx / 16) AS BIGINT) + 1
+        |   AND CAST(FLOOR(s.sy / 16) AS BIGINT)
+        |         BETWEEN CAST(FLOOR(t.ty / 16) AS BIGINT) - 1
+        |             AND CAST(FLOOR(t.ty / 16) AS BIGINT) + 1
+        |), ranked AS (
+        |  SELECT tx, ty, sx, sy, v, nd,
+        |    ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY nd, sx, sy) AS rn
+        |  FROM cand
+        |), slots AS (
+        |  SELECT tx, ty,
+        |    MAX(CASE WHEN rn = 1 THEN nd END) AS d1,
+        |    MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+        |    MAX(CASE WHEN rn = 2 THEN nd END) AS d2s,
+        |    MAX(CASE WHEN rn = 2 THEN v END) AS v2,
+        |    MAX(CASE WHEN rn = 3 THEN nd END) AS d3,
+        |    MAX(CASE WHEN rn = 3 THEN v END) AS v3
+        |  FROM ranked WHERE rn <= 3 GROUP BY tx, ty
+        |)
+        |SELECT tx, ty,
+        |  CASE WHEN d1 = 0 THEN CAST(v1 AS DOUBLE)
+        |       ELSE (v1 / d1 + COALESCE(v2 / d2s, 0) + COALESCE(v3 / d3, 0))
+        |            / (1.0 / d1 + COALESCE(1.0 / d2s, 0) + COALESCE(1.0 / d3, 0)) END
+        |    AS idw_v
+        |FROM slots
         |ORDER BY tx, ty""".stripMargin,
 
     "q_climate_regrid" ->

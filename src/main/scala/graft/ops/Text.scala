@@ -45,25 +45,10 @@ object Text {
         .orderBy(col("term"))
     },
 
-    // tf-idf with top-3 terms per doc. The idf join is a broadcast (the
-    // term dictionary is tiny relative to the corpus); ordering is on
-    // the ROUNDED score so both engines rank the same 4-dp grid, term
-    // as tie-break.
+    // tf-idf with top-3 terms per doc; see tfIdfTopK for the
+    // broadcast-vs-shuffle vocabulary gate.
     "q_text_tfidf" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = toks.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).cast("long").as("tf"))
-        .cache() // feeds both the idf aggregation and the scored join
-      val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
-      val n = docs.agg(count(lit(1)).cast("long").as("n"))
-      val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(n))
-        .withColumn("score4",
-          round(col("tf") * log(col("n").cast("double") / col("df")), 4))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("score4").desc, col("term"))
-      scored.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("term"), col("score4"), col("rn"))
+      tfIdfTopK(Tables.documents(s, dir), k = 3)
         .orderBy(col("doc_id"), col("rn"))
     },
 
@@ -85,6 +70,38 @@ object Text {
         .orderBy(col("a"), col("b"))
     }
   )
+
+  /** tf-idf top-k terms per doc. Ordering is on the ROUNDED score so
+    * cross-engine ranking happens on the same 4-dp grid, term as
+    * tie-break.
+    *
+    * The idf side joins back onto tf as a BROADCAST only while the
+    * vocabulary is broadcastable: natural-language corpora cap out
+    * around 10⁶ distinct terms, but code/log/token-soup corpora at
+    * 100 TB can reach billions — a forced broadcast there OOMs every
+    * executor. Above `broadcastVocabMax` distinct terms the join falls
+    * back to a shuffled equi-join on `term` (both sides already hash-
+    * partition on it from their aggregations). The gate costs one
+    * count over the already-aggregated-and-cached dft — results are
+    * identical on both paths (PlanAuditSpec). */
+  def tfIdfTopK(docs: DataFrame, k: Int,
+                broadcastVocabMax: Long = 1000000L): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .cache() // feeds both the idf aggregation and the scored join
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+      .cache() // counted for the gate, then joined
+    val dftSide = if (dft.count() <= broadcastVocabMax) broadcast(dft) else dft
+    val n = docs.agg(count(lit(1)).cast("long").as("n"))
+    val scored = tf.join(dftSide, "term").crossJoin(broadcast(n))
+      .withColumn("score4",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score4").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("score4"), col("rn"))
+  }
 
   /** Exact shingle-Jaccard near-dup, built for the 100 TB regime:
     *

@@ -132,6 +132,40 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(out((2.0, 0.0)) == 3.0)
   }
 
+  test("regridIdw interpolates a curvilinear (rotated-pole-style) mesh") {
+    val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    // sheared mesh: node(i,j) = (i + 0.1·j, j + 0.1·i) — coordinates
+    // are NOT separable in (i,j), which breaks corner-snapping bilinear
+    val nodes = for { i <- 0 to 4; j <- 0 to 4 } yield
+      ("m", t, i + 0.1 * j, j + 0.1 * i, (10.0 * i + j))
+    val src = nodes.toDF("dataset", "time", "lat", "lon", "value")
+    val out = ClimateOps.regridIdw(src, 0.0, 3.0, 0.0, 3.0, 1.0, 1.0, k = 3)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)) -> r.getDouble(4)).toMap
+    assert(out.size == 16) // full 4×4 target mesh mapped
+    // brute-force reference: k=3 IDW over all nodes, power 2
+    def ref(tlat: Double, tlon: Double): Double = {
+      val d = nodes.map { case (_, _, la, lo, v) =>
+        ((la - tlat) * (la - tlat) + (lo - tlon) * (lo - tlon), la, lo, v)
+      }.sortBy(x => (x._1, x._2, x._3)).take(3)
+      if (d.head._1 == 0.0) d.head._4
+      else d.map(x => x._4 / x._1).sum / d.map(x => 1.0 / x._1).sum
+    }
+    for (((tlat, tlon), got) <- out)
+      assert(math.abs(got - ref(tlat, tlon)) < 1e-9,
+        s"($tlat,$tlon): got $got, want ${ref(tlat, tlon)}")
+    // target (0,0) sits exactly on node(0,0) → exact value, no 1/d² blowup
+    assert(out((0.0, 0.0)) == 0.0)
+  }
+
+  test("regridIdw leaves out-of-radius targets unmapped") {
+    val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val src = Seq(("m", t, 0.0, 0.0, 5.0)).toDF("dataset", "time", "lat", "lon", "value")
+    val out = ClimateOps.regridIdw(src, 0.0, 8.0, 0.0, 8.0, 4.0, 4.0,
+      k = 3, blockDeg = 1.0)
+    // only the (0,0) target is within 1° of the lone node
+    assert(out.count() == 1)
+  }
+
   test("meltVariables ↔ pivotVariables round-trip (multi-variable Dataset)") {
     val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     val wide = Seq(

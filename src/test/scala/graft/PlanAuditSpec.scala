@@ -54,6 +54,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partial aggregation:\n$p")
   }
 
+  test("tfidf vocabulary gate: oversized vocab drops the broadcast HINT, same result") {
+    val docs = Tables.documents(spark, dir)
+    val small = ops.Text.tfIdfTopK(docs, k = 3) // vocab ≤ default 1M → hinted broadcast
+    assert(plan(small).contains("BroadcastHashJoin"),
+      s"small vocab should broadcast:\n${plan(small)}")
+    // Above the gate the hint is dropped; Catalyst then picks the join
+    // from size stats. Simulate the at-scale outcome (dft over the
+    // autoBroadcastJoinThreshold) by disabling auto-broadcast: the
+    // un-hinted dft join must become a shuffled join on term, while the
+    // still-hinted corpus-count broadcast is unaffected by the conf.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val forced = ops.Text.tfIdfTopK(docs, k = 3, broadcastVocabMax = 1L)
+      val forcedP = plan(forced)
+      assert(!forcedP.contains("BroadcastHashJoin"),
+        s"dft join still broadcasts with the hint dropped:\n$forcedP")
+      assert(forcedP.contains("SortMergeJoin") || forcedP.contains("ShuffledHashJoin"),
+        s"no shuffled join on term:\n$forcedP")
+      val a = small.orderBy("doc_id", "rn").collect().toSeq
+      val b = forced.orderBy("doc_id", "rn").collect().toSeq
+      assert(a == b, "gate changed tfidf results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("custom codegen expressions don't break the codegen span") {
     val e = Tables.embeddings(spark, dir)
     val df = e.select(graft.expressions.VectorExpressions.cosine_sim(
