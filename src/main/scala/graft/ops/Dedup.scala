@@ -186,21 +186,53 @@ object Dedup {
     exactCollapse(docs).join(drops, Seq("doc_id"), "left_anti")
   }
 
-  /** Connected components over an undirected edge list (a, b) by
-    * iterative min-label propagation: every node starts as its own
-    * label; each round it takes the min of its label and its
-    * neighbors'; fixpoint = component minima. Converges in O(component
-    * diameter) rounds (near-dup clusters are shallow — boilerplate
-    * stars and short chains — so a handful of rounds closes them;
-    * `maxIter` bounds the worst case). Each round is one join + one
-    * aggregation — the standard large-graph CC shape when a full
-    * GraphX/pregel dependency isn't warranted. Throws if `maxIter`
-    * rounds don't reach the fixpoint (silent partial labels would
-    * violate the cluster-minimum contract). The returned DataFrame is
-    * CACHED (it is the loop's fixpoint; recomputing it replays every
-    * round) — the caller owns the `unpersist()`. */
-  def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+  /** Connected components over an undirected edge list (a, b).
+    *
+    * Two regimes, same result (the property spec proves them equal):
+    *
+    *  - |edges| ≤ `localEdgeCap` (integral ids): collect the edge list
+    *    and union-find on the driver. A candidate graph that fits the
+    *    cap (default 1M edges ≈ 16 MB) costs milliseconds locally,
+    *    where the distributed loop pays several full job dispatches —
+    *    the same bounded-driver-work trade as Ann.buildIndex's k-means
+    *    sample. The edge list is already the REDUCED output of banded
+    *    dedup, orders of magnitude smaller than the corpus.
+    *  - above the cap (or non-integral ids): iterative min-label
+    *    propagation — every node starts as its own label; each round
+    *    takes the min of its label and its neighbors'; fixpoint =
+    *    component minima. Converges in O(component diameter) rounds;
+    *    each round is one join + one aggregation — the standard
+    *    large-graph CC shape when a full GraphX/pregel dependency
+    *    isn't warranted. Throws if `maxIter` rounds don't reach the
+    *    fixpoint (silent partial labels would violate the
+    *    cluster-minimum contract). The returned DataFrame is CACHED
+    *    (it is the loop's fixpoint; recomputing it replays every
+    *    round) — the caller owns the `unpersist()`. */
+  def components(edges: DataFrame, maxIter: Int = 10,
+                 localEdgeCap: Long = 1000000L): DataFrame = {
+    // cache around the regime gate: the cap count and the local-path
+    // collect (or the loop's symmetrization) would otherwise each
+    // replay the candidate-generation lineage — the expensive part
+    val e = edges.select(col("a"), col("b")).cache()
+    try {
+      componentsOn(e, maxIter, localEdgeCap)
+    } finally e.unpersist()
+  }
+
+  private def componentsOn(e: DataFrame, maxIter: Int,
+                           localEdgeCap: Long): DataFrame = {
+    val integralIds = e.schema.fields.forall(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (integralIds && e.count() <= localEdgeCap) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val pairs = e.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      return unionFindMinLabels(pairs).toSeq.sorted.toDF("doc", "label")
+    }
     // cache the SYMMETRIZED list: it is what every iteration joins
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).cache()
     var labels = sym.select(col("a").as("doc")).distinct()
@@ -238,6 +270,28 @@ object Dedup {
     // narrow projection over the cached fixpoint (drops the `_old`
     // convergence column): reads cache blocks, never replays the rounds
     labels.select(col("doc"), col("label"))
+  }
+
+  /** Driver-local union-find with min-root union + path compression:
+    * always attaching the larger root beneath the smaller makes every
+    * final root its component's minimum id. Near-linear via
+    * compression. */
+  private[ops] def unionFindMinLabels(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
   /** Near-dup clusters over the capped MinHash-LSH candidate graph:

@@ -90,11 +90,20 @@ class DedupScaleSpec extends AnyFunSuite {
     // chain 1-2-3-4 (diameter 3), pair 10-11, plus 20-21-22 star at 20
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (20L, 22L)).toDF("a", "b")
-    val labels = ops.Dedup.components(edges)
+    // forced distributed path (cap 0) — the min-label loop itself
+    val labels = ops.Dedup.components(edges, localEdgeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
     assert(labels(10L) == 10L && labels(11L) == 10L)
     assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+  }
+
+  test("components refuses to return partial labels (convergence guard)") {
+    // a 7-hop chain cannot converge in 2 rounds of 1-hop propagation
+    val chain = (1L to 7L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    intercept[IllegalStateException] {
+      ops.Dedup.components(chain, maxIter = 2, localEdgeCap = 0L).collect()
+    }
   }
 
   test("dupClusters groups the planted near-dup pair into one cluster") {
@@ -122,10 +131,17 @@ class DedupScaleSpec extends AnyFunSuite {
       }
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val expected = nodes.map(x => x -> find(x)).toMap
-      val got = ops.Dedup.components(edges.toDF("a", "b"), maxIter = 40)
-      val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got.unpersist()
-      assert(gotMap == expected, s"trial $trial mismatch")
+      // BOTH regimes must match the reference: the driver-local
+      // union-find (default cap) and the distributed min-label loop
+      // (cap forced to 0)
+      val local = ops.Dedup.components(edges.toDF("a", "b"), maxIter = 40)
+      assert(local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == expected, s"trial $trial local mismatch")
+      val dist = ops.Dedup.components(edges.toDF("a", "b"), maxIter = 40,
+        localEdgeCap = 0L)
+      val distMap = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      dist.unpersist()
+      assert(distMap == expected, s"trial $trial distributed mismatch")
     }
   }
 
