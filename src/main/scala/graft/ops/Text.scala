@@ -68,8 +68,68 @@ object Text {
     "q_dedup_near" -> { (s, dir) =>
       nearDuplicates(Tables.documents(s, dir), jaccardMin = 0.8)
         .orderBy(col("a"), col("b"))
+    },
+
+    // Benchmark decontamination over a held-out tenth of the corpus
+    // standing in for an eval suite — see contamination below.
+    "q_text_decontam" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      contamination(docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), minOverlap = 3)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+
+    // Gopher-style repetition quality signals: per doc, the fraction of
+    // 2-grams that are repeats and the share of the single most frequent
+    // 2-gram — the standard boilerplate/spam filters of a crawl
+    // pipeline. Two aggregations over an exploded 2-gram stream (all
+    // partial+final, no window); ratios are exact-integer divisions →
+    // unrounded doubles are bit-stable cross-engine.
+    "q_text_repetition" -> { (s, dir) =>
+      val toked = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val idx = when(size(col("toks")) >= 2, sequence(lit(0), size(col("toks")) - 2))
+        .otherwise(array())
+      val grams = toked.select(col("doc_id"),
+        explode(transform(idx,
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))).as("g"))
+      grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_2grams"),
+          count(lit(1)).cast("long").as("nd_2grams"),
+          max(col("cnt")).cast("long").as("top_cnt"))
+        .select(col("doc_id"), col("n_2grams"), col("nd_2grams"),
+          ((col("n_2grams") - col("nd_2grams")).cast("double") / col("n_2grams"))
+            .as("dup_frac"),
+          (col("top_cnt").cast("double") / col("n_2grams")).as("top_frac"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Benchmark DECONTAMINATION — the test-set-overlap scrub every LLM
+    * training pipeline runs before training: for each (corpus doc,
+    * benchmark doc) pair sharing at least `minOverlap` distinct n-gram
+    * shingles, emit (doc_id, bench_id, overlap). Dropping/flagging the
+    * matched doc_ids is then a semi/anti-join.
+    *
+    * Scale shape: both sides reduce to DISTINCT xxhash64(shingle) rows
+    * (8-byte join keys, one row per doc×shingle), the join runs on the
+    * hash, and the overlap count is a partial+final aggregation — no
+    * all-pairs stage, work ∝ shared-shingle occurrences. Benchmark
+    * suites are tiny relative to a 100 TB corpus; pass
+    * `broadcast(benchmark)` as the benchmark argument to pin the build
+    * side (the hint survives the shingle projection). */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    minOverlap: Long = 8, n: Int = 3): DataFrame = {
+    val c = Dedup.shingleHashes(corpus, n).select(col("doc_id"), col("h0"))
+    val b = Dedup.shingleHashes(benchmark, n)
+      .select(col("doc_id").as("bench_id"), col("h0"))
+    c.join(b, "h0")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).cast("long").as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
 
   /** tf-idf top-k terms per doc. Ordering is on the ROUNDED score so
     * cross-engine ranking happens on the same 4-dp grid, term as
@@ -217,6 +277,45 @@ object Text {
         |JOIN sz sa ON p.a = sa.doc_id
         |JOIN sz sb ON p.b = sb.doc_id
         |WHERE CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) >= 0.8
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    // String shingles here vs xxhash64(shingle) join keys in Spark:
+    // equal results modulo 64-bit collisions (the q_dedup_near
+    // precedent).
+    "q_text_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+        |  FROM d, UNNEST(range(len(d.toks) - 2)) AS u(i)
+        |), c AS (
+        |  SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0
+        |), b AS (
+        |  SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 10 = 0
+        |)
+        |SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS overlap
+        |FROM c JOIN b ON c.sh = b.sh
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 3
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+        |  FROM d, UNNEST(range(len(d.toks) - 1)) AS u(i)
+        |), pg AS (
+        |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+        |  CAST(COUNT(*) AS BIGINT) AS nd_2grams,
+        |  CAST(CAST(SUM(cnt) AS BIGINT) - CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS BIGINT) AS dup_frac,
+        |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_frac
+        |FROM pg GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

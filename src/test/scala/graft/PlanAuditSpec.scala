@@ -54,6 +54,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partial aggregation:\n$p")
   }
 
+  test("banded interval join plans as an equi-join, never a nested loop") {
+    // the whole point of the banding rewrite: a big-big interval join
+    // must not fall back to BroadcastNestedLoopJoin (fact × fact)
+    val p = plan(SparkEntry.queries("q_join_interval")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoop"), s"interval join is a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no hash-keyed join:\n$p")
+  }
+
+  test("no graded query windows over a low-cardinality partition key") {
+    // the r2-verdict funnel class: Window.partitionBy(hour) has 24
+    // groups → 1/24th of the table through ONE sort task at scale.
+    // q_climate_anomaly now uses groupBy+broadcast; this pins it.
+    val p = plan(SparkEntry.queries("q_climate_anomaly")(spark, dir))
+    assert(!p.contains("Window"), s"anomaly regressed to a window funnel:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hourly means not broadcast:\n$p")
+  }
+
   test("tfidf vocabulary gate: oversized vocab drops the broadcast HINT, same result") {
     val docs = Tables.documents(spark, dir)
     val small = ops.Text.tfIdfTopK(docs, k = 3) // vocab ≤ default 1M → hinted broadcast
