@@ -76,6 +76,17 @@ final case class Ensemble(df: DataFrame) {
         latMin, latMax, lonMin, lonMax, dstLatRes, dstLonRes)
       .withColumnRenamed("tlat", "lat").withColumnRenamed("tlon", "lon"))
 
+  /** R7 method=linear for CURVILINEAR members (rotated-pole/tripolar
+    * meshes): k-nearest inverse-distance interpolation onto a uniform
+    * target mesh (see ClimateOps.regridIdw). */
+  def regridIdw(latMin: Double, latMax: Double,
+                lonMin: Double, lonMax: Double,
+                dstLatRes: Double, dstLonRes: Double,
+                k: Int = 3, blockDeg: Double = 2.0): Ensemble =
+    Ensemble(ClimateOps.regridIdw(df, latMin, latMax, lonMin, lonMax,
+        dstLatRes, dstLonRes, k, blockDeg)
+      .withColumnRenamed("tlat", "lat").withColumnRenamed("tlon", "lon"))
+
   def resample(unit: String): Ensemble = Ensemble(ClimateOps.resample(df, unit))
 
   def convertUnits(k: Double, b: Double): Ensemble =
