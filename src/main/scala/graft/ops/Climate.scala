@@ -365,7 +365,9 @@ object Climate {
         .agg(sum(micros(col("value"))).as("sw"), count(lit(1)).as("cw"))
       Tables.events(s, dir)
         .withColumn("m", micros(col("value")))
-        .join(broadcast(hourly), hour(col("ts")) === col("_hr"))
+        // null-safe: the oracle's window keeps NULL-ts rows as their
+        // own hour group; a null-unsafe join would silently drop them
+        .join(broadcast(hourly), hour(col("ts")) <=> col("_hr"))
         // No rounding: every operand is an exact integer, so the double
         // result is bit-identical across engines (identical IEEE op
         // sequence) — rounding would only *introduce* a decimal-vs-binary
@@ -463,8 +465,8 @@ object Climate {
         struct(lit(dy.toLong).as("dy"), lit(dx.toLong).as("dx")))): _*)
       val cands = tgt.withColumn("o", explode(offsets))
         .select(col("tx"), col("ty"),
-          (floor(col("tx") / 16).cast("long") + col("o.dy")).as("bx"),
-          (floor(col("ty") / 16).cast("long") + col("o.dx")).as("by"))
+          (floor(col("tx") / 16).cast("long") + col("o.dx")).as("bx"),
+          (floor(col("ty") / 16).cast("long") + col("o.dy")).as("by"))
       val ndE = (col("sx") - col("tx")) * (col("sx") - col("tx")) +
         (col("sy") - col("ty")) * (col("sy") - col("ty"))
       val w = Window.partitionBy(col("tx"), col("ty"))

@@ -234,7 +234,14 @@ object Dedup {
       return unionFindMinLabels(pairs).toSeq.sorted.toDF("doc", "label")
     }
     // cache the SYMMETRIZED list: it is what every iteration joins
+    // (finally-unpersisted so a mid-loop job failure can't leak it)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).cache()
+    try {
+      componentsLoop(sym, maxIter)
+    } finally sym.unpersist()
+  }
+
+  private def componentsLoop(sym: DataFrame, maxIter: Int): DataFrame = {
     var labels = sym.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc")).cache()
     var changed = 1L
@@ -256,7 +263,6 @@ object Dedup {
       labels = next
       it += 1
     }
-    sym.unpersist()
     // wrong-but-silent is worse than loud: labels that stopped moving
     // before fixpoint are NOT component minima (a chain longer than
     // maxIter hops keeps propagating) — refuse to return them

@@ -84,6 +84,16 @@ object Multimodal {
     *  - anything else → byte histogram folded to 8 buckets (the
     *    documented opaque fallback). */
   private[ops] def decode(payload: Array[Byte]): Array[Float] =
+    // a decoder over arbitrary payloads must be TOTAL: magic bytes are
+    // only 2-4 bytes, so an opaque text payload can start with "BM" by
+    // chance — a parse failure falls back to the opaque branch instead
+    // of killing the task (and with it the whole query)
+    try decodeStrict(payload)
+    catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
+      byteHistogram(payload)
+    }
+
+  private def decodeStrict(payload: Array[Byte]): Array[Float] =
     if (MediaCodec.isBmp(payload)) {
       val bmp = MediaCodec.decodeBmp(payload)
       var (sr, sg, sb) = (0L, 0L, 0L)
@@ -117,12 +127,14 @@ object Multimodal {
       Array(wav.sampleRate.toFloat, wav.channels.toFloat, wav.samples.length.toFloat,
         sumAbs.toFloat / n, math.sqrt(sumSq / n).toFloat, zc.toFloat,
         minS.toFloat, maxS.toFloat)
-    } else {
-      val f = new Array[Float](8)
-      var i = 0
-      while (i < payload.length) { f(i % 8) += (payload(i) & 0xff) / 255.0f; i += 1 }
-      f
-    }
+    } else byteHistogram(payload)
+
+  private def byteHistogram(payload: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) { f(i % 8) += (payload(i) & 0xff) / 255.0f; i += 1 }
+    f
+  }
 
   /** The real plumbing: partition-wise decode with one "decoder init"
     * per partition (mapPartitions ≙ mapInPandas batching). */

@@ -71,8 +71,8 @@ object Profiling {
       in.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= n)
 
-    val survivors = stratifiedSurvivors(df, stratumCol, keyCol, n, overselect)
     val counts = stratumCounts(df, stratumCol)
+    val survivors = survivorsWithCounts(df, stratumCol, keyCol, n, overselect, counts)
     // guard: strata whose survivor count undershot min(n, cnt) (strata
     // with zero survivors surface via the left join's null _got)
     val got = survivors.groupBy(col("_stratum").as("_gstratum"))
@@ -99,8 +99,17 @@ object Profiling {
     * Kept separately callable as the test seam: DedupScaleSpec asserts
     * this stays bounded per stratum on a skewed fixture. */
   private[graft] def stratifiedSurvivors(df: DataFrame, stratumCol: String,
-                                       keyCol: String, n: Int,
-                                       overselect: Int = 4): DataFrame = {
+                                         keyCol: String, n: Int,
+                                         overselect: Int = 4): DataFrame =
+    survivorsWithCounts(df, stratumCol, keyCol, n, overselect,
+      stratumCounts(df, stratumCol))
+
+  /** [[stratifiedSurvivors]] with the counts aggregation passed in, so
+    * [[stratifiedSample]] (which also needs counts for its deficiency
+    * check) builds it once instead of twice. */
+  private def survivorsWithCounts(df: DataFrame, stratumCol: String,
+                                  keyCol: String, n: Int, overselect: Int,
+                                  counts: DataFrame): DataFrame = {
     val cap = overselect.toLong * n
     // leading 60 bits of the SAME md5 the window orders by, as a long;
     // lexicographic hex order == numeric order, so {prefix60 < T} is a
@@ -111,9 +120,13 @@ object Profiling {
     val tMax = 1L << 60
     // null-safe join: a NULL stratum is a legal window group and must
     // survive the counts round-trip
-    df.join(broadcast(stratumCounts(df, stratumCol)),
-        col(stratumCol) <=> col("_stratum"))
-      .filter(col("_cnt") <= cap ||
+    df.join(broadcast(counts), col(stratumCol) <=> col("_stratum"))
+      // a NULL sort key sorts FIRST (md5(null) is null, ASC NULLS
+      // FIRST): null-key rows are the smallest elements of their
+      // stratum's order, so keeping them all preserves downward
+      // closure — prefix60 is null for them and `null < T` would
+      // silently DROP rows the reference window ranks at the very top
+      .filter(col(keyCol).isNull || col("_cnt") <= cap ||
         prefix60 < (lit(tMax.toDouble) * cap / col("_cnt")).cast("long"))
   }
 

@@ -146,22 +146,34 @@ object Text {
     * identical on both paths (PlanAuditSpec). */
   def tfIdfTopK(docs: DataFrame, k: Int,
                 broadcastVocabMax: Long = 1000000L): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .cache() // feeds both the idf aggregation and the scored join
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
-      .cache() // counted for the gate, then joined
-    val dftSide = if (dft.count() <= broadcastVocabMax) broadcast(dft) else dft
-    val n = docs.agg(count(lit(1)).cast("long").as("n"))
-    val scored = tf.join(dftSide, "term").crossJoin(broadcast(n))
-      .withColumn("score4",
-        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score4").desc, col("term"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("doc_id"), col("term"), col("score4"), col("rn"))
+    // memoized per (session, input plan, params): each build caches the
+    // tf intermediate (read by both the idf aggregation and the scored
+    // join), so repeated invocations must reuse one instance instead of
+    // stacking cached copies — the Ann.indexCache pattern
+    val key = (org.apache.spark.sql.GraftBridge.sessionUUID(docs.sparkSession),
+      docs.queryExecution.analyzed.semanticHash(), k, broadcastVocabMax)
+    tfIdfCache.getOrElseUpdate(key, {
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .cache() // feeds both the idf aggregation and the scored join
+      // dft itself stays uncached: both its uses below are one cheap
+      // aggregation over the cached tf
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+      val dftSide = if (dft.count() <= broadcastVocabMax) broadcast(dft) else dft
+      val n = docs.agg(count(lit(1)).cast("long").as("n"))
+      val scored = tf.join(dftSide, "term").crossJoin(broadcast(n))
+        .withColumn("score4",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score4").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("doc_id"), col("term"), col("score4"), col("rn"))
+    })
   }
+
+  private val tfIdfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Long), DataFrame]
 
   /** Exact shingle-Jaccard near-dup, built for the 100 TB regime:
     *

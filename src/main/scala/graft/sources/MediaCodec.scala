@@ -43,6 +43,10 @@ object MediaCodec {
     require(isBmp(bytes), "not a BMP (missing 'BM' magic)")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val dataOffset = buf.getInt(10)
+    // a negative offset would pass the truncation check below (it
+    // shrinks the right-hand side) and then index out of bounds
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bad pixel-data offset $dataOffset")
     val dibSize = buf.getInt(14)
     require(dibSize >= 40, s"unsupported DIB header size $dibSize (need BITMAPINFOHEADER+)")
     val width = buf.getInt(18)

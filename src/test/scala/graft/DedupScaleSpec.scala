@@ -262,6 +262,24 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got == ref && got.size == 2 * n)
   }
 
+  test("stratifiedSample keeps NULL-key rows (they rank first under NULLS FIRST)") {
+    import org.apache.spark.sql.expressions.Window
+    // one above-cap stratum with a null key: md5(null) is null and
+    // sorts FIRST, so the reference window ranks the null row rn=1 —
+    // the survivor pre-filter must not drop it (null < T is null)
+    val rows = (1L to 2000L).map(i => (Some(i), "big")) :+ ((None: Option[Long], "big"))
+    val df = rows.toDF("id", "stratum")
+    val n = 5
+    val got = ops.Profiling.stratifiedSample(df, "stratum", "id", n)
+      .select("id", "rn").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    val w = Window.partitionBy($"stratum").orderBy(md5($"id".cast("string")), $"id")
+    val ref = df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= n).select("id", "rn").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1)).toMap
+    assert(got == ref && got(-1L) == 1L, s"null-key row mishandled: got=$got ref=$ref")
+  }
+
   test("stratifiedSample deficiency fallback keeps tiny strata exact") {
     // strata smaller than n: keep-all path + fallback must emit every
     // row with correct ranks (cnt < n ⇒ output = whole stratum)

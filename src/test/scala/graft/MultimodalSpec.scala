@@ -46,6 +46,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.drop(2).forall(_ == 0.0f))
   }
 
+  test("opaque text starting with 'BM' falls back to histogram, never throws") {
+    // "BMW recalls..." passes the 2-byte magic sniff but is not a BMP —
+    // the decoder must stay total and use the opaque branch
+    val payload = "BMW recalls model year".getBytes("UTF-8")
+    val media = Seq((9L, payload)).toDF("media_id", "payload")
+    val f = ops.Multimodal.decodeFeatures(spark, media).head().feature
+    val exp = new Array[Float](8)
+    payload.zipWithIndex.foreach { case (b, i) => exp(i % 8) += (b & 0xff) / 255.0f }
+    assert(f.toSeq == exp.toSeq)
+  }
+
   test("BMP golden fixture: hand-written bytes decode to exact pixels") {
     import graft.sources.MediaCodec
     // 2×2, 24bpp, bottom-up, rows padded 6→8 bytes. Top-down pixels:
