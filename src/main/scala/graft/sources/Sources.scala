@@ -49,6 +49,16 @@ object Sources {
   def toParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC: the other columnar lakehouse format Spark ships natively —
+    * same pushdown/pruning/vectorization story as parquet (per-stripe
+    * min/max indexes), relevant when downstream consumers are
+    * Hive/Trino-centric. Snappy to match the parquet default. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+
   /** Lakehouse-layout sink: parquet partitioned by the event date with
     * rows sorted inside each file on `sortCols`.
     *

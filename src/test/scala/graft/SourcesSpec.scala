@@ -35,6 +35,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(e).count() == 0 && e.exceptAll(back).count() == 0)
   }
 
+  test("ORC round-trip of lineitem is lossless and pushdown-capable") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val li = Tables.lineitem(spark, dir)
+    Sources.writeOrc(li, s"$tmp/lineitem")
+    val back = Sources.readOrc(spark, s"$tmp/lineitem")
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).count() == 0 && li.exceptAll(back).count() == 0)
+    // predicate reaches the ORC scan (stripe-level data skipping)
+    val p = back.filter(org.apache.spark.sql.functions.col("l_quantity") > 45.0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed into ORC scan:\n$p")
+  }
+
   test("writeDatePartitioned: pruned read opens only the matching date dirs") {
     val tmp = Files.createTempDirectory("graft_lake").toString
     val e = Tables.events(spark, dir)
