@@ -170,6 +170,26 @@ object Joins {
         .orderBy(col("event_id"))
     },
 
+    // Correlated LATERAL join (SQL:1999 lateral derived table; Spark
+    // plans it via DecorrelateInnerQuery → a ranked window under the
+    // hood, so the per-group LIMIT never becomes a nested loop): top-2
+    // customers by balance per nation. Exact integer cents; LIMIT
+    // tie-broken by key on both engines.
+    "q_join_lateral" -> { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT n.n_name, c.c_custkey, c.bal_cents
+          |FROM nation_v n,
+          |LATERAL (SELECT c_custkey,
+          |           CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents
+          |         FROM customer_v
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY bal_cents DESC, c_custkey
+          |         LIMIT 2) c
+          |ORDER BY n.n_name, c.bal_cents DESC, c.c_custkey""".stripMargin)
+    },
+
     // Big-big interval join, GRADED: purchases × same-user clicks in
     // the prior 24 h through bandedIntervalJoin (the equi-join rewrite
     // below), aggregated per purchase with order-independent aggregates
@@ -333,6 +353,17 @@ object Joins {
         |  ON p.user_id = s.s_user AND p.ts >= s.s_ts
         |ORDER BY p.event_id""".stripMargin,
     "q_join_asof" -> asofOracle,
+
+    "q_join_lateral" ->
+      """SELECT n.n_name, c.c_custkey, c.bal_cents
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey,
+        |           CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents
+        |         FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY bal_cents DESC, c_custkey
+        |         LIMIT 2) c
+        |ORDER BY n.n_name, c.bal_cents DESC, c.c_custkey""".stripMargin,
 
     // Plain range-predicate join: DuckDB plans this directly (IEJoin);
     // Spark runs the banded equi-join rewrite — same rows by the

@@ -25,6 +25,22 @@ object Sources {
       .option("mode", "FAILFAST") // surface corrupt rows at ingest, not 3 jobs later
       .csv(path)
 
+  /** Quarantine-mode ingest: PERMISSIVE parsing with each malformed raw
+    * line captured in `_corrupt_record` (parsed columns null). FAILFAST
+    * ([[readCsv]]) is right for curated inputs; at crawl scale one bad
+    * line must not abort a million-file load — the pipeline filters
+    * `_corrupt_record IS NOT NULL` into a quarantine sink and proceeds.
+    * Spark requires the corrupt column present in the schema. */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("timestampFormat", tsFmt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("header", "true")

@@ -35,6 +35,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(e).count() == 0 && e.exceptAll(back).count() == 0)
   }
 
+  test("quarantine CSV ingest captures malformed rows instead of aborting") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_quar").toString
+    Files.writeString(java.nio.file.Path.of(tmp, "in.csv"),
+      "id,qty\n1,10\noops,not_a_number\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    import org.apache.spark.sql.functions.col
+    val got = Sources.readCsvQuarantine(spark, s"$tmp/in.csv", schema).cache()
+    assert(got.count() == 3) // nothing aborted, nothing silently dropped
+    val bad = got.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad(0).getString(2) == "oops,not_a_number")
+    assert(got.filter(col("_corrupt_record").isNull)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    got.unpersist()
+  }
+
   test("ORC round-trip of lineitem is lossless and pushdown-capable") {
     val tmp = Files.createTempDirectory("graft_orc").toString
     val li = Tables.lineitem(spark, dir)
