@@ -97,6 +97,29 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("runtime bloom filter: selective dim side injects a fact-scan reduction") {
+    // the at-scale semi-join reduction: a filtered small side builds a
+    // bloom filter that prunes the fact scan BEFORE the shuffle. Local
+    // inputs are below the application-side threshold, so lower it (and
+    // force a shuffle join — a broadcast join subsumes the filter).
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set(keys(0), "true")
+      spark.conf.set(keys(1), "0")
+      spark.conf.set(keys(2), "-1")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      assert(j.queryExecution.optimizedPlan.toString.toLowerCase.contains("bloom"),
+        "no runtime bloom filter injected")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("custom codegen expressions don't break the codegen span") {
     val e = Tables.embeddings(spark, dir)
     val df = e.select(graft.expressions.VectorExpressions.cosine_sim(
