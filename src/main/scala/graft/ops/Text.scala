@@ -119,17 +119,40 @@ object Text {
     * all-pairs stage, work ∝ shared-shingle occurrences. Benchmark
     * suites are tiny relative to a 100 TB corpus; pass
     * `broadcast(benchmark)` as the benchmark argument to pin the build
-    * side (the hint survives the shingle projection). */
+    * side (the hint survives the shingle projection).
+    *
+    * `stopDfCap` is the hot-shingle guard (the nearDuplicates
+    * discipline): a boilerplate shingle present in d_c corpus docs and
+    * d_b benchmark docs emits d_c·d_b join rows — at crawl scale one
+    * ubiquitous shingle can dominate the whole job while carrying no
+    * contamination signal. Shingles with per-side document frequency
+    * above the cap are dropped BEFORE the join; Int.MaxValue disables
+    * (the oracle-graded configuration). */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
-                    minOverlap: Long = 8, n: Int = 3): DataFrame = {
-    val c = Dedup.shingleHashes(corpus, n).select(col("doc_id"), col("h0"))
-    val b = Dedup.shingleHashes(benchmark, n)
-      .select(col("doc_id").as("bench_id"), col("h0"))
+                    minOverlap: Long = 8, n: Int = 3,
+                    stopDfCap: Int = Int.MaxValue): DataFrame = {
+    def capped(sh: DataFrame): DataFrame =
+      if (stopDfCap == Int.MaxValue) sh
+      else sh.withColumn("_df", count(lit(1)).over(Window.partitionBy(col("h0"))))
+        .filter(col("_df") <= stopDfCap).drop("_df")
+    val c = capped(Dedup.shingleHashes(corpus, n).select(col("doc_id"), col("h0")))
+    val b = capped(Dedup.shingleHashes(benchmark, n)
+      .select(col("doc_id").as("bench_id"), col("h0")))
     c.join(b, "h0")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).cast("long").as("overlap"))
       .filter(col("overlap") >= minOverlap)
   }
+
+  /** The apply step: corpus minus every doc [[contamination]] flags —
+    * one anti-join on the flagged id set. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    minOverlap: Long = 8, n: Int = 3,
+                    stopDfCap: Int = Int.MaxValue): DataFrame =
+    corpus.join(
+      contamination(corpus, benchmark, minOverlap, n, stopDfCap)
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 
   /** tf-idf top-k terms per doc. Ordering is on the ROUNDED score so
     * cross-engine ranking happens on the same 4-dp grid, term as

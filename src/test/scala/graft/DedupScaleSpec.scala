@@ -237,6 +237,27 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("contamination stopDfCap bounds boilerplate shingle pair fan-out") {
+    // one shingle ("x y z") shared by 300 corpus docs and 10 bench docs
+    // → 3000 join rows uncapped; the cap drops the hot shingle on both
+    // sides while a rarer planted overlap still surfaces
+    val corpus = (1L to 300L).map(i => (i, "x y z boiler", "en")) :+
+      ((900L, "rare alpha beta gamma", "en"))
+    val bench = (1001L to 1010L).map(i => (i, "x y z boiler", "en")) :+
+      ((1900L, "rare alpha beta gamma", "en"))
+    val cDf = corpus.toDF("doc_id", "text", "lang")
+    val bDf = bench.toDF("doc_id", "text", "lang")
+    val uncapped = ops.Text.contamination(cDf, bDf, minOverlap = 1)
+    assert(uncapped.count() > 3000)
+    val capped = ops.Text.contamination(cDf, bDf, minOverlap = 1, stopDfCap = 50)
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((900L, 1900L))) // only the genuine rare overlap
+    // and the apply step removes exactly the flagged doc
+    val cleaned = ops.Text.decontaminate(cDf, bDf, minOverlap = 1, stopDfCap = 50)
+    assert(cleaned.count() == cDf.count() - 1)
+    assert(cleaned.filter($"doc_id" === 900L).count() == 0)
+  }
+
   test("stratifiedSample windows a bounded survivor set, result == full window") {
     import org.apache.spark.sql.expressions.Window
     // skewed fixture: one 20,000-row stratum + one 30-row stratum —
