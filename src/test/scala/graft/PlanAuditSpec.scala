@@ -97,6 +97,16 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("lateral top-k decorrelates with a map-side partial WindowGroupLimit") {
+    // the nation key has only 25 values — without the PARTIAL group
+    // limit (≤k rows per group per input partition BEFORE the
+    // exchange) the decorrelated window would funnel each nation's
+    // customers through one sort task at scale
+    val p = plan(SparkEntry.queries("q_join_lateral")(spark, dir))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"no map-side group limit:\n$p")
+  }
+
   test("runtime bloom filter: selective dim side injects a fact-scan reduction") {
     // the at-scale semi-join reduction: a filtered small side builds a
     // bloom filter that prunes the fact scan BEFORE the shuffle. Local
