@@ -422,7 +422,15 @@ object Joins {
     * so join input is ≤2×|L| + |R| rows; every true match shares a band
     * by construction, so the rewrite is lossless. The right side is
     * NOT exploded — it is the bigger side in the typical
-    * events-vs-events case, and banding one side suffices. */
+    * events-vs-events case, and banding one side suffices.
+    *
+    * Skew: a hot key (one user with millions of events) concentrates
+    * its rows in a few (key, band) join partitions. Because the plan is
+    * a plain shuffled equi-join, AQE's skew-join split handles exactly
+    * this at runtime (splits oversized partitions, replicates the other
+    * side) — which is why the rewrite targets an equi-join shape rather
+    * than anything custom; for AQE-off deployments compose with
+    * Skew.saltedJoin on the banded keys. */
   def bandedIntervalJoin(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTimeUs: String, rightTimeUs: String,
