@@ -131,10 +131,16 @@ object Text {
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     minOverlap: Long = 8, n: Int = 3,
                     stopDfCap: Int = Int.MaxValue): DataFrame = {
+    // the guard must not itself be a skew funnel: df comes from a
+    // partial+final groupBy (the hot key reduces map-side), the
+    // above-cap set is tiny by construction → broadcast anti-join
     def capped(sh: DataFrame): DataFrame =
       if (stopDfCap == Int.MaxValue) sh
-      else sh.withColumn("_df", count(lit(1)).over(Window.partitionBy(col("h0"))))
-        .filter(col("_df") <= stopDfCap).drop("_df")
+      else {
+        val hot = sh.groupBy(col("h0")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > stopDfCap).select(col("h0"))
+        sh.join(broadcast(hot), Seq("h0"), "left_anti")
+      }
     val c = capped(Dedup.shingleHashes(corpus, n).select(col("doc_id"), col("h0")))
     val b = capped(Dedup.shingleHashes(benchmark, n)
       .select(col("doc_id").as("bench_id"), col("h0")))
@@ -217,11 +223,17 @@ object Text {
                      stopDfCap: Int = Int.MaxValue): DataFrame = {
     val base = Dedup.shingleHashes(docs)
       .select(col("doc_id"), col("lang"), col("h0").as("h"))
+    // same no-funnel discipline as contamination's guard: the df count
+    // is a partial+final aggregation (hot shingles reduce map-side),
+    // the above-cap set is tiny → broadcast anti-join, no window that
+    // would itself sort a boilerplate shingle's 10⁹ rows in one task
     val kept =
       if (stopDfCap == Int.MaxValue) base
-      else base.withColumn("df", count(lit(1)).over(
-          Window.partitionBy(col("lang"), col("h"))))
-        .filter(col("df") <= stopDfCap).drop("df")
+      else {
+        val hot = base.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > stopDfCap).select(col("lang"), col("h"))
+        base.join(broadcast(hot), Seq("lang", "h"), "left_anti")
+      }
     val sh = kept.cache() // read 3× below (both self-join sides + sizes)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("sz"))
     val a = sh.select(col("doc_id").as("a"), col("lang"), col("h"))

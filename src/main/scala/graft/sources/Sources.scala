@@ -30,16 +30,27 @@ object Sources {
     * ([[readCsv]]) is right for curated inputs; at crawl scale one bad
     * line must not abort a million-file load — the pipeline filters
     * `_corrupt_record IS NOT NULL` into a quarantine sink and proceeds.
-    * Spark requires the corrupt column present in the schema. */
+    *
+    * Spark sharp edge, inherited: a query that references ONLY the
+    * corrupt column (e.g. `.filter($"_corrupt_record".isNotNull)
+    * .count()`) throws AnalysisException, because column pruning would
+    * otherwise let every row "parse" — cache the DataFrame (or persist
+    * it to the quarantine sink) before corrupt-only queries, per the
+    * Spark CSV docs. The corrupt column is appended only if the caller
+    * hasn't already declared it. */
   def readCsvQuarantine(spark: SparkSession, path: String,
-                        schema: StructType): DataFrame =
+                        schema: StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
     spark.read
-      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .schema(withCorrupt)
       .option("header", "true")
       .option("timestampFormat", tsFmt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
+  }
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")

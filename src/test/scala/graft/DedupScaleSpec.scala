@@ -239,8 +239,10 @@ class DedupScaleSpec extends AnyFunSuite {
 
   test("contamination stopDfCap bounds boilerplate shingle pair fan-out") {
     // one shingle ("x y z") shared by 300 corpus docs and 10 bench docs
-    // → 3000 join rows uncapped; the cap drops the hot shingle on both
-    // sides while a rarer planted overlap still surfaces
+    // → 3000 join rows uncapped; the cap is PER SIDE — here it drops
+    // the corpus side (df 300 > 50; the bench side's df 10 survives),
+    // which alone empties the hot join, while a rarer planted overlap
+    // still surfaces
     val corpus = (1L to 300L).map(i => (i, "x y z boiler", "en")) :+
       ((900L, "rare alpha beta gamma", "en"))
     val bench = (1001L to 1010L).map(i => (i, "x y z boiler", "en")) :+
