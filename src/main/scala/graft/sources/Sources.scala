@@ -66,6 +66,21 @@ object Sources {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** JSONL twin of [[readCsvQuarantine]] — same contract and the same
+    * corrupt-column-only query caveat. */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+                          schema: StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("timestampFormat", tsFmt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("timestampFormat", tsFmt)

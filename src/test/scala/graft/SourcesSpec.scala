@@ -52,6 +52,25 @@ class SourcesSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("quarantine JSONL ingest captures malformed rows instead of aborting") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_jquar").toString
+    Files.writeString(java.nio.file.Path.of(tmp, "in.jsonl"),
+      """{"id": 1, "qty": 10}
+        |{"id": broken json
+        |{"id": 3, "qty": 30}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    val got = Sources.readJsonlQuarantine(spark, s"$tmp/in.jsonl", schema).cache()
+    assert(got.count() == 3)
+    assert(got.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(got.filter(col("_corrupt_record").isNull)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    got.unpersist()
+  }
+
   test("ORC round-trip of lineitem is lossless and pushdown-capable") {
     val tmp = Files.createTempDirectory("graft_orc").toString
     val li = Tables.lineitem(spark, dir)
