@@ -109,9 +109,16 @@ object Joins {
         .orderBy(col("c_custkey"))
     },
 
+    // Customers with no RECENT order (anti vs a date-filtered orders
+    // set): the unfiltered form returned 0 rows at every tested SF
+    // (every customer has some order), making the oracle match vacuous
+    // — 1998-06-01 yields 3/8/142 rows at sf0.001/0.01/0.1, so the
+    // anti-join path is exercised on non-empty output everywhere.
     "q_join_anti" -> { (s, dir) =>
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
       Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     },
@@ -174,20 +181,20 @@ object Joins {
     // plans it via DecorrelateInnerQuery → a ranked window under the
     // hood, so the per-group LIMIT never becomes a nested loop): top-2
     // customers by balance per nation. Exact integer cents; LIMIT
-    // tie-broken by key on both engines.
+    // tie-broken by key on both engines. Dataset-API form
+    // (Dataset.lateralJoin + Column.outer(), Spark 4) — no temp-view
+    // registration, so the query fn is side-effect-free like the other
+    // map entries; the decorrelated plan is identical to the SQL form
+    // (WindowGroupLimit-Partial pin in PlanAuditSpec).
     "q_join_lateral" -> { (s, dir) =>
-      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
-      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
-      s.sql(
-        """SELECT n.n_name, c.c_custkey, c.bal_cents
-          |FROM nation_v n,
-          |LATERAL (SELECT c_custkey,
-          |           CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents
-          |         FROM customer_v
-          |         WHERE c_nationkey = n.n_nationkey
-          |         ORDER BY bal_cents DESC, c_custkey
-          |         LIMIT 2) c
-          |ORDER BY n.n_name, c.bal_cents DESC, c.c_custkey""".stripMargin)
+      val top2 = Tables.customer(s, dir)
+        .where(col("c_nationkey") === col("n_nationkey").outer())
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_cents"))
+        .orderBy(col("bal_cents").desc, col("c_custkey"))
+        .limit(2)
+      Tables.nation(s, dir).lateralJoin(top2)
+        .select(col("n_name"), col("c_custkey"), col("bal_cents"))
+        .orderBy(col("n_name"), col("bal_cents").desc, col("c_custkey"))
     },
 
     // Big-big interval join, GRADED: purchases × same-user clicks in
@@ -318,7 +325,9 @@ object Joins {
     "q_join_anti" ->
       """SELECT c_custkey, c_name
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-06-01')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_cross" ->

@@ -53,8 +53,16 @@ object Text {
     },
 
     // Exact dedup: hash-groupBy on content digest, canonical = min id.
+    // The input unions in re-ided copies of docs 1 and 2 (doc_id +
+    // 10 000 000, same literal union in the oracle SQL): planted
+    // exact-dups only exist at sf0.1 in the fixtures, so without them
+    // the sf0.001/0.01 result was empty and the oracle match vacuous —
+    // this guarantees ≥2 non-empty groups at every scale factor.
     "q_dedup_exact" -> { (s, dir) =>
-      Tables.documents(s, dir)
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id").isin(1L, 2L))
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      d.unionByName(planted)
         .groupBy(md5(col("text")).as("md5h"))
         .agg(min(col("doc_id")).cast("long").as("canonical"),
           count(lit(1)).cast("long").as("members"))
@@ -77,6 +85,20 @@ object Text {
       contamination(docs.filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0), minOverlap = 3)
         .orderBy(col("doc_id"), col("bench_id"))
+    },
+
+    // The decontamination APPLY step graded end-to-end: the surviving
+    // corpus (flagged docs anti-joined away) summarized per lang. Same
+    // corpus/benchmark split and threshold as q_text_decontam, so the
+    // two keys grade detection and removal of the same overlap set.
+    "q_text_decontam_apply" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      decontaminate(docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), minOverlap = 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
     },
 
     // Gopher-style repetition quality signals: per doc, the fraction of
@@ -298,7 +320,10 @@ object Text {
       """SELECT md5(text) AS md5h,
         |  CAST(MIN(doc_id) AS BIGINT) AS canonical,
         |  CAST(COUNT(*) AS BIGINT) AS members
-        |FROM documents
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |      WHERE doc_id IN (1, 2)) u
         |GROUP BY md5(text)
         |HAVING COUNT(*) > 1
         |ORDER BY md5h""".stripMargin,
@@ -346,6 +371,35 @@ object Text {
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 3
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Apply step: the same overlap subquery as q_text_decontam, then
+    // the survivors (NOT IN the flagged id set) aggregated per lang —
+    // Spark runs the identical shape as a left_anti join.
+    "q_text_decontam_apply" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+        |  FROM d, UNNEST(range(len(d.toks) - 2)) AS u(i)
+        |), c AS (
+        |  SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0
+        |), b AS (
+        |  SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 10 = 0
+        |), ov AS (
+        |  SELECT c.doc_id, b.bench_id, COUNT(*) AS overlap
+        |  FROM c JOIN b ON c.sh = b.sh
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3
+        |), flagged AS (SELECT DISTINCT doc_id FROM ov)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 10 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q_text_repetition" ->
       """WITH d AS (

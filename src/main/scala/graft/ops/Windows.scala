@@ -199,9 +199,15 @@ object Windows {
       urgent.intersect(frequent).orderBy(col("custkey"))
     },
 
+    // EXCEPT vs the custkeys holding a RECENT order: against the full
+    // orders set every customer appeared on the right, so the key
+    // hash-matched on an empty result at every tested SF — vacuous
+    // evidence. 1998-06-01 keeps 3/8/142 survivors at sf0.001/0.01/0.1.
     "q_set_except" -> { (s, dir) =>
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
       Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
-        .except(Tables.orders(s, dir).select(col("o_custkey").as("custkey")))
+        .except(recent.select(col("o_custkey").as("custkey")))
         .orderBy(col("custkey"))
     }
   )
@@ -334,7 +340,7 @@ object Windows {
     "q_set_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
-        |SELECT o_custkey FROM orders
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01'
         |ORDER BY custkey""".stripMargin
   )
 }
