@@ -138,12 +138,20 @@ object Dedup {
     *    [[hotBuckets]] to audit what was dropped. */
   def minHashCandidates(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
-    val banded = bandedSignatures(exactCollapse(docs), numPerm, bands)
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bhash"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-      .cache() // both sides of the bucket self-join
+    // cached pre-cap: feeds the bucket-size count AND both self-join
+    // sides, so the signature pipeline runs once
+    val banded0 = bandedSignatures(exactCollapse(docs), numPerm, bands)
+      .cache()
+    // the cap guard must not itself be a funnel (the r3 stop-shingle
+    // lesson, applied here too): a count() window partitioned by bucket
+    // sorts a hot bucket's every row in ONE task — the exact blowup the
+    // cap exists to prevent. groupBy is a partial+final aggregation
+    // (hot buckets reduce map-side), the above-cap set is tiny by
+    // construction → broadcast anti-join. Same dropped set, no funnel.
+    val hot = banded0.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select(col("band"), col("bhash"))
+    val banded = banded0.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
     val a = banded.select(col("band"), col("bhash"),
       col("doc_id").as("a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bhash"),
@@ -244,38 +252,50 @@ object Dedup {
   private def componentsLoop(sym: DataFrame, maxIter: Int): DataFrame = {
     var labels = sym.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc")).cache()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbr = sym.join(labels.select(col("doc").as("b"), col("label")), "b")
-        .groupBy(col("a").as("doc")).agg(min(col("label")).as("nl"))
-      // carry the previous label through, so the convergence check is a
-      // filter over the SAME cached round result — one action per round
-      // instead of a second join+count against the old labels (measured:
-      // the extra action per round doubled wall-clock on small graphs,
-      // where job dispatch dominates)
-      val next = labels.join(nbr, Seq("doc"), "left")
-        .select(col("doc"), col("label").as("_old"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .cache()
-      changed = next.filter(col("label") =!= col("_old")).count()
+    // every exceptional exit — the non-convergence throw below AND any
+    // mid-round job failure — unpersists the round's cached labels; only
+    // the success path returns with the fixpoint still cached (callers
+    // read it, so a finally would be wrong)
+    try {
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIter) {
+        val nbr = sym.join(labels.select(col("doc").as("b"), col("label")), "b")
+          .groupBy(col("a").as("doc")).agg(min(col("label")).as("nl"))
+        // carry the previous label through, so the convergence check is a
+        // filter over the SAME cached round result — one action per round
+        // instead of a second join+count against the old labels (measured:
+        // the extra action per round doubled wall-clock on small graphs,
+        // where job dispatch dominates)
+        val next = labels.join(nbr, Seq("doc"), "left")
+          .select(col("doc"), col("label").as("_old"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .cache()
+        changed = next.filter(col("label") =!= col("_old")).count()
+        labels.unpersist()
+        labels = next
+        it += 1
+      }
+      // wrong-but-silent is worse than loud: labels that stopped moving
+      // before fixpoint are NOT component minima (a chain longer than
+      // maxIter hops keeps propagating) — refuse to return them
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"components() did not converge in $maxIter rounds " +
+            s"($changed labels still moving) — raise maxIter above the " +
+            "largest component diameter")
+      // re-cache the narrow projection (drops the `_old` convergence
+      // column) and release the loop frame: the returned DataFrame is
+      // then ITSELF the cached plan, so a caller's unpersist() (e.g.
+      // clearClusterCache) actually frees the blocks — unpersisting a
+      // projection OVER a cached plan is a silent no-op. The count()
+      // materializes from labels' cache blocks (one cache-to-cache
+      // copy, once per call — not per round).
+      val out = labels.select(col("doc"), col("label")).cache()
+      out.count()
       labels.unpersist()
-      labels = next
-      it += 1
-    }
-    // wrong-but-silent is worse than loud: labels that stopped moving
-    // before fixpoint are NOT component minima (a chain longer than
-    // maxIter hops keeps propagating) — refuse to return them
-    if (changed > 0) {
-      labels.unpersist()
-      throw new IllegalStateException(
-        s"components() did not converge in $maxIter rounds " +
-          s"($changed labels still moving) — raise maxIter above the " +
-          "largest component diameter")
-    }
-    // narrow projection over the cached fixpoint (drops the `_old`
-    // convergence column): reads cache blocks, never replays the rounds
-    labels.select(col("doc"), col("label"))
+      out
+    } catch { case t: Throwable => labels.unpersist(); throw t }
   }
 
   /** Driver-local union-find with min-root union + path compression:
@@ -374,14 +394,18 @@ object Dedup {
       struct(lit(i).as("band"),
         shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask).as("bval"))
     }
-    val banded = sh
+    // cached pre-cap: feeds the bucket-size count AND both join sides
+    val banded0 = sh
       .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bval"))
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bval"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-      .cache() // both sides of the bucket self-join
+      .cache()
+    // no-funnel cap guard (see minHashCandidates): partial+final count,
+    // tiny above-cap set, broadcast anti-join — never a per-bucket
+    // window that would sort a hot bucket in one task
+    val hot = banded0.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select(col("band"), col("bval"))
+    val banded = banded0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
     val a = banded.select(col("band"), col("bval"),
       col("doc_id").as("a"), col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col("bval"),
@@ -417,12 +441,16 @@ object Dedup {
   def annCandidates(embeddings: DataFrame, nPlanes: Int = 8,
                     maxBucket: Int = 4096): DataFrame = {
     val emb = transform(col("embedding"), x => x.cast("double"))
-    val withB = embeddings.select(col("vec_id"), emb.as("v"))
+    // cached pre-cap: feeds the bucket-size count AND both join sides
+    val withB0 = embeddings.select(col("vec_id"), emb.as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), nPlanes))
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
-      .cache() // both sides of the bucket self-join
+      .cache()
+    // no-funnel cap guard (see minHashCandidates): partial+final count,
+    // tiny above-cap set, broadcast anti-join
+    val hot = withB0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select(col("bucket"))
+    val withB = withB0.join(broadcast(hot), Seq("bucket"), "left_anti")
     val a = withB.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
     val b = withB.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
     val dot = graft.expressions.VectorExpressions.dot_product(col("va"), col("vb"))
@@ -433,8 +461,20 @@ object Dedup {
   // one CC fixpoint per (session, corpus): components() returns a
   // CACHED DataFrame (recomputing replays every propagation round), so
   // repeated bench/verify invocations must reuse one instance instead
-  // of stacking cached copies — the Ann.indexCache pattern
+  // of stacking cached copies — the Ann.indexCache pattern. LIFETIME:
+  // entries live for the JVM (never evicted when a session stops) and a
+  // concurrent first call may build twice, keeping one orphaned cached
+  // copy — both acceptable for the single-session bench harness; long-
+  // lived JVMs cycling sessions call clearClusterCache() on teardown.
   private val clusterCache = TrieMap.empty[(String, String), DataFrame]
+
+  /** Release every memoized cluster fixpoint (unpersisting its cache
+    * blocks) — the [[Ann.clearIndexes]] twin for session teardown. */
+  def clearClusterCache(): Unit = {
+    clusterCache.values.foreach(d =>
+      try d.unpersist() catch { case _: Exception => () })
+    clusterCache.clear()
+  }
 
   /** Rows-only queries (deterministic but Spark-hash-based → no oracle). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -468,6 +508,16 @@ object Dedup {
         .withColumn("a", min(col("doc_id")).over(w))
         .filter(col("doc_id") =!= col("a"))
         .select(col("a"), col("doc_id").as("b"), col("simhash"))
+        .orderBy(col("a"), col("b"))
+    },
+    // The GENERAL Hamming≤k path — the operator crawl dedup actually
+    // runs (pigeonhole banding over signature quarters, capped bucket
+    // join, popcount filter). q_dedup_simhash above grades only the
+    // degenerate equal-signature form; this key exercises
+    // simHashCandidates end-to-end (RecallSpec asserts the planted
+    // near-dup pairs surface at maxHamming = 3).
+    "q_dedup_simhash_k" -> { (s, dir) =>
+      simHashCandidates(Tables.documents(s, dir), maxHamming = 3)
         .orderBy(col("a"), col("b"))
     },
     "q_vec_ann_lsh" -> { (s, dir) =>

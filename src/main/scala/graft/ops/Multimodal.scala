@@ -86,10 +86,12 @@ object Multimodal {
   private[ops] def decode(payload: Array[Byte]): Array[Float] =
     // a decoder over arbitrary payloads must be TOTAL: magic bytes are
     // only 2-4 bytes, so an opaque text payload can start with "BM" by
-    // chance — a parse failure falls back to the opaque branch instead
-    // of killing the task (and with it the whole query)
+    // chance — any parse failure (bad header, truncation, a crafted
+    // size that defeats a bounds check — NonFatal, not an enumerated
+    // exception list) falls back to the opaque branch instead of
+    // killing the task (and with it the whole query)
     try decodeStrict(payload)
-    catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
+    catch { case scala.util.control.NonFatal(_) =>
       byteHistogram(payload)
     }
 

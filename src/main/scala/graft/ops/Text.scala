@@ -217,14 +217,31 @@ object Text {
         .withColumn("score4",
           round(col("tf") * log(col("n").cast("double") / col("df")), 4))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score4").desc, col("term"))
-      scored.withColumn("rn", row_number().over(w).cast("long"))
+      val result = scored.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= k)
         .select(col("doc_id"), col("term"), col("score4"), col("rn"))
-    })
+      (result, tf)
+    })._1
   }
 
+  // memo LIFETIME: JVM-long, never evicted on session stop, and a
+  // concurrent first call may build twice (orphaning one cached tf) —
+  // acceptable for the single-session bench harness (the Ann.indexCache
+  // precedent); long-lived JVMs cycling sessions call clearTfIdfCache()
+  // on teardown. The tf handle rides along because it — not the result
+  // projection — is the cached plan, and unpersisting a projection over
+  // a cached plan is a silent no-op.
   private val tfIdfCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Long), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Long), (DataFrame, DataFrame)]
+
+  /** Release every memoized tf-idf pipeline (unpersisting the cached tf
+    * intermediate) — the [[Ann.clearIndexes]] twin for session teardown. */
+  def clearTfIdfCache(): Unit = {
+    tfIdfCache.values.foreach { case (_, tf) =>
+      try tf.unpersist() catch { case _: Exception => () }
+    }
+    tfIdfCache.clear()
+  }
 
   /** Exact shingle-Jaccard near-dup, built for the 100 TB regime:
     *

@@ -60,9 +60,17 @@ object MediaCodec {
     require(planes == 1, s"planes must be 1, got $planes")
     require(bpp == 24 && compression == 0,
       s"only 24-bit uncompressed BI_RGB is supported, got bpp=$bpp compression=$compression")
-    val rowSize = ((width * 3 + 3) / 4) * 4 // rows pad to 4-byte boundary
-    require(bytes.length.toLong >= dataOffset.toLong + rowSize.toLong * height,
-      s"pixel array truncated: need ${dataOffset + rowSize.toLong * height}, have ${bytes.length}")
+    // Long arithmetic throughout: width near 2^31/3 overflows `width*3`
+    // to a NEGATIVE Int, which would flip the truncation require into a
+    // vacuous check and then blow up (NegativeArraySizeException or a
+    // multi-GB allocation) on a crafted header. Once this bound holds,
+    // rowSizeL*height ≤ bytes.length ≤ Int.MaxValue and rowSizeL ≥
+    // 3*width, so width*height ≤ bytes.length/3 — the pixel allocation
+    // below is safe without a separate dimension cap.
+    val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundary
+    require(bytes.length.toLong >= dataOffset.toLong + rowSizeL * height,
+      s"pixel array truncated: need ${dataOffset.toLong + rowSizeL * height}, have ${bytes.length}")
+    val rowSize = rowSizeL.toInt
     val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {

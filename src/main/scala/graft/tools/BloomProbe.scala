@@ -10,7 +10,13 @@ object BloomProbe {
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val dir = "/root/testdata/sf0.01"
+    // dir from args or env — the probe has no business hardcoding a
+    // fixture path (the plan pin itself lives in PlanAuditSpec; this
+    // tool remains for ad-hoc conf experiments on arbitrary data)
+    val dir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error(
+        "usage: BloomProbe <sfDir>  (or set SPARK_GRAFT_SF_DIR)"))
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")

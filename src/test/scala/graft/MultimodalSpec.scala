@@ -77,6 +77,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bmp.pixels.toSeq == Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
   }
 
+  test("adversarial BMP header: width*3 Int overflow rejects cleanly, decode falls back") {
+    import graft.sources.MediaCodec
+    // width = 800M: width*3 overflows Int to a negative row size; before
+    // the Long-arithmetic fix the truncation require passed vacuously
+    // and allocation threw NegativeArraySizeException — a FATAL escape
+    // from decode()'s totality catch under the old 2-exception list
+    def i32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def i16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val crafted: Array[Byte] =
+      Array[Byte]('B', 'M') ++ i32(70) ++ i32(0) ++ i32(54) ++
+        i32(40) ++ i32(800000000) ++ i32(1) ++ i16(1) ++ i16(24) ++ i32(0) ++
+        i32(16) ++ i32(2835) ++ i32(2835) ++ i32(0) ++ i32(0) ++
+        new Array[Byte](16)
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeBmp(crafted))
+    assert(e.getMessage.contains("truncated"))
+    // and the pipeline-level decoder stays total: opaque fallback
+    val media = Seq((7L, crafted)).toDF("media_id", "payload")
+    val f = ops.Multimodal.decodeFeatures(spark, media).head().feature
+    assert(f.length == 8)
+  }
+
   test("BMP round-trip: encode → decode is identity (odd width exercises padding)") {
     import graft.sources.MediaCodec
     val px = Array.tabulate(3 * 2)(i => (i * 37 + 11) * 0x010203 & 0xffffff)

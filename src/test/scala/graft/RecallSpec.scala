@@ -76,6 +76,21 @@ class RecallSpec extends AnyFunSuite {
     assert(expected.nonEmpty) // the planted near-dups produce close signatures
   }
 
+  test("q_dedup_simhash_k (Hamming≤3) recall on planted near-dup pairs") {
+    val got = SparkEntry.queries("q_dedup_simhash_k")(spark, dir)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "general Hamming≤k path returned no candidates")
+    val found = planted.count(got.contains)
+    // 4/7 measured on the fixed fixtures — deterministic, and the
+    // expected regime for simhash at k=3: a J≥0.95 pair differing in a
+    // handful of high-frequency tokens can legitimately sit at Hamming
+    // 4-6 (simhash trades recall on short docs for O(n) banding; the
+    // banding==brute test above proves the operator reports EXACTLY the
+    // ≤k universe, so any drop here means the signature itself changed)
+    assert(found >= 4, s"found only $found/${planted.size} planted pairs")
+  }
+
   test("winnowing fingerprints: identical text ⇒ identical fingerprint, and planted pairs share windows") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
