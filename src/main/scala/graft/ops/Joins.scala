@@ -438,13 +438,29 @@ object Joins {
     * a plain shuffled equi-join, AQE's skew-join split handles exactly
     * this at runtime (splits oversized partitions, replicates the other
     * side) — which is why the rewrite targets an equi-join shape rather
-    * than anything custom; for AQE-off deployments compose with
-    * Skew.saltedJoin on the banded keys. */
+    * than anything custom; for AQE-off deployments use
+    * [[bandedIntervalJoinSalted]], the Skew.saltedJoin composition on
+    * the banded keys (result-equality pinned in SkewSpec under an
+    * AQE-off half-the-events-on-one-user distribution). */
   def bandedIntervalJoin(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTimeUs: String, rightTimeUs: String,
                          beforeUs: Long,
                          bandUs: Long = 0L): DataFrame = {
+    val (l, r) = bandSides(left, right, leftTimeUs, rightTimeUs, beforeUs, bandUs)
+    l.join(r,
+        l(leftKey) === r(rightKey) && l("_band") === r("_band")
+          && r(rightTimeUs) <= l(leftTimeUs)
+          && r(rightTimeUs) >= l(leftTimeUs) - beforeUs)
+      .drop("_band")
+  }
+
+  /** The shared banding step of the interval-join rewrite: the LEFT
+    * side exploded into every band its lookback window spans, the RIGHT
+    * side assigned its single band. */
+  private def bandSides(left: DataFrame, right: DataFrame,
+                        leftTimeUs: String, rightTimeUs: String,
+                        beforeUs: Long, bandUs: Long): (DataFrame, DataFrame) = {
     require(beforeUs >= 0, s"beforeUs must be non-negative, got $beforeUs")
     val w = if (bandUs > 0) bandUs else beforeUs
     require(w > 0,
@@ -455,10 +471,32 @@ object Joins {
           i => (col(leftTimeUs) - col(leftTimeUs) % w) / w - i)))
       .filter(col("_band") >= (col(leftTimeUs) - beforeUs - (col(leftTimeUs) - beforeUs) % w) / w)
     val r = right.withColumn("_band", (col(rightTimeUs) - col(rightTimeUs) % w) / w)
-    l.join(r,
-        l(leftKey) === r(rightKey) && l("_band") === r("_band")
-          && r(rightTimeUs) <= l(leftTimeUs)
-          && r(rightTimeUs) >= l(leftTimeUs) - beforeUs)
-      .drop("_band")
+    (l, r)
+  }
+
+  /** [[bandedIntervalJoin]] for AQE-OFF deployments with a hot key: the
+    * literal Skew.saltedJoin composition the doc above promises. The
+    * (bigger) right side is the salted fact, the exploded left side is
+    * replicated across `saltBuckets`, the equi-join runs on
+    * (key, band, salt), and the exact interval predicate filters
+    * residually — so a hot (key, band) partition spreads over
+    * `saltBuckets` tasks. Identical rows to the unsalted form (the salt
+    * is matched by construction; SkewSpec pins equality), though column
+    * ORDER differs (using-join: right side first). Both sides must have
+    * disjoint column names. */
+  def bandedIntervalJoinSalted(left: DataFrame, right: DataFrame,
+                               leftKey: String, rightKey: String,
+                               leftTimeUs: String, rightTimeUs: String,
+                               beforeUs: Long, saltBuckets: Int,
+                               bandUs: Long = 0L): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    val (l0, r0) = bandSides(left, right, leftTimeUs, rightTimeUs, beforeUs, bandUs)
+    // using-column join keys must share names across the two sides
+    val l = l0.withColumn("_jk", col(leftKey))
+    val r = r0.withColumn("_jk", col(rightKey))
+    Skew.saltedJoin(r, l, Seq("_jk", "_band"), saltBuckets)
+      .filter(col(rightTimeUs) <= col(leftTimeUs)
+        && col(rightTimeUs) >= col(leftTimeUs) - beforeUs)
+      .drop("_jk", "_band")
   }
 }

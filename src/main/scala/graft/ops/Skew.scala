@@ -44,11 +44,21 @@ object Skew {
     * join key becomes (key, salt) — the hot key's rows now spread over
     * `buckets` tasks instead of one. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame =
+    saltedJoin(fact, dim, Seq(key), saltBuckets)
+
+  /** Multi-key form (e.g. the (key, band) pair of
+    * [[Joins.bandedIntervalJoinSalted]]): both sides must carry the key
+    * columns under the SAME names (using-column join); every non-key
+    * column name must be distinct across the two sides. The salt value
+    * is irrelevant to the result — any salt matches the replicated dim
+    * row — so the nondeterministic per-row salt is retry-safe. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  saltBuckets: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     val replicatedDim = dim
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
-    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+    saltedFact.join(replicatedDim, keys :+ "__salt").drop("__salt")
   }
 }
