@@ -97,6 +97,40 @@ object Functions {
           min(col("k")).cast("long").as("min_k"),
           max(col("k")).cast("long").as("max_k"))
         .orderBy(col("event_type"))
+    },
+
+    // Map family (§2.5 row 7, closed in r4): a MAP column itself can't
+    // ride to the oracle (DuckDB map literals don't round-trip parquet
+    // identically — the original exclusion reason), so the map is built
+    // and consumed IN-QUERY — from_json to map, map_from_entries over
+    // sorted entries, then map_keys / element_at / map_filter /
+    // map_concat / size — and only flat columns leave. The oracle
+    // computes the same semantics relationally, exactly like every
+    // other equivalence-form oracle in this file. Entries are sorted
+    // before map_from_entries, so map_keys order is deterministic.
+    "q_fn_map" -> { (s, dir) =>
+      val propsMap = from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+      val counts = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          element_at(propsMap, "k").as("k"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("k")).cast("long").as("sum_k_part"))
+      counts.groupBy(col("user_id"))
+        .agg(
+          map_from_entries(array_sort(
+            collect_list(struct(col("event_type"), col("cnt"))))).as("m"),
+          sum(col("sum_k_part")).cast("long").as("sum_k"))
+        .select(
+          col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          concat_ws(",", map_keys(col("m"))).as("types_csv"),
+          coalesce(element_at(col("m"), lit("purchase")), lit(0L)).as("n_purchase"),
+          size(map_filter(col("m"), (_, v) => v >= 5)).cast("long").as("n_hot"),
+          size(map_concat(col("m"), map(lit("_total"), lit(-1L)))).cast("long").as("n_concat"),
+          col("sum_k"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -165,6 +199,30 @@ object Functions {
         |  CAST(MAX(k) AS BIGINT) AS max_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // Relational equivalence form of the map semantics: per-user
+    // distinct-type count (size/map_keys), sorted-key concat, the
+    // 'purchase' lookup (element_at), the cnt>=5 entry count
+    // (map_filter), size after a disjoint-key map_concat (+1), and the
+    // summed props lookup.
+    "q_fn_map" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_part
+        |  FROM events
+        |  GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN cnt END), 0) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+        |  CAST(COUNT(*) + 1 AS BIGINT) AS n_concat,
+        |  CAST(SUM(sum_k_part) AS BIGINT) AS sum_k
+        |FROM c
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
   )
 }
