@@ -101,6 +101,45 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "snappy").orc(path)
 
+  /** XML (Spark 4 built-in source, the former spark-xml): `rowTag`
+    * scopes each record element. Ingest-only at scale like CSV/JSON —
+    * normalize to parquet first thing. Schema always passed explicitly
+    * (inference is a full extra pass over row-tag soup). */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("rowTag", rowTag)
+      .option("timestampFormat", tsFmt)
+      .option("mode", "FAILFAST")
+      .format("xml").load(path)
+
+  /** XML twin of [[readCsvQuarantine]] — same contract and the same
+    * corrupt-column-only query caveat. A malformed ELEMENT (bad nesting,
+    * unparseable value under FAILFAST) lands in `_corrupt_record`;
+    * note the XML reader quarantines at row-tag granularity, not file
+    * lines. */
+  def readXmlQuarantine(spark: SparkSession, path: String, rowTag: String,
+                        schema: StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("rowTag", rowTag)
+      .option("timestampFormat", tsFmt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .format("xml").load(path)
+  }
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite")
+      .option("rowTag", rowTag)
+      .option("timestampFormat", tsFmt)
+      .option("compression", "gzip")
+      .format("xml").save(path)
+
   /** Lakehouse-layout sink: parquet partitioned by the event date with
     * rows sorted inside each file on `sortCols`.
     *

@@ -71,6 +71,36 @@ class SourcesSpec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("XML round-trip of nation is lossless (Spark 4 built-in source)") {
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    val n = Tables.nation(spark, dir)
+    Sources.writeXml(n, s"$tmp/nation", rowTag = "nation")
+    val back = Sources.readXml(spark, s"$tmp/nation", "nation", n.schema)
+    assert(back.count() == n.count())
+    assert(back.exceptAll(n).count() == 0 && n.exceptAll(back).count() == 0)
+  }
+
+  test("quarantine XML ingest captures malformed row elements instead of aborting") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft_xquar").toString
+    Files.writeString(java.nio.file.Path.of(tmp, "in.xml"),
+      """<rows>
+        |<r><id>1</id><qty>10</qty></r>
+        |<r><id>oops</id><qty>not_a_number</qty></r>
+        |<r><id>3</id><qty>30</qty></r>
+        |</rows>
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    val got = Sources.readXmlQuarantine(spark, s"$tmp/in.xml", "r", schema).cache()
+    assert(got.count() == 3) // nothing aborted, nothing silently dropped
+    assert(got.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(got.filter(col("_corrupt_record").isNull)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    got.unpersist()
+  }
+
   test("ORC round-trip of lineitem is lossless and pushdown-capable") {
     val tmp = Files.createTempDirectory("graft_orc").toString
     val li = Tables.lineitem(spark, dir)
