@@ -81,20 +81,19 @@ object Text {
     // Benchmark decontamination over a held-out tenth of the corpus
     // standing in for an eval suite — see contamination below.
     "q_text_decontam" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      contamination(docs.filter(col("doc_id") % 10 =!= 0),
-          docs.filter(col("doc_id") % 10 === 0), minOverlap = 3)
-        .orderBy(col("doc_id"), col("bench_id"))
+      contamPairs(s, dir).orderBy(col("doc_id"), col("bench_id"))
     },
 
     // The decontamination APPLY step graded end-to-end: the surviving
     // corpus (flagged docs anti-joined away) summarized per lang. Same
-    // corpus/benchmark split and threshold as q_text_decontam, so the
-    // two keys grade detection and removal of the same overlap set.
+    // corpus/benchmark split and threshold as q_text_decontam — the two
+    // keys share one memoized overlap computation (the clusterCache
+    // pattern: one operator pipeline invoked by two keys), so this key
+    // grades the applyDecontamination composition, which is exactly
+    // what decontaminate() runs.
     "q_text_decontam_apply" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      decontaminate(docs.filter(col("doc_id") % 10 =!= 0),
-          docs.filter(col("doc_id") % 10 === 0), minOverlap = 3)
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+      applyDecontamination(corpus, contamPairs(s, dir))
         .groupBy(col("lang"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
@@ -177,10 +176,37 @@ object Text {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     minOverlap: Long = 8, n: Int = 3,
                     stopDfCap: Int = Int.MaxValue): DataFrame =
-    corpus.join(
-      contamination(corpus, benchmark, minOverlap, n, stopDfCap)
-        .select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
+    applyDecontamination(corpus,
+      contamination(corpus, benchmark, minOverlap, n, stopDfCap))
+
+  /** [[decontaminate]]'s removal half, for callers holding an already-
+    * computed (or memoized) pair set. */
+  def applyDecontamination(corpus: DataFrame, pairs: DataFrame): DataFrame =
+    corpus.join(pairs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+
+  // one overlap computation per (session, corpus dir) shared by the two
+  // decontam keys — the clusterCache pattern; the pair set is tiny (27
+  // rows at sf0.01) so the cache() holds the result, not the pipeline.
+  // Same JVM-lifetime caveat as tfIdfCache; clearContamCache() on
+  // session teardown.
+  private val contamCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def contamPairs(s: SparkSession, dir: String): DataFrame =
+    contamCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
+        val docs = Tables.documents(s, dir)
+        contamination(docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), minOverlap = 3).cache()
+      })
+
+  /** Release the memoized decontamination pair sets — the
+    * [[Ann.clearIndexes]] twin for session teardown. */
+  def clearContamCache(): Unit = {
+    contamCache.values.foreach(d =>
+      try d.unpersist() catch { case _: Exception => () })
+    contamCache.clear()
+  }
 
   /** tf-idf top-k terms per doc. Ordering is on the ROUNDED score so
     * cross-engine ranking happens on the same 4-dp grid, term as
