@@ -139,19 +139,23 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, numPerm: Int = 16, bands: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
     // cached pre-cap: feeds the bucket-size count AND both self-join
-    // sides, so the signature pipeline runs once
+    // sides, so the signature pipeline runs once. (The cache includes
+    // the soon-to-be-dropped hot rows — the price of computing sizes
+    // and the join from ONE materialization; identical-plan cache()
+    // calls reuse one entry via the cache manager, so repeated
+    // invocations don't stack copies.)
     val banded0 = bandedSignatures(exactCollapse(docs), numPerm, bands)
       .cache()
     // the cap guard must not itself be a funnel (the r3 stop-shingle
     // lesson, applied here too): a count() window partitioned by bucket
     // sorts a hot bucket's every row in ONE task — the exact blowup the
     // cap exists to prevent. groupBy is a partial+final aggregation
-    // (hot buckets reduce map-side), the above-cap set is tiny by
-    // construction → broadcast anti-join. Same dropped set, no funnel.
+    // (hot buckets reduce map-side); the anti-join side is gated in
+    // antiJoinHot.
     val hot = banded0.groupBy(col("band"), col("bhash"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
       .select(col("band"), col("bhash"))
-    val banded = banded0.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
+    val banded = antiJoinHot(banded0, hot, Seq("band", "bhash"))
     val a = banded.select(col("band"), col("bhash"),
       col("doc_id").as("a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bhash"),
@@ -161,6 +165,25 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           bool => bool)).cast("double") / numPerm).as("est_jaccard"))
       .distinct()
+  }
+
+  /** Drop `base` rows whose key is in the above-cap set `hot`, without
+    * either failure mode of the naive forms: a per-bucket count()
+    * window funnels a hot bucket's rows into one sort task, and an
+    * UNCONDITIONAL broadcast of `hot` becomes the failure point when
+    * the above-cap set is itself huge — it is bounded only by
+    * rows/maxBucket, so a degenerate 10¹¹-row corpus can push 10⁸ keys
+    * into the broadcast and OOM the driver in exactly the scenario the
+    * cap exists to survive. The gate counts `hot` (one aggregated
+    * action over the caller's cached input — the tfIdfTopK
+    * broadcast-gate pattern) and broadcasts only below
+    * `maxBroadcastKeys`; above it the anti-join runs shuffled, where
+    * AQE's skew split spreads the hot key partitions. */
+  private[ops] def antiJoinHot(base: DataFrame, hot: DataFrame,
+                               keys: Seq[String],
+                               maxBroadcastKeys: Long = 4000000L): DataFrame = {
+    val h = if (hot.count() <= maxBroadcastKeys) broadcast(hot) else hot
+    base.join(h, keys, "left_anti")
   }
 
   /** Audit companion to [[minHashCandidates]]: the (band, bhash) buckets
@@ -292,7 +315,10 @@ object Dedup {
       // materializes from labels' cache blocks (one cache-to-cache
       // copy, once per call — not per round).
       val out = labels.select(col("doc"), col("label")).cache()
-      out.count()
+      // if the materialization itself fails, the freshly-registered out
+      // cache must not be orphaned (the outer catch only knows labels)
+      try out.count()
+      catch { case t: Throwable => out.unpersist(); throw t }
       labels.unpersist()
       out
     } catch { case t: Throwable => labels.unpersist(); throw t }
@@ -400,12 +426,12 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bval"))
       .cache()
     // no-funnel cap guard (see minHashCandidates): partial+final count,
-    // tiny above-cap set, broadcast anti-join — never a per-bucket
-    // window that would sort a hot bucket in one task
+    // gated anti-join — never a per-bucket window that would sort a hot
+    // bucket in one task
     val hot = banded0.groupBy(col("band"), col("bval"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
       .select(col("band"), col("bval"))
-    val banded = banded0.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+    val banded = antiJoinHot(banded0, hot, Seq("band", "bval"))
     val a = banded.select(col("band"), col("bval"),
       col("doc_id").as("a"), col("simhash").as("sig_a"))
     val b = banded.select(col("band"), col("bval"),
@@ -446,11 +472,11 @@ object Dedup {
       .withColumn("bucket", hyperplaneBucket(col("v"), nPlanes))
       .cache()
     // no-funnel cap guard (see minHashCandidates): partial+final count,
-    // tiny above-cap set, broadcast anti-join
+    // gated anti-join
     val hot = withB0.groupBy(col("bucket"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
       .select(col("bucket"))
-    val withB = withB0.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val withB = antiJoinHot(withB0, hot, Seq("bucket"))
     val a = withB.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
     val b = withB.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
     val dot = graft.expressions.VectorExpressions.dot_product(col("va"), col("vb"))

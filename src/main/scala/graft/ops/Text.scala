@@ -153,14 +153,15 @@ object Text {
                     minOverlap: Long = 8, n: Int = 3,
                     stopDfCap: Int = Int.MaxValue): DataFrame = {
     // the guard must not itself be a skew funnel: df comes from a
-    // partial+final groupBy (the hot key reduces map-side), the
-    // above-cap set is tiny by construction → broadcast anti-join
+    // partial+final groupBy (the hot key reduces map-side); the
+    // anti-join side is broadcast-gated (Dedup.antiJoinHot) because the
+    // above-cap set is only bounded by rows/cap, not "tiny"
     def capped(sh: DataFrame): DataFrame =
       if (stopDfCap == Int.MaxValue) sh
       else {
         val hot = sh.groupBy(col("h0")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") > stopDfCap).select(col("h0"))
-        sh.join(broadcast(hot), Seq("h0"), "left_anti")
+        Dedup.antiJoinHot(sh, hot, Seq("h0"))
       }
     val c = capped(Dedup.shingleHashes(corpus, n).select(col("doc_id"), col("h0")))
     val b = capped(Dedup.shingleHashes(benchmark, n)
@@ -290,14 +291,15 @@ object Text {
       .select(col("doc_id"), col("lang"), col("h0").as("h"))
     // same no-funnel discipline as contamination's guard: the df count
     // is a partial+final aggregation (hot shingles reduce map-side),
-    // the above-cap set is tiny → broadcast anti-join, no window that
-    // would itself sort a boilerplate shingle's 10⁹ rows in one task
+    // the anti-join side broadcast-gated (Dedup.antiJoinHot) — no
+    // window that would sort a boilerplate shingle's 10⁹ rows in one
+    // task, and no unconditional broadcast of an unbounded hot set
     val kept =
       if (stopDfCap == Int.MaxValue) base
       else {
         val hot = base.groupBy(col("lang"), col("h")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") > stopDfCap).select(col("lang"), col("h"))
-        base.join(broadcast(hot), Seq("lang", "h"), "left_anti")
+        Dedup.antiJoinHot(base, hot, Seq("lang", "h"))
       }
     val sh = kept.cache() // read 3× below (both self-join sides + sizes)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("sz"))

@@ -111,6 +111,12 @@ object Sources {
       .schema(schema)
       .option("rowTag", rowTag)
       .option("timestampFormat", tsFmt)
+      // the reader TRIMS value whitespace by default
+      // (ignoreSurroundingSpaces defaults true in XmlOptions) — that
+      // silently corrupts string values with leading/trailing spaces,
+      // so the lossless contract requires turning it off; the writer
+      // emits values unpadded inside the tags, so round-trips stay exact
+      .option("ignoreSurroundingSpaces", "false")
       .option("mode", "FAILFAST")
       .format("xml").load(path)
 
@@ -128,6 +134,7 @@ object Sources {
       .schema(withCorrupt)
       .option("rowTag", rowTag)
       .option("timestampFormat", tsFmt)
+      .option("ignoreSurroundingSpaces", "false") // see readXml
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .format("xml").load(path)

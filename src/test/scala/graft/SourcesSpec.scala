@@ -80,6 +80,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(n).count() == 0 && n.exceptAll(back).count() == 0)
   }
 
+  test("XML round-trip preserves leading/trailing whitespace in strings") {
+    // the reader's ignoreSurroundingSpaces default would silently trim
+    // " padded " to "padded" — the lossless contract pins it off
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_xmlws").toString
+    val df = Seq((1L, " padded ", "  lead"), (2L, "trail  ", "inner  kept"))
+      .toDF("id", "a", "b")
+    Sources.writeXml(df, s"$tmp/ws", rowTag = "row")
+    val back = Sources.readXml(spark, s"$tmp/ws", "row", df.schema)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+  }
+
   test("quarantine XML ingest captures malformed row elements instead of aborting") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col
