@@ -261,6 +261,25 @@ object Relational {
         .groupBy(col("l_linestatus"))
         .agg(countDistinct(col("l_partkey")).cast("long").as("exact_nd_part"))
         .orderBy(col("l_linestatus"))
+    },
+
+    // argmax/argmin + predicate-aggregate family (r4): max_by/min_by
+    // break ties ARBITRARILY in both engines, so the ordering key is
+    // made UNIQUE — price_cents·10⁶ + orderkey (orderkey < 10⁶ at every
+    // tested SF; at a larger SF widen the multiplier) — making the
+    // picked row deterministic. count_if / bool_and / bool_or are
+    // plain predicate aggregates, same names both engines.
+    "q_agg_argmax" -> { (s, dir) =>
+      val ord = cents(col("o_totalprice")) * lit(1000000L) + col("o_orderkey")
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"), ord).cast("long").as("biggest_order"),
+          min_by(col("o_orderkey"), ord).cast("long").as("smallest_order"),
+          count_if(col("o_orderpriority") === "1-URGENT").cast("long").as("n_urgent"),
+          bool_and(col("o_totalprice") > 0.0).as("all_pos"),
+          bool_or(cents(col("o_totalprice")) > 40000000L).as("any_jumbo"))
+        .orderBy(col("o_custkey"))
     }
   )
 
@@ -422,6 +441,17 @@ object Relational {
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd_part
         |FROM lineitem
         |GROUP BY l_linestatus
-        |ORDER BY l_linestatus""".stripMargin
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q_agg_argmax" ->
+      """SELECT o_custkey,
+        |  CAST(max_by(o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) * 1000000 + o_orderkey) AS BIGINT) AS biggest_order,
+        |  CAST(min_by(o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) * 1000000 + o_orderkey) AS BIGINT) AS smallest_order,
+        |  CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+        |  bool_and(o_totalprice > 0.0) AS all_pos,
+        |  bool_or(CAST(ROUND(o_totalprice*100) AS BIGINT) > 40000000) AS any_jumbo
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin
   )
 }

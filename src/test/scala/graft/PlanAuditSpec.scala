@@ -133,6 +133,29 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("decontam apply is an anti-join, and SimHash k-banding never nests loops") {
+    // the removal path must stay a hash anti-join on doc_id (one
+    // id-keyed pass over the corpus); the Hamming≤k candidate join must
+    // stay an equi-join on (band, bval) — a theta/nested-loop fallback
+    // is the O(n²) failure both operators exist to avoid
+    val pa = plan(SparkEntry.queries("q_text_decontam_apply")(spark, dir))
+    assert(pa.contains("LeftAnti"), s"apply step lost its anti-join:\n$pa")
+    val pk = plan(SparkEntry.queries("q_dedup_simhash_k")(spark, dir))
+    assert(!pk.contains("BroadcastNestedLoop") && !pk.contains("CartesianProduct"),
+      s"simhash banding degenerated to an all-pairs join:\n$pk")
+  }
+
+  test("map-family and argmax keys aggregate partial+final with no window") {
+    // both are two-level aggregations; a Window sneaking in (e.g. a
+    // collect-then-rank rewrite) would funnel per-user rows at scale
+    val pm = plan(SparkEntry.queries("q_fn_map")(spark, dir))
+    assert(!pm.contains("Window"), s"q_fn_map grew a window:\n$pm")
+    val px = plan(SparkEntry.queries("q_agg_argmax")(spark, dir))
+    assert(!px.contains("Window"), s"q_agg_argmax grew a window:\n$px")
+    assert("HashAggregate".r.findAllIn(px).size >= 2,
+      s"argmax lost its partial aggregation:\n$px")
+  }
+
   test("custom codegen expressions don't break the codegen span") {
     val e = Tables.embeddings(spark, dir)
     val df = e.select(graft.expressions.VectorExpressions.cosine_sim(
