@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Profiling, Text, TextAnalysis}
+import graft.sources.Sources
+
+/** The LLM training-data curation pipeline end-to-end — what a crawl
+  * corpus run looks like on this engine, each stage the exact library
+  * operator the graded keys run:
+  *
+  *  1. quality gate   — TextAnalysis.qualityScore ≥ threshold
+  *  2. decontaminate  — Text.decontaminate vs a held-out benchmark
+  *                      (shingle-overlap detection + anti-join removal)
+  *  3. dedup          — Dedup.dedupCorpus (exact collapse + capped
+  *                      MinHash-LSH near-dup drop)
+  *  4. sample         — Profiling.stratifiedSample, n per language,
+  *                      content-hash deterministic
+  *  5. normalize      — Sources.toParquet (canonical format out)
+  *
+  * Every stage is shuffle-bounded/banded/capped per its operator's
+  * scale notes, so the same script is the 100 TB shape. Smoke-tested
+  * in PipelineDemoSpec; dir from args(0) or SPARK_GRAFT_SF_DIR.
+  */
+object TrainingDataPipelineDemo {
+
+  /** Run the pipeline; returns the per-stage surviving doc counts
+    * (insertion-ordered) for the caller to print or assert on. */
+  def run(spark: SparkSession, dir: String, outDir: String): Seq[(String, Long)] = {
+    val docs = Tables.documents(spark, dir)
+
+    val quality = TextAnalysis.qualityScore(docs)
+      .filter(col("quality") >= 0.3).select("doc_id")
+    val gated = docs.join(quality, Seq("doc_id"), "left_semi")
+
+    val bench = gated.filter(col("doc_id") % 10 === 0)
+    val corpus = gated.filter(col("doc_id") % 10 =!= 0)
+    val clean = Text.decontaminate(corpus, bench, minOverlap = 3)
+
+    val deduped = Dedup.dedupCorpus(clean)
+
+    val sampled = Profiling.stratifiedSample(deduped, "lang", "doc_id", n = 20)
+      .drop("rn")
+
+    Sources.toParquet(sampled, s"$outDir/corpus")
+
+    Seq(
+      "input" -> docs.count(),
+      "quality_gated" -> gated.count(),
+      "decontaminated" -> clean.count(),
+      "deduped" -> deduped.count(),
+      "sampled" -> sampled.count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error(
+        "usage: TrainingDataPipelineDemo <sfDir> [outDir]  (or set SPARK_GRAFT_SF_DIR)"))
+    val out = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_pipeline").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark, dir, out).foreach { case (stage, n) =>
+      println(f"[pipeline] $stage%-14s $n%7d docs")
+    }
+    println(s"[pipeline] curated corpus written to $out/corpus")
+    spark.stop()
+  }
+}

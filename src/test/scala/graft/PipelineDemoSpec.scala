@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape checks for the end-to-end curation pipeline demo: the
+  * stages must be monotonically non-increasing (each is a filter over
+  * the previous), the output non-empty, and the written parquet must
+  * agree with the reported sample count. */
+class PipelineDemoSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("training-data pipeline runs end-to-end, stages only shrink, output lands") {
+    val out = Files.createTempDirectory("graft_pipe").toString
+    val stages = tools.TrainingDataPipelineDemo.run(spark, "/root/testdata/sf0.001", out)
+    val counts = stages.map(_._2)
+    assert(stages.map(_._1) ==
+      Seq("input", "quality_gated", "decontaminated", "deduped", "sampled"))
+    assert(counts.head > 0 && counts.last > 0, s"empty pipeline: $stages")
+    // decontamination starts from the corpus SPLIT (benchmark tenth
+    // held out), so every stage after input is ≤ its predecessor
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"a stage grew: $stages")
+    val written = spark.read.parquet(s"$out/corpus")
+    assert(written.count() == counts.last)
+    // the sample is per-language capped at 20
+    import org.apache.spark.sql.functions._
+    val maxPerLang = written.groupBy(col("lang")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerLang <= 20)
+  }
+}
