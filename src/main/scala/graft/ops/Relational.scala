@@ -263,6 +263,21 @@ object Relational {
         .orderBy(col("l_linestatus"))
     },
 
+    // Histogram binning (r4): width_bucket over 20 equal bins. DuckDB
+    // has no width_bucket, so the oracle is the FLOOR equivalence.
+    // Determinism: Spark's WidthBucket divides by the bin width
+    // (max-min)/numBucket = 30000.0 exactly (both operands exact
+    // doubles), and the oracle divides by the same literal — the same
+    // IEEE division on both engines, so bucket edges agree bit-for-bit.
+    "q_agg_histogram" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(width_bucket(col("o_totalprice"),
+          lit(0.0), lit(600000.0), lit(20)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("bucket"))
+    },
+
     // argmax/argmin + predicate-aggregate family (r4): max_by/min_by
     // break ties ARBITRARILY in both engines, so the ordering key is
     // made UNIQUE — price_cents·10⁶ + orderkey (orderkey < 10⁶ at every
@@ -442,6 +457,16 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |                  WHEN o_totalprice >= 600000.0 THEN 21
+        |                  ELSE CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT) + 1
+        |             END AS bucket
+        |      FROM orders) t
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q_agg_argmax" ->
       """SELECT o_custkey,

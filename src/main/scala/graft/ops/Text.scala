@@ -100,6 +100,28 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // Benchmark contamination RATE (r4) — the reverse-direction metric
+    // of q_text_decontam: for each benchmark doc, what fraction of its
+    // distinct shingles appears ANYWHERE in the corpus (the eval-
+    // leakage score an eval suite publishes). Distinct corpus shingles
+    // semi-join the benchmark side; the ratio is an exact integer
+    // division → unrounded double, bit-stable cross-engine.
+    "q_text_contam_rate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val b = Dedup.shingleHashes(docs.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id").as("bench_id"), col("h0"))
+      val c = Dedup.shingleHashes(docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("h0")).distinct()
+      val hits = b.join(c, Seq("h0"), "left_semi")
+        .groupBy(col("bench_id")).agg(count(lit(1)).cast("long").as("hit"))
+      b.groupBy(col("bench_id")).agg(count(lit(1)).cast("long").as("sz"))
+        .join(hits, Seq("bench_id"), "left")
+        .select(col("bench_id"), col("sz"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+        .withColumn("rate", col("hit").cast("double") / col("sz"))
+        .orderBy(col("bench_id"))
+    },
+
     // Gopher-style repetition quality signals: per doc, the fraction of
     // 2-grams that are repeats and the share of the single most frequent
     // 2-gram — the standard boilerplate/spam filters of a crawl
@@ -445,6 +467,31 @@ object Text {
         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // String shingles vs xxhash64 keys: the q_dedup_near equivalence
+    // argument (equal modulo negligible 64-bit collisions).
+    "q_text_contam_rate" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+        |  FROM d, UNNEST(range(len(d.toks) - 2)) AS u(i)
+        |), b AS (
+        |  SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 10 = 0
+        |), c AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0
+        |), hits AS (
+        |  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS hit
+        |  FROM b WHERE sh IN (SELECT sh FROM c)
+        |  GROUP BY bench_id
+        |)
+        |SELECT s.bench_id, s.sz,
+        |  CAST(COALESCE(h.hit, 0) AS BIGINT) AS hit,
+        |  CAST(COALESCE(h.hit, 0) AS DOUBLE) / s.sz AS rate
+        |FROM (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS sz FROM b GROUP BY bench_id) s
+        |LEFT JOIN hits h ON s.bench_id = h.bench_id
+        |ORDER BY s.bench_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH d AS (
