@@ -179,9 +179,9 @@ object Dedup {
     * broadcast-gate pattern) and broadcasts only below
     * `maxBroadcastKeys`; above it the anti-join runs shuffled, where
     * AQE's skew split spreads the hot key partitions. */
-  private[ops] def antiJoinHot(base: DataFrame, hot: DataFrame,
-                               keys: Seq[String],
-                               maxBroadcastKeys: Long = 4000000L): DataFrame = {
+  private[graft] def antiJoinHot(base: DataFrame, hot: DataFrame,
+                                 keys: Seq[String],
+                                 maxBroadcastKeys: Long = 4000000L): DataFrame = {
     val h = if (hot.count() <= maxBroadcastKeys) broadcast(hot) else hot
     base.join(h, keys, "left_anti")
   }

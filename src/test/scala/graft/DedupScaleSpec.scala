@@ -64,6 +64,20 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(hot.agg(max($"members")).head().getLong(0) >= 2)
   }
 
+  test("antiJoinHot: broadcast and shuffled branches drop the same set") {
+    // the r4 broadcast gate must be result-invisible: with the key
+    // count under the cap (broadcast branch) and with maxBroadcastKeys
+    // forced to 0 (shuffled branch), the surviving rows are identical
+    val base = (1L to 200L).map(i => (i, i % 7)).toDF("id", "k")
+    val hot = Seq(0L, 3L).toDF("k") // keys to drop
+    val a = ops.Dedup.antiJoinHot(base, hot, Seq("k"))
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = ops.Dedup.antiJoinHot(base, hot, Seq("k"), maxBroadcastKeys = 0L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.forall(i => i % 7 != 0 && i % 7 != 3))
+  }
+
   test("SimHash star pairs stay linear on identical docs") {
     val sh = ops.Dedup.simHash(boiler)
     import org.apache.spark.sql.expressions.Window
