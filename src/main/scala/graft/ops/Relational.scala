@@ -263,6 +263,25 @@ object Relational {
         .orderBy(col("l_linestatus"))
     },
 
+    // Linear-regression aggregates (r4): the OLS family both engines
+    // ship (regr_slope/intercept/r2/avgx/avgy/count). FP-accumulated →
+    // round-4 like q_agg_stats' corr/covar (same moment-sum stability
+    // argument, verified cross-engine on this data).
+    "q_agg_regr" -> { (s, dir) =>
+      val y = col("l_extendedprice")
+      val x = col("l_quantity")
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(y, x), 4).as("slope"),
+          round(regr_intercept(y, x), 4).as("icept"),
+          round(regr_r2(y, x), 4).as("r2"),
+          round(regr_avgx(y, x), 4).as("avgx"),
+          round(regr_avgy(y, x), 4).as("avgy"),
+          regr_count(y, x).cast("long").as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Histogram binning (r4): width_bucket over 20 equal bins. DuckDB
     // has no width_bucket, so the oracle is the FLOOR equivalence.
     // Determinism: Spark's WidthBucket divides by the bin width
@@ -457,6 +476,18 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin,
+
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  ROUND(CAST(regr_slope(l_extendedprice, l_quantity) AS DOUBLE), 4) AS slope,
+        |  ROUND(CAST(regr_intercept(l_extendedprice, l_quantity) AS DOUBLE), 4) AS icept,
+        |  ROUND(CAST(regr_r2(l_extendedprice, l_quantity) AS DOUBLE), 4) AS r2,
+        |  ROUND(CAST(regr_avgx(l_extendedprice, l_quantity) AS DOUBLE), 4) AS avgx,
+        |  ROUND(CAST(regr_avgy(l_extendedprice, l_quantity) AS DOUBLE), 4) AS avgy,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_histogram" ->
       """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
