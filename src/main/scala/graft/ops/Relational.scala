@@ -284,10 +284,14 @@ object Relational {
 
     // Histogram binning (r4): width_bucket over 20 equal bins. DuckDB
     // has no width_bucket, so the oracle is the FLOOR equivalence.
-    // Determinism: Spark's WidthBucket divides by the bin width
-    // (max-min)/numBucket = 30000.0 exactly (both operands exact
-    // doubles), and the oracle divides by the same literal — the same
-    // IEEE division on both engines, so bucket edges agree bit-for-bit.
+    // Determinism caveat: Spark's WidthBucket computes
+    // (numBucket·(v−min)/(max−min)).toLong + 1 — multiply THEN divide,
+    // two FP roundings — while the oracle computes FLOOR(v/30000.0),
+    // so edge agreement is NOT a same-expression argument. For THESE
+    // constants it was verified by brute force over every cent-grid
+    // double in [0, 600000): zero disagreements. Reusing this pattern
+    // with other min/max/numBucket or non-2dp inputs requires the same
+    // re-validation (off-by-one bucket flips at edges otherwise).
     "q_agg_histogram" -> { (s, dir) =>
       Tables.orders(s, dir)
         .select(width_bucket(col("o_totalprice"),
@@ -301,7 +305,10 @@ object Relational {
     // break ties ARBITRARILY in both engines, so the ordering key is
     // made UNIQUE — price_cents·10⁶ + orderkey (orderkey < 10⁶ at every
     // tested SF; at a larger SF widen the multiplier) — making the
-    // picked row deterministic. count_if / bool_and / bool_or are
+    // picked row deterministic. The bound is ENFORCED by InvariantsSpec
+    // ("argmax ordering key stays unique") against every fixture tier,
+    // so a fixture regeneration that breaks it fails loudly instead of
+    // flaking the hash compare. count_if / bool_and / bool_or are
     // plain predicate aggregates, same names both engines.
     "q_agg_argmax" -> { (s, dir) =>
       val ord = cents(col("o_totalprice")) * lit(1000000L) + col("o_orderkey")

@@ -111,13 +111,15 @@ object Text {
       val b = Dedup.shingleHashes(docs.filter(col("doc_id") % 10 === 0))
         .select(col("doc_id").as("bench_id"), col("h0"))
       val c = Dedup.shingleHashes(docs.filter(col("doc_id") % 10 =!= 0))
-        .select(col("h0")).distinct()
-      val hits = b.join(c, Seq("h0"), "left_semi")
-        .groupBy(col("bench_id")).agg(count(lit(1)).cast("long").as("hit"))
-      b.groupBy(col("bench_id")).agg(count(lit(1)).cast("long").as("sz"))
-        .join(hits, Seq("bench_id"), "left")
-        .select(col("bench_id"), col("sz"),
-          coalesce(col("hit"), lit(0L)).as("hit"))
+        .select(col("h0")).distinct().withColumn("_m", lit(1))
+      // single pass: a LEFT join against the marked corpus set lets one
+      // aggregation produce both the shingle count (count(*)) and the
+      // hit count (count of non-null markers) — the separate
+      // sz/hits aggregations would shingle the benchmark side twice
+      b.join(c, Seq("h0"), "left")
+        .groupBy(col("bench_id"))
+        .agg(count(lit(1)).cast("long").as("sz"),
+          count(col("_m")).cast("long").as("hit"))
         .withColumn("rate", col("hit").cast("double") / col("sz"))
         .orderBy(col("bench_id"))
     },

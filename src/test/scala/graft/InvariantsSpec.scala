@@ -26,6 +26,18 @@ class InvariantsSpec extends AnyFunSuite {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("argmax ordering key stays unique (orderkey below the 10^6 multiplier)") {
+    // q_agg_argmax's determinism rests on price_cents·10⁶ + o_orderkey
+    // being collision-free, which requires o_orderkey < 10⁶. Assert it
+    // on every fixture tier the harness grades, so a fixture scale-up
+    // fails HERE instead of flaking the max_by tie-break downstream.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val mx = Tables.orders(spark, d).agg(max("o_orderkey")).head().getLong(0)
+      assert(mx < 1000000L, s"$d: max o_orderkey $mx breaks the uniqueness bound")
+    }
+  }
+
   test("semi ⊎ anti partitions customers") {
     val total = Tables.customer(spark, dir).count()
     assert(q("q_join_semi").count() + // has urgent order
