@@ -74,6 +74,54 @@ object TextAnalysis {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
         1, keep).as("fingerprint"))
 
+  /** PII patterns — written to mean the same thing in Java regex
+    * (Spark) and RE2 (DuckDB): character classes, bounded repetition
+    * and `\b` only; no alternation (leftmost-first vs leftmost-longest
+    * never differs), no backreferences/lookaround (RE2 lacks them). */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\b555-[0-9]{4}\\b"
+  val Ipv4Pat  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-doc PII hit counts (email / phone / dotted-quad IP). All
+    * codegen'd `RegExpCount` expressions — one scan, no UDF. */
+  def piiCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phone"),
+      regexp_count(col("text"), lit(Ipv4Pat)).cast("long").as("n_ip"))
+
+  /** Redact in a fixed order: emails first (their local parts contain
+    * digits that the later numeric patterns must never see), then IPs
+    * (dotted quads contain `555-`-free digit runs), then phones. The
+    * oracle nests its `regexp_replace(..., 'g')` calls in the same
+    * order, so the redacted string is byte-identical across engines. */
+  def redactedText(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>")
+
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", redactedText(col("text")))
+
+  /** The synthetic corpus contains no PII, so the graded keys plant it
+    * deterministically (doc_id-keyed suffixes, same literal CASE in the
+    * oracle SQL — the q_dedup_exact precedent): detection and redaction
+    * then have guaranteed non-empty hits at EVERY scale factor, instead
+    * of a vacuous 0=0 oracle match. Fixture untouched. */
+  private[graft] def plantPii(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.withColumn("text",
+      when(id % 7 === 0,
+        concat(col("text"), lit(" contact user"), id.cast("string"),
+          lit("@mail.example.com or admin"), (id % 97).cast("string"),
+          lit("@corp.example.org asap")))
+        .when(id % 7 === 3,
+          concat(col("text"), lit(" call 555-"),
+            lpad((id % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (id % 256).cast("string"), lit(".0."),
+            ((id * 7) % 256).cast("string")))
+        .otherwise(col("text")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> { (s, dir) =>
       langIdScores(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -97,6 +145,35 @@ object TextAnalysis {
     "q_text_fingerprint" -> { (s, dir) =>
       fingerprints(Tables.documents(s, dir))
         .select(col("doc_id"), element_at(col("fingerprint"), 1).as("min_fp"))
+        .orderBy(col("doc_id"))
+    },
+    // PII detection: per-language doc/hit counts over the planted
+    // corpus — one scan, three codegen'd regexp_count columns, one
+    // partial+final aggregation (no window, no join).
+    "q_text_pii" -> { (s, dir) =>
+      piiCounts(plantPii(Tables.documents(s, dir)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          count_if(col("n_email") > 0).cast("long").as("docs_email"),
+          sum(col("n_email")).cast("long").as("n_emails"),
+          count_if(col("n_phone") > 0).cast("long").as("docs_phone"),
+          sum(col("n_phone")).cast("long").as("n_phones"),
+          sum(col("n_ip")).cast("long").as("n_ips"))
+        .orderBy(col("lang"))
+    },
+    // PII redaction: rows that had any hit, with the redacted text
+    // verified by md5 — a byte-exact cross-engine check of the full
+    // three-stage replacement, not just the counts. One scan: counts
+    // and redaction are sibling scalar expressions over the same row.
+    "q_text_redact" -> { (s, dir) =>
+      val nPii = (regexp_count(col("text"), lit(EmailPat)) +
+        regexp_count(col("text"), lit(PhonePat)) +
+        regexp_count(col("text"), lit(Ipv4Pat))).cast("long")
+      val red = redactedText(col("text"))
+      plantPii(Tables.documents(s, dir))
+        .select(col("doc_id"), nPii.as("n_pii"), md5(red).as("red_md5"),
+          length(red).cast("long").as("red_len"))
+        .where(col("n_pii") > 0)
         .orderBy(col("doc_id"))
     }
   )
@@ -158,7 +235,50 @@ object TextAnalysis {
         |  trim(regexp_replace(regexp_replace(text, '\bdup\b', '<T>', 'g'),
         |    ' +', ' ', 'g')) AS clean
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
     // q_text_fingerprint: rows-only (xxhash64 not reproducible in DuckDB)
+
+    "q_text_pii" ->
+      s"""WITH planted AS ($plantedSql),
+         |c AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT) AS n_ip
+         |FROM planted)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE n_email > 0) AS BIGINT) AS docs_email,
+         |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+         |  CAST(count(*) FILTER (WHERE n_phone > 0) AS BIGINT) AS docs_phone,
+         |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+         |  CAST(sum(n_ip) AS BIGINT) AS n_ips
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_redact" ->
+      s"""WITH planted AS ($plantedSql),
+         |r AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailPat'))
+         |     + len(regexp_extract_all(text, '$PhonePat'))
+         |     + len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT) AS n_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailPat', '<EMAIL>', 'g'),
+         |    '$Ipv4Pat', '<IP>', 'g'),
+         |    '$PhonePat', '<PHONE>', 'g') AS red
+         |FROM planted)
+         |SELECT doc_id, n_pii, md5(red) AS red_md5,
+         |  CAST(length(red) AS BIGINT) AS red_len
+         |FROM r WHERE n_pii > 0 ORDER BY doc_id""".stripMargin
   )
+
+  /** The oracle-side twin of [[plantPii]] — byte-identical suffixes. */
+  private def plantedSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+      |         CAST(doc_id AS VARCHAR) || '@mail.example.com or admin' ||
+      |         CAST(doc_id % 97 AS VARCHAR) || '@corp.example.org asap'
+      |       WHEN doc_id % 7 = 3 THEN text || ' call 555-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |         ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+      |         CAST((doc_id * 7) % 256 AS VARCHAR)
+      |       ELSE text END AS text
+      |FROM documents""".stripMargin
 }

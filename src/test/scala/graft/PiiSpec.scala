@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PII detection/redaction contract: the planted hits land where the
+  * doc_id rule says, redaction is complete (a second detection pass
+  * over redacted text finds nothing), and non-planted text is
+  * untouched. */
+class PiiSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planted = ops.TextAnalysis.plantPii(Tables.documents(spark, dir))
+
+  test("planted hits follow the doc_id rule exactly") {
+    val rows = ops.TextAnalysis.piiCounts(planted)
+      .select("doc_id", "n_email", "n_phone", "n_ip").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, e, p, ip) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      if (id % 7 == 0) assert((e, p, ip) == ((2L, 0L, 0L)), s"doc $id")
+      else if (id % 7 == 3) assert((e, p, ip) == ((0L, 1L, 1L)), s"doc $id")
+      else assert((e, p, ip) == ((0L, 0L, 0L)), s"doc $id")
+    }
+  }
+
+  test("redaction is complete: second pass finds zero PII") {
+    val residue = ops.TextAnalysis.piiCounts(ops.TextAnalysis.redactPii(planted))
+      .filter(col("n_email") + col("n_phone") + col("n_ip") > 0).count()
+    assert(residue == 0L)
+  }
+
+  test("docs without planted PII pass through redaction byte-identical") {
+    val diff = ops.TextAnalysis.redactPii(planted).select("doc_id", "text")
+      .join(Tables.documents(spark, dir)
+          .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"), col("text").as("orig")),
+        "doc_id")
+      .filter(col("text") =!= col("orig")).count()
+    assert(diff == 0L)
+  }
+
+  test("redacted docs contain the masks, counts match mask occurrences") {
+    val bad = ops.TextAnalysis.redactPii(planted)
+      .filter(col("doc_id") % 7 === 0)
+      .filter(size(split(col("text"), "<EMAIL>", -1)) - 1 =!= 2).count()
+    assert(bad == 0L)
+  }
+}
