@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{CosineSimilarity, DotProduct, MinHashAgg}
+import graft.expressions.{CosineSimilarity, CountMinAgg, DotProduct, MinHashAgg}
 import graft.plans.AsOf
 
 /** One-line installation of graft's engine extensions — the idiomatic
@@ -22,7 +22,10 @@ import graft.plans.AsOf
   *    ARRAY<DOUBLE> (inputs auto-cast), backed by the codegen
   *    expressions;
   *  - the aggregate `minhash_sig(h, numPerm)` — one-pass MinHash
-  *    signature over 64-bit shingle hashes (TypedImperativeAggregate).
+  *    signature over 64-bit shingle hashes (TypedImperativeAggregate);
+  *  - the aggregate `cms_sketch(h, depth, width)` — Count-Min sketch
+  *    counters (point estimates via `CountMinAgg.cms_estimate`, which
+  *    is plain built-in SQL over the array).
   *
   * (Queries built through the `AsOf.join` / `VectorExpressions` Scala
   * APIs self-register on first use; this class exists so plain-SQL
@@ -62,6 +65,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sig numPerm must be an integer literal, got $other")
         }
         MinHashAgg(exprs.head, numPerm).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"cms_sketch requires (hash, depth, width), got ${exprs.length} args")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch $what must be an integer literal, got $other")
+        }
+        CountMinAgg(exprs.head, intLit(exprs(1), "depth"),
+          intLit(exprs(2), "width")).toAggregateExpression()
       }))
   }
 }

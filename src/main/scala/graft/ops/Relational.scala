@@ -263,6 +263,29 @@ object Relational {
         .orderBy(col("l_linestatus"))
     },
 
+    // Count-Min heavy hitters (r4): one-pass custom sketch aggregate
+    // (fixed 80 KB buffer through partial/final agg, cardinality-
+    // independent — the 100 TB alternative to shuffling every distinct
+    // term) + a pure built-in estimate expression over the broadcast
+    // 1-row sketch. rows-only by nature (the sketch isn't
+    // SQL-expressible); CmsSpec proves estimate ≥ exact everywhere and
+    // partial-merge == single-pass; q_text_topterms is the
+    // oracle-green exact companion over the same term set.
+    "q_agg_cms" -> { (s, dir) =>
+      import graft.expressions.CountMinAgg.{cms_sketch, cms_estimate}
+      val terms = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .select(col("term"), xxhash64(col("term")).as("h"))
+      val sketch = terms.agg(cms_sketch(col("h"), depth = 5, width = 2048).as("sk"))
+      val top = terms.groupBy(col("term"), col("h"))
+        .agg(count(lit(1)).cast("long").as("exact"))
+        .orderBy(col("exact").desc, col("term")).limit(20)
+      top.crossJoin(broadcast(sketch))
+        .select(col("term"), col("exact"),
+          cms_estimate(col("sk"), col("h"), depth = 5, width = 2048).as("cms_est"))
+        .orderBy(col("exact").desc, col("term"))
+    },
+
     // Linear-regression aggregates (r4): the OLS family both engines
     // ship (regr_slope/intercept/r2/avgx/avgy/count). FP-accumulated →
     // round-4 like q_agg_stats' corr/covar (same moment-sum stability

@@ -39,6 +39,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .exists(_.getClass.getName.contains("AsOfStrategy")))
   }
 
+  test("cms_sketch aggregate works from plain SQL") {
+    val sk = spark.sql(
+      """SELECT cms_sketch(h, 3, 64) AS sk FROM VALUES (1L), (2L), (2L) t(h)""")
+      .head().getSeq[Long](0)
+    assert(sk.length == 3 * 64)
+    // total mass per row == input rows; max counter == the repeated item
+    (0 until 3).foreach(d => assert(sk.slice(d * 64, d * 64 + 64).sum == 3L))
+    assert(sk.max == 2L)
+  }
+
   test("minhash_sig aggregate works from plain SQL") {
     val sig = spark.sql(
       """SELECT minhash_sig(h, 4) AS sig FROM VALUES (1L), (2L), (3L) t(h)""")
