@@ -131,6 +131,29 @@ object Functions {
           size(map_concat(col("m"), map(lit("_total"), lit(-1L)))).cast("long").as("n_concat"),
           col("sum_k"))
         .orderBy(col("user_id"))
+    },
+
+    // URL family (r4): Spark's real parse_url (codegen'd) over
+    // in-query-constructed well-formed URLs — the domain-extraction /
+    // URL-keyed-dedup shape of a crawl pipeline. DuckDB has no
+    // parse_url, so the oracle re-derives each part with RE2-safe
+    // regexp_extract; on URLs of this constructed shape (no userinfo,
+    // no port, no fragment, single ?) the two definitions coincide
+    // exactly — same equivalence-form oracle pattern as q_fn_map.
+    "q_fn_url" -> { (s, dir) =>
+      val url = concat(lit("https://"), lower(col("c_mktsegment")),
+        lit(".example.com/u/"), col("c_custkey").cast("string"),
+        lit("/orders?page="), (col("c_custkey") % 13).cast("string"),
+        lit("&ref=mail"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), url.as("url"))
+        .select(col("c_custkey"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("page")).cast("long").as("page"))
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -223,6 +246,22 @@ object Functions {
         |  CAST(SUM(sum_k_part) AS BIGINT) AS sum_k
         |FROM c
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q_fn_url" ->
+      """WITH u AS (
+        |  SELECT c_custkey,
+        |    'https://' || lower(c_mktsegment) || '.example.com/u/' ||
+        |    CAST(c_custkey AS VARCHAR) || '/orders?page=' ||
+        |    CAST(c_custkey % 13 AS VARCHAR) || '&ref=mail' AS url
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_extract(url, '^([a-z]+):', 1) AS proto,
+        |  regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '[?](.*)$', 1) AS query,
+        |  CAST(regexp_extract(url, '[?&]page=([0-9]+)', 1) AS BIGINT) AS page
+        |FROM u
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -344,6 +344,32 @@ object Relational {
           bool_and(col("o_totalprice") > 0.0).as("all_pos"),
           bool_or(cents(col("o_totalprice")) > 40000000L).as("any_jumbo"))
         .orderBy(col("o_custkey"))
+    },
+
+    // String aggregation + deterministic mode (r4). listagg emitted as
+    // array_sort(collect_list) ∘ array_join over the distinct-value
+    // aggregate — identical to DuckDB's string_agg(… ORDER BY …) and
+    // order-deterministic where raw collect_list is not. Mode uses the
+    // classic two-level form (per-value counts → max count → min value
+    // among the tied) instead of Spark's mode(), whose tie-break
+    // differs across engines; both joins here are over the
+    // ≤|status×priority| = 15-row aggregate, so the orders scan is the
+    // only big stage at any scale. `c` is cached: three branches reuse
+    // it, and uncached each would re-scan and re-shuffle orders.
+    "q_agg_listagg" -> { (s, dir) =>
+      val c = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .cache()
+      val mode = c.groupBy(col("o_orderstatus")).agg(max(col("cnt")).as("mx"))
+        .join(c, Seq("o_orderstatus")).where(col("cnt") === col("mx"))
+        .groupBy(col("o_orderstatus")).agg(min(col("o_orderpriority")).as("mode_prio"))
+      c.groupBy(col("o_orderstatus"))
+        .agg(array_join(array_sort(collect_list(col("o_orderpriority"))), ",").as("prio_list"),
+          count(lit(1)).cast("long").as("n_prios"),
+          sum(col("cnt")).cast("long").as("n_rows"))
+        .join(mode, Seq("o_orderstatus"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -538,6 +564,28 @@ object Relational {
         |  bool_or(CAST(ROUND(o_totalprice*100) AS BIGINT) > 40000000) AS any_jumbo
         |FROM orders
         |GROUP BY o_custkey
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_listagg" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c.o_orderstatus, min(c.o_orderpriority) AS mode_prio
+        |  FROM c
+        |  JOIN (SELECT o_orderstatus, max(cnt) AS mx
+        |        FROM c GROUP BY 1) x
+        |    ON c.o_orderstatus = x.o_orderstatus AND c.cnt = x.mx
+        |  GROUP BY 1)
+        |SELECT g.o_orderstatus, g.prio_list, g.n_prios, g.n_rows,
+        |  m.mode_prio
+        |FROM (SELECT o_orderstatus,
+        |        string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_list,
+        |        CAST(count(*) AS BIGINT) AS n_prios,
+        |        CAST(sum(cnt) AS BIGINT) AS n_rows
+        |      FROM c GROUP BY 1) g
+        |JOIN m ON g.o_orderstatus = m.o_orderstatus
+        |ORDER BY g.o_orderstatus""".stripMargin
   )
 }
