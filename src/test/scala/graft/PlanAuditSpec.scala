@@ -163,4 +163,32 @@ class PlanAuditSpec extends AnyFunSuite {
       transform(col("embedding"), x => x.cast("double"))).as("c"))
     assert(plan(df).contains("*("))
   }
+
+  test("CMS sketch aggregates partial+final (fixed buffer, no term shuffle)") {
+    // the 100 TB claim: the sketch side ships one 80 KB buffer per
+    // partition through ObjectHashAggregate partial/final — losing the
+    // partial (e.g. a SortAggregate fallback forced by a non-mergeable
+    // rewrite) would shuffle raw term rows instead
+    import graft.expressions.CountMinAgg.cms_sketch
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .select(xxhash64(col("term")).as("h"))
+    val p = plan(terms.agg(cms_sketch(col("h"), 5, 2048).as("sk")))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"cms_sketch lost its partial ObjectHashAggregate:\n$p")
+    // and the graded key broadcasts the 1-row sketch, never shuffling it
+    val pk = plan(SparkEntry.queries("q_agg_cms")(spark, dir))
+    assert(pk.contains("BroadcastNestedLoopJoin") || pk.contains("BroadcastExchange"),
+      s"q_agg_cms sketch side not broadcast:\n$pk")
+  }
+
+  test("PII keys are one-scan partial+final aggregation / pure projection") {
+    val pd = plan(SparkEntry.queries("q_text_pii")(spark, dir))
+    assert(!pd.contains("Window") && !pd.contains("Join"),
+      s"q_text_pii grew a window or join:\n$pd")
+    assert("HashAggregate".r.findAllIn(pd).size >= 2,
+      s"q_text_pii lost its partial aggregation:\n$pd")
+    val pr = plan(SparkEntry.queries("q_text_redact")(spark, dir))
+    assert(!pr.contains("Join"), s"q_text_redact grew a join:\n$pr")
+  }
 }
