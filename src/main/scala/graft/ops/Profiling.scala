@@ -167,6 +167,32 @@ object Profiling {
         .orderBy(col("okey"), col("lnum"), col("qty_cents"))
     },
 
+    // IQR (Tukey-fence) outlier detection (r4) — the numeric
+    // data-quality staple. Two-pass de-funneled shape (the
+    // q_climate_anomaly precedent): per-group quartiles via ONE
+    // aggregation over exact integer micros, fences broadcast back
+    // onto the events scan — never a window over a low-cardinality
+    // key. Determinism: quantile interpolation at 0.25/0.75 over
+    // integers lands on a .25 grain, ×1.5 lands on a .125 grain —
+    // all exactly representable doubles, so the fence comparison is
+    // bit-identical cross-engine (q_agg_percentile's proven rule).
+    "q_profile_outliers" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("vm", micros(col("value")))
+      val iqr = col("q3") - col("q1")
+      val fences = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(vm, 0.25)").as("q1"),
+          expr("percentile(vm, 0.75)").as("q3"))
+        .select(col("event_type"), (col("q1") - iqr * 1.5).as("lo"),
+          (col("q3") + iqr * 1.5).as("hi"))
+      ev.join(broadcast(fences), "event_type")
+        .where(col("vm") < col("lo") || col("vm") > col("hi"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_outliers"),
+          min(col("vm")).cast("long").as("min_out"),
+          max(col("vm")).cast("long").as("max_out"))
+        .orderBy(col("event_type"))
+    },
+
     "q_profile_stats" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .agg(
@@ -210,6 +236,24 @@ object Profiling {
         |FROM lineitem
         |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
         |ORDER BY okey, lnum, qty_cents""".stripMargin,
+
+    "q_profile_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ROUND(value*1000000) AS BIGINT) AS vm
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type,
+        |    quantile_cont(vm, 0.25) - 1.5 * (quantile_cont(vm, 0.75) - quantile_cont(vm, 0.25)) AS lo,
+        |    quantile_cont(vm, 0.75) + 1.5 * (quantile_cont(vm, 0.75) - quantile_cont(vm, 0.25)) AS hi
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_outliers,
+        |  CAST(min(vm) AS BIGINT) AS min_out,
+        |  CAST(max(vm) AS BIGINT) AS max_out
+        |FROM ev JOIN f ON ev.event_type = f.event_type
+        |WHERE vm < lo OR vm > hi
+        |GROUP BY ev.event_type
+        |ORDER BY ev.event_type""".stripMargin,
 
     "q_profile_stats" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
