@@ -15,9 +15,11 @@ import graft.sources.Sources
   *                      (shingle-overlap detection + anti-join removal)
   *  3. dedup          — Dedup.dedupCorpus (exact collapse + capped
   *                      MinHash-LSH near-dup drop)
-  *  4. sample         — Profiling.stratifiedSample, n per language,
+  *  4. pii redact     — TextAnalysis.redactPii (mask emails/IPs/
+  *                      phones in place; row count is invariant)
+  *  5. sample         — Profiling.stratifiedSample, n per language,
   *                      content-hash deterministic
-  *  5. normalize      — Sources.toParquet (canonical format out)
+  *  6. normalize      — Sources.toParquet (canonical format out)
   *
   * Every stage is shuffle-bounded/banded/capped per its operator's
   * scale notes, so the same script is the 100 TB shape. Smoke-tested
@@ -55,7 +57,11 @@ object TrainingDataPipelineDemo {
 
     val deduped = Dedup.dedupCorpus(clean).cache()
 
-    val sampled = Profiling.stratifiedSample(deduped, "lang", "doc_id", n = 20)
+    // row-preserving text transform (scalar projection, no shuffle) —
+    // cheap enough to leave uncached between dedup and sample
+    val redacted = TextAnalysis.redactPii(deduped)
+
+    val sampled = Profiling.stratifiedSample(redacted, "lang", "doc_id", n = 20)
       .drop("rn").cache()
 
     Sources.toParquet(sampled, s"$outDir/corpus")
@@ -65,6 +71,7 @@ object TrainingDataPipelineDemo {
       "quality_gated" -> gated.count(),
       "decontaminated" -> clean.count(),
       "deduped" -> deduped.count(),
+      "pii_redacted" -> redacted.count(),
       "sampled" -> sampled.count())
     finally Seq(gated, clean, deduped, sampled).foreach(_.unpersist())
   }

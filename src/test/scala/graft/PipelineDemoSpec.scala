@@ -21,7 +21,11 @@ class PipelineDemoSpec extends AnyFunSuite {
     val stages = tools.TrainingDataPipelineDemo.run(spark, "/root/testdata/sf0.001", out)
     val counts = stages.map(_._2)
     assert(stages.map(_._1) ==
-      Seq("input", "quality_gated", "decontaminated", "deduped", "sampled"))
+      Seq("input", "quality_gated", "decontaminated", "deduped",
+        "pii_redacted", "sampled"))
+    // redaction masks in place — it must never drop or add rows
+    assert(stages(4)._2 == stages(3)._2,
+      s"pii_redacted changed the row count: $stages")
     assert(counts.head > 0 && counts.last > 0, s"empty pipeline: $stages")
     // decontamination starts from the corpus SPLIT (benchmark tenth
     // held out), so every stage after input is ≤ its predecessor
