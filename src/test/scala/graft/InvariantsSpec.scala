@@ -19,7 +19,7 @@ class InvariantsSpec extends AnyFunSuite {
 
   test("every declared query has either an oracle or a documented skip") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_agg_approx_hll", "q_dedup_minhash",
+    assert(noOracle == Set("q_agg_approx_hll", "q_agg_cms", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_simhash_k", "q_dedup_clusters",
       "q_vec_ann_lsh", "q_vec_ann_ivf",
       "q_text_fingerprint", "q_multimodal_decode", "q_multimodal_frames"))
