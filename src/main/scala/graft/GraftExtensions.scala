@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     mk(asDouble(exprs(0)), asDouble(exprs(1)))
   }
 
+  // shared by every injected aggregate that takes literal int params
+  // (buffer sizes must be known at construction, not per-row)
+  private def intLit(fn: String, what: String)(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn $what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOf.AsOfStrategy)
     ext.injectFunction((
@@ -59,12 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2,
           s"minhash_sig requires (hash, numPerm), got ${exprs.length} args")
-        val numPerm = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig numPerm must be an integer literal, got $other")
-        }
-        MinHashAgg(exprs.head, numPerm).toAggregateExpression()
+        MinHashAgg(exprs.head,
+          intLit("minhash_sig", "numPerm")(exprs(1))).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("cms_sketch"),
@@ -72,13 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3,
           s"cms_sketch requires (hash, depth, width), got ${exprs.length} args")
-        def intLit(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"cms_sketch $what must be an integer literal, got $other")
-        }
-        CountMinAgg(exprs.head, intLit(exprs(1), "depth"),
-          intLit(exprs(2), "width")).toAggregateExpression()
+        CountMinAgg(exprs.head, intLit("cms_sketch", "depth")(exprs(1)),
+          intLit("cms_sketch", "width")(exprs(2))).toAggregateExpression()
       }))
   }
 }

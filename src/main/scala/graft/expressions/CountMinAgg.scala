@@ -110,13 +110,28 @@ object CountMinAgg {
   /** Point estimate from a sketch column: min over rows of the item's
     * counter. Pure built-in expressions (codegen'd end to end) — the
     * row index replicates the aggregate's seed chain via
-    * `xxhash64(lit(d), h)`; `element_at` is 1-based. */
+    * `xxhash64(lit(d), h)`; `element_at` is 1-based.
+    *
+    * Guarded against (depth, width) disagreeing with the sketch the
+    * column actually holds: out-of-range `element_at` returns NULL,
+    * `least` skips NULLs, and the min over the surviving rows can
+    * UNDERESTIMATE — silently breaking the one-sided-error contract.
+    * The `size` check turns that into a loud per-row error instead
+    * (evaluated once per estimate row; the sketch is normally a 1-row
+    * broadcast, so the cost is nil). */
   def cms_estimate(sketch: Column, itemHash: Column, depth: Int, width: Int): Column = {
+    require(depth > 0 && depth <= 16, s"cms_estimate depth must be in [1,16], got $depth")
+    require(width > 0, s"cms_estimate width must be positive, got $width")
     val rows = (0 until depth).map { d =>
       element_at(sketch,
         (pmod(xxhash64(lit(d), itemHash), lit(width.toLong)) +
           lit(d.toLong * width) + lit(1L)).cast("int"))
     }
-    if (rows.size == 1) rows.head else least(rows: _*)
+    val est = if (rows.size == 1) rows.head else least(rows: _*)
+    when(size(sketch) === lit(depth * width), est)
+      .otherwise(raise_error(concat(
+        lit(s"cms_estimate(depth=$depth, width=$width) over a sketch of "),
+        size(sketch).cast("string"),
+        lit(s" counters (expected ${depth * width})"))))
   }
 }

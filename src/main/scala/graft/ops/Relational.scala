@@ -355,7 +355,10 @@ object Relational {
     // differs across engines; both joins here are over the
     // ≤|status×priority| = 15-row aggregate, so the orders scan is the
     // only big stage at any scale. `c` is cached: three branches reuse
-    // it, and uncached each would re-scan and re-shuffle orders.
+    // it, and uncached each would re-scan and re-shuffle orders. The
+    // cache is session-lifetime BY DESIGN (the clusterCache precedent):
+    // Spark's cache manager dedupes by logical plan, so repeated
+    // invocations share one ~15-row entry rather than accreting.
     "q_agg_listagg" -> { (s, dir) =>
       val c = Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))

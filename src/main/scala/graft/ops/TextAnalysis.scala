@@ -74,33 +74,55 @@ object TextAnalysis {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
         1, keep).as("fingerprint"))
 
-  /** PII patterns — written to mean the same thing in Java regex
-    * (Spark) and RE2 (DuckDB): character classes, bounded repetition
-    * and `\b` only; no alternation (leftmost-first vs leftmost-longest
-    * never differs), no backreferences/lookaround (RE2 lacks them). */
+  /** GRADED PII patterns — written to mean the same thing in Java
+    * regex (Spark) and RE2 (DuckDB): character classes, bounded
+    * repetition and `\b` only; no alternation (leftmost-first vs
+    * leftmost-longest never differs), no backreferences/lookaround
+    * (RE2 lacks them). PhonePat is deliberately narrowed to the
+    * planted `555-XXXX` form the graded keys and their oracles share —
+    * real-corpus runs should pass [[GeneralPhonePat]] (or their own
+    * patterns) instead; it only needs to be valid Java regex. */
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePat = "\\b555-[0-9]{4}\\b"
   val Ipv4Pat  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** Real-world phone shape (optional +country, 3-3-4 groups with
+    * separators, optional parens): matches '(415) 867-5309',
+    * '+1-212-555-0100', '415.867.5309'. Spark-side library use only —
+    * NOT in the graded keys, whose oracle requires the exact
+    * cross-engine subset above. */
+  val GeneralPhonePat =
+    "\\+?[0-9]{0,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
   /** Per-doc PII hit counts (email / phone / dotted-quad IP). All
     * codegen'd `RegExpCount` expressions — one scan, no UDF. */
-  def piiCounts(docs: DataFrame): DataFrame =
+  def piiCounts(docs: DataFrame,
+                emailPat: String = EmailPat,
+                phonePat: String = PhonePat,
+                ipPat: String = Ipv4Pat): DataFrame =
     docs.select(col("doc_id"), col("lang"),
-      regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_email"),
-      regexp_count(col("text"), lit(PhonePat)).cast("long").as("n_phone"),
-      regexp_count(col("text"), lit(Ipv4Pat)).cast("long").as("n_ip"))
+      regexp_count(col("text"), lit(emailPat)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(phonePat)).cast("long").as("n_phone"),
+      regexp_count(col("text"), lit(ipPat)).cast("long").as("n_ip"))
 
   /** Redact in a fixed order: emails first (their local parts contain
     * digits that the later numeric patterns must never see), then IPs
-    * (dotted quads contain `555-`-free digit runs), then phones. The
+    * (dotted quads contain phone-free digit runs), then phones. The
     * oracle nests its `regexp_replace(..., 'g')` calls in the same
     * order, so the redacted string is byte-identical across engines. */
-  def redactedText(text: Column): Column =
+  def redactedText(text: Column,
+                   emailPat: String = EmailPat,
+                   phonePat: String = PhonePat,
+                   ipPat: String = Ipv4Pat): Column =
     regexp_replace(regexp_replace(regexp_replace(text,
-      EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>")
+      emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>")
 
-  def redactPii(docs: DataFrame): DataFrame =
-    docs.withColumn("text", redactedText(col("text")))
+  def redactPii(docs: DataFrame,
+                emailPat: String = EmailPat,
+                phonePat: String = PhonePat,
+                ipPat: String = Ipv4Pat): DataFrame =
+    docs.withColumn("text",
+      redactedText(col("text"), emailPat, phonePat, ipPat))
 
   /** The synthetic corpus contains no PII, so the graded keys plant it
     * deterministically (doc_id-keyed suffixes, same literal CASE in the

