@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed co-located joins (SURVEY §7.4: "co-locate joins via
   * bucketing or pre-partitioning").
@@ -37,4 +38,57 @@ object Bucketing {
     !df.queryExecution.executedPlan.toString.contains("ShuffleExchange") &&
       !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning") &&
       !df.queryExecution.executedPlan.toString.contains("Exchange rangepartitioning")
+
+  /** Z-order (Morton) interleave of n non-negative integer columns,
+    * `bits` low bits each: bit i of column j lands at position
+    * i·n + j. Pure built-in shiftright/&/shiftleft/| — codegen'd, no
+    * UDF. Inputs must already be rank/bucket ids in [0, 2^bits);
+    * caller clamps (see [[zorderWrite]]). n·bits ≤ 62 keeps the key a
+    * positive BIGINT.
+    *
+    * Why: parquet data skipping works off per-file min/max. A sort by
+    * (a, b) gives file-locality on `a` only — `b`'s min/max spans the
+    * whole domain in every file, so predicates on `b` prune nothing.
+    * The Morton curve bounds BOTH dimensions' spread per file, so
+    * either-dimension predicates prune — the standard lakehouse
+    * layout for two-sided scan-heavy workloads at 100 TB. */
+  def zorderValue(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 1, "zorderValue needs at least one column")
+    require(bits >= 1 && n * bits <= 62,
+      s"zorderValue: n*bits must be in [1,62], got $n*$bits")
+    val pieces = for {
+      i <- 0 until bits
+      j <- 0 until n
+    } yield shiftleft(
+      shiftright(cols(j).cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+    pieces.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Linear bucket rank of `c` in [0, 2^bits) given the dim's (min,
+    * max). Deliberately NOT an equal-population ntile — that is a
+    * global window (one-task funnel at scale); a linear scale needs
+    * only the caller's one min/max aggregate and layout quality, not
+    * exactness, is what z-ordering requires. Out-of-range values
+    * clamp to the edge buckets. */
+  def linearRank(c: Column, minV: Double, maxV: Double, bits: Int): Column = {
+    val buckets = 1L << bits
+    val span = math.max(maxV - minV, java.lang.Double.MIN_NORMAL)
+    least(lit(buckets - 1), greatest(lit(0L),
+      floor((c.cast("double") - minV) / span * buckets).cast("long")))
+  }
+
+  /** Sort by the Morton key of the given (column → (min, max)) dims
+    * and write parquet: each output file then covers a bounded range
+    * of EVERY dim (ZorderSpec quantifies the spread win vs a plain
+    * lexicographic sort). One range-shuffle, streaming write. */
+  def zorderWrite(df: DataFrame, path: String,
+                  dims: Seq[(String, (Double, Double))], bits: Int): Unit =
+    df.withColumn("_z", zorderValue(
+        dims.map { case (name, (lo, hi)) => linearRank(col(name), lo, hi, bits) },
+        bits))
+      .repartitionByRange(col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
 }
