@@ -136,6 +136,25 @@ object Windows {
         .orderBy(col("o_custkey"))
     },
 
+    // Forward-fill (gap-fill) — the time-series repair shape: carry
+    // the last observed value across NULL gaps per series. IGNORE
+    // NULLS `last` over a running frame, partitioned by the series
+    // key (thousands of users → parallel; never a global window).
+    // Gaps are PLANTED (event_id % 5, same CASE in the oracle) since
+    // the fixture has no NULLs — non-empty evidence at every SF; rows
+    // before a series' first observation stay NULL by design.
+    "q_win_fill" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("vm",
+          when(col("event_id") % 5 === 0, lit(null)).otherwise(micros(col("value"))))
+        .select(col("event_id"), col("user_id"), col("vm"),
+          last(col("vm"), ignoreNulls = true).over(w).as("ffill"))
+        .orderBy(col("event_id"))
+    },
+
     "q_sort_multi" -> { (s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -304,6 +323,19 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_win_fill" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL
+        |         ELSE CAST(ROUND(value*1000000) AS BIGINT) END AS vm
+        |  FROM events)
+        |SELECT event_id, user_id, vm,
+        |  LAST_VALUE(vm IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
+        |FROM e
+        |ORDER BY event_id""".stripMargin,
 
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus,
