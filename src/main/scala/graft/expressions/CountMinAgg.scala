@@ -128,7 +128,10 @@ object CountMinAgg {
           lit(d.toLong * width) + lit(1L)).cast("int"))
     }
     val est = if (rows.size == 1) rows.head else least(rows: _*)
-    when(size(sketch) === lit(depth * width), est)
+    // NULL sketch (e.g. a left join with no sketch row for the group)
+    // stays NULL — only a PRESENT sketch of the wrong size is an error
+    when(sketch.isNull, lit(null).cast("long"))
+      .when(size(sketch) === lit(depth * width), est)
       .otherwise(raise_error(concat(
         lit(s"cms_estimate(depth=$depth, width=$width) over a sketch of "),
         size(sketch).cast("string"),

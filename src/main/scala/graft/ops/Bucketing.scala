@@ -66,16 +66,22 @@ object Bucketing {
   }
 
   /** Linear bucket rank of `c` in [0, 2^bits) given the dim's (min,
-    * max). Deliberately NOT an equal-population ntile — that is a
-    * global window (one-task funnel at scale); a linear scale needs
-    * only the caller's one min/max aggregate and layout quality, not
-    * exactness, is what z-ordering requires. Out-of-range values
-    * clamp to the edge buckets. */
+    * max), off the codegen'd built-in width_bucket (the same binning
+    * primitive q_agg_histogram grades). Deliberately NOT an
+    * equal-population ntile — that is a global window (one-task funnel
+    * at scale); a linear scale needs only the caller's one min/max
+    * aggregate, and layout quality, not exactness, is what z-ordering
+    * requires. Out-of-range values clamp to the edge buckets; NULL and
+    * NaN rank 0 EXPLICITLY (they'd otherwise fall there silently via
+    * null-skipping greatest) — filter them out beforehand if min-edge
+    * file-stat pollution matters for the null dim. */
   def linearRank(c: Column, minV: Double, maxV: Double, bits: Int): Column = {
     val buckets = 1L << bits
-    val span = math.max(maxV - minV, java.lang.Double.MIN_NORMAL)
-    least(lit(buckets - 1), greatest(lit(0L),
-      floor((c.cast("double") - minV) / span * buckets).cast("long")))
+    val hi = if (maxV > minV) maxV else minV + java.lang.Math.ulp(minV)
+    val cd = c.cast("double")
+    when(cd.isNull || isnan(cd), lit(0L))
+      .otherwise(least(lit(buckets - 1), greatest(lit(0L),
+        width_bucket(cd, lit(minV), lit(hi), lit(buckets)) - 1L)))
   }
 
   /** Sort by the Morton key of the given (column → (min, max)) dims
@@ -83,12 +89,17 @@ object Bucketing {
     * of EVERY dim (ZorderSpec quantifies the spread win vs a plain
     * lexicographic sort). One range-shuffle, streaming write. */
   def zorderWrite(df: DataFrame, path: String,
-                  dims: Seq[(String, (Double, Double))], bits: Int): Unit =
-    df.withColumn("_z", zorderValue(
+                  dims: Seq[(String, (Double, Double))], bits: Int): Unit = {
+    // collision-safe key column: silently overwriting (then dropping) a
+    // user column of the same name would lose data in the output
+    val zCol = "__graft_zorder"
+    require(!df.columns.contains(zCol), s"input already has a $zCol column")
+    df.withColumn(zCol, zorderValue(
         dims.map { case (name, (lo, hi)) => linearRank(col(name), lo, hi, bits) },
         bits))
-      .repartitionByRange(col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+      .repartitionByRange(col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -88,11 +88,16 @@ object TextAnalysis {
 
   /** Real-world phone shape (optional +country, 3-3-4 groups with
     * separators, optional parens): matches '(415) 867-5309',
-    * '+1-212-555-0100', '415.867.5309'. Spark-side library use only —
-    * NOT in the graded keys, whose oracle requires the exact
-    * cross-engine subset above. */
+    * '+1-212-555-0100', '415.867.5309'. The leading `(?<![0-9])`
+    * lookbehind stops a 3-3-4 SUFFIX of a longer digit run from
+    * matching (an ID like '20240415.867.5309' is not a phone and must
+    * not half-redact), and the country code requires an explicit `+`
+    * so a preceding bare number ('ext 123 …') is never swallowed into
+    * the mask. Spark-side library use only — NOT in the graded keys,
+    * whose oracle requires the exact cross-engine subset above
+    * (lookbehind does not exist in RE2). */
   val GeneralPhonePat =
-    "\\+?[0-9]{0,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+    "(?<![0-9])(\\+[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 
   /** Per-doc PII hit counts (email / phone / dotted-quad IP). All
     * codegen'd `RegExpCount` expressions — one scan, no UDF. */

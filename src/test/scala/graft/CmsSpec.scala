@@ -61,6 +61,20 @@ class CmsSpec extends AnyFunSuite {
       "width-4 sketch over a 30+-term vocabulary must collide")
   }
 
+  test("NULL sketch estimates NULL; wrong-size sketch raises") {
+    import spark.implicits._
+    val nullSketch = Seq((1L, Option.empty[Seq[Long]])).toDF("h", "sk")
+    val got = nullSketch.select(
+      cms_estimate(col("sk"), col("h"), 3, 4).as("est")).collect()(0)
+    assert(got.isNullAt(0), "NULL sketch must stay NULL, not raise")
+    val wrong = Seq((1L, Seq(0L, 0L, 0L))).toDF("h", "sk")
+    val err = intercept[Exception] {
+      wrong.select(cms_estimate(col("sk"), col("h"), 3, 4)).collect()
+    }
+    assert(err.getMessage.contains("cms_estimate") ||
+      Option(err.getCause).exists(_.getMessage.contains("cms_estimate")))
+  }
+
   test("partial-merge across 16 partitions == single-partition build") {
     val one = terms.repartition(1).agg(cms_sketch(col("h"), 5, 256).as("sk"))
       .collect()(0).getSeq[Long](0)

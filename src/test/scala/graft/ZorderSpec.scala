@@ -68,9 +68,13 @@ class ZorderSpec extends AnyFunSuite {
     assert(spreads(byLex, "y").max == 31L)
     // z-order: BOTH dims' spread is a fraction of the domain in every
     // partition (16 partitions over a 10-bit curve -> 64-cell tiles,
-    // diameter 8 per dim; allow the range-partitioner's cut slack)
-    assert(spreads(byZ, "x").max <= 15L, s"x spreads: ${spreads(byZ, "x")}")
-    assert(spreads(byZ, "y").max <= 15L, s"y spreads: ${spreads(byZ, "y")}")
+    // diameter 8 per dim; allow the range-partitioner's cut slack).
+    // Spread Seqs hoisted: assert's clue is by-value, so an inline
+    // spreads() call would re-run the Spark job even on green runs.
+    val sx = spreads(byZ, "x")
+    val sy = spreads(byZ, "y")
+    assert(sx.max <= 15L, s"x spreads: $sx")
+    assert(sy.max <= 15L, s"y spreads: $sy")
   }
 
   test("zorderWrite round-trips rows and clamps out-of-range values") {
