@@ -32,6 +32,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * (estimate ≥ exact everywhere, merge == single-pass).
   */
 case class CountMinAgg(child: Expression, depth: Int, width: Int,
+                       weight: Option[Expression] = None,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
@@ -39,7 +40,7 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
   require(depth > 0 && depth <= 16, s"cms_sketch depth must be in [1,16], got $depth")
   require(width > 0, s"cms_sketch width must be positive, got $width")
 
-  override def inputTypes = Seq(LongType)
+  override def inputTypes = Seq.fill(children.length)(LongType)
 
   // seed chain per row: hash(d, IntegerType, 42) — identical to the
   // MinHashAgg permutation seeds, which is what lets cms_estimate use
@@ -53,13 +54,27 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h0 = v.asInstanceOf[Long]
-      var d = 0
-      while (d < depth) {
-        val idx = java.lang.Math.floorMod(
-          XxHash64Function.hash(h0, LongType, rowSeeds(d)), width.toLong).toInt
-        buf(d * width + idx) += 1L
-        d += 1
+      // weighted form: one (hash, count) row counts as `count`
+      // occurrences — build the sketch from a pre-aggregated term
+      // table at 1/distinct-fraction of the row volume. NULL or
+      // negative weights contribute nothing (CMS counters must stay
+      // monotone for the one-sided-error contract).
+      val w: Long = weight match {
+        case None => 1L
+        case Some(we) => we.eval(input) match {
+          case null => 0L
+          case x: Long => math.max(x, 0L)
+        }
+      }
+      if (w > 0L) {
+        val h0 = v.asInstanceOf[Long]
+        var d = 0
+        while (d < depth) {
+          val idx = java.lang.Math.floorMod(
+            XxHash64Function.hash(h0, LongType, rowSeeds(d)), width.toLong).toInt
+          buf(d * width + idx) += w
+          d += 1
+        }
       }
     }
     buf
@@ -86,10 +101,10 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CountMinAgg =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head, weight = newChildren.lift(1))
   override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
@@ -105,6 +120,17 @@ object CountMinAgg {
   def cms_sketch(itemHash: Column, depth: Int, width: Int): Column =
     GraftBridge.column(
       CountMinAgg(GraftBridge.expression(itemHash), depth, width)
+        .toAggregateExpression())
+
+  /** Weighted build: each (itemHash, weight) row counts as `weight`
+    * occurrences — bit-identical to the unweighted sketch over the
+    * exploded rows (CmsSpec), at the pre-aggregated table's row count
+    * instead of the corpus's. */
+  def cms_sketch_weighted(itemHash: Column, weight: Column,
+                          depth: Int, width: Int): Column =
+    GraftBridge.column(
+      CountMinAgg(GraftBridge.expression(itemHash), depth, width,
+        Some(GraftBridge.expression(weight)))
         .toAggregateExpression())
 
   /** Point estimate from a sketch column: min over rows of the item's

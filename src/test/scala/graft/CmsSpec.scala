@@ -75,6 +75,17 @@ class CmsSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("cms_estimate")))
   }
 
+  test("weighted build over pre-aggregated counts == unweighted over rows") {
+    import graft.expressions.CountMinAgg.cms_sketch_weighted
+    val plain = terms.agg(cms_sketch(col("h"), 4, 128).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    val weighted = terms.groupBy(col("h"))
+      .agg(count(lit(1)).cast("long").as("w"))
+      .agg(cms_sketch_weighted(col("h"), col("w"), 4, 128).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(plain == weighted)
+  }
+
   test("partial-merge across 16 partitions == single-partition build") {
     val one = terms.repartition(1).agg(cms_sketch(col("h"), 5, 256).as("sk"))
       .collect()(0).getSeq[Long](0)
