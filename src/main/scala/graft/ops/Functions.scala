@@ -154,6 +154,28 @@ object Functions {
           parse_url(col("url"), lit("QUERY")).as("query"),
           parse_url(col("url"), lit("QUERY"), lit("page")).cast("long").as("page"))
         .orderBy(col("c_custkey"))
+    },
+
+    // ANSI error-safe family (r4): Spark 4 runs ANSI mode by default,
+    // where bad casts / division by zero / out-of-range element_at
+    // THROW — the try_* forms give the per-row NULL semantics a dirty
+    // corpus needs. Oracle equivalences: TRY_CAST is native DuckDB;
+    // try_divide ↔ x / NULLIF(y, 0) (both engines' / on integers is
+    // IEEE double division — exact on these magnitudes); out-of-range
+    // try_element_at ↔ DuckDB list indexing, which is NULL-total.
+    // Corrupt strings PLANTED via o_orderkey % 3 (same CASE in the
+    // oracle) so every branch exercises non-vacuously at every SF.
+    "q_fn_try" -> { (s, dir) =>
+      val id = col("o_orderkey")
+      val str = when(id % 3 === 0, concat(lit("x"), id.cast("string")))
+        .otherwise(id.cast("string"))
+      Tables.orders(s, dir)
+        .select(id.as("okey"), str.as("s"))
+        .select(col("okey"),
+          expr("try_cast(s AS BIGINT)").as("cast_ok"),
+          try_divide(col("okey"), col("okey") % 7).as("ratio"),
+          try_element_at(array(col("okey")), lit(5)).as("elem"))
+        .orderBy(col("okey"))
     }
   )
 
@@ -262,6 +284,16 @@ object Functions {
         |  regexp_extract(url, '[?](.*)$', 1) AS query,
         |  CAST(regexp_extract(url, '[?&]page=([0-9]+)', 1) AS BIGINT) AS page
         |FROM u
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_fn_try" ->
+      """SELECT o_orderkey AS okey,
+        |  TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+        |    THEN 'x' || CAST(o_orderkey AS VARCHAR)
+        |    ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS cast_ok,
+        |  o_orderkey / NULLIF(o_orderkey % 7, 0) AS ratio,
+        |  ([o_orderkey])[5] AS elem
+        |FROM orders
+        |ORDER BY okey""".stripMargin
   )
 }
