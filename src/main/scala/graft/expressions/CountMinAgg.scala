@@ -64,6 +64,12 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
         case Some(we) => we.eval(input) match {
           case null => 0L
           case x: Long => math.max(x, 0L)
+          // the analyzer coerces to BIGINT via ImplicitCastInputTypes;
+          // only direct construction (no analysis) can land here — fail
+          // with the type, not an opaque MatchError mid-aggregation
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch weight must evaluate to Long, got " +
+              s"${other.getClass.getName} ($other)")
         }
       }
       if (w > 0L) {

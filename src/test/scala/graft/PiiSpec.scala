@@ -70,15 +70,19 @@ class PiiSpec extends AnyFunSuite {
   test("GeneralPhonePat skips longer digit runs and bare number prefixes") {
     import spark.implicits._
     val tricky = Seq("id 20240415.867.5309 is not a phone",
-      "ext 123 415-867-5309 rings").toDF("text")
+      "ext 123 415-867-5309 rings",
+      "call 1-212-555-0100 now").toDF("text")
       .withColumn("doc_id", lit(1L)).withColumn("lang", lit("en"))
     val out = ops.TextAnalysis.redactPii(tricky,
       phonePat = ops.TextAnalysis.GeneralPhonePat)
       .select("text").collect().map(_.getString(0))
     // a 3-3-4 SUFFIX of a longer digit run must not half-redact
     assert(out(0) == "id 20240415.867.5309 is not a phone", out(0))
-    // a preceding bare number is not a country code (no '+') — the
+    // a SPACE-separated preceding number is not a country code — the
     // mask covers exactly the phone
     assert(out(1) == "ext 123 <PHONE> rings", out(1))
+    // a '-'-joined bare country code is part of the phone: the whole
+    // number is masked, never 'call 1-<PHONE>'
+    assert(out(2) == "call <PHONE> now", out(2))
   }
 }
