@@ -294,6 +294,32 @@ object Text {
     tfIdfCache.clear()
   }
 
+  /** Production heavy hitters — the CMS two-phase pattern
+    * `CountMinAgg`'s scaladoc promises: pass 1 builds the fixed-size
+    * sketch (80 KB through partial/final agg, CARDINALITY-independent);
+    * pass 2 filters each occurrence against the broadcast sketch
+    * (`est >= minCount` — a SUPERSET of the truth by CMS one-sided
+    * error) and exact-counts only the survivors. The exact groupBy
+    * therefore carries per-term state for candidate terms only — at
+    * crawl scale the distinct-term state (billions of singletons, the
+    * thing that spills) shrinks to the heavy head, while the row-side
+    * work was always partial-aggregated. The final `cnt >= minCount`
+    * removes the sketch's false positives, so the result is EXACTLY
+    * the terms with true count >= minCount (proven against the plain
+    * groupBy in CmsSpec).
+    *
+    * `items` needs columns (`term`, `h`) with `h = xxhash64(term)`. */
+  def heavyHitters(items: DataFrame, minCount: Long,
+                   depth: Int = 5, width: Int = 8192): DataFrame = {
+    import graft.expressions.CountMinAgg.{cms_sketch, cms_estimate}
+    val sketch = items.agg(cms_sketch(col("h"), depth, width).as("sk"))
+    items.crossJoin(broadcast(sketch))
+      .where(cms_estimate(col("sk"), col("h"), depth, width) >= minCount)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** Exact shingle-Jaccard near-dup, built for the 100 TB regime:
     *
     *  - shingles come from `Dedup.shingles` (pure projection:

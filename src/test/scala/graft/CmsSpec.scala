@@ -86,6 +86,18 @@ class CmsSpec extends AnyFunSuite {
     assert(plain == weighted)
   }
 
+  test("heavyHitters two-phase == plain groupBy filter, at several thresholds") {
+    val exact = terms.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    for (minCount <- Seq(1L, 50L, 500L, 100000L)) {
+      val got = ops.Text.heavyHitters(terms, minCount, depth = 4, width = 256)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = exact.where(col("cnt") >= minCount)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"minCount=$minCount")
+    }
+  }
+
   test("partial-merge across 16 partitions == single-partition build") {
     val one = terms.repartition(1).agg(cms_sketch(col("h"), 5, 256).as("sk"))
       .collect()(0).getSeq[Long](0)
