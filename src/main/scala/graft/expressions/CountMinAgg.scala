@@ -39,6 +39,12 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int,
 
   require(depth > 0 && depth <= 16, s"cms_sketch depth must be in [1,16], got $depth")
   require(width > 0, s"cms_sketch width must be positive, got $width")
+  // depth*width Longs must allocate as one positive-Int-length array
+  // (buffer, serialize's *8 byte count, and cms_estimate's element_at
+  // index all assume it) — fail loudly instead of a
+  // NegativeArraySizeException deep in aggregation
+  require(depth.toLong * width <= Int.MaxValue / 8,
+    s"cms_sketch depth*width must be <= ${Int.MaxValue / 8}, got ${depth.toLong * width}")
 
   override def inputTypes = Seq.fill(children.length)(LongType)
 
@@ -154,9 +160,16 @@ object CountMinAgg {
   def cms_estimate(sketch: Column, itemHash: Column, depth: Int, width: Int): Column = {
     require(depth > 0 && depth <= 16, s"cms_estimate depth must be in [1,16], got $depth")
     require(width > 0, s"cms_estimate width must be positive, got $width")
+    require(depth.toLong * width <= Int.MaxValue / 8,
+      s"cms_estimate depth*width must be <= ${Int.MaxValue / 8}, got ${depth.toLong * width}")
+    // itemHash cast to BIGINT explicitly: the aggregate's analyzer
+    // coercion hashes its input AS LongType, and xxhash64 hashes each
+    // argument by its natural type — an INT hash column here would
+    // index different counters than the sketch's and silently
+    // UNDERestimate, breaking the one-sided-error contract
     val rows = (0 until depth).map { d =>
       element_at(sketch,
-        (pmod(xxhash64(lit(d), itemHash), lit(width.toLong)) +
+        (pmod(xxhash64(lit(d), itemHash.cast("long")), lit(width.toLong)) +
           lit(d.toLong * width) + lit(1L)).cast("int"))
     }
     val est = if (rows.size == 1) rows.head else least(rows: _*)

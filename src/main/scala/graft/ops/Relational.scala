@@ -182,17 +182,20 @@ object Relational {
     // Correlated scalar subquery through the SQL entry point (exercises
     // Catalyst's RewriteCorrelatedScalarSubquery decorrelation). The
     // inner AVG runs over exact integer cents whose per-customer double
-    // sums stay < 2^53 → identical in both engines.
+    // sums stay < 2^53 → identical in both engines. The table is named
+    // with the parquet.`path` scheme so the query fn stays PURE — no
+    // createOrReplaceTempView mutating shared session state (the same
+    // impurity the r4 lateral fix removed).
     "q_subq_correlated" -> { (s, dir) =>
-      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
       s.sql(
-        """SELECT o_orderkey, o_custkey,
-          |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
-          |FROM orders_v o
-          |WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
-          |  2 * (SELECT AVG(CAST(ROUND(i.o_totalprice*100) AS BIGINT))
-          |       FROM orders_v i WHERE i.o_custkey = o.o_custkey)
-          |ORDER BY o_orderkey""".stripMargin)
+        s"""SELECT o_orderkey, o_custkey,
+           |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+           |FROM parquet.`$dir/orders.parquet` o
+           |WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
+           |  2 * (SELECT AVG(CAST(ROUND(i.o_totalprice*100) AS BIGINT))
+           |       FROM parquet.`$dir/orders.parquet` i
+           |       WHERE i.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin)
     },
 
     // Pivot: event_type counts fanned into columns. The oracle uses

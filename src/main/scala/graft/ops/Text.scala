@@ -45,6 +45,23 @@ object Text {
         .orderBy(col("term"))
     },
 
+    // Two-phase CMS heavy hitters as a GRADED key (r5): the operator's
+    // contract — exactly the terms with true count >= minCount — is
+    // plain GROUP BY ... HAVING in DuckDB, so the actual 100 TB path
+    // (fixed-size sketch pass, then exact counts over sketch-passing
+    // candidates only) hash-matches cross-engine — CmsSpec's equality
+    // proof upgraded to cross-engine evidence. minCount 900 sits
+    // inside the term-count spread at every fixture tier (29–984 at
+    // sf0.001, 26–964 at sf0.01, 255–9182 at sf0.1, measured), so the
+    // bar genuinely filters terms at each tier — never vacuous.
+    "q_text_heavyhitters" -> { (s, dir) =>
+      val items = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .withColumn("h", xxhash64(col("term")))
+      heavyHitters(items, minCount = 900L)
+        .orderBy(col("term"))
+    },
+
     // tf-idf with top-3 terms per doc; see tfIdfTopK for the
     // broadcast-vs-shuffle vocabulary gate.
     "q_text_tfidf" -> { (s, dir) =>
@@ -296,7 +313,8 @@ object Text {
 
   /** Production heavy hitters — the CMS two-phase pattern
     * `CountMinAgg`'s scaladoc promises: pass 1 builds the fixed-size
-    * sketch (80 KB through partial/final agg, CARDINALITY-independent);
+    * sketch (depth·width·8 bytes — 320 KB at these defaults — through
+    * partial/final agg, CARDINALITY-independent);
     * pass 2 filters each occurrence against the broadcast sketch
     * (`est >= minCount` — a SUPERSET of the truth by CMS one-sided
     * error) and exact-counts only the survivors. The exact groupBy
@@ -391,6 +409,13 @@ object Text {
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
         |GROUP BY term
+        |ORDER BY term""".stripMargin,
+
+    "q_text_heavyhitters" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+        |GROUP BY term
+        |HAVING COUNT(*) >= 900
         |ORDER BY term""".stripMargin,
 
     "q_text_tfidf" ->

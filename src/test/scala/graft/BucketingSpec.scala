@@ -45,12 +45,21 @@ class BucketingSpec extends AnyFunSuite {
       Tables.orders(spark, dir).withColumnRenamed("o_orderkey", "okey"),
       "o_b", "okey", 8)
     val joined = Bucketing.bucketedJoin(spark, "li_b", "o_b", "okey")
-    assert(Bucketing.isShuffleFree(joined),
-      "expected no Exchange in:\n" + joined.queryExecution.executedPlan)
+    // tree-typed assertion: zero ShuffleExchangeLike NODES (not a
+    // string match) anywhere in the executed plan
+    assert(Bucketing.shuffleExchanges(joined).isEmpty,
+      "expected no shuffle exchange in:\n" + joined.queryExecution.executedPlan)
     val plain = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir),
         org.apache.spark.sql.functions.col("l_orderkey") ===
           org.apache.spark.sql.functions.col("o_orderkey"))
+    // positive control: the same join over the UN-bucketed parquet
+    // must shuffle BOTH sides here (broadcast is off) — proving the
+    // detector sees shuffles when they exist, so the zero above is
+    // evidence, not a blind spot
+    assert(Bucketing.shuffleExchanges(plain).size >= 2,
+      "detector control failed — plain join plan:\n" +
+        plain.queryExecution.executedPlan)
     assert(joined.count() == plain.count())
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

@@ -182,6 +182,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_agg_cms sketch side not broadcast:\n$pk")
   }
 
+  test("outlier quartile gate: high cardinality swaps exact percentile for a bounded sketch") {
+    // exact Percentile's buffer is a value→count map (size ∝ distinct
+    // values per group — unbounded on a continuous domain at 100 TB);
+    // iqrFences gates it on an approx_count_distinct pre-pass. Assert
+    // both gate outcomes and, below the gate, equality with the
+    // inline exact form (the tfidf-gate test's shape).
+    val ev = Tables.events(spark, dir).withColumn("vm", Det.micros(col("value")))
+    val exact = ops.Profiling.iqrFences(ev, "event_type", "vm")
+    val pe = exact.queryExecution.analyzed.toString
+    assert(!pe.contains("approx_percentile"),
+      s"default gate should keep the exact percentile:\n$pe")
+    assert(pe.contains("percentile"), s"no percentile aggregate at all:\n$pe")
+    val forced = ops.Profiling.iqrFences(ev, "event_type", "vm", exactDistinctMax = 1L)
+    val pf = forced.queryExecution.analyzed.toString
+    assert(pf.contains("approx_percentile"), s"gate did not fire on a 1-distinct cap:\n$pf")
+    val iqr = col("q3") - col("q1")
+    val inline = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(vm, 0.25)").as("q1"),
+        expr("percentile(vm, 0.75)").as("q3"))
+      .select(col("event_type"), (col("q1") - iqr * 1.5).as("lo"),
+        (col("q3") + iqr * 1.5).as("hi"))
+    val a = exact.orderBy("event_type").collect().toSeq
+    val b = inline.orderBy("event_type").collect().toSeq
+    assert(a == b, "gated exact fences differ from the inline exact form")
+  }
+
   test("PII keys are one-scan partial+final aggregation / pure projection") {
     val pd = plan(SparkEntry.queries("q_text_pii")(spark, dir))
     assert(!pd.contains("Window") && !pd.contains("Join"),

@@ -77,6 +77,52 @@ class ZorderSpec extends AnyFunSuite {
     assert(sy.max <= 15L, s"y spreads: $sy")
   }
 
+  test("zorderWrite output actually prunes parquet row groups on EITHER dim") {
+    // the end-to-end claim behind the layout: a predicate on the
+    // SECOND dimension skips most row groups of a z-ordered write
+    // (each file covers a bounded y-range) but none of a
+    // lexicographic (x, y) write (every file spans all of y). Read
+    // back and compare the scan's numOutputRows METRIC — rows
+    // surviving parquet row-group pruning — not layout statistics.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case other => other.collectLeaves()
+      }
+      leaves(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+        .sum
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    // 16 EXPLICIT range partitions over the 12-bit curve → 16×16
+    // tiles, one file (= one row group at this size) each. Explicit
+    // because AQE coalesces an unsized range shuffle of 4096 rows to
+    // ONE partition — erasing the layout this test exists to measure.
+    ops.Bucketing.zorderWrite(grid, s"$out/z",
+      Seq("x" -> (0.0, 63.0), "y" -> (0.0, 63.0)), bits = 6, files = 16)
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+      .write.mode("overwrite").parquet(s"$out/lex")
+    val pred = col("y") < 8 // second-dim predicate: 512 of 4096 rows
+    val zRead = scanRows(spark.read.parquet(s"$out/z").filter(pred))
+    val lexRead = scanRows(spark.read.parquet(s"$out/lex").filter(pred))
+    // lex: every x-band file contains y<8 rows → nothing skipped
+    assert(lexRead == 4096L, s"lex layout unexpectedly pruned: $lexRead")
+    // z-order: only the tiles whose y-range meets [0,8) survive —
+    // the bottom row of the 4×4 tile grid (allow range-cut slack)
+    assert(zRead <= 2048L, s"z-order pruned nothing: $zRead of 4096 rows read")
+    assert(zRead < lexRead, s"no skipping win: z=$zRead lex=$lexRead")
+    // both layouts return identical query results
+    assert(spark.read.parquet(s"$out/z").filter(pred).count() == 512L)
+  }
+
   test("zorderWrite round-trips rows and clamps out-of-range values") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_z").toString
