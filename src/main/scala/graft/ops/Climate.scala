@@ -378,6 +378,32 @@ object Climate {
         .orderBy(col("event_id"))
     },
 
+    // Linear DETRENDING (r5) — the climate-analysis staple the anomaly
+    // key doesn't cover: remove each series' OLS trend over time
+    // (xarray's polyfit/polyval detrend shape), here per event_type.
+    // Same de-funneled two-pass form as anomaly: regr_slope/intercept
+    // per group in ONE partial+final aggregation (both engines ship
+    // the OLS aggregates — graded pairwise in q_agg_regr), fitted
+    // values broadcast back onto the scan. Time is hours since
+    // 2024-01-01T00Z (a fixed literal, not a data-dependent min, so
+    // both engines derive the identical double from the identical
+    // integer micros). Residuals are O(value)≈O(10) with ~1e-11
+    // cross-engine FP noise — far inside the 4-dp grid (the
+    // q_agg_stats argument).
+    "q_climate_detrend" -> { (s, dir) =>
+      val refMicros = 1704067200000000L // 2024-01-01T00:00:00Z
+      val ev = Tables.events(s, dir)
+        .withColumn("th",
+          (unix_micros(col("ts")) - lit(refMicros)) / lit(3.6e9))
+      val fit = ev.groupBy(col("event_type"))
+        .agg(regr_slope(col("value"), col("th")).as("b"),
+          regr_intercept(col("value"), col("th")).as("a"))
+      ev.join(broadcast(fit), "event_type")
+        .select(col("event_id"), col("event_type"),
+          r4(col("value") - (col("b") * col("th") + col("a"))).as("resid"))
+        .orderBy(col("event_id"))
+    },
+
     // R7 method=linear analog: bilinear interpolation on the
     // (user-band × hour) grid of mean values, sampled at the fractional
     // offset (+0.25, +0.25) inside each complete cell. Weights 9/16,
@@ -546,6 +572,20 @@ object Climate {
          |FROM events
          |WINDOW w AS (PARTITION BY hour(ts))
          |ORDER BY event_id""".stripMargin,
+
+    "q_climate_detrend" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |    (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS th
+        |  FROM events),
+        |fit AS (
+        |  SELECT event_type,
+        |    regr_slope(value, th) AS b, regr_intercept(value, th) AS a
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_id, ev.event_type,
+        |  ROUND(value - (b * th + a), 4) AS resid
+        |FROM ev JOIN fit ON ev.event_type = fit.event_type
+        |ORDER BY event_id""".stripMargin,
 
     "q_climate_regrid_bilinear" ->
       s"""WITH src AS (

@@ -130,8 +130,8 @@ object Profiling {
         prefix60 < (lit(tMax.toDouble) * cap / col("_cnt")).cast("long"))
   }
 
-  /** Per-group Tukey fences `(group, lo, hi)` with a CARDINALITY GATE
-    * on the quartile aggregate — the q_profile_outliers quartile step,
+  /** Per-group interpolated percentiles with a CARDINALITY GATE —
+    * the scale fix behind q_profile_outliers and q_profile_mad,
     * factored so the gate is testable on its own.
     *
     * Why a gate: Spark's exact `percentile` is a
@@ -146,35 +146,44 @@ object Profiling {
     * worst group's cardinality; at or below `exactDistinctMax` the
     * exact interpolated `percentile` runs (the oracle-graded form —
     * ≤ ~100 MB buffer at the 1M default, ~50× above the graded tiers);
-    * above it the quartiles come from `approx_percentile`'s bounded
+    * above it the values come from `approx_percentile`'s bounded
     * GK sketch (~`accuracy` entries regardless of input size), whose
-    * rank error shifts a Tukey fence by at most the local value
-    * spacing at rank ±n/10⁴ — noise against a 1.5·IQR fence. The gate
-    * count itself is one-sided-safe: HLL's ±2% error is absorbed by
-    * the 50× margin, and a flip to approx is a bounded-accuracy
-    * fallback, never a correctness cliff.
+    * rank error shifts a robust-fence threshold by at most the local
+    * value spacing at rank ±n/10⁴ — noise against a 1.5·IQR or 3·MAD
+    * fence. The gate count itself is one-sided-safe: HLL's ±2% error
+    * is absorbed by the 50× margin, and a flip to approx is a
+    * bounded-accuracy fallback, never a correctness cliff.
     *
     * `valCol` must be a plain column name (it is spliced into an
-    * aggregate expression). PlanAuditSpec asserts the gate fires on a
-    * tiny cap and that the default-gate fences equal the inline exact
+    * aggregate expression). Returns one row per group with one column
+    * per `(p, name)`. PlanAuditSpec asserts the gate fires on a tiny
+    * cap and that the default-gate fences equal the inline exact
     * form. */
-  def iqrFences(ev: DataFrame, groupCol: String, valCol: String,
-                exactDistinctMax: Long = 1000000L): DataFrame = {
+  def gatedPercentiles(ev: DataFrame, groupCol: String, valCol: String,
+                       ps: Seq[(Double, String)],
+                       exactDistinctMax: Long = 1000000L): DataFrame = {
     require(ev.columns.contains(valCol) && !valCol.exists(c => !c.isLetterOrDigit && c != '_'),
-      s"iqrFences needs a plain existing column name, got '$valCol'")
+      s"gatedPercentiles needs a plain existing column name, got '$valCol'")
+    require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0.0 && p <= 1.0 },
+      s"percentiles must be in [0,1], got ${ps.map(_._1)}")
     val ndRow = ev.groupBy(col(groupCol))
       .agg(approx_count_distinct(col(valCol)).as("_nd"))
       .agg(max(col("_nd"))).head()
     val maxNd = if (ndRow.isNullAt(0)) 0L else ndRow.getLong(0)
-    val (q1e, q3e) =
-      if (maxNd <= exactDistinctMax)
-        (expr(s"percentile($valCol, 0.25)"), expr(s"percentile($valCol, 0.75)"))
-      else
-        (expr(s"approx_percentile($valCol, 0.25, 10000)").cast("double"),
-          expr(s"approx_percentile($valCol, 0.75, 10000)").cast("double"))
+    val aggs = ps.map { case (p, name) =>
+      if (maxNd <= exactDistinctMax) expr(s"percentile($valCol, $p)").as(name)
+      else expr(s"approx_percentile($valCol, $p, 10000)").cast("double").as(name)
+    }
+    ev.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-group Tukey fences `(group, lo, hi)` off [[gatedPercentiles]]
+    * quartiles — the q_profile_outliers fence step. */
+  def iqrFences(ev: DataFrame, groupCol: String, valCol: String,
+                exactDistinctMax: Long = 1000000L): DataFrame = {
     val iqr = col("q3") - col("q1")
-    ev.groupBy(col(groupCol))
-      .agg(q1e.as("q1"), q3e.as("q3"))
+    gatedPercentiles(ev, groupCol, valCol,
+        Seq(0.25 -> "q1", 0.75 -> "q3"), exactDistinctMax)
       .select(col(groupCol), (col("q1") - iqr * 1.5).as("lo"),
         (col("q3") + iqr * 1.5).as("hi"))
   }
@@ -239,6 +248,32 @@ object Profiling {
         .orderBy(col("event_type"))
     },
 
+    // MAD (median-absolute-deviation) robust outliers (r5) — the
+    // IQR key's heavy-tail-safe twin (quartiles break down past 25%
+    // contamination; the median holds to 50%). Same de-funneled
+    // two-pass-per-statistic shape over the same gated-percentile
+    // machinery: median per group, |vm − med| via broadcast join,
+    // median of those deviations, flag adev > 3·MAD. Determinism: vm is
+    // exact integer micros; median interpolation lands on a .5 grain,
+    // the deviation median on a .25 grain, ×3 stays exactly
+    // representable — so the flag comparison is bit-identical
+    // cross-engine (the q_profile_outliers rule, one level deeper).
+    "q_profile_mad" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("vm", micros(col("value")))
+      val med = gatedPercentiles(ev, "event_type", "vm", Seq(0.5 -> "med"))
+      val ad = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("vm").cast("double") - col("med")))
+      val mad = gatedPercentiles(ad, "event_type", "adev", Seq(0.5 -> "mad"))
+      ad.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("adev") > col("mad") * 3.0, 1L).otherwise(0L))
+            .cast("long").as("n_outliers"),
+          min(col("med")).as("med"),
+          min(col("mad")).as("mad"))
+        .orderBy(col("event_type"))
+    },
+
     "q_profile_stats" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .agg(
@@ -300,6 +335,27 @@ object Profiling {
         |WHERE vm < lo OR vm > hi
         |GROUP BY ev.event_type
         |ORDER BY ev.event_type""".stripMargin,
+
+    "q_profile_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ROUND(value*1000000) AS BIGINT) AS vm
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(vm, 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |ad AS (
+        |  SELECT ev.event_type, abs(CAST(vm AS DOUBLE) - med) AS adev, med
+        |  FROM ev JOIN med ON ev.event_type = med.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM ad GROUP BY event_type)
+        |SELECT ad.event_type,
+        |  CAST(SUM(CASE WHEN adev > mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  MIN(ad.med) AS med,
+        |  MIN(mad.mad) AS mad
+        |FROM ad JOIN mad ON ad.event_type = mad.event_type
+        |GROUP BY ad.event_type
+        |ORDER BY ad.event_type""".stripMargin,
 
     "q_profile_stats" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

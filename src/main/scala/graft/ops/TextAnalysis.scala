@@ -190,6 +190,49 @@ object TextAnalysis {
           sum(col("n_ip")).cast("long").as("n_ips"))
         .orderBy(col("lang"))
     },
+    // URL-canonicalization dedup (r5) — the CommonCrawl-scale staple:
+    // the same page is re-crawled as www./non-www, default-port,
+    // trailing-slash and utm-tagged variants, and exact text dedup
+    // misses them all. URLs are PLANTED deterministically off doc_id
+    // (the corpus has none — the q_text_pii precedent, mirrored
+    // literally in the oracle): ids 4g..4g+3 are four variants of page
+    // g, except ids ≡ 0 (mod 5) which get a unique path (true
+    // singletons the HAVING bar must drop — the filter is never
+    // vacuous). Canonicalize with a fixed regexp_replace chain
+    // (fragment → trailing utm → www. → :80 → trailing slash; every
+    // pattern in the Java-regex/RE2 common subset), then one
+    // hash-partitioned groupBy(canon) — at crawl scale exactly the
+    // q_dedup_exact shuffle shape, with the canonical key ~60 bytes
+    // instead of the document. Groups keep min(doc_id) as canonical.
+    "q_dedup_url" -> { (s, dir) =>
+      val g = expr("doc_id DIV 4").cast("string")
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val raw = when(col("doc_id") % 5 === 0,
+          concat(lit("http://site"), g, lit(".com/only"), id))
+        .when(m === 0, concat(lit("http://site"), g, lit(".com/p"), g))
+        .when(m === 1, concat(lit("http://www.site"), g, lit(".com/p"), g))
+        .when(m === 2, concat(lit("http://site"), g, lit(".com:80/p"), g, lit("/")))
+        .otherwise(concat(lit("http://site"), g, lit(".com/p"), g,
+          lit("?utm_source=feed")))
+      val canon =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower(raw), "#.*$", ""),
+                "\\?utm_[a-z_]+=[a-z]*$", ""),
+              "://www\\.", "://"),
+            ":80/", "/"),
+          "/$", "")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), canon.as("canon"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).cast("long").as("n_dups"),
+          min(col("doc_id")).as("canonical_id"))
+        .where(col("n_dups") > 1)
+        .orderBy(col("canon"))
+    },
     // PII redaction: rows that had any hit, with the redacted text
     // verified by md5 — a byte-exact cross-engine check of the full
     // three-stage replacement, not just the counts. One scan: counts
@@ -228,6 +271,35 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 5 = 0 THEN 'http://site' || g || '.com/only' || CAST(doc_id AS VARCHAR)
+        |      WHEN doc_id % 4 = 0 THEN 'http://site' || g || '.com/p' || g
+        |      WHEN doc_id % 4 = 1 THEN 'http://www.site' || g || '.com/p' || g
+        |      WHEN doc_id % 4 = 2 THEN 'http://site' || g || '.com:80/p' || g || '/'
+        |      ELSE 'http://site' || g || '.com/p' || g || '?utm_source=feed'
+        |    END AS url
+        |  FROM (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g FROM documents) s),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(lower(url), '#.*$', ''),
+        |            '\?utm_[a-z_]+=[a-z]*$', ''),
+        |          '://www\.', '://'),
+        |        ':80/', '/'),
+        |      '/$', '') AS canon
+        |  FROM raw)
+        |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS canonical_id
+        |FROM c
+        |GROUP BY canon
+        |HAVING COUNT(*) > 1
+        |ORDER BY canon""".stripMargin,
+
     "q_text_langid" ->
       s"""SELECT doc_id, lang AS tagged_lang,
          |  ${evidenceSql("de")} AS score_de,

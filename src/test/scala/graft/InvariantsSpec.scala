@@ -76,6 +76,40 @@ class InvariantsSpec extends AnyFunSuite {
       q("q_win_rank").filter(col("rn") <= 3).count())
   }
 
+  test("detrend residuals are OLS-orthogonal: zero mean per group") {
+    // sum of OLS residuals is exactly 0 by the normal equations; the
+    // graded key rounds each residual to 4 dp, so the per-group MEAN
+    // can drift by at most the rounding half-grain (5e-5) — a 1e-3
+    // bound catches a wrong slope/intercept by orders of magnitude
+    val bad = q("q_climate_detrend").groupBy(col("event_type"))
+      .agg(avg(col("resid")).as("m"))
+      .filter(abs(col("m")) > 1e-3).count()
+    assert(bad == 0, "a group's residual mean is far from 0 — bad fit")
+  }
+
+  test("url dedup groups are 3-4 strong and never a unique-path singleton") {
+    // ids 4g..4g+3 plant 4 variants of page g; at most one of any 4
+    // consecutive ids is ≡0 (mod 5) and diverted to a unique path, so
+    // every surviving group has 3 or 4 members — and no '/only' URL
+    // (the planted singletons) may appear in a group
+    val d = q("q_dedup_url")
+    val sizes = d.select("n_dups").distinct().collect().map(_.getLong(0)).toSet
+    assert(sizes.nonEmpty && sizes.subsetOf(Set(3L, 4L)), s"group sizes: $sizes")
+    assert(d.filter(col("canon").contains("/only")).count() == 0,
+      "a planted singleton survived the HAVING bar")
+  }
+
+  test("MAD outliers: nonnegative spread, flagged minority per group") {
+    val rows = q("q_profile_mad").collect()
+    assert(rows.length == 5) // one per event_type
+    val total = Tables.events(spark, dir).count() / 5 // ~balanced types
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0 && r.getAs[Double]("med") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") < total,
+        s"${r.getString(0)}: outliers not a minority")
+    }
+  }
+
   test("embedding norms are ~1 (unit vectors)") {
     val norms = q("q_vec_norm").agg(min("l2_4"), max("l2_4")).head()
     assert(norms.getDouble(0) > 0.99 && norms.getDouble(1) < 1.01)

@@ -182,6 +182,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_agg_cms sketch side not broadcast:\n$pk")
   }
 
+  test("detrend and MAD keys stay two-pass broadcast shapes; url dedup aggregates partial+final") {
+    // the r5 keys must keep the de-funneled anomaly shape: per-group
+    // statistics via partial+final aggregation, broadcast back — a
+    // Window over event_type (5 groups) would funnel 20% of the table
+    // through one sort task at scale
+    val pd = plan(SparkEntry.queries("q_climate_detrend")(spark, dir))
+    assert(!pd.contains("Window"), s"detrend grew a window funnel:\n$pd")
+    assert(pd.contains("BroadcastHashJoin"), s"trend fit not broadcast:\n$pd")
+    val pm = plan(SparkEntry.queries("q_profile_mad")(spark, dir))
+    assert(!pm.contains("Window"), s"MAD grew a window funnel:\n$pm")
+    assert(pm.contains("BroadcastHashJoin"), s"median/MAD not broadcast:\n$pm")
+    val pu = plan(SparkEntry.queries("q_dedup_url")(spark, dir))
+    assert(!pu.contains("Window") && !pu.contains("Join"),
+      s"url dedup grew a window or join:\n$pu")
+    assert("HashAggregate".r.findAllIn(pu).size >= 2,
+      s"url dedup lost its partial aggregation:\n$pu")
+  }
+
   test("outlier quartile gate: high cardinality swaps exact percentile for a bounded sketch") {
     // exact Percentile's buffer is a value→count map (size ∝ distinct
     // values per group — unbounded on a continuous domain at 100 TB);
