@@ -176,6 +176,25 @@ object Functions {
           try_divide(col("okey"), col("okey") % 7).as("ratio"),
           try_element_at(array(col("okey")), lit(5)).as("elem"))
         .orderBy(col("okey"))
+    },
+
+    // Bitwise function family (r5): &, |, xor, shifts, popcount over
+    // BIGINT keys — the hash/bucket/bitmask primitives every
+    // partitioning scheme leans on (zorderValue composes exactly
+    // these). Two's-complement BIGINT semantics are identical in both
+    // engines; DuckDB spells xor as xor(a,b) and popcount as
+    // bit_count, Spark as ^ and bit_count.
+    "q_fn_bitwise" -> { (s, dir) =>
+      val k = col("o_orderkey")
+      Tables.orders(s, dir)
+        .select(k.as("okey"),
+          k.bitwiseAND(lit(255L)).as("band"),
+          k.bitwiseOR(lit(4096L)).as("bor"),
+          k.bitwiseXOR(col("o_custkey")).as("bxor"),
+          shiftleft(k, 3).as("shl"),
+          shiftright(k, 2).as("shr"),
+          expr("bit_count(o_orderkey)").cast("long").as("nbits"))
+        .orderBy(col("okey"))
     }
   )
 
@@ -293,6 +312,17 @@ object Functions {
         |    ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS cast_ok,
         |  o_orderkey / NULLIF(o_orderkey % 7, 0) AS ratio,
         |  ([o_orderkey])[5] AS elem
+        |FROM orders
+        |ORDER BY okey""".stripMargin,
+
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey AS okey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  o_orderkey << 3 AS shl,
+        |  o_orderkey >> 2 AS shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS nbits
         |FROM orders
         |ORDER BY okey""".stripMargin
   )

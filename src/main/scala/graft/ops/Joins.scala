@@ -238,6 +238,26 @@ object Joins {
           tstr(col("ts")).as("purchase_ts"),
           tstr(col("recent_signup")).as("signup_ts"))
         .orderBy(col("event_id"))
+    },
+
+    // FORWARD as-of (r5) — pandas merge_asof(direction='forward'): for
+    // each purchase, the EARLIEST strictly-later signup of the same
+    // user. Exact mirror of purchasesWithPriorSignup: min over a
+    // 1-FOLLOWING..UNBOUNDED frame on the same (ts, event_id) order,
+    // so the backward and forward keys can never drift in tie-break.
+    // Same scale shape: one shuffle on user_id, no self-join.
+    "q_join_asof_fwd" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("next_signup",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          tstr(col("ts")).as("purchase_ts"),
+          tstr(col("next_signup")).as("signup_ts"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -362,6 +382,19 @@ object Joins {
         |  ON p.user_id = s.s_user AND p.ts >= s.s_ts
         |ORDER BY p.event_id""".stripMargin,
     "q_join_asof" -> asofOracle,
+
+    "q_join_asof_fwd" ->
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(next_signup, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_signup
+        |  FROM events) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "q_join_lateral" ->
       """SELECT n.n_name, c.c_custkey, c.bal_cents

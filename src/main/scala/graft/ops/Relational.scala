@@ -308,6 +308,44 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // Higher-moment statistics (r5): skewness/kurtosis. Both engines
+    // SHIP these but with DIFFERENT estimators (Spark: population
+    // m3/m2^1.5; DuckDB: bias-corrected sample g1) — so the graded
+    // form derives POPULATION moments from EXACT integer power sums:
+    // qc^k fits a long for k ≤ 4 (qc ≤ 5100 ⇒ qc⁴ ≤ 6.8e14), the sums
+    // ride decimal(38,0) because a 600k-row s4 total (~1e20) overflows
+    // BIGINT (DuckDB's SUM(BIGINT) widens to HUGEINT on its own), and
+    // the double derivation is the IDENTICAL fully-parenthesized
+    // expression on both sides — σ³ as sqrt(v)·v, never pow(v, 1.5)
+    // (sqrt is correctly-rounded IEEE; pow is a libm call with no
+    // such guarantee).
+    "q_agg_moments" -> { (s, dir) =>
+      val qc = cents(col("l_quantity"))
+      val sums = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), qc.as("p1"), (qc * qc).as("p2"),
+          (qc * qc * qc).as("p3"), (qc * qc * qc * qc).as("p4"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("p1").cast("decimal(38,0)")).as("s1"),
+          sum(col("p2").cast("decimal(38,0)")).as("s2"),
+          sum(col("p3").cast("decimal(38,0)")).as("s3"),
+          sum(col("p4").cast("decimal(38,0)")).as("s4"))
+      val n = col("n").cast("double")
+      val m = col("s1").cast("double") / n
+      val a2 = col("s2").cast("double") / n
+      val a3 = col("s3").cast("double") / n
+      val a4 = col("s4").cast("double") / n
+      val v = a2 - (m * m)
+      val skew = (a3 - (lit(3.0) * m * a2) + (lit(2.0) * (m * m * m))) /
+        (sqrt(v) * v)
+      val kurt = (a4 - (lit(4.0) * m * a3) + (lit(6.0) * (m * m) * a2) -
+        (lit(3.0) * (m * m * m * m))) / (v * v)
+      sums.select(col("l_returnflag"), col("n"),
+          r4(m).as("mean_c"), r4(v).as("var_c"),
+          r4(skew).as("skew"), r4(kurt).as("kurt"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Histogram binning (r4): width_bucket over 20 equal bins. DuckDB
     // has no width_bucket, so the oracle is the FLOOR equivalence.
     // Determinism caveat: Spark's WidthBucket computes
@@ -549,6 +587,32 @@ object Relational {
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(qc) AS s1, SUM(qc*qc) AS s2,
+        |    SUM(qc*qc*qc) AS s3, SUM(qc*qc*qc*qc) AS s4
+        |  FROM (SELECT l_returnflag,
+        |          CAST(ROUND(l_quantity*100) AS BIGINT) AS qc
+        |        FROM lineitem) t
+        |  GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  ROUND(m, 4) AS mean_c,
+        |  ROUND(a2 - (m*m), 4) AS var_c,
+        |  ROUND((a3 - (3.0*m*a2) + (2.0*(m*m*m)))
+        |        / (sqrt(a2 - (m*m)) * (a2 - (m*m))), 4) AS skew,
+        |  ROUND((a4 - (4.0*m*a3) + (6.0*(m*m)*a2) - (3.0*(m*m*m*m)))
+        |        / ((a2 - (m*m)) * (a2 - (m*m))), 4) AS kurt
+        |FROM d
         |ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_histogram" ->

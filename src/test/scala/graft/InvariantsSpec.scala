@@ -76,6 +76,41 @@ class InvariantsSpec extends AnyFunSuite {
       q("q_win_rank").filter(col("rn") <= 3).count())
   }
 
+  test("moments key agrees with Spark's population skewness/kurtosis") {
+    // the key derives moments from exact integer power sums BECAUSE
+    // the engines' built-ins disagree (population vs bias-corrected
+    // sample estimators) — Spark's skewness/kurtosis ARE population
+    // forms, so they must match ours to FP noise; kurtosis is offset
+    // by 3 (Spark reports excess kurtosis)
+    val got = q("q_agg_moments").collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    val ref = Tables.lineitem(spark, dir)
+      .withColumn("qc", Det.cents(col("l_quantity")))
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("qc")).as("sk"), kurtosis(col("qc")).as("ku"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (flag, (sk, ku)) =>
+      assert(math.abs(sk - ref(flag)._1) < 1e-3, s"$flag skew: $sk vs ${ref(flag)._1}")
+      assert(math.abs(ku - (ref(flag)._2 + 3.0)) < 1e-3,
+        s"$flag kurt: $ku vs excess ${ref(flag)._2}")
+    }
+  }
+
+  test("forward as-of never matches earlier; backward never later") {
+    // direction check on the second-truncated output strings (the
+    // fixed-width format compares chronologically): a strictly-later
+    // micros match can truncate to an EQUAL second string, so equality
+    // is allowed — only an inverted match is a bug
+    val fwd = q("q_join_asof_fwd")
+      .filter(col("signup_ts").isNotNull && col("signup_ts") < col("purchase_ts"))
+      .count()
+    assert(fwd == 0, "a forward as-of match precedes its purchase")
+    val bwd = q("q_join_asof")
+      .filter(col("signup_ts").isNotNull && col("signup_ts") > col("purchase_ts"))
+      .count()
+    assert(bwd == 0, "a backward as-of match follows its purchase")
+  }
+
   test("detrend residuals are OLS-orthogonal: zero mean per group") {
     // sum of OLS residuals is exactly 0 by the normal equations; the
     // graded key rounds each residual to 4 dp, so the per-group MEAN
