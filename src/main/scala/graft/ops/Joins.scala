@@ -258,6 +258,38 @@ object Joins {
           tstr(col("ts")).as("purchase_ts"),
           tstr(col("next_signup")).as("signup_ts"))
         .orderBy(col("event_id"))
+    },
+
+    // MERGE / upsert (r5) — the lakehouse writer's core operation:
+    // apply a changes table (insert / update / delete ops) to a base
+    // table in ONE full-outer hash join on the key, with the op flag
+    // deciding survival and value. OSS Spark has no MERGE INTO without
+    // a table format; this is the engine-level batch form, and the
+    // 100 TB shape — one shuffle of both sides on the key, no driver
+    // involvement, no per-row lookups. Changes are PLANTED from the
+    // base (the q_text_pii precedent, mirrored literally in the
+    // oracle): key%10==0 → delete, %10 in 1..3 → update (+12345
+    // cents), %10==7 → insert under key+10⁷ (collision-free above
+    // every fixture tier's key range).
+    "q_merge_upsert" -> { (s, dir) =>
+      val base = Tables.part(s, dir)
+        .select(col("p_partkey").as("key"),
+          cents(col("p_retailprice")).as("price_cents"))
+      val ud = base.filter(col("key") % 10 <= 3)
+        .select(col("key").as("c_key"),
+          when(col("key") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          (col("price_cents") + 12345L).as("new_price_cents"))
+      val ins = base.filter(col("key") % 10 === 7)
+        .select((col("key") + 10000000L).as("c_key"), lit("I").as("op"),
+          (col("price_cents") + 777L).as("new_price_cents"))
+      val changes = ud.unionByName(ins)
+      base.join(changes, col("key") === col("c_key"), "full_outer")
+        .filter(coalesce(col("op"), lit("=")) =!= "D")
+        .select(coalesce(col("key"), col("c_key")).as("key"),
+          when(col("op").isin("U", "I"), col("new_price_cents"))
+            .otherwise(col("price_cents")).as("price_cents"),
+          coalesce(col("op"), lit("=")).as("src"))
+        .orderBy(col("key"))
     }
   )
 
@@ -395,6 +427,28 @@ object Joins {
         |  FROM events) t
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS key,
+        |    CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents
+        |  FROM part),
+        |changes AS (
+        |  SELECT key AS c_key,
+        |    CASE WHEN key % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    price_cents + 12345 AS new_price_cents
+        |  FROM base WHERE key % 10 <= 3
+        |  UNION ALL
+        |  SELECT key + 10000000 AS c_key, 'I' AS op,
+        |    price_cents + 777 AS new_price_cents
+        |  FROM base WHERE key % 10 = 7)
+        |SELECT COALESCE(key, c_key) AS key,
+        |  CASE WHEN op IN ('U','I') THEN new_price_cents
+        |       ELSE price_cents END AS price_cents,
+        |  COALESCE(op, '=') AS src
+        |FROM base FULL JOIN changes ON key = c_key
+        |WHERE COALESCE(op, '=') <> 'D'
+        |ORDER BY key""".stripMargin,
 
     "q_join_lateral" ->
       """SELECT n.n_name, c.c_custkey, c.bal_cents

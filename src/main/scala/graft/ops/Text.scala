@@ -45,6 +45,33 @@ object Text {
         .orderBy(col("term"))
     },
 
+    // Token-distribution entropy + Gini diversity per language (r5) —
+    // the vocabulary-diversity quality signal (a collapsed/templated
+    // corpus shows low entropy long before exact dedup catches it).
+    // Two-level exact-count aggregation: term counts, then a per-lang
+    // reduction using the ln(n) − Σc·ln(c)/n identity — so the only
+    // FP inputs are exact integers, ln's ~1-ulp libm noise and the
+    // engines' different summation orders both absorbed by ROUND(_,4)
+    // (the tfidf precedent). Gini = 1 − Σc²/n² is one correctly-
+    // rounded division over exact integers → bit-identical, unrounded.
+    "q_text_entropy" -> { (s, dir) =>
+      val cnt = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("lang"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          count(lit(1)).cast("long").as("n_terms"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"),
+          sum(col("c") * col("c")).cast("long").as("sc2"))
+        .select(col("lang"), col("n"), col("n_terms"),
+          round(log(col("n").cast("double")) -
+            (col("slc") / col("n").cast("double")), 4).as("entropy"),
+          (lit(1.0) - (col("sc2").cast("double") /
+            (col("n") * col("n")).cast("double"))).as("gini"))
+        .orderBy(col("lang"))
+    },
+
     // Two-phase CMS heavy hitters as a GRADED key (r5): the operator's
     // contract — exactly the terms with true count >= minCount — is
     // plain GROUP BY ... HAVING in DuckDB, so the actual 100 TB path
@@ -410,6 +437,24 @@ object Text {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
         |GROUP BY term
         |ORDER BY term""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH cnt AS (
+        |  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY lang, term),
+        |agg AS (
+        |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc,
+        |    CAST(SUM(c*c) AS BIGINT) AS sc2
+        |  FROM cnt GROUP BY lang)
+        |SELECT lang, n, n_terms,
+        |  ROUND(ln(CAST(n AS DOUBLE)) - (slc / CAST(n AS DOUBLE)), 4) AS entropy,
+        |  1.0 - (CAST(sc2 AS DOUBLE) / CAST(n*n AS DOUBLE)) AS gini
+        |FROM agg
+        |ORDER BY lang""".stripMargin,
 
     "q_text_heavyhitters" ->
       """SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt

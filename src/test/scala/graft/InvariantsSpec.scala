@@ -76,6 +76,23 @@ class InvariantsSpec extends AnyFunSuite {
       q("q_win_rank").filter(col("rn") <= 3).count())
   }
 
+  test("merge upsert obeys the row-count law and op partition") {
+    // |result| = |base| − deletes + inserts, and the src flags
+    // partition the output exactly as planted
+    val base = Tables.part(spark, dir)
+    val nBase = base.count()
+    val nDel = base.filter(col("p_partkey") % 10 === 0).count()
+    val nUpd = base.filter(col("p_partkey") % 10 >= 1 &&
+      col("p_partkey") % 10 <= 3).count()
+    val nIns = base.filter(col("p_partkey") % 10 === 7).count()
+    val m = q("q_merge_upsert")
+    assert(m.count() == nBase - nDel + nIns)
+    assert(m.filter(col("src") === "D").count() == 0, "a delete survived")
+    assert(m.filter(col("src") === "I").count() == nIns)
+    assert(m.filter(col("src") === "U").count() == nUpd)
+    assert(m.filter(col("src") === "=").count() == nBase - nDel - nUpd)
+  }
+
   test("moments key agrees with Spark's population skewness/kurtosis") {
     // the key derives moments from exact integer power sums BECAUSE
     // the engines' built-ins disagree (population vs bias-corrected
