@@ -159,6 +159,19 @@ object Profiling {
     * per `(p, name)`. PlanAuditSpec asserts the gate fires on a tiny
     * cap and that the default-gate fences equal the inline exact
     * form. */
+  /** Memoized gate counts keyed on (input plan, group, value column):
+    * q_profile_mad probes the same (events, vm) pair twice per call
+    * and q_profile_outliers probes it again — one distinct-count scan
+    * serves them all within a session (the tfIdfCache / Ann.indexCache
+    * precedent: keyed on the ANALYZED plan's semanticHash, so a
+    * different sfDir or a changed input is a different key). */
+  private val gateCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Long]
+
+  /** Drop the memoized gate counts (session-teardown twin of
+    * [[graft.ops.Text.clearTfIdfCache]]). */
+  def clearGateCache(): Unit = gateCache.clear()
+
   def gatedPercentiles(ev: DataFrame, groupCol: String, valCol: String,
                        ps: Seq[(Double, String)],
                        exactDistinctMax: Long = 1000000L): DataFrame = {
@@ -166,10 +179,13 @@ object Profiling {
       s"gatedPercentiles needs a plain existing column name, got '$valCol'")
     require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0.0 && p <= 1.0 },
       s"percentiles must be in [0,1], got ${ps.map(_._1)}")
-    val ndRow = ev.groupBy(col(groupCol))
-      .agg(approx_count_distinct(col(valCol)).as("_nd"))
-      .agg(max(col("_nd"))).head()
-    val maxNd = if (ndRow.isNullAt(0)) 0L else ndRow.getLong(0)
+    val maxNd = gateCache.getOrElseUpdate(
+      (ev.queryExecution.analyzed.semanticHash(), groupCol, valCol), {
+        val ndRow = ev.groupBy(col(groupCol))
+          .agg(approx_count_distinct(col(valCol)).as("_nd"))
+          .agg(max(col("_nd"))).head()
+        if (ndRow.isNullAt(0)) 0L else ndRow.getLong(0)
+      })
     val aggs = ps.map { case (p, name) =>
       if (maxNd <= exactDistinctMax) expr(s"percentile($valCol, $p)").as(name)
       else expr(s"approx_percentile($valCol, $p, 10000)").cast("double").as(name)
@@ -274,6 +290,27 @@ object Profiling {
         .orderBy(col("event_type"))
     },
 
+    // Order-independent table fingerprint (r5): the replica-
+    // reconciliation primitive — XOR-fold a per-row digest so two
+    // copies of a table compare with ONE aggregate each, on any
+    // engine, under any row order or partitioning (exactly what a
+    // 100 TB migration needs; row-by-row comparison is another full
+    // shuffle). bit_xor is commutative/associative with no overflow
+    // (a sum-fold needs widening at scale); the row digest is the
+    // leading 60 bits of md5 over '|'-joined columns — integers and
+    // strings only, because float FORMATTING differs across engines
+    // (cents-encode doubles before including them).
+    "q_profile_checksum" -> { (s, dir) =>
+      val digest = conv(substring(md5(concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          col("o_orderpriority"))), 1, 15), 16, 10).cast("long")
+      Tables.orders(s, dir)
+        .select(digest.as("d"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          expr("bit_xor(d)").as("xor_sig"))
+    },
+
     "q_profile_stats" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .agg(
@@ -335,6 +372,14 @@ object Profiling {
         |WHERE vm < lo OR vm > hi
         |GROUP BY ev.event_type
         |ORDER BY ev.event_type""".stripMargin,
+
+    "q_profile_checksum" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  bit_xor(CAST('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' ||
+        |    CAST(o_custkey AS VARCHAR) || '|' ||
+        |    o_orderpriority), 1, 15) AS BIGINT)) AS xor_sig
+        |FROM orders""".stripMargin,
 
     "q_profile_mad" ->
       """WITH ev AS (

@@ -76,6 +76,24 @@ class InvariantsSpec extends AnyFunSuite {
       q("q_win_rank").filter(col("rn") <= 3).count())
   }
 
+  test("table checksum is row-order and partitioning independent") {
+    // the whole point of the XOR fold: any replica layout fingerprints
+    // identically — recompute over a reshuffled, re-ordered copy
+    val ref = q("q_profile_checksum").head()
+    val digest = conv(substring(md5(concat_ws("|",
+        col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderpriority"))), 1, 15), 16, 10).cast("long")
+    val shuffled = Tables.orders(spark, dir)
+      .repartition(7, col("o_custkey"))
+      .sortWithinPartitions(col("o_orderkey").desc)
+      .select(digest.as("d"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        expr("bit_xor(d)").as("xor_sig"))
+      .head()
+    assert(ref == shuffled, s"checksum not layout-independent: $ref vs $shuffled")
+  }
+
   test("merge upsert obeys the row-count law and op partition") {
     // |result| = |base| − deletes + inserts, and the src flags
     // partition the output exactly as planted
