@@ -299,7 +299,10 @@ object Profiling {
     // (a sum-fold needs widening at scale); the row digest is the
     // leading 60 bits of md5 over '|'-joined columns — integers and
     // strings only, because float FORMATTING differs across engines
-    // (cents-encode doubles before including them).
+    // (cents-encode doubles before including them), and NON-NULL only
+    // (Spark's concat_ws skips nulls where SQL `||` nulls the whole
+    // row digest — coalesce to a sentinel before including a nullable
+    // column).
     "q_profile_checksum" -> { (s, dir) =>
       val digest = conv(substring(md5(concat_ws("|",
           col("o_orderkey").cast("string"),
