@@ -29,6 +29,59 @@ object Vectors {
   private def norm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 
+  /** Deterministic Lloyd's k-means, the semantic-clustering primitive
+    * behind embedding-space curation (cluster-balanced sampling,
+    * semantic dedup): seeds = vec_id < k, a FIXED iteration count, and
+    * every FP hazard engineered out so the assignment hash-matches
+    * DuckDB:
+    *  - components are micros-quantized (integer-VALUED doubles), so
+    *    iteration-1 distances are exact integer arithmetic in doubles
+    *    (≤ 64·10¹² ≪ 2⁵³) and per-dim centroid sums re-associate
+    *    exactly (summed as BIGINT — partial-agg order irrelevant);
+    *  - iteration-2 centroids are one correctly-rounded division each,
+    *    and d² = ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩ is the same left-assoc
+    *    index-order fold both engines run (q_vec_knn's proven rule);
+    *  - argmin ties break on cluster id (ROW_NUMBER over (d², cid)).
+    * Scale shape: centroids are a k-row broadcast per iteration; the
+    * recompute is a partial+final integer aggregation — the only
+    * shuffles are by (cid, dim) and vec_id, never all-pairs. */
+  def kmeansAssignments(e: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 1, s"need k > 0 and iters >= 1, got k=$k iters=$iters")
+    val v = e.select(col("vec_id"),
+      transform(dbl(col("embedding")), x => round(x * 1000000L, 0)).as("vm"))
+    val seeds = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("vm").as("cv"))
+    val first = assignToNearest(v, seeds)
+    val last = (2 to iters).foldLeft(first) { (a, _) =>
+      assignToNearest(v, recomputeCentroids(a))
+    }
+    last.select(col("vec_id"), col("cid"),
+      round(sqrt(col("d2")) / 1000000.0, 4).as("dist4"))
+  }
+
+  /** (vec_id, vm, cid, d2): each vector with its nearest centroid. */
+  private def assignToNearest(v: DataFrame, c: DataFrame): DataFrame = {
+    val d2 = dot(col("vm"), col("vm")) -
+      (lit(2.0) * dot(col("vm"), col("cv"))) + dot(col("cv"), col("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    v.crossJoin(broadcast(c))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("vm"), col("cid"), col("d2"))
+  }
+
+  /** Per-cluster mean vectors from exact integer per-dim sums. */
+  private def recomputeCentroids(a: DataFrame): DataFrame =
+    a.select(col("cid"), posexplode(col("vm")).as(Seq("dim", "mv")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("mv").cast("long")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          (col("s").cast("double") / col("n")).as("m")))),
+        x => x.getField("m")).as("cv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_norm" -> { (s, dir) =>
       Tables.embeddings(s, dir)
@@ -91,6 +144,14 @@ object Vectors {
         .select(col("label"), col("dim"), col("n"),
           (col("sum_m").cast("double") / 1000000.0 / col("n")).as("mean_c"))
         .orderBy(col("label"), col("dim"))
+    },
+
+    // Deterministic k-means assignment (r5) — see kmeansAssignments
+    // for the FP-hazard engineering that makes an ITERATIVE ML fit
+    // hash-matchable cross-engine.
+    "q_vec_kmeans" -> { (s, dir) =>
+      kmeansAssignments(Tables.embeddings(s, dir), k = 8, iters = 2)
+        .orderBy(col("vec_id"))
     },
 
     // Text ⋈ vectors: one relation carrying linguistic and geometric
@@ -159,6 +220,46 @@ object Vectors {
         |  FROM embeddings) t
         |GROUP BY label, pos
         |ORDER BY label, dim""".stripMargin,
+
+    "q_vec_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |                   x -> ROUND(x * 1000000)) AS vm
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id AS cid, vm AS cv FROM v WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, vm, cid,
+        |    list_inner_product(vm, vm) - (2.0 * list_inner_product(vm, cv))
+        |      + list_inner_product(cv, cv) AS d2
+        |  FROM v CROSS JOIN c0),
+        |b1 AS (
+        |  SELECT vec_id, vm, cid FROM (
+        |    SELECT vec_id, vm, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM a1) t WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cv
+        |  FROM (
+        |    SELECT cid, pos AS dim,
+        |      SUM(CAST(mv AS BIGINT)) AS s, COUNT(*) AS n
+        |    FROM (SELECT cid, unnest(vm) AS mv,
+        |            generate_subscripts(vm, 1) AS pos
+        |          FROM b1) u
+        |    GROUP BY cid, pos) g
+        |  GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, cid,
+        |    list_inner_product(vm, vm) - (2.0 * list_inner_product(vm, cv))
+        |      + list_inner_product(cv, cv) AS d2
+        |  FROM v CROSS JOIN c1)
+        |SELECT vec_id, cid, ROUND(sqrt(d2) / 1000000.0, 4) AS dist4 FROM (
+        |  SELECT vec_id, cid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM a2) t
+        |WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
 
     "q_multimodal_join" ->
       s"""SELECT doc_id, lang,

@@ -76,6 +76,22 @@ class InvariantsSpec extends AnyFunSuite {
       q("q_win_rank").filter(col("rn") <= 3).count())
   }
 
+  test("k-means: a Lloyd iteration never increases total distortion") {
+    // the textbook convergence law — assignment and recompute are both
+    // distortion-non-increasing, so 2 iterations ≤ 1 (tolerance covers
+    // the 4-dp rounding of the reported distances)
+    val e = Tables.embeddings(spark, dir)
+    def inertia(iters: Int): Double =
+      ops.Vectors.kmeansAssignments(e, k = 8, iters = iters)
+        .agg(sum(col("dist4") * col("dist4"))).head().getDouble(0)
+    val i1 = inertia(1)
+    val i2 = inertia(2)
+    assert(i2 <= i1 + 1e-2, s"distortion rose across an iteration: $i1 -> $i2")
+    val m = ops.Vectors.kmeansAssignments(e, 8, 2)
+    assert(m.count() == e.count(), "a vector is unassigned or double-assigned")
+    assert(m.select("cid").distinct().count() <= 8)
+  }
+
   test("table checksum is row-order and partitioning independent") {
     // the whole point of the XOR fold: any replica layout fingerprints
     // identically — recompute over a reshuffled, re-ordered copy
