@@ -35,8 +35,11 @@ object Bucketing {
     * collection, not string matching (a plan node whose description
     * merely mentions "Exchange", or a future rename of the printed
     * form, can't fool it). Descends through the wrappers that hide
-    * subtrees from a plain `collect`: AQE's root and query stages, and
-    * exchange reuse (a reused shuffle still shuffles — it must count). */
+    * subtrees from a plain `collect`: AQE's root and query stages,
+    * exchange reuse (a reused shuffle still shuffles — it must count),
+    * and SUBQUERY plans (a scalar/IN subquery hangs off the node's
+    * plan expressions, not `children` — its inner shuffle is just as
+    * real). */
   def shuffleExchanges(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -52,7 +55,7 @@ object Bucketing {
         case r: ReusedExchangeExec => Seq(r.child)
         case other => other.children
       }
-      self ++ kids.flatMap(walk)
+      self ++ (kids ++ p.subqueries).flatMap(walk)
     }
     walk(df.queryExecution.executedPlan)
   }

@@ -78,15 +78,18 @@ class InvariantsSpec extends AnyFunSuite {
 
   test("k-means: a Lloyd iteration never increases total distortion") {
     // the textbook convergence law — assignment and recompute are both
-    // distortion-non-increasing, so 2 iterations ≤ 1 (tolerance covers
-    // the 4-dp rounding of the reported distances)
+    // distortion-non-increasing, so 2 iterations ≤ 1. The slack must
+    // scale with the fixture: each dist4 carries up to 5e-5 rounding,
+    // so each dist4² is off by ≤ 2·dist·5e-5 ≈ 2e-4 (unit vectors ⇒
+    // dist ≤ 2) and the SUMMED error grows with row count
     val e = Tables.embeddings(spark, dir)
     def inertia(iters: Int): Double =
       ops.Vectors.kmeansAssignments(e, k = 8, iters = iters)
         .agg(sum(col("dist4") * col("dist4"))).head().getDouble(0)
     val i1 = inertia(1)
     val i2 = inertia(2)
-    assert(i2 <= i1 + 1e-2, s"distortion rose across an iteration: $i1 -> $i2")
+    val slack = 2e-4 * e.count()
+    assert(i2 <= i1 + slack, s"distortion rose across an iteration: $i1 -> $i2")
     val m = ops.Vectors.kmeansAssignments(e, 8, 2)
     assert(m.count() == e.count(), "a vector is unassigned or double-assigned")
     assert(m.select("cid").distinct().count() <= 8)
