@@ -31,9 +31,9 @@ object Vectors {
 
   /** Deterministic Lloyd's k-means, the semantic-clustering primitive
     * behind embedding-space curation (cluster-balanced sampling,
-    * semantic dedup): seeds = vec_id < k, a FIXED iteration count, and
-    * every FP hazard engineered out so the assignment hash-matches
-    * DuckDB:
+    * semantic dedup): seeds = the k smallest present vec_ids, a FIXED
+    * iteration count, and every FP hazard engineered out so the
+    * assignment hash-matches DuckDB:
     *  - components are micros-quantized (integer-VALUED doubles), so
     *    iteration-1 distances are exact integer arithmetic in doubles
     *    (≤ 64·10¹² ≪ 2⁵³) and per-dim centroid sums re-associate
@@ -51,7 +51,11 @@ object Vectors {
       (e.queryExecution.analyzed.semanticHash(), k, iters), {
         val v = e.select(col("vec_id"),
           transform(dbl(col("embedding")), x => round(x * 1000000L, 0)).as("vm"))
-        val seeds = v.filter(col("vec_id") < k)
+        // seeds = the k SMALLEST ids PRESENT (not `vec_id < k`): on a
+        // filtered corpus — the pipeline-demo audit path — ids 0..k-1
+        // may be gone, and a thinner seed set silently shrinks k. On
+        // the contiguous-id graded table the two rules coincide.
+        val seeds = v.orderBy(col("vec_id")).limit(k)
           .select(col("vec_id").as("cid"), col("vm").as("cv"))
         val first = assignToNearest(v, seeds)
         val last = (2 to iters).foldLeft(first) { (a, _) =>
@@ -264,7 +268,7 @@ object Vectors {
         |                   x -> ROUND(x * 1000000)) AS vm
         |  FROM embeddings),
         |c0 AS (
-        |  SELECT vec_id AS cid, vm AS cv FROM v WHERE vec_id < 8),
+        |  SELECT vec_id AS cid, vm AS cv FROM v ORDER BY vec_id LIMIT 8),
         |a1 AS (
         |  SELECT vec_id, vm, cid,
         |    list_inner_product(vm, vm) - (2.0 * list_inner_product(vm, cv))
@@ -304,7 +308,7 @@ object Vectors {
         |                   x -> ROUND(x * 1000000)) AS vm
         |  FROM embeddings),
         |c0 AS (
-        |  SELECT vec_id AS cid, vm AS cv FROM v WHERE vec_id < 8),
+        |  SELECT vec_id AS cid, vm AS cv FROM v ORDER BY vec_id LIMIT 8),
         |a1 AS (
         |  SELECT vec_id, vm, cid,
         |    list_inner_product(vm, vm) - (2.0 * list_inner_product(vm, cv))

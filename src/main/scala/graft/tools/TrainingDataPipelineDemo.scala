@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Profiling, Text, TextAnalysis}
+import graft.ops.{Dedup, Profiling, Text, TextAnalysis, Vectors}
 import graft.sources.Sources
 
 /** The LLM training-data curation pipeline end-to-end — what a crawl
@@ -19,7 +19,13 @@ import graft.sources.Sources
   *                      phones in place; row count is invariant)
   *  5. sample         — Profiling.stratifiedSample, n per language,
   *                      content-hash deterministic
-  *  6. normalize      — Sources.toParquet (canonical format out)
+  *  6. semantic mix   — Vectors.kmeansAssignments over the surviving
+  *                      docs' embeddings + per-cluster balance report
+  *                      (the q_sample_semantic move, applied as audit)
+  *  7. normalize      — Sources.toParquet (canonical format out)
+  *  8. fingerprint    — the q_profile_checksum XOR digest of the
+  *                      written corpus, so a re-run (or a replica on
+  *                      another cluster) verifies with ONE aggregate
   *
   * Every stage is shuffle-bounded/banded/capped per its operator's
   * scale notes, so the same script is the 100 TB shape. Smoke-tested
@@ -67,7 +73,24 @@ object TrainingDataPipelineDemo {
     val sampled = Profiling.stratifiedSample(redacted, "lang", "doc_id", n = 20)
       .drop("rn").cache()
 
+    // semantic balance audit: cluster the SURVIVORS' embeddings and
+    // count the sample per cluster — a collapsed cluster here means
+    // the language-stratified sample is semantically lopsided and the
+    // q_sample_semantic form should replace stage 5
+    val emb = Tables.embeddings(spark, dir)
+      .join(sampled.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val clusters = Vectors.kmeansAssignments(emb, k = 4, iters = 2)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n")).count()
+
     Sources.toParquet(sampled, s"$outDir/corpus")
+
+    // replica fingerprint of what was actually written (read back, so
+    // the digest covers the persisted bytes' row set, not the plan)
+    val checksum = spark.read.parquet(s"$outDir/corpus")
+      .select(conv(substring(md5(concat_ws("|",
+          col("doc_id").cast("string"), col("lang"))), 1, 15), 16, 10)
+        .cast("long").as("d"))
+      .agg(expr("bit_xor(d)")).head().getLong(0)
 
     try Seq(
       "input" -> docs.count(),
@@ -75,8 +98,13 @@ object TrainingDataPipelineDemo {
       "decontaminated" -> clean.count(),
       "deduped" -> deduped.count(),
       "pii_redacted" -> redacted.count(),
-      "sampled" -> sampled.count())
-    finally Seq(gated, clean, deduped, sampled).foreach(_.unpersist())
+      "sampled" -> sampled.count(),
+      "semantic_clusters" -> clusters,
+      "xor_fingerprint" -> checksum)
+    finally {
+      Seq(gated, clean, deduped, sampled).foreach(_.unpersist())
+      Vectors.clearKmeansCache()
+    }
   }
 
   def main(args: Array[String]): Unit = {

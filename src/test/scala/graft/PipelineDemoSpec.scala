@@ -18,11 +18,14 @@ class PipelineDemoSpec extends AnyFunSuite {
 
   test("training-data pipeline runs end-to-end, stages only shrink, output lands") {
     val out = Files.createTempDirectory("graft_pipe").toString
-    val stages = tools.TrainingDataPipelineDemo.run(spark, "/root/testdata/sf0.001", out)
-    val counts = stages.map(_._2)
-    assert(stages.map(_._1) ==
+    val all = tools.TrainingDataPipelineDemo.run(spark, "/root/testdata/sf0.001", out)
+    assert(all.map(_._1) ==
       Seq("input", "quality_gated", "decontaminated", "deduped",
-        "pii_redacted", "sampled"))
+        "pii_redacted", "sampled", "semantic_clusters", "xor_fingerprint"))
+    // the first six entries are FILTER stages; the last two are audit
+    // metadata (cluster count, replica digest) outside the shrink law
+    val stages = all.take(6)
+    val counts = stages.map(_._2)
     // redaction masks in place — it must never drop or add rows
     assert(stages(4)._2 == stages(3)._2,
       s"pii_redacted changed the row count: $stages")
@@ -31,8 +34,19 @@ class PipelineDemoSpec extends AnyFunSuite {
     // held out), so every stage after input is ≤ its predecessor
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"a stage grew: $stages")
+    val clusters = all(6)._2
+    assert(clusters >= 1 && clusters <= 4, s"cluster audit off: $clusters")
     val written = spark.read.parquet(s"$out/corpus")
     assert(written.count() == counts.last)
+    // the fingerprint is reproducible: recompute over the read-back
+    // corpus and it must match the reported digest exactly
+    import org.apache.spark.sql.functions._
+    val again = written
+      .select(conv(substring(md5(concat_ws("|",
+          col("doc_id").cast("string"), col("lang"))), 1, 15), 16, 10)
+        .cast("long").as("d"))
+      .agg(expr("bit_xor(d)")).head().getLong(0)
+    assert(again == all(7)._2, "replica digest not reproducible")
     // the sample is per-language capped at 20
     import org.apache.spark.sql.functions._
     val maxPerLang = written.groupBy(col("lang")).count()
