@@ -53,6 +53,10 @@ object Bucketing {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
         case r: ReusedExchangeExec => Seq(r.child)
+        // a reused subquery points back at a plan already walked at
+        // its original site — descending again would double-count its
+        // shuffles in the returned Seq
+        case _: org.apache.spark.sql.execution.ReusedSubqueryExec => Nil
         case other => other.children
       }
       self ++ (kids ++ p.subqueries).flatMap(walk)

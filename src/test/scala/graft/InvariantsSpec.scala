@@ -79,16 +79,18 @@ class InvariantsSpec extends AnyFunSuite {
   test("k-means: a Lloyd iteration never increases total distortion") {
     // the textbook convergence law — assignment and recompute are both
     // distortion-non-increasing, so 2 iterations ≤ 1. The slack must
-    // scale with the fixture: each dist4 carries up to 5e-5 rounding,
-    // so each dist4² is off by ≤ 2·dist·5e-5 ≈ 2e-4 (unit vectors ⇒
-    // dist ≤ 2) and the SUMMED error grows with row count
+    // scale with the fixture AND cover both sides: each dist4 carries
+    // up to 5e-5 rounding, so each dist4² is off by ≤ 2·dist·5e-5 ≈
+    // 2e-4 (unit vectors ⇒ dist ≤ 2); i1 can read LOW by 2e-4·n while
+    // i2 reads HIGH by the same, so the bound on measured i2−i1 is
+    // 4e-4·n
     val e = Tables.embeddings(spark, dir)
     def inertia(iters: Int): Double =
       ops.Vectors.kmeansAssignments(e, k = 8, iters = iters)
         .agg(sum(col("dist4") * col("dist4"))).head().getDouble(0)
     val i1 = inertia(1)
     val i2 = inertia(2)
-    val slack = 2e-4 * e.count()
+    val slack = 4e-4 * e.count()
     assert(i2 <= i1 + slack, s"distortion rose across an iteration: $i1 -> $i2")
     val m = ops.Vectors.kmeansAssignments(e, 8, 2)
     assert(m.count() == e.count(), "a vector is unassigned or double-assigned")
@@ -97,20 +99,24 @@ class InvariantsSpec extends AnyFunSuite {
 
   test("table checksum is row-order and partitioning independent") {
     // the whole point of the XOR fold: any replica layout fingerprints
-    // identically — recompute over a reshuffled, re-ordered copy
+    // identically — recompute via the shared helper over a reshuffled,
+    // re-ordered copy
     val ref = q("q_profile_checksum").head()
-    val digest = conv(substring(md5(concat_ws("|",
+    val shuffled = ops.Profiling.xorFingerprint(
+        Tables.orders(spark, dir)
+          .repartition(7, col("o_custkey"))
+          .sortWithinPartitions(col("o_orderkey").desc),
         col("o_orderkey").cast("string"),
         col("o_custkey").cast("string"),
-        col("o_orderpriority"))), 1, 15), 16, 10).cast("long")
-    val shuffled = Tables.orders(spark, dir)
-      .repartition(7, col("o_custkey"))
-      .sortWithinPartitions(col("o_orderkey").desc)
-      .select(digest.as("d"))
-      .agg(count(lit(1)).cast("long").as("n_rows"),
-        expr("bit_xor(d)").as("xor_sig"))
+        col("o_orderpriority"))
       .head()
     assert(ref == shuffled, s"checksum not layout-independent: $ref vs $shuffled")
+    // and the empty-input fingerprint is (0, 0), not a NULL crash
+    val empty = ops.Profiling.xorFingerprint(
+        Tables.orders(spark, dir).filter(lit(false)),
+        col("o_orderkey").cast("string"))
+      .head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
   }
 
   test("merge upsert obeys the row-count law and op partition") {

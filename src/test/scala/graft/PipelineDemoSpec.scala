@@ -38,15 +38,17 @@ class PipelineDemoSpec extends AnyFunSuite {
     assert(clusters >= 1 && clusters <= 4, s"cluster audit off: $clusters")
     val written = spark.read.parquet(s"$out/corpus")
     assert(written.count() == counts.last)
-    // the fingerprint is reproducible: recompute over the read-back
-    // corpus and it must match the reported digest exactly
+    // the digest must be LAYOUT-independent, not merely re-runnable:
+    // recompute via the shared helper over a reshuffled, re-ordered
+    // copy of the read-back corpus (re-running the identical plan
+    // would prove nothing)
     import org.apache.spark.sql.functions._
-    val again = written
-      .select(conv(substring(md5(concat_ws("|",
-          col("doc_id").cast("string"), col("lang"))), 1, 15), 16, 10)
-        .cast("long").as("d"))
-      .agg(expr("bit_xor(d)")).head().getLong(0)
-    assert(again == all(7)._2, "replica digest not reproducible")
+    val again = ops.Profiling.xorFingerprint(
+        written.repartition(5, col("lang"))
+          .sortWithinPartitions(col("doc_id").desc),
+        col("doc_id").cast("string"), col("lang"))
+      .head().getLong(1)
+    assert(again == all(7)._2, "replica digest not layout-independent")
     // the sample is per-language capped at 20
     import org.apache.spark.sql.functions._
     val maxPerLang = written.groupBy(col("lang")).count()
