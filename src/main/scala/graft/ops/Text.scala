@@ -45,6 +45,40 @@ object Text {
         .orderBy(col("term"))
     },
 
+    // MinHash-LSH candidate generation GRADED cross-engine (r5): the
+    // production path (q_dedup_minhash) keys on Spark's xxhash64 and
+    // is rows-only by necessity; THIS twin keys every permutation on
+    // the engines' shared md5 digest (Profiling.rowDigest), so the
+    // ENTIRE pipeline — shingling, 16 permutation min-hashes, 4-band
+    // signature split, band-equality self-join — hash-matches a DuckDB
+    // oracle end to end. Same shapes as the production form (one
+    // aggregation for signatures, equi-join on (band, bval), a<b +
+    // distinct); md5-per-permutation is the documented gradeability
+    // cost, not the 100 TB path.
+    "q_dedup_minhash_md5" -> { (s, dir) =>
+      val sh = Dedup.shingles(Tables.documents(s, dir))
+        .select(col("doc_id"), col("sh"))
+      val sig = sh
+        .select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(15))).as("p"))
+        .withColumn("h", Profiling.rowDigest(col("p").cast("string"), col("sh")))
+        .groupBy(col("doc_id"), col("p"))
+        .agg(min(col("h")).as("mh"))
+      val band = sig.withColumn("b", expr("p DIV 4"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("p"), col("mh")))),
+          x => x.getField("mh").cast("string"))).as("bval"))
+      val l = band.select(col("b"), col("bval"), col("doc_id").as("a"))
+      val r = band.select(col("b").as("b2"), col("bval").as("bv2"),
+        col("doc_id").as("bid"))
+      l.join(r, col("b") === col("b2") && col("bval") === col("bv2") &&
+          col("a") < col("bid"))
+        .select(col("a"), col("bid").as("b"))
+        .distinct()
+        .orderBy(col("a"), col("b"))
+    },
+
     // Token-distribution entropy + Gini diversity per language (r5) —
     // the vocabulary-diversity quality signal (a collapsed/templated
     // corpus shows low entropy long before exact dedup catches it).
@@ -437,6 +471,30 @@ object Text {
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
         |GROUP BY term
         |ORDER BY term""".stripMargin,
+
+    "q_dedup_minhash_md5" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, s AS sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+        |    WHERE len(t) >= 3) u),
+        |hv AS (
+        |  SELECT doc_id, p,
+        |    CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || sh), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) perms),
+        |sig AS (
+        |  SELECT doc_id, p, MIN(h) AS mh FROM hv GROUP BY doc_id, p),
+        |band AS (
+        |  SELECT doc_id, p // 4 AS b,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bval
+        |  FROM sig GROUP BY doc_id, p // 4)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |FROM band l JOIN band r
+        |  ON l.b = r.b AND l.bval = r.bval AND l.doc_id < r.doc_id
+        |ORDER BY a, b""".stripMargin,
 
     "q_text_entropy" ->
       """WITH cnt AS (
