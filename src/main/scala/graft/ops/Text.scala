@@ -79,6 +79,44 @@ object Text {
         .orderBy(col("a"), col("b"))
     },
 
+    // SimHash near-dup detection GRADED cross-engine (r5), the
+    // q_dedup_minhash_md5 move applied to the OTHER signature family:
+    // md5-keyed 60-bit bit-vote signatures built declaratively (exact
+    // integer votes — order-free), then Hamming ≤ 3 pairs via 4×15-bit
+    // PIGEONHOLE banding. The banding is exact, not approximate:
+    // hamming ≤ 3 < 4 bands forces at least one band to match, so the
+    // banded equi-join provably returns the same set as the oracle's
+    // brute-force all-pairs scan — the scale path graded against the
+    // form that cannot scale. Production twin q_dedup_simhash_k stays
+    // on xxhash64 (rows-only by necessity).
+    "q_dedup_simhash_md5" -> { (s, dir) =>
+      val hv = Dedup.shingles(Tables.documents(s, dir))
+        .select(col("doc_id"), Profiling.rowDigest(col("sh")).as("h"))
+      val votes = hv
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(59))).as("j"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(expr("CASE WHEN SUM(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END")
+          .as("bit"))
+      val sigs = votes.groupBy(col("doc_id"))
+        .agg(expr("SUM(shiftleft(CAST(bit AS BIGINT), j))").as("sig"))
+      val banded = sigs
+        .select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bval", expr("(sig >> (band * 15)) & 32767"))
+      val l = banded.select(col("band"), col("bval"),
+        col("doc_id").as("a"), col("sig").as("siga"))
+      val r = banded.select(col("band").as("band2"), col("bval").as("bv2"),
+        col("doc_id").as("bid"), col("sig").as("sigb"))
+      l.join(r, col("band") === col("band2") && col("bval") === col("bv2") &&
+          col("a") < col("bid"))
+        .withColumn("ham", expr("bit_count(siga ^ sigb)").cast("long"))
+        .filter(col("ham") <= 3)
+        .select(col("a"), col("bid").as("b"), col("ham"))
+        .distinct()
+        .orderBy(col("a"), col("b"))
+    },
+
     // Token-distribution entropy + Gini diversity per language (r5) —
     // the vocabulary-diversity quality signal (a collapsed/templated
     // corpus shows low entropy long before exact dedup catches it).
@@ -494,6 +532,31 @@ object Text {
         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |FROM band l JOIN band r
         |  ON l.b = r.b AND l.bval = r.bval AND l.doc_id < r.doc_id
+        |ORDER BY a, b""".stripMargin,
+
+    "q_dedup_simhash_md5" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, s AS sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+        |    WHERE len(t) >= 3) u),
+        |hv AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+        |  FROM sh),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN SUM(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id, SUM(CAST(bit AS BIGINT) << j) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS ham
+        |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.sig, r.sig)) <= 3
         |ORDER BY a, b""".stripMargin,
 
     "q_text_entropy" ->
