@@ -56,27 +56,21 @@ object Text {
     // distinct); md5-per-permutation is the documented gradeability
     // cost, not the 100 TB path.
     "q_dedup_minhash_md5" -> { (s, dir) =>
-      val sh = Dedup.shingles(Tables.documents(s, dir))
-        .select(col("doc_id"), col("sh"))
-      val sig = sh
-        .select(col("doc_id"), col("sh"),
-          explode(sequence(lit(0), lit(15))).as("p"))
-        .withColumn("h", Profiling.rowDigest(col("p").cast("string"), col("sh")))
-        .groupBy(col("doc_id"), col("p"))
-        .agg(min(col("h")).as("mh"))
-      val band = sig.withColumn("b", expr("p DIV 4"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(concat_ws(",", transform(
-          array_sort(collect_list(struct(col("p"), col("mh")))),
-          x => x.getField("mh").cast("string"))).as("bval"))
-      val l = band.select(col("b"), col("bval"), col("doc_id").as("a"))
-      val r = band.select(col("b").as("b2"), col("bval").as("bv2"),
-        col("doc_id").as("bid"))
-      l.join(r, col("b") === col("b2") && col("bval") === col("bv2") &&
-          col("a") < col("bid"))
-        .select(col("a"), col("bid").as("b"))
-        .distinct()
-        .orderBy(col("a"), col("b"))
+      minHashCandidatesMd5(s, dir).orderBy(col("a"), col("b"))
+    },
+
+    // End-to-end near-dup CLUSTERING graded cross-engine (r5): exact
+    // connected components over the md5-LSH candidate graph above —
+    // cluster id = component-min doc_id — vs a DuckDB RECURSIVE-CTE
+    // reachability closure computing the same minimum. The production
+    // operator (q_dedup_clusters, xxhash64 graph) runs the identical
+    // components code; this twin proves that code's output against an
+    // independent engine, closing the last ungraded stage of the
+    // dedup pipeline.
+    "q_dedup_clusters_md5" -> { (s, dir) =>
+      Dedup.components(minHashCandidatesMd5(s, dir))
+        .select(col("doc").as("doc_id"), col("label").as("cluster"))
+        .orderBy(col("cluster"), col("doc_id"))
     },
 
     // SimHash near-dup detection GRADED cross-engine (r5), the
@@ -410,6 +404,49 @@ object Text {
     tfIdfCache.clear()
   }
 
+  /** The md5-keyed MinHash-LSH candidate pairs `(a, b)` behind
+    * q_dedup_minhash_md5 and q_dedup_clusters_md5 — memoized and
+    * CACHED per (session, dir) so the two graded keys (and the
+    * clustering's union-find collect) share one 16-permutation
+    * signature build (the clusterCache precedent one module over). */
+  private val mhMd5Cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Unpersist and drop the memoized md5 candidate graphs. */
+  def clearMhMd5Cache(): Unit = {
+    mhMd5Cache.values.foreach { df =>
+      try df.unpersist() catch { case _: Exception => () }
+    }
+    mhMd5Cache.clear()
+  }
+
+  private def minHashCandidatesMd5(s: SparkSession, dir: String): DataFrame =
+    mhMd5Cache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
+        val sh = Dedup.shingles(Tables.documents(s, dir))
+          .select(col("doc_id"), col("sh"))
+        val sig = sh
+          .select(col("doc_id"), col("sh"),
+            explode(sequence(lit(0), lit(15))).as("p"))
+          .withColumn("h",
+            Profiling.rowDigest(col("p").cast("string"), col("sh")))
+          .groupBy(col("doc_id"), col("p"))
+          .agg(min(col("h")).as("mh"))
+        val band = sig.withColumn("b", expr("p DIV 4"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(concat_ws(",", transform(
+            array_sort(collect_list(struct(col("p"), col("mh")))),
+            x => x.getField("mh").cast("string"))).as("bval"))
+        val l = band.select(col("b"), col("bval"), col("doc_id").as("a"))
+        val r = band.select(col("b").as("b2"), col("bval").as("bv2"),
+          col("doc_id").as("bid"))
+        l.join(r, col("b") === col("b2") && col("bval") === col("bv2") &&
+            col("a") < col("bid"))
+          .select(col("a"), col("bid").as("b"))
+          .distinct()
+          .cache()
+      })
+
   /** Production heavy hitters — the CMS two-phase pattern
     * `CountMinAgg`'s scaladoc promises: pass 1 builds the fixed-size
     * sketch (depth·width·8 bytes — 320 KB at these defaults — through
@@ -533,6 +570,41 @@ object Text {
         |FROM band l JOIN band r
         |  ON l.b = r.b AND l.bval = r.bval AND l.doc_id < r.doc_id
         |ORDER BY a, b""".stripMargin,
+
+    "q_dedup_clusters_md5" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, s AS sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+        |    WHERE len(t) >= 3) u),
+        |hv AS (
+        |  SELECT doc_id, p,
+        |    CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || sh), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) perms),
+        |sig AS (
+        |  SELECT doc_id, p, MIN(h) AS mh FROM hv GROUP BY doc_id, p),
+        |band AS (
+        |  SELECT doc_id, p // 4 AS b,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bval
+        |  FROM sig GROUP BY doc_id, p // 4),
+        |pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM band l JOIN band r
+        |    ON l.b = r.b AND l.bval = r.bval AND l.doc_id < r.doc_id),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs),
+        |reach(v, w) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.v, edges.dst FROM reach JOIN edges ON reach.w = edges.src)
+        |SELECT v AS doc_id, MIN(w) AS cluster
+        |FROM reach
+        |GROUP BY v
+        |ORDER BY cluster, doc_id""".stripMargin,
 
     "q_dedup_simhash_md5" ->
       """WITH sh AS (
