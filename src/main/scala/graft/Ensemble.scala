@@ -26,6 +26,13 @@ final case class Ensemble(df: DataFrame) {
   def members: Seq[String] =
     df.select("dataset").distinct().collect().map(_.getString(0)).toSeq.sorted
 
+  /** Persist the long form — call before a multi-read reduction
+    * ([[alignMembers]] reads the union three times: the member count,
+    * the per-cell counts, and the semi-join base; uncached, each read
+    * re-executes every member's upstream pipeline). Identical-plan
+    * cache() calls share one entry via the cache manager. */
+  def cached(): Ensemble = Ensemble(df.cache())
+
   // ---- ensemble algebra (bcdp R13) ----------------------------------
   def addMember(name: String, member: DataFrame): Ensemble =
     Ensemble(df.unionByName(member.withColumn("dataset", lit(name))))

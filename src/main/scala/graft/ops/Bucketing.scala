@@ -47,12 +47,19 @@ object Bucketing {
     def walk(p: SparkPlan): Seq[SparkPlan] = {
       val self: Seq[SparkPlan] = p match {
         case s: ShuffleExchangeLike => Seq(s)
+        // a reused exchange still shuffles, so it COUNTS (as itself)
+        // when it wraps a shuffle — but its child subtree was already
+        // walked at the original exchange site, so descending would
+        // double-count every shuffle under it (same rule as
+        // ReusedSubqueryExec below)
+        case r: ReusedExchangeExec
+            if r.child.isInstanceOf[ShuffleExchangeLike] => Seq(r)
         case _ => Nil
       }
       val kids: Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
-        case r: ReusedExchangeExec => Seq(r.child)
+        case _: ReusedExchangeExec => Nil
         // a reused subquery points back at a plan already walked at
         // its original site — descending again would double-count its
         // shuffles in the returned Seq

@@ -172,6 +172,29 @@ object Profiling {
     * [[graft.ops.Text.clearTfIdfCache]]). */
   def clearGateCache(): Unit = gateCache.clear()
 
+  /** The memoized worst-group distinct count driving the gate. */
+  private def probeGate(ev: DataFrame, groupCol: String, valCol: String): Long =
+    gateCache.getOrElseUpdate(
+      (ev.queryExecution.analyzed.semanticHash(), groupCol, valCol), {
+        val ndRow = ev.groupBy(col(groupCol))
+          .agg(approx_count_distinct(col(valCol)).as("_nd"))
+          .agg(max(col("_nd"))).head()
+        if (ndRow.isNullAt(0)) 0L else ndRow.getLong(0)
+      })
+
+  /** True iff [[gatedPercentiles]] on the same (input, group, value)
+    * runs the EXACT percentile branch. Shares the memoized probe, so
+    * calling it next to gatedPercentiles costs nothing extra. The
+    * graded keys surface it as a literal `exact_pct` column whose
+    * oracle side is hard-coded TRUE: the DuckDB oracles only ever
+    * express the exact quantile_cont form, so if a future fixture
+    * tier trips the gate, grading fails LOUDLY on this named column
+    * instead of a mystery hash mismatch between approx and exact
+    * values (ADVICE r5). */
+  def exactGateHolds(ev: DataFrame, groupCol: String, valCol: String,
+                     exactDistinctMax: Long = 1000000L): Boolean =
+    probeGate(ev, groupCol, valCol) <= exactDistinctMax
+
   def gatedPercentiles(ev: DataFrame, groupCol: String, valCol: String,
                        ps: Seq[(Double, String)],
                        exactDistinctMax: Long = 1000000L): DataFrame = {
@@ -179,13 +202,7 @@ object Profiling {
       s"gatedPercentiles needs a plain existing column name, got '$valCol'")
     require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0.0 && p <= 1.0 },
       s"percentiles must be in [0,1], got ${ps.map(_._1)}")
-    val maxNd = gateCache.getOrElseUpdate(
-      (ev.queryExecution.analyzed.semanticHash(), groupCol, valCol), {
-        val ndRow = ev.groupBy(col(groupCol))
-          .agg(approx_count_distinct(col(valCol)).as("_nd"))
-          .agg(max(col("_nd"))).head()
-        if (ndRow.isNullAt(0)) 0L else ndRow.getLong(0)
-      })
+    val maxNd = probeGate(ev, groupCol, valCol)
     val aggs = ps.map { case (p, name) =>
       if (maxNd <= exactDistinctMax) expr(s"percentile($valCol, $p)").as(name)
       else expr(s"approx_percentile($valCol, $p, 10000)").cast("double").as(name)
@@ -277,6 +294,9 @@ object Profiling {
         .agg(count(lit(1)).cast("long").as("n_outliers"),
           min(col("vm")).cast("long").as("min_out"),
           max(col("vm")).cast("long").as("max_out"))
+        // which gate branch computed the fences — the oracle asserts
+        // TRUE, so a gate flip at a bigger tier fails on THIS column
+        .withColumn("exact_pct", lit(exactGateHolds(ev, "event_type", "vm")))
         .orderBy(col("event_type"))
     },
 
@@ -303,6 +323,11 @@ object Profiling {
             .cast("long").as("n_outliers"),
           min(col("med")).as("med"),
           min(col("mad")).as("mad"))
+        // BOTH gates (vm median and adev median) must have run exact
+        // for the always-exact oracle to be comparable
+        .withColumn("exact_pct", lit(
+          exactGateHolds(ev, "event_type", "vm") &&
+          exactGateHolds(ad, "event_type", "adev")))
         .orderBy(col("event_type"))
     },
 
@@ -382,7 +407,8 @@ object Profiling {
         |SELECT ev.event_type,
         |  CAST(count(*) AS BIGINT) AS n_outliers,
         |  CAST(min(vm) AS BIGINT) AS min_out,
-        |  CAST(max(vm) AS BIGINT) AS max_out
+        |  CAST(max(vm) AS BIGINT) AS max_out,
+        |  TRUE AS exact_pct
         |FROM ev JOIN f ON ev.event_type = f.event_type
         |WHERE vm < lo OR vm > hi
         |GROUP BY ev.event_type
@@ -412,7 +438,8 @@ object Profiling {
         |SELECT ad.event_type,
         |  CAST(SUM(CASE WHEN adev > mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  MIN(ad.med) AS med,
-        |  MIN(mad.mad) AS mad
+        |  MIN(mad.mad) AS mad,
+        |  TRUE AS exact_pct
         |FROM ad JOIN mad ON ad.event_type = mad.event_type
         |GROUP BY ad.event_type
         |ORDER BY ad.event_type""".stripMargin,

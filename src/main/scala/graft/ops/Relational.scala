@@ -314,8 +314,10 @@ object Relational {
     // — proven equal to the plain groupBy in SkewSpec under a planted
     // skew, and here hash-matched against DuckDB's plain GROUP BY.
     // The per-row salt is nondeterministic but provably irrelevant:
-    // integer sums re-associate exactly, so the output is identical
-    // for every salt assignment.
+    // the sums ride decimal(38,0) through both phases (exact, order-
+    // free, overflow-safe — the q_agg_moments rule), so the output is
+    // identical for every salt assignment; the final cast back to long
+    // is safe because Σ|value_micros| at any fixture tier is ≪ 2⁶³.
     "q_agg_salted" -> { (s, dir) =>
       graft.ops.Skew.saltedSum(Tables.events(s, dir),
           Seq(col("event_type")), micros(col("value")), 16, out = "sum_vm")

@@ -26,14 +26,22 @@ object Skew {
     * as (partial, final) column pairs on a fixed value column.
     *
     * Example: saltedSum(df, Seq(col("k")), col("v"), 16) ==
-    *          df.groupBy("k").agg(sum("v")). */
+    *          df.groupBy("k").agg(sum("v").cast("decimal(38,0)")).
+    *
+    * Both phases sum in decimal(38,0): Spark's SUM(BIGINT) stays BIGINT
+    * and WRAPS silently on overflow with ANSI off, whereas the engines
+    * this grades against (DuckDB's HUGEINT widening) do not — and the
+    * hot-key corpus this helper exists for is exactly the one that
+    * concentrates enough rows in one group to overflow a long sum.
+    * Callers that know their bound cast back to long at the end
+    * (q_agg_salted does). */
   def saltedSum(df: DataFrame, keys: Seq[Column], value: Column,
                 saltBuckets: Int, out: String = "sum"): DataFrame = {
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     salted
       .groupBy((keys :+ col("__salt")): _*)
-      .agg(sum(value).as("__partial"))
+      .agg(sum(value.cast("decimal(38,0)")).as("__partial"))
       .groupBy(keys: _*)
       .agg(sum(col("__partial")).as(out))
   }

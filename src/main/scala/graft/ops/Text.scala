@@ -75,40 +75,21 @@ object Text {
 
     // SimHash near-dup detection GRADED cross-engine (r5), the
     // q_dedup_minhash_md5 move applied to the OTHER signature family:
-    // md5-keyed 60-bit bit-vote signatures built declaratively (exact
-    // integer votes — order-free), then Hamming ≤ 3 pairs via 4×15-bit
-    // PIGEONHOLE banding. The banding is exact, not approximate:
-    // hamming ≤ 3 < 4 bands forces at least one band to match, so the
-    // banded equi-join provably returns the same set as the oracle's
-    // brute-force all-pairs scan — the scale path graded against the
-    // form that cannot scale. Production twin q_dedup_simhash_k stays
-    // on xxhash64 (rows-only by necessity).
+    // md5-keyed 60-bit bit-vote signatures (r6: built by the one-pass
+    // SimHashAgg — the production aggregate over the md5 hash column,
+    // replacing the r5 60×-explode vote build; vote counts are exact
+    // integers either way, so the signature is bit-identical), then
+    // Hamming ≤ 3 pairs via 4×15-bit PIGEONHOLE banding. The banding
+    // is exact, not approximate: hamming ≤ 3 < 4 bands forces at
+    // least one band to match, so the banded equi-join provably
+    // returns the same set as the oracle's brute-force all-pairs
+    // scan — the scale path graded against the form that cannot
+    // scale. r6: the band self-join carries the production hot-bucket
+    // cap (mirrored in the oracle's EXISTS-surviving-band condition).
+    // Production twin q_dedup_simhash_k stays on xxhash64 (rows-only
+    // by necessity).
     "q_dedup_simhash_md5" -> { (s, dir) =>
-      val hv = Dedup.shingles(Tables.documents(s, dir))
-        .select(col("doc_id"), Profiling.rowDigest(col("sh")).as("h"))
-      val votes = hv
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(59))).as("j"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(expr("CASE WHEN SUM(((h >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END")
-          .as("bit"))
-      val sigs = votes.groupBy(col("doc_id"))
-        .agg(expr("SUM(shiftleft(CAST(bit AS BIGINT), j))").as("sig"))
-      val banded = sigs
-        .select(col("doc_id"), col("sig"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bval", expr("(sig >> (band * 15)) & 32767"))
-      val l = banded.select(col("band"), col("bval"),
-        col("doc_id").as("a"), col("sig").as("siga"))
-      val r = banded.select(col("band").as("band2"), col("bval").as("bv2"),
-        col("doc_id").as("bid"), col("sig").as("sigb"))
-      l.join(r, col("band") === col("band2") && col("bval") === col("bv2") &&
-          col("a") < col("bid"))
-        .withColumn("ham", expr("bit_count(siga ^ sigb)").cast("long"))
-        .filter(col("ham") <= 3)
-        .select(col("a"), col("bid").as("b"), col("ham"))
-        .distinct()
-        .orderBy(col("a"), col("b"))
+      simHashPairsMd5From(docShingles(s, dir)).orderBy(col("a"), col("b"))
     },
 
     // Token-distribution entropy + Gini diversity per language (r5) —
@@ -404,6 +385,22 @@ object Text {
     tfIdfCache.clear()
   }
 
+  /** The distinct (doc_id, sh) shingle table behind ALL THREE md5
+    * dedup twins — memoized and CACHED per (session, dir) so the
+    * MinHash and SimHash md5 pipelines share ONE shingling pass
+    * instead of each re-deriving it (the r5 warm-bench heavy tail:
+    * q_dedup_simhash_md5 re-shingled what minHashCandidatesMd5 had
+    * already computed). */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
+        Dedup.shingles(Tables.documents(s, dir))
+          .select(col("doc_id"), col("sh")).cache()
+      })
+
   /** The md5-keyed MinHash-LSH candidate pairs `(a, b)` behind
     * q_dedup_minhash_md5 and q_dedup_clusters_md5 — memoized and
     * CACHED per (session, dir) so the two graded keys (and the
@@ -412,40 +409,107 @@ object Text {
   private val mhMd5Cache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  /** Unpersist and drop the memoized md5 candidate graphs. */
+  /** Unpersist and drop the memoized md5 candidate graphs and the
+    * shared shingle table. */
   def clearMhMd5Cache(): Unit = {
-    mhMd5Cache.values.foreach { df =>
+    (mhMd5Cache.values ++ shingleCache.values).foreach { df =>
       try df.unpersist() catch { case _: Exception => () }
     }
     mhMd5Cache.clear()
+    shingleCache.clear()
   }
 
   private def minHashCandidatesMd5(s: SparkSession, dir: String): DataFrame =
     mhMd5Cache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
-        val sh = Dedup.shingles(Tables.documents(s, dir))
-          .select(col("doc_id"), col("sh"))
-        val sig = sh
-          .select(col("doc_id"), col("sh"),
-            explode(sequence(lit(0), lit(15))).as("p"))
-          .withColumn("h",
-            Profiling.rowDigest(col("p").cast("string"), col("sh")))
-          .groupBy(col("doc_id"), col("p"))
-          .agg(min(col("h")).as("mh"))
-        val band = sig.withColumn("b", expr("p DIV 4"))
-          .groupBy(col("doc_id"), col("b"))
-          .agg(concat_ws(",", transform(
-            array_sort(collect_list(struct(col("p"), col("mh")))),
-            x => x.getField("mh").cast("string"))).as("bval"))
-        val l = band.select(col("b"), col("bval"), col("doc_id").as("a"))
-        val r = band.select(col("b").as("b2"), col("bval").as("bv2"),
-          col("doc_id").as("bid"))
-        l.join(r, col("b") === col("b2") && col("bval") === col("bv2") &&
-            col("a") < col("bid"))
-          .select(col("a"), col("bid").as("b"))
-          .distinct()
-          .cache()
+        minHashCandidatesMd5From(docShingles(s, dir)).cache()
       })
+
+  /** The md5 MinHash-LSH candidate pipeline over a `(doc_id, sh)`
+    * shingle table: 16 md5 permutation min-hashes, 4-band signature
+    * split, band-equality self-join — with the production hot-bucket
+    * cap (r6, VERDICT r5 #1): any (band, bval) bucket holding more
+    * than `maxBucket` docs is dropped from BOTH join sides via the
+    * count → [[Dedup.antiJoinHot]] pattern, so a degenerate corpus
+    * (thousands of near-identical docs collapsing to one band value)
+    * emits zero pairs from that bucket instead of O(n²). The oracle
+    * mirrors the cap with a HAVING-count semi-join, so both engines
+    * drop identical buckets; at every graded tier no bucket is near
+    * the cap (DedupScaleSpec pins both facts). */
+  private[graft] def minHashCandidatesMd5From(sh: DataFrame,
+                                              maxBucket: Long = 1000L): DataFrame = {
+    val sig = sh
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(15))).as("p"))
+      .withColumn("h",
+        Profiling.rowDigest(col("p").cast("string"), col("sh")))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(min(col("h")).as("mh"))
+    // cached pre-cap: the band table feeds the bucket-size count AND
+    // both self-join sides — without this the 16-permutation signature
+    // aggregation runs three times (the production minHashCandidates
+    // banded0.cache() rationale; identical-plan cache() calls reuse
+    // one entry via the cache manager)
+    val band = sig.withColumn("b", expr("p DIV 4"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("p"), col("mh")))),
+        x => x.getField("mh").cast("string"))).as("bval"))
+      .cache()
+    // partial+final count (never a per-bucket window — the funnel the
+    // cap exists to prevent), then the gated anti-join
+    val hot = band.groupBy(col("b"), col("bval"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select(col("b"), col("bval"))
+    val kept = Dedup.antiJoinHot(band, hot, Seq("b", "bval"))
+    val l = kept.select(col("b"), col("bval"), col("doc_id").as("a"))
+    val r = kept.select(col("b").as("b2"), col("bval").as("bv2"),
+      col("doc_id").as("bid"))
+    l.join(r, col("b") === col("b2") && col("bval") === col("bv2") &&
+        col("a") < col("bid"))
+      .select(col("a"), col("bid").as("b"))
+      .distinct()
+  }
+
+  /** The md5 SimHash Hamming ≤ 3 pipeline over a `(doc_id, sh)`
+    * shingle table: one-pass [[graft.expressions.SimHashAgg]] bit-vote
+    * signatures on the shared md5 digest (bits 60–63 of the 60-bit
+    * digest are always 0, so both engines' signatures agree on all 64
+    * vote positions), 4×15-bit pigeonhole banding, and the production
+    * hot-bucket cap on the band self-join (r6). A pair survives iff
+    * the signatures are within Hamming 3 AND the docs share at least
+    * one below-cap band — exactly the oracle's brute-force scan with
+    * its EXISTS-surviving-band condition, which degenerates to the
+    * pure all-pairs Hamming scan whenever no bucket is hot (every
+    * graded tier): hamming ≤ 3 < 4 bands forces a shared band by
+    * pigeonhole. */
+  private[graft] def simHashPairsMd5From(sh: DataFrame,
+                                         maxBucket: Long = 1000L): DataFrame = {
+    import graft.expressions.SimHashAgg.simhash_sig
+    val hv = sh.select(col("doc_id"), Profiling.rowDigest(col("sh")).as("h"))
+    val sigs = hv.groupBy(col("doc_id")).agg(simhash_sig(col("h")).as("sig"))
+    // cached pre-cap — same three-consumer rationale as the minhash
+    // band table above (count + both join sides)
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bval", expr("(sig >> (band * 15)) & 32767"))
+      .cache()
+    val hot = banded.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select(col("band"), col("bval"))
+    val kept = Dedup.antiJoinHot(banded, hot, Seq("band", "bval"))
+    val l = kept.select(col("band"), col("bval"),
+      col("doc_id").as("a"), col("sig").as("siga"))
+    val r = kept.select(col("band").as("band2"), col("bval").as("bv2"),
+      col("doc_id").as("bid"), col("sig").as("sigb"))
+    l.join(r, col("band") === col("band2") && col("bval") === col("bv2") &&
+        col("a") < col("bid"))
+      .withColumn("ham", expr("bit_count(siga ^ sigb)").cast("long"))
+      .filter(col("ham") <= 3)
+      .select(col("a"), col("bid").as("b"), col("ham"))
+      .distinct()
+  }
 
   /** Production heavy hitters — the CMS two-phase pattern
     * `CountMinAgg`'s scaladoc promises: pass 1 builds the fixed-size
@@ -565,9 +629,13 @@ object Text {
         |band AS (
         |  SELECT doc_id, p // 4 AS b,
         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bval
-        |  FROM sig GROUP BY doc_id, p // 4)
+        |  FROM sig GROUP BY doc_id, p // 4),
+        |keep AS (
+        |  SELECT b, bval FROM band GROUP BY b, bval HAVING COUNT(*) <= 1000),
+        |kband AS (
+        |  SELECT band.doc_id, band.b, band.bval FROM band JOIN keep USING (b, bval))
         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |FROM band l JOIN band r
+        |FROM kband l JOIN kband r
         |  ON l.b = r.b AND l.bval = r.bval AND l.doc_id < r.doc_id
         |ORDER BY a, b""".stripMargin,
 
@@ -590,9 +658,13 @@ object Text {
         |  SELECT doc_id, p // 4 AS b,
         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bval
         |  FROM sig GROUP BY doc_id, p // 4),
+        |keep AS (
+        |  SELECT b, bval FROM band GROUP BY b, bval HAVING COUNT(*) <= 1000),
+        |kband AS (
+        |  SELECT band.doc_id, band.b, band.bval FROM band JOIN keep USING (b, bval)),
         |pairs AS (
         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM band l JOIN band r
+        |  FROM kband l JOIN kband r
         |    ON l.b = r.b AND l.bval = r.bval AND l.doc_id < r.doc_id),
         |edges AS (
         |  SELECT a AS src, b AS dst FROM pairs
@@ -624,11 +696,22 @@ object Text {
         |  GROUP BY doc_id, j),
         |sig AS (
         |  SELECT doc_id, SUM(CAST(bit AS BIGINT) << j) AS sig
-        |  FROM votes GROUP BY doc_id)
+        |  FROM votes GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, band, (sig >> (band * 15)) & 32767 AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bs),
+        |keep AS (
+        |  SELECT band, bval FROM bands GROUP BY band, bval HAVING COUNT(*) <= 1000),
+        |kb AS (
+        |  SELECT bands.doc_id, bands.band, bands.bval
+        |  FROM bands JOIN keep USING (band, bval))
         |SELECT l.doc_id AS a, r.doc_id AS b,
         |  CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS ham
         |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
         |WHERE bit_count(xor(l.sig, r.sig)) <= 3
+        |  AND EXISTS (SELECT 1 FROM kb x JOIN kb y
+        |              ON x.band = y.band AND x.bval = y.bval
+        |              WHERE x.doc_id = l.doc_id AND y.doc_id = r.doc_id)
         |ORDER BY a, b""".stripMargin,
 
     "q_text_entropy" ->

@@ -68,10 +68,28 @@ object TextAnalysis {
     * keep the k smallest (winnowing) — the classic content-defined
     * fingerprint for containment detection. Spark-hash-based. */
   def fingerprints(docs: DataFrame, window: Int = 8, keep: Int = 4): DataFrame =
+    fingerprintsBy(docs, window, keep,
+      w => xxhash64(w))
+
+  /** [[fingerprints]] keyed on the engines' shared md5 digest
+    * ([[Profiling.rowDigest]]) instead of xxhash64 — winnowing is
+    * deterministic GIVEN the hash, so this twin is DuckDB-expressible
+    * end to end (the r5 dedup-twin move applied to fingerprinting;
+    * md5-per-window is the documented gradeability cost, xxhash64
+    * stays the production key). */
+  def fingerprintsMd5(docs: DataFrame, window: Int = 8, keep: Int = 4): DataFrame =
+    fingerprintsBy(docs, window, keep,
+      w => graft.ops.Profiling.rowDigest(w))
+
+  /** Shared winnowing shape: hash every `window`-token sliding window
+    * with `hashFn`, sort, keep the `keep` smallest. Pure projection —
+    * no shuffle, no UDF; the window strings never leave the row. */
+  private def fingerprintsBy(docs: DataFrame, window: Int, keep: Int,
+                             hashFn: Column => Column): DataFrame =
     docs.select(col("doc_id"),
       slice(array_sort(transform(
         sequence(lit(0), greatest(size(toks) - window, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
+        i => hashFn(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
         1, keep).as("fingerprint"))
 
   /** GRADED PII patterns — written to mean the same thing in Java
@@ -176,6 +194,17 @@ object TextAnalysis {
         .select(col("doc_id"), element_at(col("fingerprint"), 1).as("min_fp"))
         .orderBy(col("doc_id"))
     },
+    // The GRADED winnowing twin (r6): identical sliding-window →
+    // sort → keep-4 pipeline, hash = the shared md5 digest, so the
+    // full fingerprint (not just row counts) hash-matches DuckDB.
+    "q_text_fingerprint_md5" -> { (s, dir) =>
+      fingerprintsMd5(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          element_at(col("fingerprint"), 1).as("min_fp"),
+          concat_ws(",", transform(col("fingerprint"),
+            x => x.cast("string"))).as("fp4"))
+        .orderBy(col("doc_id"))
+    },
     // PII detection: per-language doc/hit counts over the planted
     // corpus — one scan, three codegen'd regexp_count columns, one
     // partial+final aggregation (no window, no join).
@@ -215,6 +244,12 @@ object TextAnalysis {
         .when(m === 2, concat(lit("http://site"), g, lit(".com:80/p"), g, lit("/")))
         .otherwise(concat(lit("http://site"), g, lit(".com/p"), g,
           lit("?utm_source=feed")))
+      // Every pattern matches AT MOST ONCE BY CONSTRUCTION: the two
+      // tail patterns are $-anchored, and the www./port patterns are
+      // ^-anchored to the scheme+authority — necessary because Spark's
+      // regexp_replace is replace-ALL while DuckDB's default is
+      // replace-FIRST, so an unanchored '://www.' or ':80/' recurring
+      // later in the PATH would canonicalize differently per engine.
       val canon =
         regexp_replace(
           regexp_replace(
@@ -222,8 +257,8 @@ object TextAnalysis {
               regexp_replace(
                 regexp_replace(lower(raw), "#.*$", ""),
                 "\\?utm_[a-z_]+=[a-z]*$", ""),
-              "://www\\.", "://"),
-            ":80/", "/"),
+              "^([a-z]+)://www\\.", "$1://"),
+            "^([a-z]+://[^/]*):80/", "$1/"),
           "/$", "")
       Tables.documents(s, dir)
         .select(col("doc_id"), canon.as("canon"))
@@ -290,8 +325,8 @@ object TextAnalysis {
         |          regexp_replace(
         |            regexp_replace(lower(url), '#.*$', ''),
         |            '\?utm_[a-z_]+=[a-z]*$', ''),
-        |          '://www\.', '://'),
-        |        ':80/', '/'),
+        |          '^([a-z]+)://www\.', '\1://'),
+        |        '^([a-z]+://[^/]*):80/', '\1/'),
         |      '/$', '') AS canon
         |  FROM raw)
         |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS canonical_id
@@ -338,6 +373,24 @@ object TextAnalysis {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // q_text_fingerprint: rows-only (xxhash64 not reproducible in DuckDB)
+
+    // the md5 winnowing twin: same windows (1-based inclusive list
+    // slice tk[i:i+7] == Spark's slice(toks, i+1, 8), both clamped on
+    // short docs), same 60-bit digest, same sort-and-keep-4
+    "q_text_fingerprint_md5" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_sort(list_transform(
+        |      generate_series(1, greatest(len(tk) - 7, 1)),
+        |      i -> CAST('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)
+        |           AS BIGINT)))[1:4] AS fps
+        |  FROM t)
+        |SELECT doc_id, fps[1] AS min_fp,
+        |  array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',') AS fp4
+        |FROM fp
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_pii" ->
       s"""WITH planted AS ($plantedSql),

@@ -48,7 +48,8 @@ object Vectors {
   def kmeansAssignments(e: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     require(k > 0 && iters >= 1, s"need k > 0 and iters >= 1, got k=$k iters=$iters")
     kmeansCache.getOrElseUpdate(
-      (e.queryExecution.analyzed.semanticHash(), k, iters), {
+      (org.apache.spark.sql.GraftBridge.sessionUUID(e.sparkSession),
+        e.queryExecution.analyzed.semanticHash(), k, iters), {
         val v = e.select(col("vec_id"),
           transform(dbl(col("embedding")), x => round(x * 1000000L, 0)).as("vm"))
         // seeds = the k SMALLEST ids PRESENT (not `vec_id < k`): on a
@@ -67,12 +68,12 @@ object Vectors {
       })
   }
 
-  /** Memoized fits keyed on (input plan, k, iters) — q_vec_kmeans and
+  /** Memoized fits keyed on (session, input plan, k, iters) — q_vec_kmeans and
     * q_sample_semantic share one 2-iteration fit per session (the
     * tfIdfCache / Ann.indexCache precedent; the cached df IS the
     * returned result, so callers' projections hit it). */
   private val kmeansCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), DataFrame]
 
   /** Unpersist and drop every memoized fit (session-teardown twin of
     * [[graft.ops.Text.clearTfIdfCache]]). */
@@ -106,7 +107,58 @@ object Vectors {
           (col("s").cast("double") / col("n")).as("m")))),
         x => x.getField("m")).as("cv"))
 
+  /** md5-seeded ±1 hyperplane signs (8 planes × 64 dims) behind the
+    * GRADED ANN-LSH twin: sign(p, i) = low bit of the 60-bit md5
+    * digest of "p|i" (the [[Profiling.rowDigest]] convention),
+    * computed ONCE driver-side and inlined as literals in BOTH the
+    * Spark plan and the oracle SQL — so the twin needs no in-engine
+    * hash agreement at all, just the proven list_inner_product ==
+    * zip_with-fold dot identity. The production path
+    * ([[Dedup.hyperplaneBucket]]) stays on xxhash64-derived signs. */
+  private[graft] lazy val md5Planes: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    IndexedSeq.tabulate(8, 64) { (p, i) =>
+      val hex = md.digest(s"$p|$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val digest60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      if ((digest60 & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** The GRADED hyperplane-LSH candidate pipeline (r6, VERDICT r5
+    * #4): bucket = 8 sign bits of md5-seeded signed dots, production
+    * hot-bucket cap (count → [[Dedup.antiJoinHot]], mirrored in the
+    * oracle's HAVING semi-join), in-bucket exact cosine ≥ 0.2. Same
+    * plan shape as [[Dedup.annCandidates]] — recall stays spec'd in
+    * RecallSpec against the xxhash64 production twin. */
+  private[graft] def annLshMd5(e: DataFrame, maxBucket: Long = 4096L): DataFrame = {
+    val v = e.select(col("vec_id"), dbl(col("embedding")).as("v"))
+    val bucket = md5Planes.zipWithIndex.map { case (sg, p) =>
+      when(dot(col("v"), typedLit(sg.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withB = v.withColumn("bucket", bucket.cast("long"))
+    val hot = withB.groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBucket).select(col("bucket"))
+    val kept = Dedup.antiJoinHot(withB, hot, Seq("bucket"))
+    val a = kept.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
+    val b = kept.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
+    a.join(b, "bucket").filter(col("a") < col("b"))
+      .withColumn("cos4", round(
+        graft.expressions.VectorExpressions.cosine_sim(col("va"), col("vb")), 4))
+      .filter(col("cos4") >= 0.2)
+      .select(col("a"), col("b"), col("bucket"), col("cos4"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GRADED ANN-LSH twin (r6): bucket assignment + in-bucket exact
+    // cosine, md5-seeded literal hyperplanes — the whole candidate
+    // pipeline (bucketing INCLUDED, via the output bucket column)
+    // hash-matches DuckDB. q_vec_ann_lsh stays the xxhash64
+    // production key (rows-only).
+    "q_vec_ann_lsh_md5" -> { (s, dir) =>
+      annLshMd5(Tables.embeddings(s, dir)).orderBy(col("a"), col("b"))
+    },
+
     "q_vec_norm" -> { (s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
@@ -209,7 +261,30 @@ object Vectors {
 
   private val qvCast = "CAST(embedding AS DOUBLE[])"
 
+  /** The md5-seeded sign vectors as DuckDB list literals, and the
+    * 8-term bucket expression — generated from the SAME
+    * [[md5Planes]] the Spark plan inlines. */
+  private def planeSqlList(p: Int): String =
+    md5Planes(p).map(d => if (d > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+  private lazy val bucketSql: String = (0 until 8).map(p =>
+    s"(CASE WHEN list_inner_product(v, ${planeSqlList(p)}) > 0 THEN ${1L << p} ELSE 0 END)")
+    .mkString("\n      + ")
+
   val oracle: Map[String, String] = Map(
+    "q_vec_ann_lsh_md5" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v, CAST($bucketSql AS BIGINT) AS bucket FROM e),
+         |keep AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 4096),
+         |kb AS (SELECT b.* FROM b JOIN keep USING (bucket)),
+         |p AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b, l.bucket AS bucket,
+         |    ROUND(list_inner_product(l.v, r.v)
+         |      / (sqrt(list_inner_product(l.v, l.v)) * sqrt(list_inner_product(r.v, r.v))), 4) AS cos4
+         |  FROM kb l JOIN kb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT a, b, bucket, cos4 FROM p WHERE cos4 >= 0.2 ORDER BY a, b""".stripMargin,
     "q_vec_norm" ->
       s"""SELECT vec_id, label,
          |  ROUND(sqrt(list_inner_product($qvCast, $qvCast)), 4) AS l2_4

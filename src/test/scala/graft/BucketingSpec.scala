@@ -22,6 +22,44 @@ class BucketingSpec extends AnyFunSuite {
     p.delete()
   }
 
+  test("a reused exchange counts once — its subtree is not re-walked") {
+    // the r5 ADVICE double-count: shuffleExchanges used to descend
+    // into ReusedExchangeExec.child, re-counting every shuffle under
+    // the original exchange site. Build an exchange whose SUBTREE
+    // itself holds two shuffles (a repartition over a sort-merge
+    // join), self-join it so the planner reuses that exchange, and
+    // assert the count equals the physical truth: 3 original shuffles
+    // + 1 reused read = 4 (the old walk said 6).
+    import org.apache.spark.sql.functions.col
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("k"), col("o_orderkey"))
+      val b = Tables.customer(spark, dir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      // the join must see IDENTICAL subtrees on both sides (any
+      // asymmetric projection lets column pruning de-duplicate only
+      // the leaf exchanges, which never double-counted) — so join g
+      // with g itself, duplicate output names and all
+      val g = a.join(b, "k").repartition(col("o_orderkey"))
+      val self = g.join(g, "o_orderkey")
+      val plan = self.queryExecution.executedPlan
+      val reuses = plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(reuses.nonEmpty,
+        "planner no longer reuses the identical exchange — rebuild the shape:\n" + plan)
+      assert(Bucketing.shuffleExchanges(self).size == 4,
+        "reuse double-count — plan:\n" + plan)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("bucketed lineitem⋈orders has no Exchange and matches plain join") {
     // the session may be shared across suites (getOrCreate) with a
     // default warehouse; clear orphan locations from previous JVMs and

@@ -2,11 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SURVEY §5.2 cross-query invariants on sf0.001 — structural relations
   * that must hold between independent query results. */
-class InvariantsSpec extends AnyFunSuite {
+class InvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    // the inertia law above leaves iters=1 and iters=2 fits in the
+    // session-scoped memo — drop them so no cached DataFrame outlives
+    // this suite's session
+    ops.Vectors.clearKmeansCache()
+    super.afterAll()
+  }
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

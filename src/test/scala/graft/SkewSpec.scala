@@ -19,7 +19,8 @@ class SkewSpec extends AnyFunSuite {
   test("saltedSum(cents) == plain groupBy sum") {
     val l = Tables.lineitem(spark, dir)
       .withColumn("qc", Det.cents(col("l_quantity")))
-    val plain = l.groupBy(col("l_returnflag")).agg(sum(col("qc")).as("sum"))
+    val plain = l.groupBy(col("l_returnflag"))
+      .agg(sum(col("qc").cast("decimal(38,0)")).as("sum"))
     val salted = Skew.saltedSum(l, Seq(col("l_returnflag")), col("qc"), 16)
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
