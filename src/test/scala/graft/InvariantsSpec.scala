@@ -214,6 +214,27 @@ class InvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ensemble alignment keeps exactly the common cells, non-vacuously") {
+    // q_climate_ensemble's alignMembers must equal a direct
+    // intersection of the two members' cell sets — and must actually
+    // drop something (cells observed by only one member exist at
+    // every tier), or the align stage is vacuous
+    val ev = Tables.events(spark, dir)
+      .withColumn("time", Det.tstr(date_trunc("day", col("ts"))))
+      .withColumn("lat", floor(col("user_id") / 10).cast("long"))
+      .withColumn("lon", hour(col("ts")).cast("long"))
+    def cells(par: Int) = ev.filter(col("event_id") % 2 === par)
+      .select("time", "lat", "lon").distinct()
+    val common = cells(0).join(cells(1), Seq("time", "lat", "lon")).count()
+    val out = q("q_climate_ensemble")
+    assert(out.count() == common, "aligned rows != |ma cells ∩ mb cells|")
+    assert(common < cells(0).count() + cells(1).count() - common,
+      "alignment dropped nothing — the align stage is vacuous here")
+    // and the bias column is the member difference, by reconstruction
+    val bad = out.filter(abs(col("va") - col("vb") - col("bias")) > 1e-12).count()
+    assert(bad == 0, "bias != va - vb somewhere")
+  }
+
   test("embedding norms are ~1 (unit vectors)") {
     val norms = q("q_vec_norm").agg(min("l2_4"), max("l2_4")).head()
     assert(norms.getDouble(0) > 0.99 && norms.getDouble(1) < 1.01)

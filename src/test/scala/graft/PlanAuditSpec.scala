@@ -226,6 +226,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(a == b, "gated exact fences differ from the inline exact form")
   }
 
+  test("r6 graded twins keep their scale shapes: capped anti-joins, broadcast probes, no cartesian") {
+    // the md5 dedup twins' cap must be the production anti-join (a
+    // dropped cap silently reverts to the uncapped O(n²) hazard);
+    // inspect the un-memoized builder — the shipped key returns the
+    // cached result whose plan is an InMemory scan
+    val sh = ops.Dedup.shingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("sh"))
+    val pm = plan(ops.Text.minHashCandidatesMd5From(sh))
+    assert(pm.contains("LeftAnti"), s"minhash md5 cap anti-join missing:\n$pm")
+    assert(!pm.contains("CartesianProduct"), s"minhash md5 went cartesian:\n$pm")
+    val ps = plan(ops.Text.simHashPairsMd5From(sh))
+    assert(ps.contains("LeftAnti"), s"simhash md5 cap anti-join missing:\n$ps")
+    assert(!ps.contains("CartesianProduct"), s"simhash md5 went cartesian:\n$ps")
+    // ANN twins: k-row centroid/plane structures ride broadcasts; the
+    // candidate joins are equi-joins — never a cartesian pair scan
+    val pl = plan(SparkEntry.queries("q_vec_ann_lsh_md5")(spark, dir))
+    assert(!pl.contains("CartesianProduct"), s"ann lsh md5 went cartesian:\n$pl")
+    assert(pl.contains("LeftAnti"), s"ann lsh md5 cap anti-join missing:\n$pl")
+    val pi = plan(SparkEntry.queries("q_vec_ann_ivf_det")(spark, dir))
+    assert(!pi.contains("CartesianProduct"), s"ann ivf det went cartesian:\n$pi")
+    assert(pi.contains("BroadcastNestedLoopJoin") || pi.contains("BroadcastHashJoin"),
+      s"ivf probe lost its broadcast centroid join:\n$pi")
+    // ensemble alignment: the member-count total is a 1-row broadcast
+    // cross, the common-cell filter a semi join — no shuffle of the
+    // union by anything but the cell key
+    val pe = plan(SparkEntry.queries("q_climate_ensemble")(spark, dir))
+    assert(pe.contains("LeftSemi"), s"alignMembers lost its semi join:\n$pe")
+    assert(!pe.contains("CartesianProduct"), s"ensemble went cartesian:\n$pe")
+  }
+
   test("PII keys are one-scan partial+final aggregation / pure projection") {
     val pd = plan(SparkEntry.queries("q_text_pii")(spark, dir))
     assert(!pd.contains("Window") && !pd.contains("Join"),
