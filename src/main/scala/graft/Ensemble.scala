@@ -30,7 +30,10 @@ final case class Ensemble(df: DataFrame) {
     * ([[alignMembers]] reads the union three times: the member count,
     * the per-cell counts, and the semi-join base; uncached, each read
     * re-executes every member's upstream pipeline). Identical-plan
-    * cache() calls share one entry via the cache manager. */
+    * cache() calls share one entry via the cache manager. The CALLER
+    * owns the persisted lifetime: unpersist via `.df.unpersist()` (or
+    * hold it in a tracked memo — the ops.Climate.ensembleCache
+    * pattern) when cycling sessions in one JVM. */
   def cached(): Ensemble = Ensemble(df.cache())
 
   // ---- ensemble algebra (bcdp R13) ----------------------------------

@@ -313,6 +313,21 @@ object ClimateOps {
   */
 object Climate {
 
+  /** One cached member union per (session, dir): alignMembers reads
+    * it three times per invocation and repeated invocations reuse one
+    * materialized cells table (the shingleCache pattern); call
+    * [[clearEnsembleCache]] on session teardown. */
+  private val ensembleCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Unpersist and drop the memoized ensemble unions. */
+  def clearEnsembleCache(): Unit = {
+    ensembleCache.values.foreach { df =>
+      try df.unpersist() catch { case _: Exception => () }
+    }
+    ensembleCache.clear()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R6 select_season analog: "season" = days-of-month {1..3} ∪ {29..31}
     // (month-boundary wrap, like DJF spanning the year edge).
@@ -428,9 +443,13 @@ object Climate {
         .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
         .select(col("time"), col("lat"), col("lon"),
           (col("sm").cast("double") / 1000000.0 / col("n")).as("value"))
-      graft.Ensemble.of(member(0).withColumn("dataset", lit("ma")))
-        .addMember("mb", member(1))
-        .cached() // align reads the union 3×; the union is |cells|-sized
+      val tagged = ensembleCache.getOrElseUpdate(
+        (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
+          graft.Ensemble.of(member(0).withColumn("dataset", lit("ma")))
+            .addMember("mb", member(1))
+            .df.cache() // align reads the union 3×; it is |cells|-sized
+        })
+      graft.Ensemble.of(tagged)
         .alignMembers()
         .df
         .groupBy(col("time"), col("lat"), col("lon"))

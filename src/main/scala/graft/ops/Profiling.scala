@@ -182,6 +182,12 @@ object Profiling {
         if (ndRow.isNullAt(0)) 0L else ndRow.getLong(0)
       })
 
+  /** THE default exact-percentile gate — the single constant every
+    * gate-parameterized entry point below defaults to, so the graded
+    * `exact_pct` surfacing can never drift from the branch
+    * gatedPercentiles actually took through a default mismatch. */
+  val DefaultExactDistinctMax: Long = 1000000L
+
   /** True iff [[gatedPercentiles]] on the same (input, group, value)
     * runs the EXACT percentile branch. Shares the memoized probe, so
     * calling it next to gatedPercentiles costs nothing extra. The
@@ -190,14 +196,16 @@ object Profiling {
     * express the exact quantile_cont form, so if a future fixture
     * tier trips the gate, grading fails LOUDLY on this named column
     * instead of a mystery hash mismatch between approx and exact
-    * values (ADVICE r5). */
+    * values (ADVICE r5). CONTRACT: pass the SAME `exactDistinctMax`
+    * you passed to gatedPercentiles/iqrFences — an asymmetric
+    * override reports the wrong branch. */
   def exactGateHolds(ev: DataFrame, groupCol: String, valCol: String,
-                     exactDistinctMax: Long = 1000000L): Boolean =
+                     exactDistinctMax: Long = DefaultExactDistinctMax): Boolean =
     probeGate(ev, groupCol, valCol) <= exactDistinctMax
 
   def gatedPercentiles(ev: DataFrame, groupCol: String, valCol: String,
                        ps: Seq[(Double, String)],
-                       exactDistinctMax: Long = 1000000L): DataFrame = {
+                       exactDistinctMax: Long = DefaultExactDistinctMax): DataFrame = {
     require(ev.columns.contains(valCol) && !valCol.exists(c => !c.isLetterOrDigit && c != '_'),
       s"gatedPercentiles needs a plain existing column name, got '$valCol'")
     require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0.0 && p <= 1.0 },
@@ -213,7 +221,7 @@ object Profiling {
   /** Per-group Tukey fences `(group, lo, hi)` off [[gatedPercentiles]]
     * quartiles — the q_profile_outliers fence step. */
   def iqrFences(ev: DataFrame, groupCol: String, valCol: String,
-                exactDistinctMax: Long = 1000000L): DataFrame = {
+                exactDistinctMax: Long = DefaultExactDistinctMax): DataFrame = {
     val iqr = col("q3") - col("q1")
     gatedPercentiles(ev, groupCol, valCol,
         Seq(0.25 -> "q1", 0.75 -> "q3"), exactDistinctMax)

@@ -409,14 +409,31 @@ object Text {
   private val mhMd5Cache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  /** Unpersist and drop the memoized md5 candidate graphs and the
-    * shared shingle table. */
+  /** Every interior pre-cap table the md5 builders cache()d — tracked
+    * so [[clearMhMd5Cache]] reaches ALL the family's persisted state,
+    * including builder invocations that bypass the (session, dir) memo
+    * (spec calls with variant caps). */
+  private val precapCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private[graft] def trackPrecap(df: DataFrame): DataFrame = {
+    precapCaches.add(df.cache())
+    df
+  }
+
+  /** Unpersist and drop the memoized md5 candidate graphs, the shared
+    * shingle table, and every tracked pre-cap band table. */
   def clearMhMd5Cache(): Unit = {
     (mhMd5Cache.values ++ shingleCache.values).foreach { df =>
       try df.unpersist() catch { case _: Exception => () }
     }
     mhMd5Cache.clear()
     shingleCache.clear()
+    var df = precapCaches.poll()
+    while (df != null) {
+      try df.unpersist() catch { case _: Exception => () }
+      df = precapCaches.poll()
+    }
   }
 
   private def minHashCandidatesMd5(s: SparkSession, dir: String): DataFrame =
@@ -450,12 +467,11 @@ object Text {
     // aggregation runs three times (the production minHashCandidates
     // banded0.cache() rationale; identical-plan cache() calls reuse
     // one entry via the cache manager)
-    val band = sig.withColumn("b", expr("p DIV 4"))
+    val band = trackPrecap(sig.withColumn("b", expr("p DIV 4"))
       .groupBy(col("doc_id"), col("b"))
       .agg(concat_ws(",", transform(
         array_sort(collect_list(struct(col("p"), col("mh")))),
-        x => x.getField("mh").cast("string"))).as("bval"))
-      .cache()
+        x => x.getField("mh").cast("string"))).as("bval")))
     // partial+final count (never a per-bucket window — the funnel the
     // cap exists to prevent), then the gated anti-join
     val hot = band.groupBy(col("b"), col("bval"))
@@ -490,11 +506,10 @@ object Text {
     val sigs = hv.groupBy(col("doc_id")).agg(simhash_sig(col("h")).as("sig"))
     // cached pre-cap — same three-consumer rationale as the minhash
     // band table above (count + both join sides)
-    val banded = sigs
+    val banded = trackPrecap(sigs
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bval", expr("(sig >> (band * 15)) & 32767"))
-      .cache()
+      .withColumn("bval", expr("(sig >> (band * 15)) & 32767")))
     val hot = banded.groupBy(col("band"), col("bval"))
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
       .select(col("band"), col("bval"))

@@ -136,7 +136,10 @@ object Vectors {
     val bucket = md5Planes.zipWithIndex.map { case (sg, p) =>
       when(dot(col("v"), typedLit(sg.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val withB = v.withColumn("bucket", bucket.cast("long"))
+    // cached pre-cap: the bucketed projection feeds the hot count AND
+    // both join sides (the md5 band tables' three-consumer rationale;
+    // tracked by Text's teardown so a session cycle unpersists it)
+    val withB = Text.trackPrecap(v.withColumn("bucket", bucket.cast("long")))
     val hot = withB.groupBy(col("bucket")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > maxBucket).select(col("bucket"))
     val kept = Dedup.antiJoinHot(withB, hot, Seq("bucket"))

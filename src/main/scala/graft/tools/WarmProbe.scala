@@ -16,7 +16,11 @@ object WarmProbe {
       var total = 0.0
       graft.SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        // a throwing key must be VISIBLE — silently swallowed, its
+        // near-zero time would fake a flat profile
+        try fn(spark, sfDir).count() catch {
+          case e: Throwable => println(s"[warm] FAILED $name: ${e.getMessage}")
+        }
         val s = (System.nanoTime() - t0) / 1e9
         total += s
         if (report && s > 0.2) println(f"[warm] $s%6.2f  $name")
