@@ -9,7 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * These tests plant the degenerate input (1,000 identical boilerplate
   * docs — the crawl-data worst case) and assert pair output stays
   * linear, not quadratic. */
-class DedupScaleSpec extends AnyFunSuite {
+class DedupScaleSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    // the md5-twin cap tests call the un-memoized builders directly,
+    // registering tracked pre-cap caches — drain them on teardown
+    ops.Text.clearMhMd5Cache()
+    super.afterAll()
+  }
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

@@ -11,9 +11,11 @@ class InvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
     // the inertia law above leaves iters=1 and iters=2 fits in the
-    // session-scoped memo — drop them so no cached DataFrame outlives
-    // this suite's session
+    // session-scoped memo, and the ensemble law materializes the
+    // member union — drop both so no cached DataFrame outlives this
+    // suite's session
     ops.Vectors.clearKmeansCache()
+    ops.Climate.clearEnsembleCache()
     super.afterAll()
   }
   lazy val spark: SparkSession = SparkSession.builder()

@@ -8,7 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * scale to 100 TB. Each assertion names the plan feature it guards:
   * losing it wouldn't fail correctness tests, only blow up at scale,
   * so it must be guarded explicitly. */
-class PlanAuditSpec extends AnyFunSuite {
+class PlanAuditSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    // the r6 shape test calls the un-memoized md5 builders directly,
+    // registering tracked pre-cap caches — drain them on teardown
+    ops.Text.clearMhMd5Cache()
+    ops.Climate.clearEnsembleCache()
+    super.afterAll()
+  }
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
