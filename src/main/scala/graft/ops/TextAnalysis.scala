@@ -268,6 +268,43 @@ object TextAnalysis {
         .where(col("n_dups") > 1)
         .orderBy(col("canon"))
     },
+    // Boilerplate-line removal (r6) — the CCNet-style crawl-cleaning
+    // staple the text family lacked: split docs into lines, count each
+    // line's document frequency, drop lines appearing in >20% of the
+    // corpus (nav bars, cookie banners, footers), reassemble the rest
+    // in position order. Lines are PLANTED deterministically (the
+    // corpus is single-line; q_dedup_url precedent, mirrored literally
+    // in the oracle): a header ALL docs share (must be removed), the
+    // doc's own text (df 1 — kept), a footer shared by doc_id%7
+    // (df ≈ n/7 < n/5 — kept, proving the bar is not remove-everything).
+    // Scale shape: line-df is a partial+final aggregation on ~60-byte
+    // keys; the hot set is PROVABLY ≤ 15 rows (Σ df over lines ≤ 3n
+    // total occurrences, so at most 15 lines can each exceed n/5) —
+    // the broadcast anti-join is mathematically bounded, not hoped;
+    // reassembly is one groupBy(doc) collect in position order. The
+    // integer threshold (5·df > n) avoids any FP comparison.
+    "q_text_boilerplate" -> { (s, dir) =>
+      val raw = concat(lit("header common boilerplate notice"), lit("\n"),
+        col("text"), lit("\n"),
+        lit("footer site"), (col("doc_id") % 7).cast("string"))
+      val lined = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(raw, "\n")).as(Seq("pos", "line")))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val hot = lined.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("ldf"))
+        .crossJoin(broadcast(n))
+        .filter(col("ldf") * 5 > col("n_docs"))
+        .select(col("line"))
+      val kept = lined.join(broadcast(hot), Seq("line"), "left_anti")
+      kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          md5(concat_ws("\n", transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")))).as("clean_md5"))
+        .withColumn("n_removed", lit(3L) - col("n_kept"))
+        .select(col("doc_id"), col("n_kept"), col("n_removed"), col("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
     // PII redaction: rows that had any hit, with the redacted text
     // verified by md5 — a byte-exact cross-engine check of the full
     // three-stage replacement, not just the counts. One scan: counts
@@ -390,6 +427,35 @@ object TextAnalysis {
         |SELECT doc_id, fps[1] AS min_fp,
         |  array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',') AS fp4
         |FROM fp
+        |ORDER BY doc_id""".stripMargin,
+
+    // same planted lines; NOT IN for the anti-join (the hot set is
+    // NULL-free by construction), string_agg in position order; pos is
+    // 1-based here vs 0-based posexplode — order-only, never output
+    "q_text_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'header common boilerplate notice' || chr(10) || text || chr(10) ||
+        |    'footer site' || CAST(doc_id % 7 AS VARCHAR) AS raw
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, unnest(string_split(raw, chr(10))) AS line,
+        |           generate_subscripts(string_split(raw, chr(10)), 1) AS pos
+        |    FROM d) u),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |hot AS (
+        |  SELECT line FROM lined CROSS JOIN n
+        |  GROUP BY line, n_docs
+        |  HAVING COUNT(DISTINCT doc_id) * 5 > n_docs),
+        |kept AS (
+        |  SELECT * FROM lined WHERE line NOT IN (SELECT line FROM hot))
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(3 - COUNT(*) AS BIGINT) AS n_removed,
+        |  md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        |FROM kept
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_pii" ->

@@ -237,6 +237,16 @@ class InvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0, "bias != va - vb somewhere")
   }
 
+  test("boilerplate removal drops exactly the universal header per doc") {
+    // header df = n (removed: 5n > n); footer df ≈ n/7 (kept: 5n/7 < n);
+    // own-text df ≥ 1 but never > n/5 at any fixture tier — so every
+    // doc must lose exactly one line, and none may vanish entirely
+    val b = q("q_text_boilerplate")
+    assert(b.count() == Tables.documents(spark, dir).count())
+    assert(b.filter(col("n_removed") =!= 1L).count() == 0,
+      "a doc lost more (or less) than the universal header")
+  }
+
   test("embedding norms are ~1 (unit vectors)") {
     val norms = q("q_vec_norm").agg(min("l2_4"), max("l2_4")).head()
     assert(norms.getDouble(0) > 0.99 && norms.getDouble(1) < 1.01)
