@@ -455,23 +455,30 @@ object Text {
     * the cap (DedupScaleSpec pins both facts). */
   private[graft] def minHashCandidatesMd5From(sh: DataFrame,
                                               maxBucket: Long = 1000L): DataFrame = {
-    val sig = sh
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(15))).as("p"))
-      .withColumn("h",
-        Profiling.rowDigest(col("p").cast("string"), col("sh")))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(min(col("h")).as("mh"))
+    // ONE aggregation builds the whole signature: the 16 permutation
+    // minima ride as 16 min-aggregate columns over the un-exploded
+    // shingle rows (r6 rewrite of the r5 explode-16×-then-groupBy-twice
+    // shape — same minima, same band strings, two shuffles fewer; the
+    // map-side partial combine reduces each doc to 16 longs before the
+    // shuffle either way, but the input side no longer materializes
+    // 16 rows per shingle)
+    val mins = (0 until 16).map(p =>
+      min(Profiling.rowDigest(lit(p.toString), col("sh"))).as(s"mh$p"))
+    val agg0 = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // 4 band rows per doc, band value = the 4 minima in permutation
+    // order (identical to the old array_sort(collect_list)-by-p build)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("b"), concat_ws(",",
+        (0 until 4).map(i => col(s"mh${b * 4 + i}").cast("string")): _*).as("bval"))
+    }
     // cached pre-cap: the band table feeds the bucket-size count AND
-    // both self-join sides — without this the 16-permutation signature
-    // aggregation runs three times (the production minHashCandidates
+    // both self-join sides — without this the signature aggregation
+    // runs three times (the production minHashCandidates
     // banded0.cache() rationale; identical-plan cache() calls reuse
     // one entry via the cache manager)
-    val band = trackPrecap(sig.withColumn("b", expr("p DIV 4"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(concat_ws(",", transform(
-        array_sort(collect_list(struct(col("p"), col("mh")))),
-        x => x.getField("mh").cast("string"))).as("bval")))
+    val band = trackPrecap(agg0
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.b").as("b"), col("e.bval").as("bval")))
     // partial+final count (never a per-bucket window — the funnel the
     // cap exists to prevent), then the gated anti-join
     val hot = band.groupBy(col("b"), col("bval"))
