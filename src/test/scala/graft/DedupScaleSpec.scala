@@ -103,6 +103,33 @@ class DedupScaleSpec extends AnyFunSuite
     assert(sim.contains((2001L, 2002L, 0L)), s"planted pair missing: ${sim.toSeq}")
   }
 
+  test("md5 twin caps: capped ⊆ uncapped on seeded random corpora; equal when nothing is hot") {
+    // the two cap laws, on corpora the fixtures don't cover: dropping
+    // buckets can only REMOVE pairs (never invent one), and a cap no
+    // bucket reaches (maxBucket = #docs) is provably invisible
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 1 to 2) {
+      val docs = (1L to 40L).map { i =>
+        val toks = Seq.fill(6 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        (i, toks.mkString(" "), "en")
+      }.toDF("doc_id", "text", "lang")
+      val sh = ops.Dedup.shingles(docs).select($"doc_id", $"sh")
+      def ps(df: org.apache.spark.sql.DataFrame) =
+        df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val open = ps(ops.Text.minHashCandidatesMd5From(sh, maxBucket = Long.MaxValue))
+      val tight = ps(ops.Text.minHashCandidatesMd5From(sh, maxBucket = 5))
+      assert(tight.subsetOf(open), s"trial $trial: minhash cap invented a pair")
+      assert(ps(ops.Text.minHashCandidatesMd5From(sh, maxBucket = 40)) == open,
+        s"trial $trial: un-reachable minhash cap changed the result")
+      val sOpen = ps(ops.Text.simHashPairsMd5From(sh, maxBucket = Long.MaxValue))
+      val sTight = ps(ops.Text.simHashPairsMd5From(sh, maxBucket = 5))
+      assert(sTight.subsetOf(sOpen), s"trial $trial: simhash cap invented a pair")
+      assert(ps(ops.Text.simHashPairsMd5From(sh, maxBucket = 40)) == sOpen,
+        s"trial $trial: un-reachable simhash cap changed the result")
+    }
+  }
+
   test("md5 grading twins: cap is invisible at graded tiers") {
     // the oracle mirrors the cap, but the graded tiers must sit far
     // below it — capped and uncapped runs must agree exactly, so the
