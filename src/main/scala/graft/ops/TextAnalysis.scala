@@ -92,6 +92,39 @@ object TextAnalysis {
         i => hashFn(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
         1, keep).as("fingerprint"))
 
+  /** CCNet-style boilerplate-line removal, the library operator behind
+    * q_text_boilerplate: split `text` on newlines, compute each line's
+    * distinct-document frequency, drop lines with df > n·num/den
+    * (integer comparison — no FP), reassemble the survivors in
+    * position order. Returns (doc_id, n_kept, text); docs whose every
+    * line dropped vanish (an empty document has no place in a corpus);
+    * callers keeping other columns join them back on doc_id.
+    *
+    * Scale shape: line-df is a partial+final aggregation on line
+    * strings; the hot set is bounded by (avg lines/doc)·den/num rows
+    * (Σ df ≤ total line occurrences), routed through
+    * [[Dedup.antiJoinHot]]'s gated broadcast; reassembly is one
+    * groupBy(doc) position-ordered collect. */
+  def removeBoilerplateLines(docs: DataFrame, num: Long = 1L,
+                             den: Long = 5L): DataFrame = {
+    require(num > 0 && den > 0 && num < den,
+      s"threshold num/den must be a proper fraction, got $num/$den")
+    val lined = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val hot = lined.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("ldf"))
+      .crossJoin(broadcast(n))
+      .filter(col("ldf") * den > col("n_docs") * num)
+      .select(col("line"))
+    val kept = Dedup.antiJoinHot(lined, hot, Seq("line"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("text"))
+  }
+
   /** GRADED PII patterns — written to mean the same thing in Java
     * regex (Spark) and RE2 (DuckDB): character classes, bounded
     * repetition and `\b` only; no alternation (leftmost-first vs
@@ -287,22 +320,10 @@ object TextAnalysis {
       val raw = concat(lit("header common boilerplate notice"), lit("\n"),
         col("text"), lit("\n"),
         lit("footer site"), (col("doc_id") % 7).cast("string"))
-      val lined = Tables.documents(s, dir)
-        .select(col("doc_id"), posexplode(split(raw, "\n")).as(Seq("pos", "line")))
-      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      val hot = lined.groupBy(col("line"))
-        .agg(countDistinct(col("doc_id")).as("ldf"))
-        .crossJoin(broadcast(n))
-        .filter(col("ldf") * 5 > col("n_docs"))
-        .select(col("line"))
-      val kept = lined.join(broadcast(hot), Seq("line"), "left_anti")
-      kept.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_kept"),
-          md5(concat_ws("\n", transform(
-            array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")))).as("clean_md5"))
-        .withColumn("n_removed", lit(3L) - col("n_kept"))
-        .select(col("doc_id"), col("n_kept"), col("n_removed"), col("clean_md5"))
+      removeBoilerplateLines(Tables.documents(s, dir).withColumn("text", raw))
+        .select(col("doc_id"), col("n_kept"),
+          (lit(3L) - col("n_kept")).as("n_removed"),
+          md5(col("text")).as("clean_md5"))
         .orderBy(col("doc_id"))
     },
     // PII redaction: rows that had any hit, with the redacted text

@@ -11,19 +11,22 @@ import graft.sources.Sources
   * operator the graded keys run:
   *
   *  1. quality gate   — TextAnalysis.qualityScore ≥ threshold
-  *  2. decontaminate  — Text.decontaminate vs a held-out benchmark
+  *  2. boilerplate    — TextAnalysis.removeBoilerplateLines (drop
+  *                      lines shared by >20% of the corpus — the
+  *                      nav-bar/cookie-banner scrub; q_text_boilerplate)
+  *  3. decontaminate  — Text.decontaminate vs a held-out benchmark
   *                      (shingle-overlap detection + anti-join removal)
-  *  3. dedup          — Dedup.dedupCorpus (exact collapse + capped
+  *  4. dedup          — Dedup.dedupCorpus (exact collapse + capped
   *                      MinHash-LSH near-dup drop)
-  *  4. pii redact     — TextAnalysis.redactPii (mask emails/IPs/
+  *  5. pii redact     — TextAnalysis.redactPii (mask emails/IPs/
   *                      phones in place; row count is invariant)
-  *  5. sample         — Profiling.stratifiedSample, n per language,
+  *  6. sample         — Profiling.stratifiedSample, n per language,
   *                      content-hash deterministic
-  *  6. semantic mix   — Vectors.kmeansAssignments over the surviving
+  *  7. semantic mix   — Vectors.kmeansAssignments over the surviving
   *                      docs' embeddings + per-cluster balance report
   *                      (the q_sample_semantic move, applied as audit)
-  *  7. normalize      — Sources.toParquet (canonical format out)
-  *  8. fingerprint    — the q_profile_checksum XOR digest of the
+  *  8. normalize      — Sources.toParquet (canonical format out)
+  *  9. fingerprint    — the q_profile_checksum XOR digest of the
   *                      written corpus, so a re-run (or a replica on
   *                      another cluster) verifies with ONE aggregate
   *
@@ -54,8 +57,18 @@ object TrainingDataPipelineDemo {
       .filter(col("quality") >= 0.3 && !isnan(col("quality"))).select("doc_id")
     val gated = docs.join(quality, Seq("doc_id"), "left_semi").cache()
 
-    val bench = gated.filter(col("doc_id") % 10 === 0)
-    val corpus = gated.filter(col("doc_id") % 10 =!= 0)
+    // boilerplate-line removal (the q_text_boilerplate operator):
+    // drop lines shared by >20% of the corpus, keep every other
+    // column by joining the cleaned text back — on the single-line
+    // fixture this is a verified pass-through; on a real crawl it is
+    // the nav-bar/cookie-banner scrub
+    val boiled = gated.drop("text")
+      .join(TextAnalysis.removeBoilerplateLines(gated)
+        .select(col("doc_id"), col("text")), Seq("doc_id"))
+      .cache()
+
+    val bench = boiled.filter(col("doc_id") % 10 === 0)
+    val corpus = boiled.filter(col("doc_id") % 10 =!= 0)
     // stopDfCap ON (unlike the oracle-graded keys, which disable it for
     // exactness): at crawl scale one boilerplate shingle in d_c corpus ×
     // d_b benchmark docs emits d_c·d_b join rows — the guard is the
@@ -98,6 +111,7 @@ object TrainingDataPipelineDemo {
     try Seq(
       "input" -> docs.count(),
       "quality_gated" -> gated.count(),
+      "boilerplate_cleaned" -> boiled.count(),
       "decontaminated" -> clean.count(),
       "deduped" -> deduped.count(),
       "pii_redacted" -> redacted.count(),
@@ -105,7 +119,7 @@ object TrainingDataPipelineDemo {
       "semantic_clusters" -> clusters,
       "xor_fingerprint" -> checksum)
     finally {
-      Seq(gated, clean, deduped, sampled).foreach(_.unpersist())
+      Seq(gated, boiled, clean, deduped, sampled).foreach(_.unpersist())
       Vectors.clearKmeansCache()
     }
   }

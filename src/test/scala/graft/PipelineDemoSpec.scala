@@ -20,21 +20,26 @@ class PipelineDemoSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_pipe").toString
     val all = tools.TrainingDataPipelineDemo.run(spark, "/root/testdata/sf0.001", out)
     assert(all.map(_._1) ==
-      Seq("input", "quality_gated", "decontaminated", "deduped",
-        "pii_redacted", "sampled", "semantic_clusters", "xor_fingerprint"))
-    // the first six entries are FILTER stages; the last two are audit
+      Seq("input", "quality_gated", "boilerplate_cleaned", "decontaminated",
+        "deduped", "pii_redacted", "sampled", "semantic_clusters",
+        "xor_fingerprint"))
+    // the first seven entries are FILTER stages; the last two are audit
     // metadata (cluster count, replica digest) outside the shrink law
-    val stages = all.take(6)
+    val stages = all.take(7)
     val counts = stages.map(_._2)
     // redaction masks in place — it must never drop or add rows
-    assert(stages(4)._2 == stages(3)._2,
+    assert(stages(5)._2 == stages(4)._2,
       s"pii_redacted changed the row count: $stages")
+    // single-line fixture: boilerplate removal must be a pass-through
+    // (no text crosses the 20% document-frequency bar)
+    assert(stages(2)._2 == stages(1)._2,
+      s"boilerplate stage dropped single-line docs: $stages")
     assert(counts.head > 0 && counts.last > 0, s"empty pipeline: $stages")
     // decontamination starts from the corpus SPLIT (benchmark tenth
     // held out), so every stage after input is ≤ its predecessor
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"a stage grew: $stages")
-    val clusters = all(6)._2
+    val clusters = all(7)._2
     assert(clusters >= 1 && clusters <= 4, s"cluster audit off: $clusters")
     val written = spark.read.parquet(s"$out/corpus")
     assert(written.count() == counts.last)
@@ -48,7 +53,7 @@ class PipelineDemoSpec extends AnyFunSuite {
           .sortWithinPartitions(col("doc_id").desc),
         col("doc_id").cast("string"), col("lang"))
       .head().getLong(1)
-    assert(again == all(7)._2, "replica digest not layout-independent")
+    assert(again == all(8)._2, "replica digest not layout-independent")
     // the sample is per-language capped at 20
     import org.apache.spark.sql.functions._
     val maxPerLang = written.groupBy(col("lang")).count()
