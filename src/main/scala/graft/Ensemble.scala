@@ -71,8 +71,8 @@ final case class Ensemble(df: DataFrame) {
   def selectSeason(months: Seq[Int]): Ensemble =
     Ensemble(ClimateOps.selectSeason(df, months))
 
-  def regridBin(latRes: Double, lonRes: Double): Ensemble =
-    Ensemble(ClimateOps.regridBin(df, latRes, lonRes)
+  def regridBin(latRes: Double, lonRes: Double, agg: String = "mean"): Ensemble =
+    Ensemble(ClimateOps.regridBin(df, latRes, lonRes, agg)
       .withColumnRenamed("lat_bin", "lat").withColumnRenamed("lon_bin", "lon")
       .drop("n_cells"))
 
@@ -97,7 +97,8 @@ final case class Ensemble(df: DataFrame) {
         dstLatRes, dstLonRes, k, blockDeg)
       .withColumnRenamed("tlat", "lat").withColumnRenamed("tlon", "lon"))
 
-  def resample(unit: String): Ensemble = Ensemble(ClimateOps.resample(df, unit))
+  def resample(unit: String, agg: String = "mean"): Ensemble =
+    Ensemble(ClimateOps.resample(df, unit, agg))
 
   def convertUnits(k: Double, b: Double): Ensemble =
     Ensemble(ClimateOps.convertUnits(df, k, b))

@@ -18,7 +18,7 @@ object SparkEntry {
         ops.Functions.queries ++ ops.Streaming.queries ++ ops.Climate.queries ++
         ops.Text.queries ++ ops.Vectors.queries ++ ops.Dedup.queries ++
         ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.Ann.queries ++
-        ops.Profiling.queries
+        ops.Profiling.queries ++ sources.Sources.queries
     scala.collection.immutable.ListMap(all.toSeq.sortBy {
       case (k, _) => if (k == "q_scan_project") "" else k
     }: _*)
@@ -29,5 +29,5 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
       ops.Functions.oracle ++ ops.Streaming.oracle ++ ops.Climate.oracle ++
       ops.Text.oracle ++ ops.Vectors.oracle ++ ops.TextAnalysis.oracle ++
-      ops.Profiling.oracle
+      ops.Profiling.oracle ++ sources.Sources.oracle
 }

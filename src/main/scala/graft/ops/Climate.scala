@@ -53,11 +53,24 @@ object ClimateOps {
   def selectSeason(df: DataFrame, months: Seq[Int]): DataFrame =
     df.filter(month(col("time")).isin(months: _*))
 
+  /** Pooling choice for the gridded reductions — xarray's
+    * `.resample(...).mean()` / `.sum()` pair. "mean" is the default
+    * downsampling; "sum" is the mass-conserving (integral-preserving)
+    * form — and the one a cross-engine-graded COMPOSITION should ride,
+    * because a sum of exact integers is order-free while a chained
+    * mean-of-mean accumulates summation-order ulps at every stage. */
+  private def pool(agg: String): Column => Column = agg match {
+    case "mean" => (c: Column) => avg(c)
+    case "sum"  => (c: Column) => sum(c)
+    case other  => throw new IllegalArgumentException(
+      s"resample/regrid agg must be 'mean' or 'sum', got '$other'")
+  }
+
   /** R8 resample: temporal downsampling to `unit` (e.g. "day", "month"). */
-  def resample(df: DataFrame, unit: String): DataFrame =
+  def resample(df: DataFrame, unit: String, agg: String = "mean"): DataFrame =
     df.groupBy(col("dataset"), date_trunc(unit, col("time")).as("time"),
         col("lat"), col("lon"))
-      .agg(avg(col("value")).as("value"))
+      .agg(pool(agg)(col("value")).as("value"))
 
   /** R9 climatology: mean annual cycle — per (dataset, cell, month-of-year). */
   def climatology(df: DataFrame): DataFrame =
@@ -71,12 +84,15 @@ object ClimateOps {
     df.withColumn("anomaly", col("value") - avg(col("value")).over(w))
   }
 
-  /** R7 regrid (conservative ≈ bin-average onto a uniform res° mesh). */
-  def regridBin(df: DataFrame, latRes: Double, lonRes: Double): DataFrame =
+  /** R7 regrid onto a uniform res° mesh: agg="mean" is bin-average
+    * (the plotting default); agg="sum" is the conservative form proper
+    * — total mass over the domain is preserved exactly. */
+  def regridBin(df: DataFrame, latRes: Double, lonRes: Double,
+                agg: String = "mean"): DataFrame =
     df.groupBy(col("dataset"), col("time"),
         (floor(col("lat") / latRes) * latRes).as("lat_bin"),
         (floor(col("lon") / lonRes) * lonRes).as("lon_bin"))
-      .agg(avg(col("value")).as("value"), count(lit(1)).as("n_cells"))
+      .agg(pool(agg)(col("value")).as("value"), count(lit(1)).as("n_cells"))
 
   /** Per-(dataset, time) uniform target mesh (tlat, tlon) shared by the
     * regrid interpolators. The +1e-9 matters: an exact-span quotient
@@ -574,6 +590,91 @@ object Climate {
         .orderBy(col("tx"), col("ty"))
     },
 
+    // The canonical bcdp WORKFLOW graded end-to-end (r7, VERDICT r6
+    // #1): load → homogenize → subset → selectSeason → regridBin →
+    // resample → convertUnits → alignMembers → anomaly/climatology,
+    // every stage through the REAL chained Ensemble API (the script
+    // tools/ClimatePipelineDemo.scala runs), so the COMPOSITION — not
+    // just the individually-oracled operators — hash-matches DuckDB's
+    // CTE chain. Members: even/odd event_id. Cells: time = hour-trunc
+    // ts shifted by (user_id%12)·30 days (exact day-interval math, so
+    // the month-filtering stages do real work on one-month event
+    // data), lat = user band, lon = (user_id%36)·10 ∈ [0,350] (so
+    // homogenize's antimeridian wrap does real work). Determinism: the
+    // gridded stages ride the MASS-CONSERVING pooling (regridBin/
+    // resample agg="sum" — xarray's .resample().sum(), the
+    // integral-preserving regrid form), so every intermediate `value`
+    // is an exact INTEGER micros sum carried in doubles: order-free in
+    // both engines, zero accumulated ulps. The first chained-mean
+    // draft failed sf0.1 on a .00005 rounding tie (spark −24.2918 vs
+    // duck −24.2917) — avg-of-avg summation-order noise is real, and
+    // the sum form is the cross-engine-gradeable composition (the mean
+    // forms stay individually graded by q_climate_regrid/resample).
+    // The only division is terminal: the anomaly window's one
+    // correctly-rounded avg over exact sums — so value/anomaly/clim
+    // are BIT-IDENTICAL doubles both engines and grade UNROUNDED on
+    // the micros scale (the q_win_percentrank precedent). They must:
+    // a second draft that r4'd a 1e6 de-scaling failed sf0.1 on a
+    // .00005 ROUND tie — micros-grain decimals land on ties often,
+    // and Spark (BigDecimal HALF_UP) vs DuckDB (nearbyint half-even)
+    // disagree there. No rounding, no ties. Integer envelope: Σ micros
+    // at sf0.1 ≈ 1e15 < 2^53; at 100 TB the member build rides
+    // decimal(38,0) like Skew.saltedSum (documented, not graded).
+    "q_climate_pipeline" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("m", micros(col("value")))
+        .withColumn("time", date_trunc("hour", col("ts")) +
+          expr("make_dt_interval(CAST((user_id % 12) * 30 AS INT))"))
+        .withColumn("lat", floor(col("user_id") / 10).cast("double"))
+        .withColumn("lon", ((col("user_id") % 36) * 10).cast("double"))
+      def member(par: Int) = ev.filter(col("event_id") % 2 === par)
+        .groupBy(col("time"), col("lat"), col("lon"))
+        .agg(sum(col("m")).as("sm"))
+        .select(col("time"), col("lat"), col("lon"),
+          col("sm").cast("double").as("value"))
+      val out = graft.Ensemble.of(member(0).withColumn("dataset", lit("ma")))
+        .addMember("mb", member(1))
+        .homogenize()
+        .subset(1, 13, -150, 150, "2024-01-05 00:00:00", "2024-12-20 00:00:00")
+        .selectSeason(Seq(12, 1, 2)) // DJF
+        .regridBin(5.0, 60.0, agg = "sum")
+        .resample("day", agg = "sum")
+        .convertUnits(2.0, 1.0)
+        .alignMembers()
+      // clim = value − anomaly re-derives the windowed climatology
+      // through the SAME two-subtraction op sequence the oracle runs
+      // (value − (value − avg) is NOT bitwise avg — both engines must
+      // compute it identically, not simplify it).
+      out.anomaly()
+        .select(col("dataset"), tstr(col("time")).as("time"),
+          col("lat"), col("lon"),
+          col("value").cast("long").as("value_mu"),
+          col("anomaly").as("anomaly_mu"),
+          (col("value") - col("anomaly")).as("clim_mu"))
+        .orderBy(col("dataset"), col("time"), col("lat"), col("lon"))
+    },
+
+    // R4 calendar normalization GRADED (r7, VERDICT r6 #2): both
+    // non-Gregorian model calendars — 360-day (HadGEM) and noleap
+    // (365-day) — mapped onto the real timestamp axis by the ACTUAL
+    // library expressions (ClimateOps.cal360ToTimestamp /
+    // noleapToTimestamp) over a planted (year, day-index) fixture
+    // derived from event_id. Years 2023..2025 cover a leap year
+    // (2024), so the noleap Feb-29 skip and the 360-cal Feb-29/30
+    // clamp both exercise their branch. Output is formatted strings —
+    // pure integer/date-part arithmetic, exact in both engines.
+    "q_climate_calendar" -> { (s, dir) =>
+      val fx = Tables.events(s, dir)
+        .select((lit(2023) + col("event_id") % 3).as("y"),
+          (lit(1) + col("event_id") % 360).as("doy360"),
+          (lit(1) + col("event_id") % 365).as("doy365"))
+        .distinct()
+      fx.select(col("y"), col("doy360"), col("doy365"),
+          tstr(ClimateOps.cal360ToTimestamp(col("y"), col("doy360"))).as("t360"),
+          tstr(ClimateOps.noleapToTimestamp(col("y"), col("doy365"))).as("t365"))
+        .orderBy(col("y"), col("doy360"), col("doy365"))
+    },
+
     // R7/R11 regrid-bin analog: (user-band × value-band) 2-D binning
     // with per-bin count + mean — conservative regrid onto a coarse mesh.
     "q_climate_regrid" -> { (s, dir) =>
@@ -741,6 +842,78 @@ object Climate {
         |    AS idw_v
         |FROM slots
         |ORDER BY tx, ty""".stripMargin,
+
+    "q_climate_pipeline" ->
+      s"""WITH ev AS (
+         |  SELECT event_id % 2 AS par,
+         |    date_trunc('hour', ts) + to_days(CAST((user_id % 12) * 30 AS INT)) AS time,
+         |    CAST(FLOOR(user_id / 10) AS DOUBLE) AS lat,
+         |    CAST((user_id % 36) * 10 AS DOUBLE) AS lon,
+         |    $m AS mv
+         |  FROM events),
+         |members AS (
+         |  SELECT CASE WHEN par = 0 THEN 'ma' ELSE 'mb' END AS dataset,
+         |    time, lat, lon,
+         |    CAST(SUM(mv) AS DOUBLE) AS value
+         |  FROM ev GROUP BY 1, 2, 3, 4),
+         |homog AS (
+         |  SELECT dataset, time, lat,
+         |    ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0 AS lon, value
+         |  FROM members),
+         |sub AS (
+         |  SELECT * FROM homog
+         |  WHERE lat BETWEEN 1 AND 13 AND lon BETWEEN -150 AND 150
+         |    AND time BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+         |                 AND TIMESTAMP '2024-12-20 00:00:00'),
+         |season AS (SELECT * FROM sub WHERE month(time) IN (12, 1, 2)),
+         |regrid AS (
+         |  SELECT dataset, time,
+         |    FLOOR(lat / 5.0) * 5.0 AS lat, FLOOR(lon / 60.0) * 60.0 AS lon,
+         |    SUM(value) AS value
+         |  FROM season GROUP BY 1, 2, 3, 4),
+         |resamp AS (
+         |  SELECT dataset, date_trunc('day', time) AS time, lat, lon,
+         |    SUM(value) AS value
+         |  FROM regrid GROUP BY 1, 2, 3, 4),
+         |conv AS (
+         |  SELECT dataset, time, lat, lon, value * 2.0 + 1.0 AS value FROM resamp),
+         |common AS (
+         |  SELECT time, lat, lon FROM conv
+         |  GROUP BY 1, 2, 3
+         |  HAVING COUNT(DISTINCT dataset) = (SELECT COUNT(DISTINCT dataset) FROM conv)),
+         |aligned AS (
+         |  SELECT c.dataset, c.time, c.lat, c.lon, c.value
+         |  FROM conv c JOIN common u USING (time, lat, lon))
+         |SELECT dataset, strftime(time, '%Y-%m-%d %H:%M:%S') AS time, lat, lon,
+         |  CAST(value AS BIGINT) AS value_mu,
+         |  (value - AVG(value) OVER w) AS anomaly_mu,
+         |  (value - (value - AVG(value) OVER w)) AS clim_mu
+         |FROM aligned
+         |WINDOW w AS (PARTITION BY dataset, month(time), lat, lon)
+         |ORDER BY dataset, time, lat, lon""".stripMargin,
+
+    "q_climate_calendar" ->
+      """WITH fx AS (
+        |  SELECT DISTINCT CAST(2023 + event_id % 3 AS BIGINT) AS y,
+        |    CAST(1 + event_id % 360 AS BIGINT) AS doy360,
+        |    CAST(1 + event_id % 365 AS BIGINT) AS doy365
+        |  FROM events),
+        |c360 AS (
+        |  SELECT y, doy360, doy365,
+        |    CAST(FLOOR((doy360 - 1) / 30) AS INT) + 1 AS m360,
+        |    CAST((doy360 - 1) % 30 + 1 AS INT) AS d360
+        |  FROM fx)
+        |SELECT y, doy360, doy365,
+        |  strftime(CAST(make_date(CAST(y AS INT), m360,
+        |      LEAST(d360, day(last_day(make_date(CAST(y AS INT), m360, 1)))))
+        |    AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS t360,
+        |  strftime(CAST(make_date(CAST(y AS INT), 1, 1) AS TIMESTAMP)
+        |    + to_days(CAST(CASE WHEN ((y % 4 = 0 AND y % 100 <> 0) OR y % 400 = 0)
+        |                          AND doy365 >= 60
+        |                        THEN doy365 ELSE doy365 - 1 END AS INT)),
+        |    '%Y-%m-%d %H:%M:%S') AS t365
+        |FROM c360
+        |ORDER BY y, doy360, doy365""".stripMargin,
 
     "q_climate_regrid" ->
       s"""SELECT CAST(FLOOR(user_id / 10) AS BIGINT) AS ubin,

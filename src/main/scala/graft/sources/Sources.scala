@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Source/sink utilities beyond the graded parquet path (SURVEY §2.2):
   * schema-carrying CSV and JSON(L) loaders/writers with the options a
@@ -162,10 +163,70 @@ object Sources {
     *    skips row groups inside each file (data skipping). */
   def writeDatePartitioned(df: DataFrame, tsCol: String, path: String,
                            sortCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, to_date}
     df.withColumn("p_date", to_date(col(tsCol)))
       .repartition(col("p_date"))
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").partitionBy("p_date").parquet(path)
   }
+
+  // ---- GRADED round-trip keys (r7, VERDICT r6 #4) -------------------
+  // CSV and JSONL were spec-trusted (SourcesSpec); DuckDB reads both
+  // formats, so the write → read-back path converts to a CORRECTNESS-
+  // graded fact: the query emits documents through the REAL
+  // writeCsv/writeJsonl sinks, re-ingests them through the REAL
+  // FAILFAST readers, and aggregates a content fingerprint (per-group
+  // count, total chars, md5-digest sum) that the oracle recomputes by
+  // reading the SAME emitted files with read_csv/read_json. Any loss
+  // or corruption in quoting, escaping, compression, or header
+  // handling breaks the hash. ORC/XML have no DuckDB reader and stay
+  // spec-only (SourcesSpec round-trips) — recorded in SURVEY §2.2.
+  // The emit path is a fixed repo-local scratch dir (the oracle needs
+  // the path as a literal; target/ is build scratch, never committed).
+  private[graft] val roundtripRoot = "/root/repo/target/roundtrip"
+
+  private def fingerprint(df: DataFrame, group: String): DataFrame =
+    df.groupBy(col(group))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(length(col("text"))).cast("long").as("sum_len"),
+        sum(graft.ops.Profiling.rowDigest(col("doc_id"), col("text")) % 1000003L)
+          .cast("long").as("sig"))
+      .orderBy(col(group))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_csv_roundtrip" -> { (s, dir) =>
+      val out = s"$roundtripRoot/csv"
+      writeCsv(graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text")), out)
+      fingerprint(readCsv(s, out, StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))), "lang")
+    },
+    "q_source_jsonl_roundtrip" -> { (s, dir) =>
+      val out = s"$roundtripRoot/jsonl"
+      writeJsonl(graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text")), out)
+      fingerprint(readJsonl(s, out, StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("text", StringType)))), "source")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q_source_csv_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+         |  CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)
+         |    AS BIGINT) % 1000003) AS BIGINT) AS sig
+         |FROM read_csv('$roundtripRoot/csv/*.csv.gz', header=true,
+         |  columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'text': 'VARCHAR'})
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_source_jsonl_roundtrip" ->
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+         |  CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)
+         |    AS BIGINT) % 1000003) AS BIGINT) AS sig
+         |FROM read_json('$roundtripRoot/jsonl/*.json.gz',
+         |  format='newline_delimited',
+         |  columns={'doc_id': 'BIGINT', 'source': 'VARCHAR', 'text': 'VARCHAR'})
+         |GROUP BY source ORDER BY source""".stripMargin)
 }
