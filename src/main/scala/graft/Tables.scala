@@ -87,19 +87,44 @@ object Tables {
     }
   }
 
+  /** The ONE place event-timestamp physical-type drift is absorbed.
+    *
+    * The driver regenerates the fixture parquet between rounds and has
+    * already shipped `events.ts` as both TIMESTAMP(NANOS) (reads as raw
+    * Long under the `nanosAsLong` legacy conf) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). Branch on the
+    * OBSERVED type rather than assuming either:
+    *  - LongType        → raw nanos; integer DIV to µs (exact — matches
+    *                      DuckDB's ns→µs truncation),
+    *  - TimestampNTZType → cast to TimestampType (session TZ is pinned
+    *                      UTC everywhere, so the cast is value-preserving),
+    *  - TimestampType   → already what every consumer expects.
+    * Any other type fails loudly here, not as N opaque per-query errors.
+    * Callers must set the `nanosAsLong` conf BEFORE the read that
+    * produces `df` so the legacy-fixture path still resolves.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet-mapped type $other; " +
+          "extend Tables.normalizeEventTs for the new fixture schema")
+    }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tuneForScale(spark, sfDir)
     cache.getOrElseUpdate((uuid(spark), sfDir, name), {
       val df =
         if (name == "events") {
-          // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-          // rejects. Read it as raw nanos (legacy conf) and convert with
-          // integer DIV — exact, and identical to DuckDB's ns→µs
-          // truncation (all values are whole µs anyway, measured).
+          // conf first: a TIMESTAMP(NANOS) fixture only reads at all
+          // when the legacy conf maps it to raw Long
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$sfDir/$name.parquet")
-            .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+          normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
         } else spark.read.parquet(s"$sfDir/$name.parquet")
       if (cachingEnabled && cacheable(name)) df.cache() else df
     })
