@@ -107,8 +107,19 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
+      // A Long ts is only ever the nanosAsLong mapping of TIMESTAMP(NANOS);
+      // a fixture shipping genuine INT64 micros/millis would need a new
+      // branch here (it would show up as an epoch-magnitude mismatch in
+      // FixtureSchemaSpec, not silently).
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // NTZ→TZ cast is value-preserving ONLY under a UTC session TZ;
+        // fail loudly rather than silently shifting every event time
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC") throw new IllegalStateException(
+          s"normalizeEventTs requires spark.sql.session.timeZone=UTC for the " +
+            s"TIMESTAMP_NTZ fixture cast; session has '$tz'")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"events.ts has unsupported parquet-mapped type $other; " +

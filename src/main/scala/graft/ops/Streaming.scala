@@ -31,6 +31,24 @@ object Streaming {
         .orderBy(col("ws"))
     },
 
+    // APPEND-mode fixpoint of the tumbling stream: exactly the windows
+    // the final watermark (max ts − 1 h) has closed — i.e. what
+    // EventStreams.tumbling actually emits to its sink after the source
+    // is exhausted (complete-mode fixpoint MINUS the open tail).
+    // Graded here so the true-streaming emission rule is pinned to the
+    // DuckDB oracle, not just to a spec (r8 verdict task #5).
+    "q_stream_tumbling_closed" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val wm = e.agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("wm"))
+      e.groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(micros(col("value"))).cast("long").as("sum_micros"))
+        .crossJoin(broadcast(wm)) // 1-row watermark scalar
+        .filter(col("window.end") <= col("wm"))
+        .select(tstr(col("window.start")).as("ws"), col("cnt"), col("sum_micros"))
+        .orderBy(col("ws"))
+    },
+
     // Spark emits, per event, the four 15-min-stepped 1-hour windows
     // containing it (epoch-aligned). The oracle reproduces exactly that
     // set via generate_series over the (known, bounded) ts domain +
@@ -124,6 +142,18 @@ object Streaming {
         |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
         |FROM events
         |GROUP BY 1
+        |ORDER BY ws""".stripMargin,
+
+    "q_stream_tumbling_closed" ->
+      """WITH agg AS (
+        |  SELECT date_trunc('hour', ts) AS w,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+        |  FROM events GROUP BY 1
+        |), wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
+        |SELECT strftime(agg.w, '%Y-%m-%d %H:%M:%S') AS ws, cnt, sum_micros
+        |FROM agg, wm
+        |WHERE agg.w + INTERVAL 1 HOUR <= wm.wm
         |ORDER BY ws""".stripMargin,
 
     "q_stream_sliding" ->

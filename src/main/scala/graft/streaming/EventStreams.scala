@@ -21,17 +21,18 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema with ts as raw nanos (parquet TIMESTAMP(NANOS) read
-    * via the nanosAsLong legacy conf), converted after read. */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   def readEvents(spark: SparkSession, sfDir: String): DataFrame =
     readEventsStream(spark, sfDir, glob = "events.parquet")
 
-  /** General file-stream reader over nanos-ts event parquet:
+  /** General file-stream reader over event parquet. A file-stream
+    * source needs an explicit schema, but the fixture's `ts` physical
+    * type has drifted across driver regenerations (raw NANOS-as-Long /
+    * TIMESTAMP_NTZ micros / TIMESTAMP) — so probe the OBSERVED schema
+    * with one batch footer read and route the conversion through
+    * [[graft.Tables.normalizeEventTs]], the single place that branch
+    * lives. An unsupported ts type fails loudly there, not as silent
+    * epoch-collapsed windows.
+    *
     * `maxFilesPerTrigger` turns a pre-populated directory into a
     * multi-batch replay (chronological if file mod-times ascend with
     * event time), which is how the incremental stateful operators are
@@ -39,12 +40,14 @@ object EventStreams {
   def readEventsStream(spark: SparkSession, dir: String,
                        maxFilesPerTrigger: Option[Int] = None,
                        glob: String = "*.parquet"): DataFrame = {
+    // conf first: a TIMESTAMP(NANOS) fixture only reads when the legacy
+    // conf maps it to raw Long (same contract as Tables.table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r = spark.readStream.schema(rawSchema)
+    val observed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val r = spark.readStream.schema(observed)
       .option("pathGlobFilter", glob) // file source needs a dir
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeEventTs(r.parquet(dir))
   }
 
   def tumbling(events: DataFrame): DataFrame =

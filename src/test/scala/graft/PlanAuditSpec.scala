@@ -265,6 +265,59 @@ class PlanAuditSpec extends AnyFunSuite
     assert(!pe.contains("CartesianProduct"), s"ensemble went cartesian:\n$pe")
   }
 
+  test("climate pipeline chain keeps its 100 TB shape (r8 verdict #6)") {
+    // the 9-stage load→homogenize→subset→season→regrid→resample→
+    // convert→align→anomaly composition: each property here is one
+    // that correctness tests can't see but scale would punish
+    val p = plan(SparkEntry.queries("q_climate_pipeline")(spark, dir))
+    // 1. no unbounded join anywhere in the chain — alignMembers' member
+    //    count is a 1-ROW broadcast cross (BroadcastHashJoin Cross),
+    //    never a nested-loop or cartesian pair scan
+    assert(!p.contains("CartesianProduct"), s"pipeline went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pipeline grew a nested-loop join:\n$p")
+    // 2. alignMembers: common-cell filter is a broadcast semi-join and
+    //    its exchange is REUSED across members (not rebuilt per member)
+    assert(p.contains("BroadcastHashJoin"), s"common-cell join not broadcast:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"common-cell broadcast rebuilt per member (lost exchange reuse):\n$p")
+    // 3. the events scans are column-pruned: the chain needs only
+    //    event_id/ts/user_id/value — props (the wide column) must
+    //    never reach a scan
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(!_.contains("props")),
+      s"pipeline scan reads the wide props column:\n$p")
+    // 4. member build + regrid + resample aggregate map-side first
+    assert(p.contains("partial_count(distinct"),
+      s"member-count agg lost its partial phase:\n$p")
+    // 5. the terminal anomaly window partitions by the FULL cell key
+    //    (dataset, month, lat, lon) — not a month-only funnel that
+    //    would drag every cell through ≤12 sort tasks at scale
+    val winSpec = p.linesIterator.find(_.contains("windowspecdefinition"))
+    assert(winSpec.exists(l => l.contains("lat") && l.contains("lon")),
+      s"anomaly window regressed to a low-cardinality partition key:\n$p")
+    // 6. shuffle budget: the chain plans 14 exchanges today (2 members
+    //    × {cell-pool, regrid∥resample-fused} + align's 3-read count/
+    //    cell/semi set + the terminal window + output sort). A later
+    //    edit that breaks aggregate fusion or exchange reuse shows up
+    //    here as a count jump, not as a slow night at 100 TB.
+    val nShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning")
+        || l.contains("Exchange SinglePartition"))
+    assert(nShuffles <= 14, s"pipeline shuffle count grew to $nShuffles (>14):\n$p")
+  }
+
+  test("q_stream_tumbling_closed: watermark scalar broadcasts, agg is partial+final") {
+    val p = plan(SparkEntry.queries("q_stream_tumbling_closed")(spark, dir))
+    // the watermark is a 1-row broadcast onto the windowed agg — the
+    // closed-window filter must never shuffle the agg a second time
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"watermark scalar not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"watermark join went cartesian:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"tumbling agg lost its partial phase:\n$p")
+  }
+
   test("PII keys are one-scan partial+final aggregation / pure projection") {
     val pd = plan(SparkEntry.queries("q_text_pii")(spark, dir))
     assert(!pd.contains("Window") && !pd.contains("Join"),

@@ -95,17 +95,22 @@ class StreamingParitySpec extends AnyFunSuite {
 
   test("incremental stateful sessionization survives MULTI-batch replay") {
     // split events into 6 chronological files so maxFilesPerTrigger=1
-    // forces 6 batches with advancing watermarks between them
+    // forces 6 batches with advancing watermarks between them.
+    // Normalize ts up front (whatever physical type the fixture ships)
+    // so the chunks are written as plain TIMESTAMP — exercising the
+    // TimestampType branch of readEventsStream's schema probe.
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos
+    val raw = Tables.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      .withColumn("ts_us", unix_micros(col("ts")))
     val (lo, hi) = {
-      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
+      val r = raw.agg(min("ts_us"), max("ts_us")).head(); (r.getLong(0), r.getLong(1))
     }
     val step = (hi - lo) / 6 + 1
     (0 until 6).foreach { i =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_chunk$i").toString
-      raw.filter(col("ts") >= lo + i * step && col("ts") < lo + (i + 1) * step)
+      raw.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
+        .drop("ts_us")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -121,19 +126,19 @@ class StreamingParitySpec extends AnyFunSuite {
     checkSessionParity("par_sessions_mb")
   }
 
-  test("streaming tumbling = batch tumbling minus still-open tail windows") {
+  test("streaming tumbling append output == graded closed-window fixpoint") {
+    // q_stream_tumbling_closed is DuckDB-graded, so this pins the
+    // true-streaming emission rule (emit once watermark ≥ window end)
+    // to the oracle transitively — EXACT set equality, no tail slack.
     val streamed = runStream("par_tumbling", EventStreams.tumbling)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("cnt"))
-    val batch = SparkEntry.queries("q_stream_tumbling")(spark, dir)
+    val closed = SparkEntry.queries("q_stream_tumbling_closed")(spark, dir)
       .select("ws", "cnt")
-    // every streamed window matches the batch result exactly...
-    assert(streamed.exceptAll(batch).count() == 0)
-    // ...and the missing ones are precisely the tail beyond (max ts − 1h watermark)
-    val missing = batch.exceptAll(streamed)
-    val maxTs = Tables.events(spark, dir).agg(max("ts")).head().getTimestamp(0)
-    val tail = missing.filter(
-      col("ws") < date_format(lit(maxTs) - expr("INTERVAL 2 HOUR"), "yyyy-MM-dd HH:mm:ss"))
-    assert(tail.count() == 0, s"non-tail windows missing from stream")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).count() == 0,
+      "stream emitted a window the closed-window fixpoint doesn't have")
+    assert(closed.exceptAll(streamed).count() == 0,
+      "closed window missing from the stream's append output")
   }
 }
