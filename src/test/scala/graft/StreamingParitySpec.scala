@@ -126,6 +126,46 @@ class StreamingParitySpec extends AnyFunSuite {
     checkSessionParity("par_sessions_mb")
   }
 
+  test("readEventsStream absorbs a raw-Long ts directory (nanos branch end-to-end)") {
+    // the batch unit tests cover normalizeEventTs per branch; this
+    // proves the STREAM reader's schema probe routes the Long branch —
+    // a directory whose ts is raw INT64 nanos streams back with
+    // identical event times to the normalized batch read
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+    raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val st = EventStreams.readEventsStream(spark, tmp)
+    assert(st.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = st.writeStream.outputMode("append").format("memory")
+      .queryName("nanos_probe").start()
+    q.processAllAvailable(); q.stop()
+    val streamedMax = spark.table("nanos_probe")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val batchMax = raw.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    assert(streamedMax == batchMax)
+    assert(spark.table("nanos_probe").count() ==
+      Tables.events(spark, dir).count())
+  }
+
+  test("every stream form carries its event-time watermark") {
+    // losing a withWatermark wouldn't fail parity on a finite replay
+    // (complete evaluation hides it) but unbounds state at scale —
+    // pin the analyzed plan instead
+    val forms = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      ("tumbling", EventStreams.tumbling), ("sliding", EventStreams.sliding),
+      ("session", EventStreams.session), ("dedup", EventStreams.dedup),
+      ("join", EventStreams.purchaseSignupJoin))
+    forms.foreach { case (name, mk) =>
+      val lp = mk(EventStreams.readEvents(spark, dir))
+        .queryExecution.analyzed.toString
+      assert(lp.contains("EventTimeWatermark"),
+        s"stream form '$name' lost its watermark:\n$lp")
+    }
+  }
+
   test("streaming tumbling append output == graded closed-window fixpoint") {
     // q_stream_tumbling_closed is DuckDB-graded, so this pins the
     // true-streaming emission rule (emit once watermark ≥ window end)
