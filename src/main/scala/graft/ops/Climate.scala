@@ -329,12 +329,14 @@ object ClimateOps {
   */
 object Climate {
 
-  /** One cached member union per (session, dir): alignMembers reads
-    * it three times per invocation and repeated invocations reuse one
-    * materialized cells table (the shingleCache pattern); call
-    * [[clearEnsembleCache]] on session teardown. */
+  /** One cached member union per (session, dir, stage): alignMembers
+    * reads it three times per invocation and repeated invocations
+    * reuse one materialized cells table (the shingleCache pattern);
+    * call [[clearEnsembleCache]] on session teardown. The stage tag
+    * separates the q_climate_ensemble union from the q_climate_pipeline
+    * pre-align grid. */
   private val ensembleCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   /** Unpersist and drop the memoized ensemble unions. */
   def clearEnsembleCache(): Unit = {
@@ -460,7 +462,7 @@ object Climate {
         .select(col("time"), col("lat"), col("lon"),
           (col("sm").cast("double") / 1000000.0 / col("n")).as("value"))
       val tagged = ensembleCache.getOrElseUpdate(
-        (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
+        (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, "ensemble"), {
           graft.Ensemble.of(member(0).withColumn("dataset", lit("ma")))
             .addMember("mb", member(1))
             .df.cache() // align reads the union 3×; it is |cells|-sized
@@ -632,7 +634,14 @@ object Climate {
         .agg(sum(col("m")).as("sm"))
         .select(col("time"), col("lat"), col("lon"),
           col("sm").cast("double").as("value"))
-      val out = graft.Ensemble.of(member(0).withColumn("dataset", lit("ma")))
+      // Cache at the align boundary: by here the chain has reduced to
+      // the coarse (dataset, day, 5°×60° cell) grid — alignMembers
+      // reads its input 3× (member count, per-cell counts, semi base),
+      // and uncached each read re-executes BOTH members' full event
+      // scans (6 scans of the fact table per invocation; at 100 TB
+      // that's the difference between re-scanning the archive thrice
+      // and re-reading a few thousand materialized grid rows).
+      val pre = graft.Ensemble.of(member(0).withColumn("dataset", lit("ma")))
         .addMember("mb", member(1))
         .homogenize()
         .subset(1, 13, -150, 150, "2024-01-05 00:00:00", "2024-12-20 00:00:00")
@@ -640,7 +649,10 @@ object Climate {
         .regridBin(5.0, 60.0, agg = "sum")
         .resample("day", agg = "sum")
         .convertUnits(2.0, 1.0)
-        .alignMembers()
+      val preDf = ensembleCache.getOrElseUpdate(
+        (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, "pipeline"),
+        pre.df.cache())
+      val out = graft.Ensemble.of(preDf).alignMembers()
       // clim = value − anomaly re-derives the windowed climatology
       // through the SAME two-subtraction op sequence the oracle runs
       // (value − (value − avg) is NOT bitwise avg — both engines must

@@ -276,11 +276,15 @@ class PlanAuditSpec extends AnyFunSuite
     assert(!p.contains("CartesianProduct"), s"pipeline went cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"pipeline grew a nested-loop join:\n$p")
-    // 2. alignMembers: common-cell filter is a broadcast semi-join and
-    //    its exchange is REUSED across members (not rebuilt per member)
+    // 2. alignMembers runs over the CACHED pre-align grid: its three
+    //    reads (member count, per-cell counts, semi base) must be
+    //    InMemoryTableScans of the few-thousand-row reduced grid, not
+    //    three re-executions of both members' full event scans (6 fact
+    //    scans per invocation uncached)
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      s"pre-align grid not cached — alignMembers re-executes the member build:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"common-cell join not broadcast:\n$p")
-    assert(p.contains("ReusedExchange"),
-      s"common-cell broadcast rebuilt per member (lost exchange reuse):\n$p")
+    assert(p.contains("LeftSemi"), s"alignMembers lost its semi join:\n$p")
     // 3. the events scans are column-pruned: the chain needs only
     //    event_id/ts/user_id/value — props (the wide column) must
     //    never reach a scan
@@ -296,15 +300,16 @@ class PlanAuditSpec extends AnyFunSuite
     val winSpec = p.linesIterator.find(_.contains("windowspecdefinition"))
     assert(winSpec.exists(l => l.contains("lat") && l.contains("lon")),
       s"anomaly window regressed to a low-cardinality partition key:\n$p")
-    // 6. shuffle budget: the chain plans 14 exchanges today (2 members
-    //    × {cell-pool, regrid∥resample-fused} + align's 3-read count/
-    //    cell/semi set + the terminal window + output sort). A later
-    //    edit that breaks aggregate fusion or exchange reuse shows up
-    //    here as a count jump, not as a slow night at 100 TB.
+    // 6. shuffle budget: 17 Exchange nodes in the tree STRING — the
+    //    printed count triple-counts the cached subtree (each of the 3
+    //    InMemoryTableScans prints its InMemoryRelation's cachedPlan;
+    //    those shuffles execute ONCE, on materialization). A later
+    //    edit that breaks aggregate fusion or the align-boundary cache
+    //    shows up here as a count jump, not as a slow night at 100 TB.
     val nShuffles = p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning")
         || l.contains("Exchange SinglePartition"))
-    assert(nShuffles <= 14, s"pipeline shuffle count grew to $nShuffles (>14):\n$p")
+    assert(nShuffles <= 17, s"pipeline shuffle count grew to $nShuffles (>17):\n$p")
   }
 
   test("q_stream_tumbling_closed: watermark scalar broadcasts, agg is partial+final") {
