@@ -114,10 +114,16 @@ object Tables {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
         // NTZ→TZ cast is value-preserving ONLY under a UTC session TZ;
-        // fail loudly rather than silently shifting every event time
+        // fail loudly rather than silently shifting every event time.
+        // Compare resolved offsets, not the literal string — "Etc/UTC",
+        // "GMT", "+00:00" and "Z" are all value-equivalent to "UTC".
         val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        if (tz != "UTC") throw new IllegalStateException(
-          s"normalizeEventTs requires spark.sql.session.timeZone=UTC for the " +
+        val isUtc = try {
+          java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).normalized() ==
+            java.time.ZoneOffset.UTC
+        } catch { case _: java.time.DateTimeException => false }
+        if (!isUtc) throw new IllegalStateException(
+          s"normalizeEventTs requires a UTC session timeZone for the " +
             s"TIMESTAMP_NTZ fixture cast; session has '$tz'")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df

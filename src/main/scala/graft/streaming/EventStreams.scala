@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.StructType
 
 /** True Structured Streaming forms of the §2.7 surface (design/fidelity
   * tier — the graded queries are their batch fixpoints in ops.Streaming).
@@ -28,10 +28,18 @@ object EventStreams {
     * source needs an explicit schema, but the fixture's `ts` physical
     * type has drifted across driver regenerations (raw NANOS-as-Long /
     * TIMESTAMP_NTZ micros / TIMESTAMP) — so probe the OBSERVED schema
-    * with one batch footer read and route the conversion through
-    * [[graft.Tables.normalizeEventTs]], the single place that branch
-    * lives. An unsupported ts type fails loudly there, not as silent
-    * epoch-collapsed windows.
+    * from ONE existing file's footer (not a full-directory batch read:
+    * on a large landing dir that would drive a complete file listing
+    * twice, once for the probe and once for the stream source) and
+    * route the conversion through [[graft.Tables.normalizeEventTs]],
+    * the single place that branch lives. An unsupported ts type fails
+    * loudly there, not as silent epoch-collapsed windows.
+    *
+    * `schemaHint` supports the landing-directory pattern where the
+    * stream must start BEFORE the producer drops the first file —
+    * there is nothing to probe then, so the caller supplies the raw
+    * (pre-normalization) schema; with neither a hint nor a file the
+    * reader fails loudly naming the remedy.
     *
     * `maxFilesPerTrigger` turns a pre-populated directory into a
     * multi-batch replay (chronological if file mod-times ascend with
@@ -39,11 +47,30 @@ object EventStreams {
     * exercised batch-by-batch in tests. */
   def readEventsStream(spark: SparkSession, dir: String,
                        maxFilesPerTrigger: Option[Int] = None,
-                       glob: String = "*.parquet"): DataFrame = {
+                       glob: String = "*.parquet",
+                       schemaHint: Option[StructType] = None): DataFrame = {
     // conf first: a TIMESTAMP(NANOS) fixture only reads when the legacy
     // conf maps it to raw Long (same contract as Tables.table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val observed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val observed = schemaHint.getOrElse {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val globbed = fs.globStatus(new org.apache.hadoop.fs.Path(dir, glob))
+      // a match may itself be a Spark-written table DIRECTORY — descend
+      // one level to its part files
+      val firstFile = Option(globbed).toSeq.flatten
+        .flatMap { st =>
+          if (st.isFile) Seq(st)
+          else fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        }
+        .find(_.getLen > 0)
+        .getOrElse(throw new IllegalStateException(
+          s"readEventsStream: no file matching '$glob' in $dir to probe the " +
+            "event schema from; pass schemaHint to start a stream on an " +
+            "empty landing directory"))
+      spark.read.parquet(firstFile.getPath.toString).schema
+    }
     val r = spark.readStream.schema(observed)
       .option("pathGlobFilter", glob) // file source needs a dir
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
