@@ -150,6 +150,24 @@ class StreamingParitySpec extends AnyFunSuite {
       Tables.events(spark, dir).count())
   }
 
+  test("schemaHint starts a stream on an empty landing directory; no hint fails loudly") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val hint = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val st = EventStreams.readEventsStream(spark, tmp, schemaHint = Some(hint))
+    assert(st.schema("ts").dataType == TimestampType)
+    val q = st.writeStream.outputMode("append").format("memory")
+      .queryName("empty_landing").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("empty_landing").count() == 0)
+    val ex = intercept[IllegalStateException](
+      EventStreams.readEventsStream(spark, tmp))
+    assert(ex.getMessage.contains("schemaHint"))
+  }
+
   test("every stream form carries its event-time watermark") {
     // losing a withWatermark wouldn't fail parity on a finite replay
     // (complete evaluation hides it) but unbounds state at scale —
