@@ -49,6 +49,41 @@ object Streaming {
         .orderBy(col("ws"))
     },
 
+    // APPEND-mode fixpoint of the native session_window stream (r9,
+    // completing the tumbling_closed program): exactly the sessions
+    // whose window end (last event + 30 min gap) the final watermark
+    // has passed. Spark's streaming watermark is MILLISECOND-floored
+    // (EventTimeStats tracks max event time in ms while ts carries µs),
+    // so the exact emission rule is
+    //   end_us + gap <= (max_us - max_us % 1000) - 1 h
+    // — the ms-floor is part of the graded semantics, not slack.
+    // StreamingParitySpec pins EventStreams.session's actual append
+    // output to this key by EXACT set equality.
+    "q_stream_session_closed" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val maxUs = unix_micros(max(col("ts")))
+      val wm = e.agg((maxUs - (maxUs % 1000L) - 3600000000L).as("wm_us"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(wOrd)))
+        .withColumn("new_s",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(
+          tstr(min(col("ts"))).as("session_start"),
+          tstr(max(col("ts"))).as("session_end"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          count(lit(1)).cast("long").as("n_events"),
+          sum(micros(col("value"))).cast("long").as("sum_micros"))
+        .crossJoin(broadcast(wm)) // 1-row watermark scalar
+        .filter(col("end_us") + 1800000000L <= col("wm_us"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_micros"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // Spark emits, per event, the four 15-min-stepped 1-hour windows
     // containing it (epoch-aligned). The oracle reproduces exactly that
     // set via generate_series over the (known, bounded) ts domain +
@@ -60,6 +95,24 @@ object Streaming {
           sum(micros(col("value"))).cast("long").as("sum_micros"))
         .select(tstr(col("window.start")).as("ws"), col("cnt"), col("sum_micros"))
         .orderBy(col("ws"))
+    },
+
+    // APPEND-mode fixpoint of the sliding stream, mirroring
+    // EventStreams.sliding's (window × event_type) grouping: the
+    // 15-min-stepped hour windows whose end the final (ms-floored,
+    // see q_stream_session_closed) watermark has passed.
+    "q_stream_sliding_closed" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val maxUs = unix_micros(max(col("ts")))
+      val wm = e.agg((maxUs - (maxUs % 1000L) - 3600000000L).as("wm_us"))
+      e.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(micros(col("value"))).cast("long").as("sum_micros"))
+        .crossJoin(broadcast(wm)) // 1-row watermark scalar
+        .filter(unix_micros(col("window.end")) <= col("wm_us"))
+        .select(tstr(col("window.start")).as("ws"), col("event_type"),
+          col("cnt"), col("sum_micros"))
+        .orderBy(col("ws"), col("event_type"))
     },
 
     // Session windows (30-min gap) as gaps-and-islands: the SAME window
@@ -155,6 +208,56 @@ object Streaming {
         |FROM agg, wm
         |WHERE agg.w + INTERVAL 1 HOUR <= wm.wm
         |ORDER BY ws""".stripMargin,
+
+    "q_stream_session_closed" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN LAG(ts, 1) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), islands AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id,
+        |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |    MAX(epoch_us(ts)) AS end_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+        |  FROM islands GROUP BY user_id, sid
+        |), wm AS (
+        |  SELECT MAX(epoch_us(ts)) - MAX(epoch_us(ts)) % 1000 - 3600000000 AS wm_us
+        |  FROM events
+        |)
+        |SELECT user_id, session_start, session_end, n_events, sum_micros
+        |FROM sess, wm
+        |WHERE sess.end_us + 1800000000 <= wm.wm_us
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_sliding_closed" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) - INTERVAL 1 HOUR AS lo,
+        |         max(ts) AS hi
+        |  FROM events
+        |), g AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS ws
+        |  FROM bounds
+        |), wm AS (
+        |  SELECT MAX(epoch_us(ts)) - MAX(epoch_us(ts)) % 1000 - 3600000000 AS wm_us
+        |  FROM events
+        |)
+        |SELECT strftime(g.ws, '%Y-%m-%d %H:%M:%S') AS ws, e.event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(ROUND(e.value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+        |FROM g JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR, wm
+        |WHERE epoch_us(g.ws + INTERVAL 1 HOUR) <= wm.wm_us
+        |GROUP BY g.ws, e.event_type
+        |ORDER BY ws, event_type""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH bounds AS (

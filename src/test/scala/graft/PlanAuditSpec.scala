@@ -323,6 +323,23 @@ class PlanAuditSpec extends AnyFunSuite
       s"tumbling agg lost its partial phase:\n$p")
   }
 
+  test("closed session/sliding keys: watermark scalar broadcasts, no re-shuffle") {
+    // same contract as the tumbling_closed pin: the 1-row watermark
+    // joins onto the aggregate as a broadcast, never a cartesian, and
+    // the closed filter must not cost a second shuffle of the agg
+    Seq("q_stream_session_closed", "q_stream_sliding_closed").foreach { k =>
+      val p = plan(SparkEntry.queries(k)(spark, dir))
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$k watermark scalar not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k watermark join went cartesian:\n$p")
+    }
+    // the sliding agg keeps its partial phase (session agg rides a
+    // window, so the partial+final pin applies to sliding only)
+    val ps = plan(SparkEntry.queries("q_stream_sliding_closed")(spark, dir))
+    assert("HashAggregate".r.findAllIn(ps).size >= 2,
+      s"sliding agg lost its partial phase:\n$ps")
+  }
+
   test("PII keys are one-scan partial+final aggregation / pure projection") {
     val pd = plan(SparkEntry.queries("q_text_pii")(spark, dir))
     assert(!pd.contains("Window") && !pd.contains("Join"),

@@ -184,6 +184,43 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session append output == graded closed-session fixpoint") {
+    // q_stream_session_closed is DuckDB-graded with the exact emission
+    // rule (ms-floored watermark passes last event + gap), so this pins
+    // the NATIVE session_window stream's append output to the oracle
+    // transitively — EXACT set equality. The stream's window end is
+    // last event + gap; subtract the gap to compare on the graded
+    // key's (start, last-event end) shape. Sums are compared via
+    // n_events only: the stream form sums raw doubles while the graded
+    // key sums exact micros.
+    val streamed = runStream("par_session_nat", EventStreams.session)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end") - expr("INTERVAL 30 MINUTES"),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+    val closed = SparkEntry.queries("q_stream_session_closed")(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).count() == 0,
+      "stream emitted a session the closed-session fixpoint doesn't have")
+    assert(closed.exceptAll(streamed).count() == 0,
+      "closed session missing from the stream's append output")
+  }
+
+  test("streaming sliding append output == graded closed-sliding fixpoint") {
+    val streamed = runStream("par_sliding", EventStreams.sliding)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("cnt"))
+    val closed = SparkEntry.queries("q_stream_sliding_closed")(spark, dir)
+      .select("ws", "event_type", "cnt")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).count() == 0,
+      "stream emitted a window the closed-sliding fixpoint doesn't have")
+    assert(closed.exceptAll(streamed).count() == 0,
+      "closed sliding window missing from the stream's append output")
+  }
+
   test("streaming tumbling append output == graded closed-window fixpoint") {
     // q_stream_tumbling_closed is DuckDB-graded, so this pins the
     // true-streaming emission rule (emit once watermark ≥ window end)
