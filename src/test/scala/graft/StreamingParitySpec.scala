@@ -93,12 +93,13 @@ class StreamingParitySpec extends AnyFunSuite {
     checkSessionParity("par_sessions")
   }
 
-  test("incremental stateful sessionization survives MULTI-batch replay") {
-    // split events into 6 chronological files so maxFilesPerTrigger=1
-    // forces 6 batches with advancing watermarks between them.
-    // Normalize ts up front (whatever physical type the fixture ships)
-    // so the chunks are written as plain TIMESTAMP — exercising the
-    // TimestampType branch of readEventsStream's schema probe.
+  /** Events split into 6 chronological files so maxFilesPerTrigger=1
+    * forces 6 batches with advancing watermarks between them.
+    * Normalize ts up front (whatever physical type the fixture ships)
+    * so the chunks are written as plain TIMESTAMP — exercising the
+    * TimestampType branch of readEventsStream's schema probe. Built
+    * once; shared by every multi-batch replay test. */
+  private lazy val chunkedDir: String = {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
@@ -118,8 +119,21 @@ class StreamingParitySpec extends AnyFunSuite {
       java.nio.file.Files.move(part.toPath, dest.toPath)
       dest.setLastModified(1700000000000L + i * 60000L) // ascending mod-times
     }
+    streamDir
+  }
+
+  private def runStreamMultiBatch(name: String,
+                                  mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    val q = mk(EventStreams.readEventsStream(spark, chunkedDir,
+        maxFilesPerTrigger = Some(1))).writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("incremental stateful sessionization survives MULTI-batch replay") {
     val q = EventStreams.sessionsStateful(spark,
-        EventStreams.readEventsStream(spark, streamDir, maxFilesPerTrigger = Some(1)))
+        EventStreams.readEventsStream(spark, chunkedDir, maxFilesPerTrigger = Some(1)))
       .writeStream.outputMode("append").format("memory")
       .queryName("par_sessions_mb").start()
     q.processAllAvailable(); q.stop()
@@ -219,6 +233,42 @@ class StreamingParitySpec extends AnyFunSuite {
       "stream emitted a window the closed-sliding fixpoint doesn't have")
     assert(closed.exceptAll(streamed).count() == 0,
       "closed sliding window missing from the stream's append output")
+  }
+
+  test("MULTI-batch tumbling replay == graded closed-window fixpoint") {
+    // the single-batch test flushes everything in one final no-data
+    // batch; a 6-batch replay emits windows INCREMENTALLY as the
+    // watermark advances between batches. The law: whatever the
+    // chunking, the append output at end-of-stream is exactly the
+    // graded closed set — nothing re-emitted, nothing dropped.
+    val streamed = runStreamMultiBatch("par_tumbling_mb", EventStreams.tumbling)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("cnt"))
+    val closed = SparkEntry.queries("q_stream_tumbling_closed")(spark, dir)
+      .select("ws", "cnt")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).count() == 0,
+      "multi-batch stream emitted a window outside the closed fixpoint " +
+        "(re-emission or a wrong-count early emission)")
+    assert(closed.exceptAll(streamed).count() == 0,
+      "closed window missing from the multi-batch append output")
+  }
+
+  test("MULTI-batch session replay == graded closed-session fixpoint") {
+    val streamed = runStreamMultiBatch("par_session_mb", EventStreams.session)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end") - expr("INTERVAL 30 MINUTES"),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+    val closed = SparkEntry.queries("q_stream_session_closed")(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).count() == 0,
+      "multi-batch stream emitted a session outside the closed fixpoint " +
+        "(a session split across batches emitted before it was complete)")
+    assert(closed.exceptAll(streamed).count() == 0,
+      "closed session missing from the multi-batch append output")
   }
 
   test("streaming tumbling append output == graded closed-window fixpoint") {
