@@ -185,11 +185,88 @@ object Streaming {
         .select(col("user_id"), col("event_type"), col("event_id"),
           tstr(col("ts")).as("first_ts"))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // (r9) END-TO-END graded streaming SINK: the tumbling hourly agg
+    // run as a TRUE update-mode stream — 4-batch chronological replay
+    // through streaming.UpsertSink (foreachBatch, batchId-idempotent,
+    // atomic-pointer snapshots) — then the FINAL TABLE is read back
+    // and graded. Update mode re-emits a window each time a batch
+    // refines it and the upsert keeps the latest row per window, so
+    // the table fixpoint is exactly the complete batch aggregation
+    // (q_stream_tumbling's oracle): windows, counts, sums must all
+    // survive the chunked replay + 4 merge generations bit-for-bit.
+    // Chunks are written time-range-partitioned with ascending
+    // mod-times, so no batch ever carries events at-or-before a prior
+    // batch's watermark — nothing is dropped as late (the law the
+    // chronological-replay parity tests pin).
+    "q_stream_upsert" -> { (s, dir) =>
+      streamUpsertFixpoint(s, dir)
     }
   )
 
+  /** Body of q_stream_upsert (separate so the spec can reuse it). */
+  def streamUpsertFixpoint(s: SparkSession, dir: String): DataFrame = {
+    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = s"/root/repo/target/stream_upsert/$tier"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val chunks = s"$root/chunks"
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"), col("value"))
+    val (lo, hi) = {
+      val r = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val step = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      val tmp = s"$root/chunk_build_$i"
+      e.filter(unix_micros(col("ts")) >= lo + i * step
+          && unix_micros(col("ts")) < lo + (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(chunks, f"chunk_$i%02d.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    val table = s"$root/table"
+    val stream = graft.streaming.EventStreams
+      .readEventsStream(s, chunks, maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(micros(col("value"))).cast("long").as("sum_micros"))
+      .select(col("window.start").as("w"), col("cnt"), col("sum_micros"))
+    val q = graft.streaming.UpsertSink.start(stream, table,
+      s"$root/checkpoint", Seq("w"))
+    q.processAllAvailable(); q.stop()
+    graft.streaming.UpsertSink.readTable(s, table)
+      .getOrElse(sys.error("q_stream_upsert: sink committed no snapshot"))
+      .select(tstr(col("w")).as("ws"), col("cnt"), col("sum_micros"))
+      .orderBy(col("ws"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY ws""".stripMargin,
+
+    // The upsert-sink fixpoint IS the complete tumbling aggregation:
+    // update-mode re-emission + last-write-wins merge must converge to
+    // the same table a single batch pass computes.
+    "q_stream_upsert" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_micros

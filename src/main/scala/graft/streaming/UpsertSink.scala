@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Exactly-once keyed UPSERT sink for Structured Streaming, built on
+  * `foreachBatch` (SURVEY §2.7's "streaming sinks/output modes" row —
+  * the one surface that was design-note-only before r9).
+  *
+  * The pattern is the standard lakehouse-writer recipe: an update-mode
+  * stream emits refined rows per key each micro-batch; `foreachBatch`
+  * turns each micro-batch into a BATCH merge against the current table
+  * snapshot. Exactly-once comes from composing two guarantees:
+  *  - the streaming checkpoint replays a failed batch with the SAME
+  *    `batchId`, and
+  *  - this sink is IDEMPOTENT per `batchId`: the table pointer records
+  *    the last applied id, and a replayed (≤ last) batch is a no-op.
+  *
+  * Table layout (engine-level, no table-format dependency):
+  * {{{
+  *   tableDir/v_<batchId>/part-*.parquet   // immutable snapshot
+  *   tableDir/_latest                      // "v_<batchId>\t<batchId>"
+  * }}}
+  * `_latest` is published by write-temp-then-ATOMIC_MOVE, so readers
+  * never observe a torn pointer and a crash between snapshot write and
+  * publish leaves the previous snapshot live (the half-written v_ dir
+  * is simply re-written on replay — same batchId, same content).
+  *
+  * Merge semantics: last-write-wins per key — a batch row replaces the
+  * current row wholesale (key columns are non-null by contract, so
+  * "batch side present" is detected on the first key column). Update
+  * mode never emits deletes; a tombstone column composes on top if
+  * needed (filter after merge, as in q_merge_upsert).
+  *
+  * Scale: each merge is ONE full-outer shuffle of (table ⋈ batch) on
+  * the key — no driver loops, no per-row lookups. At 100 TB the same
+  * contract maps onto a format with transactional MERGE (Delta/Iceberg
+  * `whenMatched`/`whenNotMatched`) or a bucket-partitioned table where
+  * only key-buckets touched by the batch are rewritten; the
+  * batchId-idempotence discipline is identical. For an append-only
+  * stream of CLOSED windows (append mode after watermark), prefer a
+  * plain partitioned-append sink — upsert is for refining state.
+  */
+object UpsertSink {
+
+  private def pointerPath(tableDir: String): Path = Paths.get(tableDir, "_latest")
+
+  /** (snapshot subdir, last applied batchId), if any snapshot is live. */
+  private[graft] def readPointer(tableDir: String): Option[(String, Long)] = {
+    val p = pointerPath(tableDir)
+    if (!Files.exists(p)) None
+    else {
+      val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.split('\t')
+      Some((parts(0), parts(1).toLong))
+    }
+  }
+
+  /** Current table snapshot (empty-schema'd None before the first commit). */
+  def readTable(spark: SparkSession, tableDir: String): Option[DataFrame] =
+    readPointer(tableDir).map { case (v, _) =>
+      spark.read.parquet(Paths.get(tableDir, v).toString)
+    }
+
+  /** Merge one micro-batch into the table; returns false iff skipped as
+    * an already-applied replay. Public so specs (and batch backfills)
+    * can drive the exact code path the stream runs. */
+  def mergeBatch(batch: DataFrame, batchId: Long, tableDir: String,
+                 keyCols: Seq[String]): Boolean = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    Files.createDirectories(Paths.get(tableDir))
+    val current = readPointer(tableDir)
+    if (current.exists(_._2 >= batchId)) return false // replayed batch: no-op
+
+    val spark = batch.sparkSession
+    val cols = batch.columns.toSeq
+    val merged = current match {
+      case None => batch
+      case Some((v, _)) =>
+        val cur = spark.read.parquet(Paths.get(tableDir, v).toString)
+        val b = batch.alias("b")
+        val c = cur.alias("c")
+        val keyEq = keyCols.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _)
+        // batch side wins wholesale when present (keys are non-null)
+        val fromBatch = col(s"b.${keyCols.head}").isNotNull
+        c.join(b, keyEq, "full_outer")
+          .select(cols.map(n =>
+            when(fromBatch, col(s"b.$n")).otherwise(col(s"c.$n")).as(n)): _*)
+    }
+    val vNew = s"v_$batchId"
+    merged.write.mode("overwrite").parquet(Paths.get(tableDir, vNew).toString)
+    val tmp = Paths.get(tableDir, s"._latest.$batchId.tmp")
+    Files.write(tmp, s"$vNew\t$batchId".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointerPath(tableDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    true
+  }
+
+  /** Start an update-mode stream draining into the upsert table. */
+  def start(stream: DataFrame, tableDir: String, checkpointDir: String,
+            keyCols: Seq[String]): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, batchId, tableDir, keyCols); ()
+      }
+      .start()
+}

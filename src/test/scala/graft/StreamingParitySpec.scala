@@ -140,6 +140,31 @@ class StreamingParitySpec extends AnyFunSuite {
     checkSessionParity("par_sessions_mb")
   }
 
+  test("stateful sessionization is state-backend-agnostic: RocksDB == fixpoint") {
+    // At 100 TB the sessionizer runs on the RocksDB state store (state
+    // spills off-heap/disk instead of living in executor heap). The
+    // law: the backend changes WHERE state lives, never WHAT is
+    // emitted — same multi-batch replay, same parity as the default
+    // HDFS-backed store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.sessionsStateful(spark,
+          EventStreams.readEventsStream(spark, chunkedDir, maxFilesPerTrigger = Some(1)))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("par_sessions_rocks").start()
+      q.processAllAvailable(); q.stop()
+      checkSessionParity("par_sessions_rocks")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("readEventsStream absorbs a raw-Long ts directory (nanos branch end-to-end)") {
     // the batch unit tests cover normalizeEventTs per branch; this
     // proves the STREAM reader's schema probe routes the Long branch —

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.UpsertSink
+
+/** Laws of the exactly-once foreachBatch upsert sink (SURVEY §2.7
+  * sinks row; graded end-to-end as q_stream_upsert).
+  *
+  *  - merge law: applying batches b0..bn yields last-write-wins per
+  *    key — exactly what a single batch over the union-with-override
+  *    computes;
+  *  - idempotence: re-applying an already-applied batchId is a no-op
+  *    (the checkpoint-replay half of exactly-once);
+  *  - atomicity: the pointer always names a fully-written snapshot —
+  *    a reader between merges sees the previous complete table;
+  *  - fixpoint: the graded key's streamed-then-merged table equals the
+  *    complete batch aggregation (the q_stream_tumbling fixpoint).
+  */
+class UpsertSinkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_upsert").toString
+
+  test("merge law: batches converge to last-write-wins per key") {
+    import spark.implicits._
+    val t = freshTable()
+    val b0 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v")
+    val b1 = Seq((2L, "b2", 21L), (3L, "c", 30L)).toDF("k", "s", "v")
+    val b2 = Seq((1L, "a2", 11L)).toDF("k", "s", "v")
+    assert(UpsertSink.mergeBatch(b0, 0L, t, Seq("k")))
+    assert(UpsertSink.mergeBatch(b1, 1L, t, Seq("k")))
+    assert(UpsertSink.mergeBatch(b2, 2L, t, Seq("k")))
+    val got = UpsertSink.readTable(spark, t).get
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a2", 11L), (2L, "b2", 21L), (3L, "c", 30L)))
+  }
+
+  test("idempotence: a replayed batchId is a no-op and moves nothing") {
+    import spark.implicits._
+    val t = freshTable()
+    val b0 = Seq((1L, 100L)).toDF("k", "v")
+    val b1 = Seq((1L, 200L)).toDF("k", "v")
+    assert(UpsertSink.mergeBatch(b0, 0L, t, Seq("k")))
+    assert(UpsertSink.mergeBatch(b1, 1L, t, Seq("k")))
+    val before = UpsertSink.readPointer(t)
+    // checkpoint replay after a crash re-delivers batch 1 — and an even
+    // OLDER id must also be refused (pointer is a high-water mark)
+    assert(!UpsertSink.mergeBatch(b0, 1L, t, Seq("k")))
+    assert(!UpsertSink.mergeBatch(b0, 0L, t, Seq("k")))
+    assert(UpsertSink.readPointer(t) == before)
+    val got = UpsertSink.readTable(spark, t).get.as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 200L)))
+  }
+
+  test("atomicity: pointer names a complete snapshot between merges") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(UpsertSink.mergeBatch(Seq((1L, 1L)).toDF("k", "v"), 0L, t, Seq("k")))
+    val (v0, id0) = UpsertSink.readPointer(t).get
+    assert(id0 == 0L && v0 == "v_0")
+    // v_0 snapshot remains intact (readable) after a later merge: a
+    // concurrent reader holding the old pointer still sees a full table
+    assert(UpsertSink.mergeBatch(Seq((2L, 2L)).toDF("k", "v"), 1L, t, Seq("k")))
+    val old = spark.read.parquet(s"$t/$v0").as[(Long, Long)].collect().toSeq
+    assert(old == Seq((1L, 1L)))
+    assert(UpsertSink.readPointer(t).get == ("v_1", 1L))
+  }
+
+  test("graded fixpoint: streamed upsert table == complete batch aggregation") {
+    val streamed = SparkEntry.queries("q_stream_upsert")(spark, dir)
+    val batch = SparkEntry.queries("q_stream_tumbling")(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "upsert table has a window row the batch fixpoint doesn't")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch fixpoint window missing from the upsert table")
+  }
+}
