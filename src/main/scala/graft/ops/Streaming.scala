@@ -218,17 +218,26 @@ object Streaming {
       (r.getLong(0), r.getLong(1))
     }
     val step = (hi - lo) / 4 + 1
+    // ONE pass builds all 4 chunk files: range-bucket each event, hash
+    // the write into one file per bucket via partitionBy (vs 4 full
+    // filter-scan jobs — fixture events are small but job overhead ×4
+    // dominated this key's cost)
+    val build = s"$root/chunk_build"
+    e.withColumn("chunk",
+        least(floor((unix_micros(col("ts")) - lo) / lit(step)).cast("int"), lit(3)))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").mode("overwrite").parquet(build)
     (0 until 4).foreach { i =>
-      val tmp = s"$root/chunk_build_$i"
-      e.filter(unix_micros(col("ts")) >= lo + i * step
-          && unix_micros(col("ts")) < lo + (i + 1) * step)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(chunks, f"chunk_$i%02d.parquet")
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(1700000000000L + i * 60000L)
+      // an empty time-range writes no dir — the replay just has fewer
+      // batches, which changes nothing the fixpoint law depends on
+      Option(new java.io.File(s"$build/chunk=$i").listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+        .foreach { part =>
+          val dest = new java.io.File(chunks, f"chunk_$i%02d.parquet")
+          dest.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(1700000000000L + i * 60000L)
+        }
     }
     val table = s"$root/table"
     val stream = graft.streaming.EventStreams
@@ -238,9 +247,17 @@ object Streaming {
       .agg(count(lit(1)).cast("long").as("cnt"),
         sum(micros(col("value"))).cast("long").as("sum_micros"))
       .select(col("window.start").as("w"), col("cnt"), col("sum_micros"))
-    val q = graft.streaming.UpsertSink.start(stream, table,
-      s"$root/checkpoint", Seq("w"))
-    q.processAllAvailable(); q.stop()
+    // the streaming agg's STATE partitioning is fixed at query start
+    // from shuffle.partitions; the hourly-window state is tiny, so 4
+    // state tasks per micro-batch beat 32 (restore after — batch keys
+    // keep the session default)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = graft.streaming.UpsertSink.start(stream, table,
+        s"$root/checkpoint", Seq("w"))
+      q.processAllAvailable(); q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     graft.streaming.UpsertSink.readTable(s, table)
       .getOrElse(sys.error("q_stream_upsert: sink committed no snapshot"))
       .select(tstr(col("w")).as("ws"), col("cnt"), col("sum_micros"))
