@@ -189,6 +189,93 @@ object EventStreams {
       }
   }
 
+  /** The same incremental sessionization on Spark 4's
+    * `transformWithState` API (the successor to flatMapGroupsWithState
+    * for arbitrary stateful ops): typed `ValueState` for the one open
+    * session per user, an explicit event-time TIMER closing the tail
+    * when the watermark passes end + gap. Differences from the
+    * flatMapGroupsWithState form that matter at scale:
+    *  - state is schema'd per-field (RocksDB column family), not an
+    *    opaque tuple blob — state can evolve without full rewrites;
+    *  - timers are first-class (register/delete/list), not a single
+    *    per-key timeout slot;
+    *  - REQUIRES the RocksDB state store provider (asserted below) —
+    *    the backend the 100 TB deployment runs anyway.
+    * Emission parity with sessionsStateful is pinned in
+    * StreamingParitySpec: same batch fixpoint, same multi-batch replay.
+    */
+  class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var open: ValueState[Session] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[Session]("open", Encoders.product[Session],
+        TTLConfig.NONE)
+
+    private def timerFor(s: Session): Long =
+      s.session_end_us / 1000 + gapUs / 1000 + 1
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+                                 tv: TimerValues): Iterator[Session] = {
+      val evs = rows.toSeq.sortBy(_.ts_us)
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val closed = scala.collection.mutable.ListBuffer.empty[Session]
+        var cur =
+          if (open.exists()) open.get()
+          else { val h = evs.head; Session(user, h.ts_us, h.ts_us - 1, 0L, 0L) }
+        evs.foreach { e =>
+          if (cur.n_events > 0 && e.ts_us - cur.session_end_us > gapUs) {
+            closed += cur
+            cur = Session(user, e.ts_us, e.ts_us, 1L, e.v_micros)
+          } else {
+            cur = Session(user,
+              if (cur.n_events == 0) e.ts_us
+              else math.min(cur.session_start_us, e.ts_us),
+              math.max(cur.session_end_us, e.ts_us),
+              cur.n_events + 1, cur.sum_micros + e.v_micros)
+          }
+        }
+        open.update(cur)
+        // one live timer per key: drop any earlier registration (an
+        // extension moved the close-time forward), then arm the tail
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(timerFor(cur))
+        closed.iterator
+      }
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Session] =
+      if (open.exists() && timerFor(open.get()) <= info.getExpiryTimeInMs) {
+        val s = open.get(); open.clear(); Iterator.single(s)
+      } else Iterator.empty // stale timer for an already-extended session
+  }
+
+  /** transformWithState sessionization (see [[SessionProcessor]]). */
+  def sessionsTws(spark: SparkSession, events: DataFrame,
+                  gapUs: Long = 1800000000L): Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    require(spark.conf.getOption(providerKey).contains(rocks),
+      s"transformWithState requires the RocksDB state store: set $providerKey=$rocks")
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 1000000L, 0).cast("long").as("v_micros"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapUs), TimeMode.EventTime,
+        OutputMode.Append)
+  }
+
   /** Smoke-run all four against a memory sink, synchronously. */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

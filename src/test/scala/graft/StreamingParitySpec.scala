@@ -165,6 +165,42 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState sessionization == batch fixpoint (multi-batch, timers)") {
+    // Spark 4's arbitrary-state successor API: ValueState + explicit
+    // event-time timers instead of flatMapGroupsWithState's timeout
+    // slot. Same law as the fMGWS sessionizer — every emission matches
+    // the batch fixpoint; only watermark-open tails may be missing —
+    // exercised across a 6-batch replay so extensions delete and
+    // re-arm timers between batches.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStreams.sessionsTws(spark,
+          EventStreams.readEventsStream(spark, chunkedDir, maxFilesPerTrigger = Some(1)))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("par_sessions_tws").start()
+      q.processAllAvailable(); q.stop()
+      checkSessionParity("par_sessions_tws")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("transformWithState refuses to run off the RocksDB state store") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    // the session default is the HDFS-backed provider — not RocksDB
+    assert(!spark.conf.get(key).contains("RocksDB"))
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.sessionsTws(spark, EventStreams.readEvents(spark, dir))
+    }
+    assert(e.getMessage.contains("RocksDB"))
+  }
+
   test("readEventsStream absorbs a raw-Long ts directory (nanos branch end-to-end)") {
     // the batch unit tests cover normalizeEventTs per branch; this
     // proves the STREAM reader's schema probe routes the Long branch —
