@@ -78,6 +78,26 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(UpsertSink.readPointer(t).get == ("v_1", 1L))
   }
 
+  test("model law: seeded random batch sequence == reference hash-map fold") {
+    // 6 random batches over a 30-key space vs a driver-side
+    // last-write-wins fold — the merge must agree with the obvious
+    // sequential model on arbitrary overlap patterns, not just the
+    // hand-picked cases above. Seeded, so failures replay exactly.
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    val t = freshTable()
+    val model = scala.collection.mutable.HashMap.empty[Long, Long]
+    (0 until 6).foreach { bid =>
+      val rows = Seq.fill(1 + rnd.nextInt(20))(
+        (rnd.nextInt(30).toLong, rnd.nextLong())).distinctBy(_._1)
+      rows.foreach { case (k, v) => model(k) = v }
+      assert(UpsertSink.mergeBatch(rows.toDF("k", "v"), bid.toLong, t, Seq("k")))
+    }
+    val got = UpsertSink.readTable(spark, t).get
+      .as[(Long, Long)].collect().toMap
+    assert(got == model.toMap)
+  }
+
   test("graded fixpoint: streamed upsert table == complete batch aggregation") {
     val streamed = SparkEntry.queries("q_stream_upsert")(spark, dir)
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, dir)
