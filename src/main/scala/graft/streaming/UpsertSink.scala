@@ -65,6 +65,23 @@ object UpsertSink {
       spark.read.parquet(Paths.get(tableDir, v).toString)
     }
 
+  /** The pure merge: ONE full-outer join of (table ⋈ batch) on the key,
+    * batch side winning wholesale where present (key columns are
+    * non-null by contract). Declarative, so Catalyst picks the join
+    * strategy — a small refining batch broadcasts against a large
+    * table; two large sides sort-merge. Exposed for plan audits and
+    * batch backfills. */
+  def merge(cur: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val cols = batch.columns.toSeq
+    val b = batch.alias("b")
+    val c = cur.alias("c")
+    val keyEq = keyCols.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _)
+    val fromBatch = col(s"b.${keyCols.head}").isNotNull
+    c.join(b, keyEq, "full_outer")
+      .select(cols.map(n =>
+        when(fromBatch, col(s"b.$n")).otherwise(col(s"c.$n")).as(n)): _*)
+  }
+
   /** Merge one micro-batch into the table; returns false iff skipped as
     * an already-applied replay. Public so specs (and batch backfills)
     * can drive the exact code path the stream runs. */
@@ -76,19 +93,10 @@ object UpsertSink {
     if (current.exists(_._2 >= batchId)) return false // replayed batch: no-op
 
     val spark = batch.sparkSession
-    val cols = batch.columns.toSeq
     val merged = current match {
       case None => batch
       case Some((v, _)) =>
-        val cur = spark.read.parquet(Paths.get(tableDir, v).toString)
-        val b = batch.alias("b")
-        val c = cur.alias("c")
-        val keyEq = keyCols.map(k => col(s"b.$k") <=> col(s"c.$k")).reduce(_ && _)
-        // batch side wins wholesale when present (keys are non-null)
-        val fromBatch = col(s"b.${keyCols.head}").isNotNull
-        c.join(b, keyEq, "full_outer")
-          .select(cols.map(n =>
-            when(fromBatch, col(s"b.$n")).otherwise(col(s"c.$n")).as(n)): _*)
+        merge(spark.read.parquet(Paths.get(tableDir, v).toString), batch, keyCols)
     }
     val vNew = s"v_$batchId"
     merged.write.mode("overwrite").parquet(Paths.get(tableDir, vNew).toString)

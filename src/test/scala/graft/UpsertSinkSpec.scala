@@ -98,6 +98,24 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(got == model.toMap)
   }
 
+  test("merge plan: keyed equi-join, never a nested-loop or cartesian") {
+    // the one structural invariant that must survive any size ratio:
+    // the merge is an EQUI-join on the key — Catalyst may pick
+    // broadcast/shuffled-hash/sort-merge by stats, but a nested-loop
+    // or cartesian means the key equality was lost (the 100 TB
+    // catastrophe case)
+    import spark.implicits._
+    val cur = (1L to 1000L).map(k => (k, k * 10L)).toDF("k", "v")
+    val batch = (990L to 1010L).map(k => (k, k * 100L)).toDF("k", "v")
+    val p = UpsertSink.merge(cur, batch, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"merge lost its equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"merge degenerated to a non-keyed join:\n$p")
+  }
+
   test("graded fixpoint: streamed upsert table == complete batch aggregation") {
     val streamed = SparkEntry.queries("q_stream_upsert")(spark, dir)
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, dir)
