@@ -72,6 +72,12 @@ object UpsertSink {
     * table; two large sides sort-merge. Exposed for plan audits and
     * batch backfills. */
   def merge(cur: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    // schema drift fails loudly: a silently-dropped new column (or a
+    // coalesce against a missing old one) corrupts every later snapshot
+    require(cur.columns.sorted.sameElements(batch.columns.sorted),
+      s"upsert schema drift: table has [${cur.columns.sorted.mkString(",")}], " +
+        s"batch has [${batch.columns.sorted.mkString(",")}] — migrate the " +
+        "table snapshot before streaming the new schema")
     val cols = batch.columns.toSeq
     val b = batch.alias("b")
     val c = cur.alias("c")

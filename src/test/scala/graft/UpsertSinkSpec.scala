@@ -116,6 +116,50 @@ class UpsertSinkSpec extends AnyFunSuite {
       s"merge degenerated to a non-keyed join:\n$p")
   }
 
+  test("schema drift between table and batch fails loudly, not silently") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(UpsertSink.mergeBatch(Seq((1L, 1L)).toDF("k", "v"), 0L, t, Seq("k")))
+    val drifted = Seq((2L, 2L, "x")).toDF("k", "v", "extra")
+    val e = intercept[IllegalArgumentException] {
+      UpsertSink.mergeBatch(drifted, 1L, t, Seq("k"))
+    }
+    assert(e.getMessage.contains("schema drift"))
+    // the failed merge must not have committed anything
+    assert(UpsertSink.readPointer(t).get == ("v_0", 0L))
+  }
+
+  test("Trigger.AvailableNow drains the same fixpoint as processAllAvailable") {
+    // AvailableNow is the production backfill trigger: run the stream
+    // as a self-terminating job with real checkpointing, then exit.
+    // Same chunked source, same sink, same table fixpoint.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_availnow").toString
+    val table = s"$root/table"
+    val stream = graft.streaming.EventStreams
+      .readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(col("window.start").as("w"), col("cnt"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        UpsertSink.mergeBatch(b, id, table, Seq("w")); ()
+      }
+      .start()
+    q.awaitTermination(120000L)
+    val got = UpsertSink.readTable(spark, table).get
+      .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("ws"), col("cnt"))
+    val batch = SparkEntry.queries("q_stream_tumbling")(spark, dir)
+      .select("ws", "cnt")
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
   test("graded fixpoint: streamed upsert table == complete batch aggregation") {
     val streamed = SparkEntry.queries("q_stream_upsert")(spark, dir)
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, dir)
