@@ -96,7 +96,16 @@ object UpsertSink {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     Files.createDirectories(Paths.get(tableDir))
     val current = readPointer(tableDir)
-    if (current.exists(_._2 >= batchId)) return false // replayed batch: no-op
+    if (current.exists(_._2 >= batchId)) {
+      // Replayed batch: write nothing — but still CONSUME every
+      // partition. Structured Streaming validates that foreachBatch
+      // processed the whole DataFrame (the upstream stateful operator
+      // only commits its state stores when its partitions run); a
+      // pure early-return fails the restarted batch with
+      // STATE_STORE_COMMIT_VALIDATION_FAILED.
+      batch.foreach(_ => ())
+      return false
+    }
 
     val spark = batch.sparkSession
     val merged = current match {

@@ -160,6 +160,63 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
   }
 
+  test("restart law: a mid-replay stop + checkpoint restart reaches the same fixpoint") {
+    // exactly-once across failure: kill the stream after SOME prefix
+    // of batches (wherever it happens to be), restart on the SAME
+    // checkpoint + table, drain. The checkpoint replays the in-flight
+    // batch with the same batchId, the sink's high-water mark makes
+    // the duplicate delivery a no-op, and the final table must equal
+    // the never-crashed fixpoint. Holds for ANY stop point, so the
+    // nondeterministic kill timing is part of the proof, not noise.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val table = s"$root/table"
+    val ckpt = s"$root/ckpt"
+    // 6-file chunked dir from the parity spec's shared helper shape —
+    // rebuild locally (events normalized, 6 chronological files)
+    val chunked = {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_rs_chunks").toString
+      val raw = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val r = raw.agg(min("ts_us"), max("ts_us")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val step = (hi - lo) / 6 + 1
+      (0 until 6).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_rs$i").toString
+        raw.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
+          .drop("ts_us").coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(streamDir, f"c_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+      streamDir
+    }
+    def mkStream() = graft.streaming.EventStreams
+      .readEventsStream(spark, chunked, maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(col("window.start").as("w"), col("cnt"))
+    // run 1: stop mid-replay (after the first micro-batch lands)
+    val q1 = graft.streaming.UpsertSink.start(mkStream(), table, ckpt, Seq("w"))
+    val deadline = System.nanoTime + 60000000000L
+    while (UpsertSink.readPointer(table).isEmpty && System.nanoTime < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    val stoppedAt = UpsertSink.readPointer(table)
+    assert(stoppedAt.nonEmpty, "first batch never committed")
+    // run 2: same checkpoint, same table — drain to the end
+    val q2 = graft.streaming.UpsertSink.start(mkStream(), table, ckpt, Seq("w"))
+    q2.processAllAvailable(); q2.stop()
+    val got = UpsertSink.readTable(spark, table).get
+      .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("ws"), col("cnt"))
+    val batch = SparkEntry.queries("q_stream_tumbling")(spark, dir)
+      .select("ws", "cnt")
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      s"restart from $stoppedAt did not converge to the batch fixpoint")
+  }
+
   test("graded fixpoint: streamed upsert table == complete batch aggregation") {
     val streamed = SparkEntry.queries("q_stream_upsert")(spark, dir)
     val batch = SparkEntry.queries("q_stream_tumbling")(spark, dir)
