@@ -123,6 +123,42 @@ object EventStreams {
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
                      n_events: Long, sum_micros: Long)
 
+  /** The ONE session-merge kernel both stateful APIs run: fold a batch
+    * of events (sorted by event time here) into the open session,
+    * emitting every session a > gap jump closes. Pure, so the
+    * incremental law — any batch split of a sorted stream folds to the
+    * same sessions as one pass — is property-tested JVM-side
+    * (SessionKernelProperties) without Spark in the loop.
+    *
+    * A late-but-in-watermark event merges by min/max so an extension
+    * can never move the open session's end (and its close-timer)
+    * backward. */
+  def mergeEvents(user: Long, prior: Option[Session],
+                  events: Seq[SessionEvent],
+                  gapUs: Long): (Seq[Session], Option[Session]) = {
+    val evs = events.sortBy(_.ts_us)
+    if (evs.isEmpty) (Nil, prior)
+    else {
+      val closed = scala.collection.mutable.ListBuffer.empty[Session]
+      var cur = prior.getOrElse {
+        val h = evs.head; Session(user, h.ts_us, h.ts_us - 1, 0L, 0L) // empty seed
+      }
+      evs.foreach { e =>
+        if (cur.n_events > 0 && e.ts_us - cur.session_end_us > gapUs) {
+          closed += cur
+          cur = Session(user, e.ts_us, e.ts_us, 1L, e.v_micros)
+        } else {
+          cur = Session(user,
+            if (cur.n_events == 0) e.ts_us
+            else math.min(cur.session_start_us, e.ts_us),
+            math.max(cur.session_end_us, e.ts_us),
+            cur.n_events + 1, cur.sum_micros + e.v_micros)
+        }
+      }
+      (closed.toSeq, Some(cur))
+    }
+  }
+
   /** Arbitrary per-key state: INCREMENTAL sessionization via
     * flatMapGroupsWithState (the §2.7 "stateful arbitrary ops" row).
     *
@@ -157,34 +193,15 @@ object EventStreams {
             state.remove()
             Iterator.single(open)
           } else {
-            val evs = it.toSeq.sortBy(_.ts_us)
-            if (evs.isEmpty) Iterator.empty
-            else {
-              val closed = scala.collection.mutable.ListBuffer.empty[Session]
-              var cur = state.getOption.getOrElse {
-                val h = evs.head
-                Session(user, h.ts_us, h.ts_us - 1, 0L, 0L) // empty seed
-              }
-              evs.foreach { e =>
-                if (cur.n_events > 0 && e.ts_us - cur.session_end_us > gapUs) {
-                  closed += cur
-                  cur = Session(user, e.ts_us, e.ts_us, 1L, e.v_micros)
-                } else {
-                  // min/max, not assignment: a late-but-in-watermark event
-                  // must never move the session end (and its timeout)
-                  // backward
-                  cur = Session(user,
-                    if (cur.n_events == 0) e.ts_us
-                    else math.min(cur.session_start_us, e.ts_us),
-                    math.max(cur.session_end_us, e.ts_us),
-                    cur.n_events + 1, cur.sum_micros + e.v_micros)
-                }
-              }
-              state.update(cur)
-              // close the open tail once the watermark passes end + gap
-              state.setTimeoutTimestamp(cur.session_end_us / 1000 + gapUs / 1000 + 1)
-              closed.iterator
+            val (closed, open) = mergeEvents(user, state.getOption, it.toSeq, gapUs)
+            open match {
+              case Some(cur) =>
+                state.update(cur)
+                // close the open tail once the watermark passes end + gap
+                state.setTimeoutTimestamp(cur.session_end_us / 1000 + gapUs / 1000 + 1)
+              case None => // no events this batch: state untouched
             }
+            closed.iterator
           }
       }
   }
@@ -220,33 +237,17 @@ object EventStreams {
 
     override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
                                  tv: TimerValues): Iterator[Session] = {
-      val evs = rows.toSeq.sortBy(_.ts_us)
-      if (evs.isEmpty) Iterator.empty
-      else {
-        val closed = scala.collection.mutable.ListBuffer.empty[Session]
-        var cur =
-          if (open.exists()) open.get()
-          else { val h = evs.head; Session(user, h.ts_us, h.ts_us - 1, 0L, 0L) }
-        evs.foreach { e =>
-          if (cur.n_events > 0 && e.ts_us - cur.session_end_us > gapUs) {
-            closed += cur
-            cur = Session(user, e.ts_us, e.ts_us, 1L, e.v_micros)
-          } else {
-            cur = Session(user,
-              if (cur.n_events == 0) e.ts_us
-              else math.min(cur.session_start_us, e.ts_us),
-              math.max(cur.session_end_us, e.ts_us),
-              cur.n_events + 1, cur.sum_micros + e.v_micros)
-          }
-        }
+      val prior = if (open.exists()) Some(open.get()) else None
+      val (closed, openNow) = mergeEvents(user, prior, rows.toSeq, gapUs)
+      openNow.foreach { cur =>
         open.update(cur)
         // one live timer per key: drop any earlier registration (an
         // extension moved the close-time forward), then arm the tail
         getHandle.listTimers().foreach(t =>
           getHandle.deleteTimer(t.asInstanceOf[Long]))
         getHandle.registerTimer(timerFor(cur))
-        closed.iterator
       }
+      closed.iterator
     }
 
     override def handleExpiredTimer(user: Long, tv: TimerValues,
