@@ -65,6 +65,39 @@ object UpsertSink {
       spark.read.parquet(Paths.get(tableDir, v).toString)
     }
 
+  /** Batch ids with a live snapshot, ascending. */
+  def versions(tableDir: String): Seq[Long] = {
+    val d = new java.io.File(tableDir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .map(_.getName.stripPrefix("v_").toLong).sorted
+  }
+
+  /** Time travel: the table AS OF a batch id — the newest snapshot with
+    * id ≤ asOfBatch (immutable snapshots make this free). None if no
+    * snapshot that old exists. */
+  def readTableAsOf(spark: SparkSession, tableDir: String,
+                    asOfBatch: Long): Option[DataFrame] =
+    versions(tableDir).filter(_ <= asOfBatch).lastOption.map(v =>
+      spark.read.parquet(Paths.get(tableDir, s"v_$v").toString))
+
+  /** Retention: drop all but the newest `keep` snapshots. The live
+    * pointer target is always retained (keep ≥ 1 enforced); concurrent
+    * readers of a reaped old version fail like any vacuumed table
+    * format — retention is a policy knob, not a consistency one. */
+  def vacuum(tableDir: String, keep: Int): Unit = {
+    require(keep >= 1, "vacuum must keep at least the live snapshot")
+    val live = readPointer(tableDir).map(_._2)
+    versions(tableDir).dropRight(keep)
+      .filterNot(live.contains) // never reap the published snapshot
+      .foreach { v =>
+        val dir = Paths.get(tableDir, s"v_$v")
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+  }
+
   /** The pure merge: ONE full-outer join of (table ⋈ batch) on the key,
     * batch side winning wholesale where present (key columns are
     * non-null by contract). Declarative, so Catalyst picks the join

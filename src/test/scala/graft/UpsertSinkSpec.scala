@@ -116,6 +116,30 @@ class UpsertSinkSpec extends AnyFunSuite {
       s"merge degenerated to a non-keyed join:\n$p")
   }
 
+  test("time travel and retention: as-of reads, vacuum keeps the live snapshot") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(UpsertSink.mergeBatch(Seq((1L, 10L)).toDF("k", "v"), 0L, t, Seq("k")))
+    assert(UpsertSink.mergeBatch(Seq((1L, 20L)).toDF("k", "v"), 3L, t, Seq("k")))
+    assert(UpsertSink.mergeBatch(Seq((1L, 30L)).toDF("k", "v"), 7L, t, Seq("k")))
+    assert(UpsertSink.versions(t) == Seq(0L, 3L, 7L))
+    // as-of lands on the newest snapshot at-or-before the asked batch
+    def vAt(b: Long) = UpsertSink.readTableAsOf(spark, t, b).get
+      .as[(Long, Long)].collect().head._2
+    assert(vAt(0L) == 10L && vAt(2L) == 10L && vAt(3L) == 20L
+      && vAt(6L) == 20L && vAt(100L) == 30L)
+    assert(UpsertSink.readTableAsOf(spark, t, -1L).isEmpty)
+    // vacuum to 2: v_0 reaped, live v_7 + v_3 retained; reads unchanged
+    UpsertSink.vacuum(t, keep = 2)
+    assert(UpsertSink.versions(t) == Seq(3L, 7L))
+    assert(UpsertSink.readTable(spark, t).get
+      .as[(Long, Long)].collect().head._2 == 30L)
+    // keep=1 always retains the pointer target
+    UpsertSink.vacuum(t, keep = 1)
+    assert(UpsertSink.versions(t) == Seq(7L))
+    assert(UpsertSink.readPointer(t).get == ("v_7", 7L))
+  }
+
   test("schema drift between table and batch fails loudly, not silently") {
     import spark.implicits._
     val t = freshTable()
