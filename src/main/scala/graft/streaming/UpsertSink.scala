@@ -65,12 +65,20 @@ object UpsertSink {
       spark.read.parquet(Paths.get(tableDir, v).toString)
     }
 
-  /** Batch ids with a live snapshot, ascending. */
+  /** Batch ids with a live COMMITTED snapshot, ascending. Only ids at
+    * or below the published pointer count: a crash between snapshot
+    * write and pointer publish leaves a half-written v_ dir with a
+    * HIGHER id than the pointer — listing it would hand readers
+    * unpublished (possibly torn) data. Non-numeric v_* strays are
+    * ignored, not fatal. */
   def versions(tableDir: String): Seq[Long] = {
+    val committed = readPointer(tableDir).map(_._2)
     val d = new java.io.File(tableDir)
     Option(d.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .map(_.getName.stripPrefix("v_").toLong).sorted
+      .flatMap(_.getName.stripPrefix("v_").toLongOption)
+      .filter(v => committed.exists(v <= _))
+      .sorted
   }
 
   /** Time travel: the table AS OF a batch id — the newest snapshot with
@@ -91,9 +99,15 @@ object UpsertSink {
     versions(tableDir).dropRight(keep)
       .filterNot(live.contains) // never reap the published snapshot
       .foreach { v =>
+        // rename OUT of the v_ namespace first (atomic), then delete:
+        // a crash mid-delete leaves a .reap_* dir that versions() and
+        // as-of reads never see — torn snapshots are invisible, not
+        // silently-partial
         val dir = Paths.get(tableDir, s"v_$v")
+        val doomed = Paths.get(tableDir, s".reap_v_$v")
+        Files.move(dir, doomed, StandardCopyOption.ATOMIC_MOVE)
         import scala.jdk.CollectionConverters._
-        Files.walk(dir).iterator().asScala.toSeq.reverse
+        Files.walk(doomed).iterator().asScala.toSeq.reverse
           .foreach(Files.deleteIfExists(_))
       }
   }

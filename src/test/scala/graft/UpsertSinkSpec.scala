@@ -138,6 +138,14 @@ class UpsertSinkSpec extends AnyFunSuite {
     UpsertSink.vacuum(t, keep = 1)
     assert(UpsertSink.versions(t) == Seq(7L))
     assert(UpsertSink.readPointer(t).get == ("v_7", 7L))
+    // crash-consistency of the listing: an uncommitted v_ dir (higher
+    // id than the pointer — snapshot written, publish never happened)
+    // and non-numeric strays are both invisible to versions/as-of
+    new java.io.File(t, "v_99").mkdirs()
+    new java.io.File(t, "v_backup").mkdirs()
+    assert(UpsertSink.versions(t) == Seq(7L))
+    assert(UpsertSink.readTableAsOf(spark, t, 99L).get
+      .as[(Long, Long)].collect().head._2 == 30L)
   }
 
   test("schema drift between table and batch fails loudly, not silently") {
