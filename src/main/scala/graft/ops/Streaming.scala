@@ -209,36 +209,12 @@ object Streaming {
   def streamUpsertFixpoint(s: SparkSession, dir: String): DataFrame = {
     val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = s"/root/repo/target/stream_upsert/$tier"
-    deleteRecursively(java.nio.file.Paths.get(root))
+    graft.streaming.UpsertSink.deleteRecursively(java.nio.file.Paths.get(root))
     val chunks = s"$root/chunks"
-    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
-      col("event_type"), col("ts"), col("value"))
-    val (lo, hi) = {
-      val r = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val step = (hi - lo) / 4 + 1
-    // ONE pass builds all 4 chunk files: range-bucket each event, hash
-    // the write into one file per bucket via partitionBy (vs 4 full
-    // filter-scan jobs — fixture events are small but job overhead ×4
-    // dominated this key's cost)
-    val build = s"$root/chunk_build"
-    e.withColumn("chunk",
-        least(floor((unix_micros(col("ts")) - lo) / lit(step)).cast("int"), lit(3)))
-      .repartition(col("chunk"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(build)
-    (0 until 4).foreach { i =>
-      // an empty time-range writes no dir — the replay just has fewer
-      // batches, which changes nothing the fixpoint law depends on
-      Option(new java.io.File(s"$build/chunk=$i").listFiles())
-        .flatMap(_.find(_.getName.endsWith(".parquet")))
-        .foreach { part =>
-          val dest = new java.io.File(chunks, f"chunk_$i%02d.parquet")
-          dest.getParentFile.mkdirs()
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          dest.setLastModified(1700000000000L + i * 60000L)
-        }
-    }
+    graft.streaming.EventStreams.writeChronologicalChunks(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"), col("value")),
+      n = 4, destDir = chunks)
     val table = s"$root/table"
     val stream = graft.streaming.EventStreams
       .readEventsStream(s, chunks, maxFilesPerTrigger = Some(1))
@@ -263,13 +239,6 @@ object Streaming {
       .select(tstr(col("w")).as("ws"), col("cnt"), col("sum_micros"))
       .orderBy(col("ws"))
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->

@@ -52,29 +52,75 @@ object EventStreams {
     // conf first: a TIMESTAMP(NANOS) fixture only reads when the legacy
     // conf maps it to raw Long (same contract as Tables.table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val observed = schemaHint.getOrElse {
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val globbed = fs.globStatus(new org.apache.hadoop.fs.Path(dir, glob))
-      // a match may itself be a Spark-written table DIRECTORY — descend
-      // one level to its part files
-      val firstFile = Option(globbed).toSeq.flatten
-        .flatMap { st =>
-          if (st.isFile) Seq(st)
-          else fs.listStatus(st.getPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // (sourcePath, leaf-glob-or-None): a glob match may itself be a
+    // Spark-written table DIRECTORY — then the stream must point AT
+    // that directory, because pathGlobFilter matches leaf FILE names
+    // and 'events.parquet' would exclude every part-*.parquet inside
+    // (a silently empty stream, the failure class this probe exists
+    // to kill). Loose-file matches keep the dir + glob-filter form.
+    val (observed, sourcePath, leafGlob) = schemaHint match {
+      case Some(hint) => (hint, dir, Some(glob)) // landing-dir: nothing to probe
+      case None =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val matches = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(dir, glob))).toSeq.flatten
+        val (dirs, files) = matches.partition(_.isDirectory)
+        val firstFile = (files ++ dirs.flatMap(st =>
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))))
+          .find(_.getLen > 0)
+          .getOrElse(throw new IllegalStateException(
+            s"readEventsStream: no file matching '$glob' in $dir to probe the " +
+              "event schema from; pass schemaHint to start a stream on an " +
+              "empty landing directory"))
+        val schema = spark.read.parquet(firstFile.getPath.toString).schema
+        (dirs, files) match {
+          case (Seq(), _)       => (schema, dir, Some(glob))
+          case (Seq(d), Seq())  => (schema, d.getPath.toString, None)
+          case _ => throw new IllegalStateException(
+            s"readEventsStream: '$glob' in $dir matches " +
+              s"${dirs.size} directories and ${files.size} files — point the " +
+              "stream at ONE table directory or a set of loose files")
         }
-        .find(_.getLen > 0)
-        .getOrElse(throw new IllegalStateException(
-          s"readEventsStream: no file matching '$glob' in $dir to probe the " +
-            "event schema from; pass schemaHint to start a stream on an " +
-            "empty landing directory"))
-      spark.read.parquet(firstFile.getPath.toString).schema
     }
     val r = spark.readStream.schema(observed)
-      .option("pathGlobFilter", glob) // file source needs a dir
+    leafGlob.foreach(g => r.option("pathGlobFilter", g))
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    graft.Tables.normalizeEventTs(r.parquet(dir))
+    graft.Tables.normalizeEventTs(r.parquet(sourcePath))
+  }
+
+  /** Write `events` (ts already normalized to TimestampType) as `n`
+    * chronological single-file chunks under `destDir`, ascending
+    * mod-times — the ONE replay-fixture recipe every multi-batch test
+    * and the graded q_stream_upsert key share. Chunking is by equal
+    * time ranges in ONE partitionBy pass (not n filter-scans); an
+    * empty range writes no file, which only shortens the replay.
+    * File-stream sources order by modification time, so ascending
+    * stamps + non-overlapping ranges give a chronological replay. */
+  def writeChronologicalChunks(events: DataFrame, n: Int, destDir: String): Unit = {
+    import org.apache.spark.sql.functions.{floor => ffloor}
+    val e = events
+    val r = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val step = (hi - lo) / n + 1
+    val build = s"$destDir/_chunk_build"
+    e.withColumn("chunk",
+        least(ffloor((unix_micros(col("ts")) - lo) / lit(step)).cast("int"),
+          lit(n - 1)))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").mode("overwrite").parquet(build)
+    (0 until n).foreach { i =>
+      Option(new java.io.File(s"$build/chunk=$i").listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+        .foreach { part =>
+          val dest = new java.io.File(destDir, f"chunk_$i%02d.parquet")
+          dest.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(1700000000000L + i * 60000L)
+        }
+    }
+    UpsertSink.deleteRecursively(java.nio.file.Paths.get(build))
   }
 
   def tumbling(events: DataFrame): DataFrame =

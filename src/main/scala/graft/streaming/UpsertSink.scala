@@ -49,6 +49,15 @@ object UpsertSink {
 
   private def pointerPath(tableDir: String): Path = Paths.get(tableDir, "_latest")
 
+  /** Recursive delete (children-first walk); shared by vacuum and the
+    * scratch-dir resets in ops.Streaming. */
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+
   /** (snapshot subdir, last applied batchId), if any snapshot is live. */
   private[graft] def readPointer(tableDir: String): Option[(String, Long)] = {
     val p = pointerPath(tableDir)
@@ -95,6 +104,11 @@ object UpsertSink {
     * format — retention is a policy knob, not a consistency one. */
   def vacuum(tableDir: String, keep: Int): Unit = {
     require(keep >= 1, "vacuum must keep at least the live snapshot")
+    // finish any reap a previous crash left half-done: .reap_* dirs are
+    // invisible to readers but would otherwise leak disk forever
+    Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(".reap_"))
+      .foreach(f => deleteRecursively(f.toPath))
     val live = readPointer(tableDir).map(_._2)
     versions(tableDir).dropRight(keep)
       .filterNot(live.contains) // never reap the published snapshot
@@ -102,13 +116,11 @@ object UpsertSink {
         // rename OUT of the v_ namespace first (atomic), then delete:
         // a crash mid-delete leaves a .reap_* dir that versions() and
         // as-of reads never see — torn snapshots are invisible, not
-        // silently-partial
+        // silently-partial (and the sweep above reclaims them)
         val dir = Paths.get(tableDir, s"v_$v")
         val doomed = Paths.get(tableDir, s".reap_v_$v")
         Files.move(dir, doomed, StandardCopyOption.ATOMIC_MOVE)
-        import scala.jdk.CollectionConverters._
-        Files.walk(doomed).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        deleteRecursively(doomed)
       }
   }
 

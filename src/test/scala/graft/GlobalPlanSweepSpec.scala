@@ -30,9 +30,15 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("no key's plan contains a CartesianProduct (q_join_cross excepted)") {
+  // q_join_cross: its SEMANTICS are a cross join. q_stream_upsert:
+  // constructing it runs the whole 4-batch streaming replay and its
+  // returned plan is just the final snapshot read — the cost buys no
+  // coverage here (its join shape is pinned in UpsertSinkSpec).
+  private val exempt = Set("q_join_cross", "q_stream_upsert")
+
+  test("no key's plan contains a CartesianProduct (declared cross join excepted)") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      if (name == "q_join_cross") None
+      if (exempt(name)) None
       else {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
         if (p.contains("CartesianProduct")) Some(name) else None

@@ -102,23 +102,9 @@ class StreamingParitySpec extends AnyFunSuite {
   private lazy val chunkedDir: String = {
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = Tables.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
-      .withColumn("ts_us", unix_micros(col("ts")))
-    val (lo, hi) = {
-      val r = raw.agg(min("ts_us"), max("ts_us")).head(); (r.getLong(0), r.getLong(1))
-    }
-    val step = (hi - lo) / 6 + 1
-    (0 until 6).foreach { i =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_chunk$i").toString
-      raw.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
-        .drop("ts_us")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(streamDir, f"chunk_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(1700000000000L + i * 60000L) // ascending mod-times
-    }
+    EventStreams.writeChronologicalChunks(
+      Tables.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")),
+      n = 6, destDir = streamDir)
     streamDir
   }
 
@@ -199,6 +185,25 @@ class StreamingParitySpec extends AnyFunSuite {
       EventStreams.sessionsTws(spark, EventStreams.readEvents(spark, dir))
     }
     assert(e.getMessage.contains("RocksDB"))
+  }
+
+  test("readEventsStream streams a Spark-written table DIRECTORY fixture") {
+    // if the fixture regenerates events.parquet as a DIRECTORY, the
+    // schema probe descends to a part file — and the stream must point
+    // AT the directory (pathGlobFilter matches leaf file names, so the
+    // dir+filter form would list zero files and emit an empty stream,
+    // silently)
+    val root = java.nio.file.Files.createTempDirectory("graft_dirfix").toString
+    Tables.events(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/events.parquet")
+    val q = EventStreams.readEventsStream(spark, root, glob = "events.parquet")
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("par_dirfix").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("par_dirfix").head().getLong(0)
+    assert(n == Tables.events(spark, dir).count(),
+      "directory-shaped fixture streamed the wrong row count")
   }
 
   test("readEventsStream absorbs a raw-Long ts directory (nanos branch end-to-end)") {

@@ -204,24 +204,11 @@ class UpsertSinkSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
     val table = s"$root/table"
     val ckpt = s"$root/ckpt"
-    // 6-file chunked dir from the parity spec's shared helper shape —
-    // rebuild locally (events normalized, 6 chronological files)
+    // 6-file chronological replay dir via the one shared recipe
     val chunked = {
       val streamDir = java.nio.file.Files.createTempDirectory("graft_rs_chunks").toString
-      val raw = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
-      val r = raw.agg(min("ts_us"), max("ts_us")).head()
-      val (lo, hi) = (r.getLong(0), r.getLong(1))
-      val step = (hi - lo) / 6 + 1
-      (0 until 6).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_rs$i").toString
-        raw.filter(col("ts_us") >= lo + i * step && col("ts_us") < lo + (i + 1) * step)
-          .drop("ts_us").coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(streamDir, f"c_$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(1700000000000L + i * 60000L)
-      }
+      graft.streaming.EventStreams.writeChronologicalChunks(
+        Tables.events(spark, dir), n = 6, destDir = streamDir)
       streamDir
     }
     def mkStream() = graft.streaming.EventStreams
