@@ -20,7 +20,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * shape-pinned in PlanAuditSpec; banning them here would just force
   * noisier equivalents.
   */
-class GlobalPlanSweepSpec extends AnyFunSuite {
+class GlobalPlanSweepSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    // constructing every key caches the dimension tables AND registers
+    // tracked operator caches; the CacheManager is shared across every
+    // suite on this SparkContext (cache lookups match by analyzed
+    // plan), so drain on teardown rather than leak cached plans into
+    // whoever runs next
+    ops.Text.clearMhMd5Cache()
+    ops.Climate.clearEnsembleCache()
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

@@ -149,10 +149,19 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("withPathFields extracts filename-template metadata") {
-    // raw read, not Tables: input_file_name() is empty over a cached
-    // (InMemoryRelation) plan — path fields only exist at scan time
+    // input_file_name() is empty over a cached (InMemoryRelation) plan
+    // — and Spark's CacheManager matches by analyzed plan across every
+    // suite sharing the SparkContext, so ANY read of the fixture path
+    // can silently resolve to another suite's cache. Read a fresh COPY
+    // of the file: its path can never be cached by anyone else.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pathf")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/region.parquet"),
+      tmp.resolve("sf0.001").resolve("region.parquet").normalize() match {
+        case p => java.nio.file.Files.createDirectories(p.getParent); p
+      })
     val df = NetcdfSource.withPathFields(
-      spark.read.parquet(s"$dir/region.parquet"),
+      spark.read.parquet(tmp.resolve("sf0.001/region.parquet").toString),
       ".*/(sf[0-9.]+)/([a-z]+)\\.parquet", Seq("sf_tag", "table_name"))
     val row = df.select("sf_tag", "table_name").distinct().head()
     assert(row.getString(0) == "sf0.001" && row.getString(1) == "region")
