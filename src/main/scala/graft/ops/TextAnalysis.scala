@@ -92,6 +92,56 @@ object TextAnalysis {
         i => hashFn(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
         1, keep).as("fingerprint"))
 
+  /** Greedy contiguous sequence packing — the training-batch
+    * construction step of an LLM data pipeline: assign documents, in
+    * deterministic (lang, doc_id) order, to fixed token-budget training
+    * sequences by integer-dividing the EXCLUSIVE running token total by
+    * the budget. A doc that crosses a boundary stays in the sequence it
+    * started in (the standard overflow-tolerant contiguous packer), and
+    * a doc larger than the whole budget advances the index past the
+    * ids it covers — sequence ids may legitimately skip, but never
+    * interleave.
+    *
+    * Scale shape: ONE shuffle on the pack key + the in-partition sort
+    * the running sum needs — no join, no driver state. `lang` stands in
+    * for the pack key here; a production pipeline packs per bounded
+    * output shard (e.g. `hash(doc_id) % n_shards`), which is the same
+    * plan with a finer key and keeps every partition's sort bounded by
+    * shard size, not corpus size. */
+  def packSequences(docs: DataFrame, capacity: Long = 512L): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"),
+        aggregate(transform(toks,
+          t => ceil(length(t).cast("double") / 4.0).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("tok"))
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before DIV $capacity"))
+  }
+
+  /** Deterministic train/validation/test split by a stable content-free
+    * hash of the document id — the md5 digest the graded dedup and
+    * fingerprint twins already share with the oracle: bucket = digest %
+    * 100, < trainPct → train, < trainPct+valPct → validation, else
+    * test. Pure projection: no shuffle, no RNG — the assignment is
+    * stable under re-runs, retries, appends and repartitioning, which
+    * is the property a reproducible-pipeline split needs (a
+    * rand()-based split re-deals on every retry and leaks validation
+    * docs into training across runs). */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must partition [0,100), got train=$trainPct val=$valPct")
+    docs
+      .withColumn("bucket",
+        pmod(Profiling.rowDigest(col("doc_id").cast("string")), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "validation")
+          .otherwise("test"))
+  }
+
   /** CCNet-style boilerplate-line removal, the library operator behind
     * q_text_boilerplate: split `text` on newlines, compute each line's
     * distinct-document frequency, drop lines with df > n·num/den
@@ -220,6 +270,30 @@ object TextAnalysis {
     // byte-identical across engines.
     "q_text_clean" -> { (s, dir) =>
       scrub(Tables.documents(s, dir), "dup", "<T>").orderBy(col("doc_id"))
+    },
+    // Sequence packing, summarized per packed sequence: doc count,
+    // token total and the contiguous [first_doc, last_doc] range —
+    // enough to pin the whole assignment (PackSplitSpec additionally
+    // law-checks the boundary arithmetic).
+    "q_pack_sequences" -> { (s, dir) =>
+      packSequences(Tables.documents(s, dir))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("tok")).cast("long").as("sum_tok"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("seq_id"))
+    },
+    // Hash split, summarized per (split, lang): the per-cell counts +
+    // char totals pin every doc's assignment through the group hash.
+    "q_sample_split" -> { (s, dir) =>
+      hashSplit(Tables.documents(s, dir))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"), col("lang"))
     },
     // rows-only (xxhash64-based)
     "q_text_fingerprint" -> { (s, dir) =>
@@ -422,6 +496,41 @@ object TextAnalysis {
         |    t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // exclusive running sum // capacity — DuckDB's window ROWS frame and
+    // integer // match Spark's rowsBetween(unboundedPreceding, -1) + DIV
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      x -> CAST(ceil(CAST(length(x) AS DOUBLE) / 4.0) AS BIGINT))) AS tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id
+        |  FROM t)
+        |SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+
+    // same 60-bit md5 digest idiom as the fingerprint/dedup twins
+    "q_sample_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, CASE WHEN bucket < 90 THEN 'train'
+        |                 WHEN bucket < 95 THEN 'validation'
+        |                 ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "q_text_clean" ->
       """SELECT doc_id,

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the two corpus-partitioning pipeline ops: greedy contiguous
+  * sequence packing (q_pack_sequences) and the deterministic hash split
+  * (q_sample_split). The graded keys pin the values against DuckDB;
+  * these tests pin the ALGEBRA — boundary arithmetic, partition
+  * completeness, oversize behavior — on both fixture and synthetic
+  * inputs. */
+class PackSplitSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private val Cap = 512L
+
+  test("packing partitions the corpus: every doc in exactly one sequence") {
+    val docs = Tables.documents(spark, dir)
+    val packed = ops.TextAnalysis.packSequences(docs, Cap)
+    assert(packed.count() == docs.count())
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("packing boundary law: each sequence starts exactly where the exclusive cumsum says") {
+    // doc d lands in seq k  ⟺  k*cap ≤ cum_before(d) < is NOT required
+    // (overflow docs push cum_before past (k+1)*cap for followers) —
+    // the exact invariant is on the first doc of each sequence: its
+    // exclusive running total must lie in [k*cap, (k+1)*cap).
+    val rows = ops.TextAnalysis.packSequences(Tables.documents(spark, dir), Cap)
+      .orderBy(col("lang"), col("doc_id"))
+      .select("lang", "doc_id", "tok", "cum_before", "seq_id")
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, docs) =>
+      var prevSeq = -1L
+      docs.foreach { r =>
+        val (cum, seq) = (r.getLong(3), r.getLong(4))
+        assert(seq >= prevSeq, "sequence ids never decrease in doc order")
+        if (seq != prevSeq)
+          assert(seq * Cap <= cum && cum < (seq + 1) * Cap,
+            s"first doc of seq $seq has cum_before=$cum outside its window")
+        prevSeq = seq
+      }
+    }
+  }
+
+  test("packing sequence ranges are contiguous and never interleave") {
+    val agg = SparkEntry.queries("q_pack_sequences")(spark, dir)
+      .orderBy(col("lang"), col("seq_id")).collect()
+    agg.groupBy(_.getString(0)).foreach { case (_, bins) =>
+      bins.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"),
+            "doc ranges of consecutive sequences must be disjoint and ordered")
+        case _ =>
+      }
+    }
+  }
+
+  test("an oversize doc keeps its own sequence and skips the ids it covers") {
+    import spark.implicits._
+    // tok estimates: 'aaaa' = 1 word * ceil(4/4) = 1 token per 'aaaa';
+    // craft one 1200-token doc between two small ones (cap 512)
+    val big = Seq.fill(1200)("aaaa").mkString(" ")
+    val docs = Seq((1L, "en", "aaaa aaaa"), (2L, "en", big), (3L, "en", "aaaa"))
+      .toDF("doc_id", "lang", "text")
+    val out = ops.TextAnalysis.packSequences(docs, Cap)
+      .orderBy("doc_id").select("doc_id", "seq_id").as[(Long, Long)].collect()
+    // doc1: cum 0 → seq 0; doc2: cum 2 → seq 0 (starts inside 0, overflows);
+    // doc3: cum 1202 → seq 2 — id 1 is skipped, never assigned out of order
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 2L)))
+  }
+
+  test("hash split partitions the corpus with stable in-range buckets") {
+    val docs = Tables.documents(spark, dir)
+    val split = ops.TextAnalysis.hashSplit(docs)
+    assert(split.count() == docs.count())
+    assert(split.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+    // every split nonempty at 500 docs, and the three are disjoint by
+    // construction (CASE) — check the partition sums instead
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "validation", "test"))
+    assert(bySplit.values.sum == docs.count())
+    assert(bySplit("train") > bySplit("validation") &&
+      bySplit("train") > bySplit("test"), "train is the bulk split")
+  }
+
+  test("hash split is deterministic: same assignment on re-run and under repartition") {
+    val docs = Tables.documents(spark, dir)
+    val a = ops.TextAnalysis.hashSplit(docs)
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    val b = ops.TextAnalysis.hashSplit(docs.repartition(7))
+      .select("doc_id", "split").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
