@@ -349,4 +349,29 @@ class PlanAuditSpec extends AnyFunSuite
     val pr = plan(SparkEntry.queries("q_text_redact")(spark, dir))
     assert(!pr.contains("Join"), s"q_text_redact grew a join:\n$pr")
   }
+
+  test("sequence packing: the (key, seq_id) aggregate reuses the window's shuffle") {
+    // the scale property: ONE hash exchange on the pack key feeds the
+    // running-sum window AND the per-sequence aggregate (grouping keys
+    // (lang, seq_id) ⊇ partitioning key lang, so Catalyst plans the
+    // partial+final agg without a second hash exchange); the only other
+    // exchange is the terminal presentation orderBy's range partition
+    val df = SparkEntry.queries("q_pack_sequences")(spark, dir)
+    val ex = ops.Bucketing.shuffleExchanges(df)
+    assert(ex.size == 2, s"packing plan grew a shuffle:\n${plan(df)}")
+    assert(!plan(df).contains("Join"), s"packing grew a join:\n${plan(df)}")
+  }
+
+  test("hash split: join-free, window-free, partial+final aggregate only") {
+    // the split itself is a pure projection; the graded summary adds
+    // one agg exchange + the orderBy range exchange, nothing else
+    val df = SparkEntry.queries("q_sample_split")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"split plan grew a join/window:\n$p")
+    assert(ops.Bucketing.shuffleExchanges(df).size == 2,
+      s"split plan grew a shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"split lost its partial aggregation:\n$p")
+  }
 }
