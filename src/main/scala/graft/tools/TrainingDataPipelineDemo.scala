@@ -22,11 +22,20 @@ import graft.sources.Sources
   *                      phones in place; row count is invariant)
   *  6. sample         — Profiling.stratifiedSample, n per language,
   *                      content-hash deterministic
-  *  7. semantic mix   — Vectors.kmeansAssignments over the surviving
+  *  7. split          — TextAnalysis.hashSplit: deterministic 90/5/5
+  *                      train/validation/test assignment (doc_id-hash
+  *                      projection — a re-run can never re-deal a
+  *                      validation doc into train; q_sample_split)
+  *  8. pack           — TextAnalysis.packSequences over the train
+  *                      split: fixed token-budget training sequences;
+  *                      the sequence count is the training-step
+  *                      preview (q_pack_sequences)
+  *  9. semantic mix   — Vectors.kmeansAssignments over the surviving
   *                      docs' embeddings + per-cluster balance report
   *                      (the q_sample_semantic move, applied as audit)
-  *  8. normalize      — Sources.toParquet (canonical format out)
-  *  9. fingerprint    — the q_profile_checksum XOR digest of the
+  * 10. normalize      — Sources.toParquet (canonical format out,
+  *                      split column kept so loaders filter by split)
+  * 11. fingerprint    — the q_profile_checksum XOR digest of the
   *                      written corpus, so a re-run (or a replica on
   *                      another cluster) verifies with ONE aggregate
   *
@@ -88,6 +97,18 @@ object TrainingDataPipelineDemo {
     val sampled = Profiling.stratifiedSample(redacted, "lang", "doc_id", n = 20)
       .drop("rn").cache()
 
+    // deterministic split: a pure doc_id-hash projection over the
+    // cached sample (no shuffle) — train feeds packing, the split
+    // column rides into the written corpus
+    val split = TextAnalysis.hashSplit(sampled).drop("bucket")
+    val train = split.filter(col("split") === "train")
+
+    // training-batch construction: pack the train split into 512-token
+    // sequences; the distinct (pack-key, seq_id) count is the
+    // training-step preview a scheduler would size epochs from
+    val nSeqs = TextAnalysis.packSequences(train, capacity = 512L)
+      .select("lang", "seq_id").distinct().count()
+
     // semantic audit: cluster the sample's embeddings and report how
     // many clusters are NON-EMPTY — a dropped cluster means the
     // language-stratified sample is semantically lopsided and the
@@ -97,7 +118,7 @@ object TrainingDataPipelineDemo {
     val clusters = Vectors.kmeansAssignments(emb, k = 4, iters = 2)
       .select("cid").distinct().count()
 
-    Sources.toParquet(sampled, s"$outDir/corpus")
+    Sources.toParquet(split, s"$outDir/corpus")
 
     // replica fingerprint of what was actually written (read back, so
     // the digest covers the persisted bytes' row set, not the plan);
@@ -116,6 +137,8 @@ object TrainingDataPipelineDemo {
       "deduped" -> deduped.count(),
       "pii_redacted" -> redacted.count(),
       "sampled" -> sampled.count(),
+      "split_train" -> train.count(),
+      "packed_sequences" -> nSeqs,
       "semantic_clusters" -> clusters,
       "xor_fingerprint" -> checksum)
     finally {
@@ -141,6 +164,7 @@ object TrainingDataPipelineDemo {
     run(spark, dir, out).foreach { case (stage, n) =>
       val unit = stage match {
         case "semantic_clusters" => "clusters"
+        case "packed_sequences"  => "sequences"
         case "xor_fingerprint"   => "(digest)"
         case _                   => "docs"
       }

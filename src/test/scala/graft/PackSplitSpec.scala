@@ -78,6 +78,31 @@ class PackSplitSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 2L)))
   }
 
+  test("packing matches a sequential-fold model on a seeded random corpus") {
+    import spark.implicits._
+    // seeded random corpus: ragged doc sizes across 3 pack keys
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 300L).map { id =>
+      val lang = Seq("en", "de", "fr")(rnd.nextInt(3))
+      val text = Seq.fill(1 + rnd.nextInt(60))("w" * (1 + rnd.nextInt(9)))
+        .mkString(" ")
+      (id, lang, text)
+    }
+    val out = ops.TextAnalysis.packSequences(docs.toDF("doc_id", "lang", "text"), 128L)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    // driver-local model: same ceil(len/4) token estimate, same
+    // exclusive-running-total // capacity assignment, one fold per key
+    val model = docs.groupBy(_._2).flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, _, text) =>
+        val seq = cum / 128L
+        cum += text.split(" ").map(w => ((w.length + 3) / 4).toLong).sum
+        id -> seq
+      }
+    }.toMap
+    assert(out == model)
+  }
+
   test("hash split partitions the corpus with stable in-range buckets") {
     val docs = Tables.documents(spark, dir)
     val split = ops.TextAnalysis.hashSplit(docs)

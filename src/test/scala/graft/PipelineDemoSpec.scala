@@ -21,11 +21,13 @@ class PipelineDemoSpec extends AnyFunSuite {
     val all = tools.TrainingDataPipelineDemo.run(spark, "/root/testdata/sf0.001", out)
     assert(all.map(_._1) ==
       Seq("input", "quality_gated", "boilerplate_cleaned", "decontaminated",
-        "deduped", "pii_redacted", "sampled", "semantic_clusters",
-        "xor_fingerprint"))
-    // the first seven entries are FILTER stages; the last two are audit
-    // metadata (cluster count, replica digest) outside the shrink law
-    val stages = all.take(7)
+        "deduped", "pii_redacted", "sampled", "split_train",
+        "packed_sequences", "semantic_clusters", "xor_fingerprint"))
+    // the first eight entries are FILTER stages (split_train is the
+    // 90% bulk subset of the sample); the last three are audit
+    // metadata (sequence count, cluster count, replica digest)
+    // outside the shrink law
+    val stages = all.take(8)
     val counts = stages.map(_._2)
     // redaction masks in place — it must never drop or add rows
     assert(stages(5)._2 == stages(4)._2,
@@ -39,23 +41,31 @@ class PipelineDemoSpec extends AnyFunSuite {
     // held out), so every stage after input is ≤ its predecessor
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"a stage grew: $stages")
-    val clusters = all(7)._2
+    // packing covers the whole train split: sequence count is bounded
+    // by the doc count and at least the per-lang minimum (5 langs)
+    val nSeqs = all(8)._2
+    assert(nSeqs >= 1 && nSeqs <= stages(7)._2,
+      s"sequence count outside [1, train docs]: $nSeqs")
+    val clusters = all(9)._2
     assert(clusters >= 1 && clusters <= 4, s"cluster audit off: $clusters")
+    import org.apache.spark.sql.functions._
     val written = spark.read.parquet(s"$out/corpus")
-    assert(written.count() == counts.last)
+    // the corpus is written AFTER the split projection: full sample
+    // row count, every row carrying a split tag
+    assert(written.count() == stages(6)._2)
+    assert(written.columns.contains("split"))
+    assert(written.filter(col("split") === "train").count() == stages(7)._2)
     // the digest must be LAYOUT-independent, not merely re-runnable:
     // recompute via the shared helper over a reshuffled, re-ordered
     // copy of the read-back corpus (re-running the identical plan
     // would prove nothing)
-    import org.apache.spark.sql.functions._
     val again = ops.Profiling.xorFingerprint(
         written.repartition(5, col("lang"))
           .sortWithinPartitions(col("doc_id").desc),
         col("doc_id").cast("string"), col("lang"))
       .head().getLong(1)
-    assert(again == all(8)._2, "replica digest not layout-independent")
+    assert(again == all(10)._2, "replica digest not layout-independent")
     // the sample is per-language capped at 20
-    import org.apache.spark.sql.functions._
     val maxPerLang = written.groupBy(col("lang")).count()
       .agg(max("count")).head().getLong(0)
     assert(maxPerLang <= 20)
