@@ -108,12 +108,13 @@ object TextAnalysis {
     * output shard (e.g. `hash(doc_id) % n_shards`), which is the same
     * plan with a finer key and keeps every partition's sort bounded by
     * shard size, not corpus size. */
-  def packSequences(docs: DataFrame, capacity: Long = 512L): DataFrame = {
+  def packSequences(docs: DataFrame, capacity: Long = 512L,
+                    packKey: String = "lang"): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .partitionBy(col(packKey)).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("lang"),
+    docs.select(col("doc_id"), col(packKey),
         aggregate(transform(toks,
           t => ceil(length(t).cast("double") / 4.0).cast("long")),
           lit(0L), (acc, x) => acc + x).as("tok"))

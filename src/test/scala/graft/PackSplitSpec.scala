@@ -78,6 +78,14 @@ class PackSplitSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 2L)))
   }
 
+  test("packing accepts an arbitrary pack key (the production sharded form)") {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+    val packed = ops.TextAnalysis.packSequences(docs, Cap, packKey = "shard")
+    assert(packed.count() == docs.count())
+    assert(packed.select("shard").distinct().count() == 8)
+  }
+
   test("packing matches a sequential-fold model on a seeded random corpus") {
     import spark.implicits._
     // seeded random corpus: ragged doc sizes across 3 pack keys
