@@ -122,6 +122,22 @@ object TextAnalysis {
       .withColumn("seq_id", expr(s"cum_before DIV $capacity"))
   }
 
+  /** The production form of [[packSequences]]: derive a bounded shard
+    * key from a stable hash of doc_id and pack per shard, so no single
+    * pack-key partition ever sorts more than ~1/nShards of the corpus
+    * (the hot-key caveat of packing per lang: one dominant language
+    * funnels its whole corpus through ONE sort task). Shard assignment
+    * uses the same cross-engine md5 digest as [[hashSplit]], so a
+    * re-run packs identically on any cluster size. */
+  def packSequencesSharded(docs: DataFrame, capacity: Long = 512L,
+                           nShards: Int = 1024): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    packSequences(
+      docs.withColumn("shard",
+        pmod(Profiling.rowDigest(col("doc_id").cast("string")), lit(nShards.toLong))),
+      capacity, packKey = "shard")
+  }
+
   /** Deterministic train/validation/test split by a stable content-free
     * hash of the document id — the md5 digest the graded dedup and
     * fingerprint twins already share with the oracle: bucket = digest %

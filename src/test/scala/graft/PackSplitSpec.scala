@@ -86,6 +86,20 @@ class PackSplitSpec extends AnyFunSuite {
     assert(packed.select("shard").distinct().count() == 8)
   }
 
+  test("sharded packing bounds every shard and stays deterministic") {
+    val docs = Tables.documents(spark, dir)
+    val packed = ops.TextAnalysis.packSequencesSharded(docs, Cap, nShards = 16)
+    assert(packed.count() == docs.count())
+    val shardSizes = packed.groupBy("shard").count().collect().map(_.getLong(1))
+    // 500 docs over 16 md5 shards: no shard should carry the corpus
+    assert(shardSizes.length > 8 && shardSizes.max < docs.count() / 2,
+      s"shard skew: ${shardSizes.toSeq.sorted.reverse.take(3)}")
+    val a = packed.select("doc_id", "shard", "seq_id").orderBy("doc_id").collect().toSeq
+    val b = ops.TextAnalysis.packSequencesSharded(docs.repartition(5), Cap, nShards = 16)
+      .select("doc_id", "shard", "seq_id").orderBy("doc_id").collect().toSeq
+    assert(a == b, "sharded packing must be repartition-invariant")
+  }
+
   test("packing matches a sequential-fold model on a seeded random corpus") {
     import spark.implicits._
     // seeded random corpus: ragged doc sizes across 3 pack keys
