@@ -58,11 +58,17 @@ object TextAnalysis {
   /** BPE-ish token-count estimate: whitespace words + ceil(word_len/4)
     * sub-word pieces (the standard ~4-chars-per-token heuristic),
     * computed as a higher-order fold — no UDF. */
+  /** The ONE BPE-ish token-count expression [[tokenEstimate]] and
+    * [[packSequences]] share — tuning the chars-per-token heuristic
+    * here moves both (and must move their DuckDB twins together). */
+  private def tokEstimate: Column =
+    aggregate(transform(toks, t => ceil(length(t).cast("double") / 4.0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   def tokenEstimate(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       size(toks).cast("long").as("n_words"),
-      aggregate(transform(toks, t => ceil(length(t).cast("double") / 4.0).cast("long")),
-        lit(0L), (acc, x) => acc + x).as("n_bpe_est"))
+      tokEstimate.as("n_bpe_est"))
 
   /** Rolling-hash document fingerprint: xxhash64 over 8-token windows,
     * keep the k smallest (winnowing) — the classic content-defined
@@ -107,17 +113,20 @@ object TextAnalysis {
     * for the pack key here; a production pipeline packs per bounded
     * output shard (e.g. `hash(doc_id) % n_shards`), which is the same
     * plan with a finer key and keeps every partition's sort bounded by
-    * shard size, not corpus size. */
+    * shard size, not corpus size.
+    *
+    * Determinism precondition: doc_id is UNIQUE per pack key (the
+    * corpus primary key). A duplicate id ties the window sort and the
+    * ROWS-frame running sum over ties is partition-layout-dependent —
+    * the duplicates could swap sequences between runs. Dedup first
+    * (the pipeline does) or add a tiebreak column. */
   def packSequences(docs: DataFrame, capacity: Long = 512L,
                     packKey: String = "lang"): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(packKey)).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col(packKey),
-        aggregate(transform(toks,
-          t => ceil(length(t).cast("double") / 4.0).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("tok"))
+    docs.select(col("doc_id"), col(packKey), tokEstimate.as("tok"))
       .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"cum_before DIV $capacity"))
   }

@@ -29,23 +29,26 @@ class PackSplitSpec extends AnyFunSuite {
     assert(packed.select("doc_id").distinct().count() == docs.count())
   }
 
-  test("packing boundary law: each sequence starts exactly where the exclusive cumsum says") {
-    // doc d lands in seq k  ⟺  k*cap ≤ cum_before(d) < is NOT required
-    // (overflow docs push cum_before past (k+1)*cap for followers) —
-    // the exact invariant is on the first doc of each sequence: its
-    // exclusive running total must lie in [k*cap, (k+1)*cap).
+  test("packing boundary law: seq_id equals an independently recomputed cumsum DIV cap") {
+    // Independent of the engine's window arithmetic: take only the
+    // per-doc token counts from the output, re-fold the exclusive
+    // running total driver-side in (lang, doc_id) order, and demand
+    // seq_id == own_cum DIV cap for every row (plus monotonicity).
+    // Only `tok` is trusted from the engine here; the fold-model test
+    // below independently re-derives tok too.
     val rows = ops.TextAnalysis.packSequences(Tables.documents(spark, dir), Cap)
       .orderBy(col("lang"), col("doc_id"))
-      .select("lang", "doc_id", "tok", "cum_before", "seq_id")
+      .select("lang", "doc_id", "tok", "seq_id")
       .collect()
     rows.groupBy(_.getString(0)).foreach { case (_, docs) =>
+      var cum = 0L
       var prevSeq = -1L
-      docs.foreach { r =>
-        val (cum, seq) = (r.getLong(3), r.getLong(4))
+      docs.sortBy(_.getLong(1)).foreach { r =>
+        val seq = r.getLong(3)
+        assert(seq == cum / Cap,
+          s"doc ${r.getLong(1)}: seq_id=$seq but independent cumsum says ${cum / Cap}")
         assert(seq >= prevSeq, "sequence ids never decrease in doc order")
-        if (seq != prevSeq)
-          assert(seq * Cap <= cum && cum < (seq + 1) * Cap,
-            s"first doc of seq $seq has cum_before=$cum outside its window")
+        cum += r.getLong(2)
         prevSeq = seq
       }
     }

@@ -41,11 +41,7 @@ class PipelineDemoSpec extends AnyFunSuite {
     // held out), so every stage after input is ≤ its predecessor
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"a stage grew: $stages")
-    // packing covers the whole train split: sequence count is bounded
-    // by the doc count and at least the per-lang minimum (5 langs)
     val nSeqs = all(8)._2
-    assert(nSeqs >= 1 && nSeqs <= stages(7)._2,
-      s"sequence count outside [1, train docs]: $nSeqs")
     val clusters = all(9)._2
     assert(clusters >= 1 && clusters <= 4, s"cluster audit off: $clusters")
     import org.apache.spark.sql.functions._
@@ -55,6 +51,12 @@ class PipelineDemoSpec extends AnyFunSuite {
     assert(written.count() == stages(6)._2)
     assert(written.columns.contains("split"))
     assert(written.filter(col("split") === "train").count() == stages(7)._2)
+    // packing partitions by lang: every language with train docs yields
+    // at least one sequence, and no sequence can outnumber the docs
+    val trainLangs = written.filter(col("split") === "train")
+      .select("lang").distinct().count()
+    assert(nSeqs >= trainLangs && nSeqs <= stages(7)._2,
+      s"sequence count outside [$trainLangs train langs, ${stages(7)._2} train docs]: $nSeqs")
     // the digest must be LAYOUT-independent, not merely re-runnable:
     // recompute via the shared helper over a reshuffled, re-ordered
     // copy of the read-back corpus (re-running the identical plan
