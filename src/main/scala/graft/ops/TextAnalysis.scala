@@ -60,8 +60,18 @@ object TextAnalysis {
     * computed as a higher-order fold — no UDF. */
   /** The ONE BPE-ish token-count expression [[tokenEstimate]] and
     * [[packSequences]] share — tuning the chars-per-token heuristic
-    * here moves both (and must move their DuckDB twins together). */
+    * here moves both (and must move their DuckDB twins together).
+    * Backed by the codegen'd one-pass [[graft.expressions.BpeTokenCount]]
+    * (value-identical to the HOF `aggregate(transform(...))` form —
+    * equality property-tested in TextExpressionsSpec; the HOF twin
+    * below stays as the executable spec of the semantics). */
   private def tokEstimate: Column =
+    graft.expressions.TextExpressions.bpe_token_count(col("text"))
+
+  /** The declarative HOF formulation of [[tokEstimate]] — interpreted
+    * lambda per token, array materialized per row; kept as the
+    * reference semantics the native expression is tested against. */
+  private[graft] def tokEstimateHof: Column =
     aggregate(transform(toks, t => ceil(length(t).cast("double") / 4.0).cast("long")),
       lit(0L), (acc, x) => acc + x)
 

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.{TextExpressions, TextKernels}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The codegen'd BpeTokenCount must be value-identical to the HOF
+  * `aggregate(transform(split(...)))` reference semantics — on the
+  * fixture corpus, on adversarial edge strings, and on seeded random
+  * unicode soup. Also pins that the graded keys actually run the
+  * native expression inside a codegen span. */
+class TextExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kernel matches the split/ceil model on edge strings") {
+    val cases = Seq(
+      "", " ", "   ", "a", "abc", "abcd", "abcde", "a b", "a  b",
+      " lead", "trail ", "  both  ", "exactly4 five5", "ü", "üüüüü",
+      "héllo wörld", "日本語のテスト 多字節", "a\tb", "mixed 日本 ascii é")
+    cases.foreach { s =>
+      val model = s.split(" ", -1).map { t =>
+        val cp = t.codePointCount(0, t.length)
+        (cp + 3L) / 4L
+      }.sum
+      val got = TextKernels.bpeCount(UTF8String.fromString(s), 4)
+      assert(got == model, s"mismatch on '$s': got $got, model $model")
+    }
+  }
+
+  test("native expression equals the HOF reference on the fixture corpus") {
+    val docs = Tables.documents(spark, dir)
+    val diff = docs.select(
+        TextExpressions.bpe_token_count(col("text")).as("native"),
+        ops.TextAnalysis.tokEstimateHof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("native expression equals the HOF reference on random unicode soup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh 1234  ,.! üé日本ク "
+    val rows = (1 to 500).map { _ =>
+      (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = rows.toDF("text")
+    val diff = df.select(
+        TextExpressions.bpe_token_count(col("text")).as("native"),
+        ops.TextAnalysis.tokEstimateHof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("graded token keys run the native expression inside codegen") {
+    val p = SparkEntry.queries("q_text_tokens_est")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("bpetokencount"),
+      s"tokens_est no longer runs the native expression:\n$p")
+    assert(p.contains("*("), s"no codegen span:\n$p")
+    val pp = SparkEntry.queries("q_pack_sequences")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(pp.toLowerCase.contains("bpetokencount"),
+      s"packing no longer runs the native expression:\n$pp")
+  }
+
+  test("SQL registration works") {
+    TextExpressions.register(spark)
+    val n = spark.sql("SELECT bpe_token_count('hello world wide') AS n")
+      .head().getLong(0)
+    assert(n == 5L) // ceil(5/4) + ceil(5/4) + ceil(4/4)
+  }
+}
