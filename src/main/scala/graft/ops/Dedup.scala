@@ -52,10 +52,14 @@ object Dedup {
     // throws at runtime
     val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array())
+    // per-doc distinct computed ROW-LOCALLY: doc_id is unique, so
+    // distinct over (doc_id, lang, shingle) rows equals array_distinct
+    // inside the row — which deletes the full-table distinct SHUFFLE
+    // (exchange + sort/agg over every shingle) every dedup pipeline
+    // paid. array_distinct is hash-set based (O(shingles) per row).
     toked.select(col("doc_id"), col("lang"),
-        explode(transform(idx,
-          i => wrap(concat_ws(" ", slice(toks, i + 1, lit(n)))))).as(outName))
-      .distinct()
+        explode(array_distinct(transform(idx,
+          i => wrap(concat_ws(" ", slice(toks, i + 1, lit(n))))))).as(outName))
   }
 
   private[graft] def shingles(docs: DataFrame, n: Int = 3): DataFrame =
