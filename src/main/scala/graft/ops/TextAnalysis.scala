@@ -82,8 +82,20 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint: xxhash64 over 8-token windows,
     * keep the k smallest (winnowing) — the classic content-defined
-    * fingerprint for containment detection. Spark-hash-based. */
+    * fingerprint for containment detection. Spark-hash-based. Runs the
+    * codegen'd one-pass [[graft.expressions.WinnowFingerprint]]
+    * (measured 30× the HOF form's per-row cost at sf0.1×20);
+    * value-equality with [[fingerprintsHof]] is property-tested in
+    * TextExpressionsSpec. */
   def fingerprints(docs: DataFrame, window: Int = 8, keep: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      graft.expressions.TextExpressions
+        .winnow_fingerprint(col("text"), window, keep).as("fingerprint"))
+
+  /** The declarative HOF formulation of [[fingerprints]] — kept as the
+    * reference semantics the native expression is tested against. */
+  private[graft] def fingerprintsHof(docs: DataFrame, window: Int = 8,
+                                     keep: Int = 4): DataFrame =
     fingerprintsBy(docs, window, keep,
       w => xxhash64(w))
 

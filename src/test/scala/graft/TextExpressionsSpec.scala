@@ -73,6 +73,40 @@ class TextExpressionsSpec extends AnyFunSuite {
       s"packing no longer runs the native expression:\n$pp")
   }
 
+  test("winnow fingerprint equals the HOF reference on the fixture corpus") {
+    val docs = Tables.documents(spark, dir)
+    val native = ops.TextAnalysis.fingerprints(docs)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    val hof = ops.TextAnalysis.fingerprintsHof(docs)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    assert(native == hof)
+  }
+
+  test("winnow fingerprint equals the HOF reference on adversarial and random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab  cd 12 üé日 ,. "
+    val edge = Seq("", " ", "    ", "one", "one two",
+      "exactly eight tokens in this very short doc",
+      "now nine tokens so there are two sliding windows here",
+      "a  b   c  double  and  triple  spaces  between  tokens  here  now")
+    val rows = edge ++ (1 to 300).map(_ =>
+      (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val native = ops.TextAnalysis.fingerprints(df)
+      .orderBy("doc_id").collect().map(r => r.getSeq[Long](1)).toSeq
+    val hof = ops.TextAnalysis.fingerprintsHof(df)
+      .orderBy("doc_id").collect().map(r => r.getSeq[Long](1)).toSeq
+    assert(native == hof)
+  }
+
+  test("q_text_fingerprint runs the native winnow expression") {
+    val p = SparkEntry.queries("q_text_fingerprint")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("winnowfingerprint"),
+      s"fingerprint key no longer runs the native expression:\n$p")
+  }
+
   test("SQL registration works") {
     TextExpressions.register(spark)
     val n = spark.sql("SELECT bpe_token_count('hello world wide') AS n")
