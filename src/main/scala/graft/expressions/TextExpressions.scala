@@ -85,6 +85,40 @@ case class WinnowFingerprint(child: Expression, window: Int, keep: Int)
     copy(child = newChild)
 }
 
+/** One-pass DISTINCT n-gram shingle hashes: xxhash64 (seed 42) of every
+  * n-token sliding window of the space-tokenized text, duplicates
+  * removed, ascending — the set the whole dedup family (near-dup
+  * Jaccard, MinHash, decontamination) consumes after an explode.
+  * Value-identical (as a set) to
+  * `array_distinct(transform(sequence(...), i ->
+  * xxhash64(concat_ws(" ", slice(toks, i+1, n)))))` via the same
+  * byte-slice identity as [[WinnowFingerprint]]; differs from winnow's
+  * edge rule on purpose: a doc with fewer than `n` tokens contributes
+  * NO shingles (matching the declarative guard), not a clamped whole-
+  * doc window. Output order is ascending rather than first-occurrence
+  * — every consumer explodes into set-semantics aggregations/joins, so
+  * order is immaterial (asserted by the sorted-set equality property).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, s"shingle size must be positive, got $n")
+
+  // input must be STRING; the call site (TextExpressions) casts
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** Static kernel the generated code calls (kept outside the case-class
   * companion so the codegen call target is an unambiguous static). */
 object TextKernels {
@@ -151,6 +185,47 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(top, filled))
   }
+
+  /** See [[ShingleHashes]]: distinct window hashes, sorted ascending. */
+  def shingleHashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val b = s.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = b.length
+    val nWin = nTok - n + 1
+    val hs = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val st = starts(w)
+      val en = ends(w + n - 1)
+      hs(w) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + st, en - st, 42L)
+      w += 1
+    }
+    // sort + in-place unique (no per-doc hash-set allocation churn)
+    java.util.Arrays.sort(hs)
+    var out = 1
+    i = 1
+    while (i < nWin) {
+      if (hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, out))
+  }
 }
 
 object TextExpressions {
@@ -166,6 +241,11 @@ object TextExpressions {
   def winnow_fingerprint(text: Column, window: Int = 8, keep: Int = 4): Column =
     GraftBridge.column(WinnowFingerprint(
       Cast(GraftBridge.expression(text), StringType), window, keep))
+
+  /** Column API: one-pass distinct n-gram shingle hash set (ascending). */
+  def shingle_hashes(text: Column, n: Int = 3): Column =
+    GraftBridge.column(ShingleHashes(
+      Cast(GraftBridge.expression(text), StringType), n))
 
   /** SQL registration: `SELECT bpe_token_count(text)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

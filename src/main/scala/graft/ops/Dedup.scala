@@ -71,8 +71,21 @@ object Dedup {
     * downstream consumer (MinHash, near-dup join) actually wants;
     * [[shingles]] keeps the string form for diagnostics/tests. Distinct
     * over hashes equals distinct over strings modulo 64-bit collisions
-    * (negligible at any corpus size that fits a cluster). */
+    * (negligible at any corpus size that fits a cluster).
+    *
+    * Runs the codegen'd one-pass
+    * [[graft.expressions.ShingleHashes]] (token offsets → per-window
+    * XXH64 over the text's own bytes → sort-unique; no token array, no
+    * window strings, no interpreted lambda); set-equality with the
+    * declarative [[shingleHashesHof]] form is property-tested in
+    * TextExpressionsSpec. */
   private[graft] def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(graft.expressions.TextExpressions.shingle_hashes(col("text"), n))
+        .as("h0"))
+
+  /** Declarative HOF reference form of [[shingleHashes]]. */
+  private[graft] def shingleHashesHof(docs: DataFrame, n: Int = 3): DataFrame =
     shingleCol(docs, n, "h0", xxhash64(_))
 
   /** MinHash signature: hash each shingle string to 64 bits ONCE, then

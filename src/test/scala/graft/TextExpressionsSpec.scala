@@ -100,6 +100,30 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("shingle hash set equals the declarative reference on fixture and edge strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = "xy z 12  w üé日 "
+    val edge = Seq("", " ", "one", "one two", "one two three",
+      "a  b   c double  spaces", "exactly three tokens")
+    val synth = (edge ++ (1 to 300).map(_ =>
+      (0 until rnd.nextInt(100)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString))
+      .zipWithIndex.map { case (s, i) => (i.toLong, "en", s) }
+      .toDF("doc_id", "lang", "text")
+    Seq(synth, Tables.documents(spark, dir)).foreach { df =>
+      val native = ops.Dedup.shingleHashes(df)
+        .groupBy("doc_id").agg(sort_array(collect_list("h0")).as("hs"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+      val hof = ops.Dedup.shingleHashesHof(df)
+        .groupBy("doc_id").agg(sort_array(collect_list("h0")).as("hs"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+      assert(native == hof)
+      // docs with < 3 tokens contribute NO rows in both forms — so the
+      // grouped comparison above can't silently pass on a missing doc
+      assert(native.nonEmpty)
+    }
+  }
+
   test("q_text_fingerprint runs the native winnow expression") {
     val p = SparkEntry.queries("q_text_fingerprint")(spark, dir)
       .queryExecution.executedPlan.toString
