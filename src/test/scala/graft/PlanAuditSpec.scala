@@ -374,4 +374,22 @@ class PlanAuditSpec extends AnyFunSuite
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"split lost its partial aggregation:\n$p")
   }
+
+  test("SQ8 quantization is a pure projection; quantized search broadcasts the query side") {
+    // quantize: no join, no window, no aggregation — the only exchange
+    // is the terminal presentation orderBy's range partition
+    val dfq = SparkEntry.queries("q_vec_quantize")(spark, dir)
+    val pq = plan(dfq)
+    assert(!pq.contains("Join") && !pq.contains("Window"),
+      s"quantize plan grew a join/window:\n$pq")
+    assert(ops.Bucketing.shuffleExchanges(dfq).size == 1,
+      s"quantize plan grew a shuffle beyond the output sort:\n$pq")
+    // search: the 10-query side must broadcast (knn's pinned shape) —
+    // a non-broadcast cartesian here would shuffle the candidate
+    // stream at 100 TB
+    val ps = plan(SparkEntry.queries("q_vec_ann_sq8")(spark, dir))
+    assert(ps.contains("BroadcastNestedLoopJoin") || ps.contains("BroadcastExchange"),
+      s"sq8 search lost its broadcast:\n$ps")
+    assert(!ps.contains("CartesianProduct"), s"sq8 search degenerated:\n$ps")
+  }
 }
