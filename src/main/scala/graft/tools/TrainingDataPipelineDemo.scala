@@ -120,6 +120,15 @@ object TrainingDataPipelineDemo {
 
     Sources.toParquet(split, s"$outDir/corpus")
 
+    // quantized embedding store: the curated corpus' vectors persisted
+    // in the SQ8 int8 form (qb: 1 byte per dim vs 4 for float32 — the
+    // storage rung of the ANN ladder; reconstruction error bounded by
+    // scale/2 per component, QuantizeSpec). Read back so the reported
+    // count covers the persisted store, like the corpus checksum.
+    Sources.toParquet(Vectors.quantizeInt8(emb)
+      .select(col("vec_id"), col("scale"), col("qb")), s"$outDir/emb_sq8")
+    val sq8Rows = spark.read.parquet(s"$outDir/emb_sq8").count()
+
     // replica fingerprint of what was actually written (read back, so
     // the digest covers the persisted bytes' row set, not the plan);
     // ONE digest definition — Profiling.xorFingerprint, shared with
@@ -140,7 +149,8 @@ object TrainingDataPipelineDemo {
       "split_train" -> train.count(),
       "packed_sequences" -> nSeqs,
       "semantic_clusters" -> clusters,
-      "xor_fingerprint" -> checksum)
+      "xor_fingerprint" -> checksum,
+      "sq8_vectors" -> sq8Rows)
     finally {
       Seq(gated, boiled, clean, deduped, sampled).foreach(_.unpersist())
       Vectors.clearKmeansCache()

@@ -22,7 +22,8 @@ class PipelineDemoSpec extends AnyFunSuite {
     assert(all.map(_._1) ==
       Seq("input", "quality_gated", "boilerplate_cleaned", "decontaminated",
         "deduped", "pii_redacted", "sampled", "split_train",
-        "packed_sequences", "semantic_clusters", "xor_fingerprint"))
+        "packed_sequences", "semantic_clusters", "xor_fingerprint",
+        "sq8_vectors"))
     // the first eight entries are FILTER stages (split_train is the
     // 90% bulk subset of the sample); the last three are audit
     // metadata (sequence count, cluster count, replica digest)
@@ -71,5 +72,12 @@ class PipelineDemoSpec extends AnyFunSuite {
     val maxPerLang = written.groupBy(col("lang")).count()
       .agg(max("count")).head().getLong(0)
     assert(maxPerLang <= 20)
+    // the SQ8 vector store persists in the 1-byte packed element type
+    // and its reported count covers the read-back rows
+    val sq8 = spark.read.parquet(s"$out/emb_sq8")
+    assert(sq8.count() == all(11)._2 && all(11)._2 > 0)
+    assert(sq8.schema("qb").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
   }
 }
