@@ -185,6 +185,27 @@ object Vectors {
       size(filter(col("q"), qi => abs(qi) === 127L)).cast("long").as("n_sat"))
   }
 
+  /** The shared brute-force cosine top-5 shape (q_vec_knn on the exact
+    * vectors, q_vec_ann_sq8 on the quantized ones): vec_ids < 10 are
+    * the broadcast query side, the rest stream as candidates; ranking
+    * on the 4-dp-rounded cosine with c_id tie-break so both engines
+    * walk the same grid. Input: (vec_id, v: ARRAY<DOUBLE>). */
+  private def broadcastTop5(vecs: DataFrame): DataFrame = {
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = vecs.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val cos4 = round(
+      graft.expressions.VectorExpressions.cosine_sim(col("qv"), col("cv")), 4)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos4").desc, col("c_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos4", cos4)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"), col("cos4"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SQ8 quantization graded end-to-end: per-vector scale, the full
     // quantized vector (comma-joined — the fingerprint keys' list
@@ -198,29 +219,16 @@ object Vectors {
         .orderBy(col("vec_id"))
     },
 
-    // Cosine top-5 in QUANTIZED space — q_vec_knn's exact shape
-    // (broadcast 10-query side × candidate stream) run over the SQ8
-    // vectors: integer-valued doubles, so every dot is exact integer
-    // arithmetic (|q| ≤ 127, 64 dims → |⟨q,c⟩| ≤ 64·127² ≪ 2⁵³) and
-    // the quantized ranking hash-matches DuckDB. Top-5 agreement with
-    // the exact ranking is 49/50 at both test tiers (QuantizeSpec) —
-    // the compression-vs-recall trade SQ8 buys.
+    // Cosine top-5 in QUANTIZED space — [[broadcastTop5]] (q_vec_knn's
+    // shape) run over the SQ8 vectors: integer-valued doubles, so
+    // every dot is exact integer arithmetic (|q| ≤ 127, 64 dims →
+    // |⟨q,c⟩| ≤ 64·127² ≪ 2⁵³) and the quantized ranking hash-matches
+    // DuckDB. Top-5 agreement with the exact ranking is 49/50 at both
+    // test tiers (QuantizeSpec) — the compression-vs-recall trade SQ8
+    // buys.
     "q_vec_ann_sq8" -> { (s, dir) =>
-      val qz = quantizeInt8(Tables.embeddings(s, dir))
-        .select(col("vec_id"), transform(col("q"), _.cast("double")).as("qd"))
-      val q = qz.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("qd").as("qv"))
-      val c = qz.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("c_id"), col("qd").as("cv"))
-      val cos4 = round(
-        graft.expressions.VectorExpressions.cosine_sim(col("qv"), col("cv")), 4)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos4").desc, col("c_id"))
-      c.crossJoin(broadcast(q))
-        .withColumn("cos4", cos4)
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .select(col("q_id"), col("c_id"), col("cos4"), col("rn"))
-        .orderBy(col("q_id"), col("rn"))
+      broadcastTop5(quantizeInt8(Tables.embeddings(s, dir))
+        .select(col("vec_id"), transform(col("q"), _.cast("double")).as("v")))
     },
 
     // GRADED ANN-LSH twin (r6): bucket assignment + in-bucket exact
@@ -290,26 +298,13 @@ object Vectors {
         .orderBy(col("vec_id"))
     },
 
-    // Brute-force cosine top-5: 10 query vectors (broadcast) × all
-    // candidates. Ranking is on the rounded cosine + id tie-break so
-    // both engines walk the same 4-dp grid. Uses the custom codegen
+    // Brute-force cosine top-5 ([[broadcastTop5]]): 10 query vectors
+    // (broadcast) × all candidates. Uses the custom codegen
     // CosineSimilarity expression — proven bit-identical to the HOF
     // fold (VectorExpressionsSpec), so the oracle match is unchanged.
     "q_vec_knn" -> { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), dbl(col("embedding")).as("qv"))
-      val c = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("c_id"), dbl(col("embedding")).as("cv"))
-      val cos4 = round(
-        graft.expressions.VectorExpressions.cosine_sim(col("qv"), col("cv")), 4)
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos4").desc, col("c_id"))
-      c.crossJoin(broadcast(q))
-        .withColumn("cos4", cos4)
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .select(col("q_id"), col("c_id"), col("cos4"), col("rn"))
-        .orderBy(col("q_id"), col("rn"))
+      broadcastTop5(Tables.embeddings(s, dir)
+        .select(col("vec_id"), dbl(col("embedding")).as("v")))
     },
 
     // Exact embedding-cosine near-dup — the oracle-verifiable baseline

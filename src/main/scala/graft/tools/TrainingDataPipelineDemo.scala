@@ -46,9 +46,11 @@ import graft.sources.Sources
 object TrainingDataPipelineDemo {
 
   /** Run the pipeline; returns the per-stage surviving doc counts
-    * (insertion-ordered) plus two closing audit entries — the
-    * non-empty semantic-cluster count and the XOR replica digest of
-    * the written corpus — for the caller to print or assert on.
+    * (insertion-ordered) plus the closing audit entries — the packed
+    * sequence count, the non-empty semantic-cluster count, the XOR
+    * replica digest of the written corpus, and the row count of the
+    * persisted SQ8 vector store — for the caller to print or assert
+    * on.
     *
     * Each stage is persisted before it is counted AND consumed by the
     * next stage — without that, the five counts plus the final write
@@ -113,8 +115,10 @@ object TrainingDataPipelineDemo {
     // many clusters are NON-EMPTY — a dropped cluster means the
     // language-stratified sample is semantically lopsided and the
     // q_sample_semantic form should replace stage 5
+    // cached: consumed by the cluster audit AND the SQ8 store write
     val emb = Tables.embeddings(spark, dir)
       .join(sampled.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .cache()
     val clusters = Vectors.kmeansAssignments(emb, k = 4, iters = 2)
       .select("cid").distinct().count()
 
@@ -152,7 +156,7 @@ object TrainingDataPipelineDemo {
       "xor_fingerprint" -> checksum,
       "sq8_vectors" -> sq8Rows)
     finally {
-      Seq(gated, boiled, clean, deduped, sampled).foreach(_.unpersist())
+      Seq(gated, boiled, clean, deduped, sampled, emb).foreach(_.unpersist())
       Vectors.clearKmeansCache()
     }
   }
@@ -176,6 +180,7 @@ object TrainingDataPipelineDemo {
         case "semantic_clusters" => "clusters"
         case "packed_sequences"  => "sequences"
         case "xor_fingerprint"   => "(digest)"
+        case "sq8_vectors"       => "vectors"
         case _                   => "docs"
       }
       println(f"[pipeline] $stage%-17s $n%19d $unit")

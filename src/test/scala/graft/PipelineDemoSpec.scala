@@ -25,9 +25,9 @@ class PipelineDemoSpec extends AnyFunSuite {
         "packed_sequences", "semantic_clusters", "xor_fingerprint",
         "sq8_vectors"))
     // the first eight entries are FILTER stages (split_train is the
-    // 90% bulk subset of the sample); the last three are audit
-    // metadata (sequence count, cluster count, replica digest)
-    // outside the shrink law
+    // 90% bulk subset of the sample); the last four are audit
+    // metadata (sequence count, cluster count, replica digest, SQ8
+    // store rows) outside the shrink law
     val stages = all.take(8)
     val counts = stages.map(_._2)
     // redaction masks in place — it must never drop or add rows
@@ -73,9 +73,19 @@ class PipelineDemoSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0)
     assert(maxPerLang <= 20)
     // the SQ8 vector store persists in the 1-byte packed element type
-    // and its reported count covers the read-back rows
+    // and covers EXACTLY the curated corpus' vectors: every vec_id is
+    // a written doc_id (the semi-join held) and nothing sampled with a
+    // vector was dropped — pinned against the INDEPENDENT corpus
+    // parquet, not the store's own reported count
     val sq8 = spark.read.parquet(s"$out/emb_sq8")
-    assert(sq8.count() == all(11)._2 && all(11)._2 > 0)
+    assert(all(11)._2 > 0 && sq8.count() == all(11)._2)
+    val corpusIds = written.select(col("doc_id").as("vec_id"))
+    assert(sq8.join(corpusIds, Seq("vec_id"), "left_anti").count() == 0,
+      "SQ8 store contains vectors outside the written corpus")
+    val missing = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .join(corpusIds, Seq("vec_id"), "left_semi")
+      .join(sq8.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    assert(missing == 0, s"$missing corpus vectors missing from the SQ8 store")
     assert(sq8.schema("qb").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType == org.apache.spark.sql.types.ByteType)
