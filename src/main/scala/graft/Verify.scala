@@ -22,6 +22,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    writeOracleJson(s"$outDir/oracle_sql.json")
+    spark.stop()
+  }
+
+  /** Dump SparkEntry.oracleSql as JSON (shared with OracleTypeAuditSpec,
+    * which feeds it to tools/oracle_types.py without a Spark run). */
+  def writeOracleJson(path: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -36,7 +43,6 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    Files.writeString(Paths.get(path), json)
   }
 }

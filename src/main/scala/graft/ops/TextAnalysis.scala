@@ -546,7 +546,10 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin,
 
     // exclusive running sum // capacity — DuckDB's window ROWS frame and
-    // integer // match Spark's rowsBetween(unboundedPreceding, -1) + DIV
+    // integer // match Spark's rowsBetween(unboundedPreceding, -1) + DIV.
+    // CAST back to BIGINT: DuckDB's window SUM(BIGINT) widens to HUGEINT and
+    // // preserves it, while Spark emits BIGINT (§2.8 rule 4 — every output
+    // column, including derived ones, needs an explicit CAST on both sides).
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -555,8 +558,9 @@ object TextAnalysis {
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, lang, tok,
-        |    COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS seq_id
+        |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+        |      AS BIGINT) AS seq_id
         |  FROM t)
         |SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(tok) AS BIGINT) AS sum_tok,

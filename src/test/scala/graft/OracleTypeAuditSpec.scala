@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import scala.sys.process._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Standing §2.8 rule-4 enforcement (round 10): every oracle SQL's
+  * OUTPUT types must stay inside the closed set the driver's typed hash
+  * accepts — {BIGINT, DOUBLE, VARCHAR, BOOLEAN, INTEGER}.
+  *
+  * Why: DuckDB silently widens window/aggregate SUM(BIGINT) to HUGEINT
+  * (r9's only red row, q_pack_sequences.seq_id) and AVG-like forms to
+  * DECIMAL. The values are identical, so a value-level differential
+  * check passes while the driver's typed hash fails. This spec shells
+  * out to tools/oracle_types.py, which DESCRIBEs all oracle strings in
+  * DuckDB against the sf0.001 tables — no Spark execution needed, so it
+  * runs in seconds and catches a widened oracle the moment it is
+  * authored, not at the driver.
+  *
+  * Cancels (rather than fails) if python3/duckdb is unavailable, so the
+  * suite stays runnable in a bare JVM-only environment; in this
+  * container duckdb is present and the audit is live.
+  */
+class OracleTypeAuditSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def duckdbAvailable: Boolean =
+    try Seq("python3", "-c", "import duckdb").! == 0
+    catch { case _: Exception => false }
+
+  test("all oracle output types are in the driver-safe closed set") {
+    assume(duckdbAvailable, "python3+duckdb not available; audit skipped")
+    val json = Files.createTempFile("oracle_sql", ".json")
+    try {
+      Verify.writeOracleJson(json.toString)
+      val out = new StringBuilder
+      val rc = Seq("python3", "tools/oracle_types.py", sfDir, json.toString)
+        .!(ProcessLogger(l => out.append(l).append('\n')))
+      assert(rc == 0, s"oracle type audit failed:\n$out")
+      // sanity: the audit actually saw the full oracle map, not an
+      // empty file — guard against a silent no-op
+      assert(out.toString.contains(s"${SparkEntry.oracleSql.size} oracles audited"),
+        s"audit did not cover all oracles:\n$out")
+    } finally Files.deleteIfExists(json)
+  }
+}

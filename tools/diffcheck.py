@@ -10,9 +10,25 @@ Usage: python3 tools/diffcheck.py <sfDir> <outDir>
   the Spark-written parquet: column-name sets, row counts, and values
   cell-by-cell with exact equality (columns sorted by name, like the
   driver's hash).
+
+TYPE-STRICT (round 10): the driver's hash is typed, so value equality is
+not enough — r9's only red row was a DuckDB window SUM(BIGINT) widening
+seq_id to HUGEINT while the values matched. For every oracled key we now
+DESCRIBE both sides and fail on (a) any per-column type mismatch between
+the oracle result and the Spark-written parquet, and (b) any oracle
+output type outside the closed set ALLOWED_TYPES — HUGEINT / UBIGINT /
+DECIMAL / UHUGEINT widenings can never pass the driver, so they can
+never pass here either.
 """
 import sys, os, json, glob, math
 import duckdb
+
+# Closed set of oracle output types (§2.8 rule 4) — exactly the types
+# the 137 oracles emit today (DESCRIBE sweep, round 10). Anything else —
+# in particular DuckDB's silent SUM/AVG widenings to HUGEINT or DECIMAL —
+# needs an explicit CAST in the oracle SQL. Extending the set (e.g. DATE
+# for a future calendar oracle) is a deliberate one-line change here.
+ALLOWED_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "INTEGER"}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -47,6 +63,9 @@ def main(sfdir, outdir):
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {key}: columns spark={sorted(got_cols)} "
                   f"duck={sorted(exp_cols)}"); n_fail += 1; continue
+        terr = type_audit(con, oracle[key], files[0])
+        if terr:
+            print(f"FAIL {key}: {terr}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {key}: rows spark={len(got)} duck={len(exp)}")
             n_fail += 1; continue
@@ -70,6 +89,27 @@ def main(sfdir, outdir):
     print(f"== {n_pass} pass, {n_fail} fail, "
           f"{len(spark_dirs)-n_pass-n_fail} skipped ==")
     return 1 if n_fail else 0
+
+def type_audit(con, sql, spark_parquet):
+    """Typed compare of the oracle's output schema against the
+    Spark-written parquet's schema (both as DuckDB sees them), plus the
+    ALLOWED_TYPES closed set. Returns an error string or None."""
+    duck = dict(con.execute(
+        f"SELECT column_name, column_type FROM (DESCRIBE ({sql}))"
+    ).fetchall())
+    spark = dict(con.execute(
+        "SELECT column_name, column_type FROM (DESCRIBE (SELECT * FROM "
+        f"read_parquet('{spark_parquet}')))").fetchall())
+    for c, t in sorted(duck.items()):
+        if t not in ALLOWED_TYPES:
+            return (f"oracle col {c} has type {t}, outside the closed set "
+                    f"{sorted(ALLOWED_TYPES)} — add an explicit CAST in the "
+                    "oracle SQL (§2.8 rule 4)")
+        st = spark.get(c)
+        if st is not None and st != t:
+            return (f"type mismatch on col {c}: spark parquet={st} vs "
+                    f"oracle={t} — the driver's typed hash will fail this")
+    return None
 
 def cell_eq(a, b):
     if a is None or b is None:
