@@ -332,6 +332,22 @@ object TextAnalysis {
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("lang"), col("seq_id"))
     },
+    // The PRODUCTION packer, graded end-to-end: shard by the md5 doc_id
+    // digest (DuckDB-reproducible, same idiom as q_sample_split), pack
+    // per shard, summarize per (shard, seq_id). 32 shards at this SF
+    // gives every shard a multi-doc, multi-sequence packing, so the
+    // hash pins the shard assignment AND the per-shard boundary
+    // arithmetic — the sharded form can no longer drift from the graded
+    // per-lang form (r9 verdict task 4).
+    "q_pack_sharded" -> { (s, dir) =>
+      packSequencesSharded(Tables.documents(s, dir), nShards = 32)
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("tok")).cast("long").as("sum_tok"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("seq_id"))
+    },
     // Hash split, summarized per (split, lang): the per-cell counts +
     // char totals pin every doc's assignment through the group hash.
     "q_sample_split" -> { (s, dir) =>
@@ -566,6 +582,28 @@ object TextAnalysis {
         |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+
+    // the sharded packer: q_sample_split's md5 shard digest composed
+    // with q_pack_sequences' exclusive-running-sum boundary arithmetic
+    // (seq_id CAST per §2.8 rule 4 — window SUM widens to HUGEINT)
+    "q_pack_sharded" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 32 AS shard,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      x -> CAST(ceil(CAST(length(x) AS DOUBLE) / 4.0) AS BIGINT))) AS tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, shard, tok,
+        |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+        |      AS BIGINT) AS seq_id
+        |  FROM t)
+        |SELECT shard, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM p GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
 
     // same 60-bit md5 digest idiom as the fingerprint/dedup twins
     "q_sample_split" ->

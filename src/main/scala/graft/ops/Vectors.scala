@@ -211,6 +211,9 @@ object Vectors {
     // quantized vector (comma-joined — the fingerprint keys' list
     // output convention), the exact reconstruction-error max and the
     // saturation count all hash-match DuckDB.
+    // NOT NULL assumption on embeddings.embedding (FixtureSchemaSpec
+    // asserts it): concat_ws maps a NULL array to "" where DuckDB's
+    // array_to_string yields NULL — grading relies on no NULLs.
     "q_vec_quantize" -> { (s, dir) =>
       quantizeInt8(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("scale"),
@@ -379,6 +382,26 @@ object Vectors {
   )
 
   private val qvCast = "CAST(embedding AS DOUBLE[])"
+
+  /** Shared SQ8 quantization CTE chain — the single DuckDB copy of the
+    * vmax/scale/floor math that must stay bit-identical with
+    * [[quantizeInt8]] (r9 advice: q_vec_quantize and q_vec_ann_sq8
+    * each carried their own copy, three versions to keep in lockstep).
+    * Emits `qz(vec_id, v, scale, qv)` with qv the BIGINT quantized
+    * vector; consumers project/cast from there. */
+  private val sq8Cte: String =
+    s"""e AS (
+       |  SELECT vec_id, $qvCast AS v FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, v,
+       |    list_max(list_transform(v, x -> abs(x))) AS vmax,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM e),
+       |qz AS (
+       |  SELECT vec_id, v, scale,
+       |    list_transform(v, x -> CASE WHEN vmax = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(FLOOR(x / scale + 0.5) AS BIGINT) END) AS qv
+       |  FROM s)""".stripMargin
 
   /** The md5-seeded sign vectors as DuckDB list literals, and the
     * 8-term bucket expression — generated from the SAME
@@ -623,41 +646,23 @@ object Vectors {
     // (round-half-up via floor — exact in both engines, unlike ROUND's
     // tie rule), error/saturation stats over the same IEEE sequences.
     "q_vec_quantize" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, $qvCast AS v FROM embeddings),
-         |s AS (
-         |  SELECT vec_id, v,
-         |    list_max(list_transform(v, x -> abs(x))) AS vmax,
-         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-         |  FROM e),
-         |q AS (
-         |  SELECT vec_id, v, scale,
-         |    list_transform(v, x -> CASE WHEN vmax = 0 THEN CAST(0 AS BIGINT)
-         |      ELSE CAST(FLOOR(x / scale + 0.5) AS BIGINT) END) AS qv
-         |  FROM s)
+      s"""WITH $sq8Cte
          |SELECT vec_id, scale,
          |  array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',') AS q_str,
          |  list_max(list_transform(generate_series(1, len(qv)),
          |    i -> abs(CAST(qv[i] AS DOUBLE) * scale - v[i]))) AS max_err,
          |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
-         |FROM q ORDER BY vec_id""".stripMargin,
+         |FROM qz ORDER BY vec_id""".stripMargin,
 
     "q_vec_ann_sq8" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, $qvCast AS v FROM embeddings),
-         |s0 AS (
-         |  SELECT vec_id, v,
-         |    list_max(list_transform(v, x -> abs(x))) AS vmax,
-         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-         |  FROM e),
-         |qz AS (
+      s"""WITH $sq8Cte,
+         |qd AS (
          |  SELECT vec_id,
-         |    list_transform(v, x -> CASE WHEN vmax = 0 THEN 0.0
-         |      ELSE CAST(CAST(FLOOR(x / scale + 0.5) AS BIGINT) AS DOUBLE) END) AS qd
-         |  FROM s0),
-         |q AS (SELECT vec_id AS q_id, qd AS qv FROM qz WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS c_id, qd AS cv FROM qz WHERE vec_id >= 10),
-         |s AS (
+         |    list_transform(qv, x -> CAST(x AS DOUBLE)) AS qd
+         |  FROM qz),
+         |q AS (SELECT vec_id AS q_id, qd AS qv FROM qd WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, qd AS cv FROM qd WHERE vec_id >= 10),
+         |sc AS (
          |  SELECT q_id, c_id,
          |    ROUND(list_inner_product(qv, cv)
          |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 4) AS cos4
@@ -665,7 +670,7 @@ object Vectors {
          |SELECT q_id, c_id, cos4, rn FROM (
          |  SELECT q_id, c_id, cos4,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos4 DESC, c_id) AS BIGINT) AS rn
-         |  FROM s) t
+         |  FROM sc) t
          |WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin,
 

@@ -86,6 +86,14 @@ class FixtureSchemaSpec extends AnyFunSuite {
     // embedding width is a contract for the ANN/k-means stack
     assert(spark.read.parquet(s"$dir/embeddings.parquet")
       .select(size(col("embedding"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
+    // NOT NULL is a contract for the quantize/knn oracles: Spark's
+    // concat_ws returns "" for a NULL array where DuckDB's
+    // array_to_string returns NULL (r9 advice) — a NULL embedding
+    // would silently diverge grading, so fail HERE, by name, instead
+    assert(spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("embedding").isNull).count() == 0,
+      "embeddings fixture contains NULL vectors — q_vec_quantize/q_str " +
+        "grading assumes NOT NULL")
   }
 
   test("Tables.events normalizes to TimestampType whatever the fixture ships") {

@@ -16,9 +16,13 @@ class PipelineDemoSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // one literal for BOTH the demo input and the embeddings cross-check
+  // below — two copies could drift to different tiers (r9 advice)
+  private val dir = "/root/testdata/sf0.001"
+
   test("training-data pipeline runs end-to-end, stages only shrink, output lands") {
     val out = Files.createTempDirectory("graft_pipe").toString
-    val all = tools.TrainingDataPipelineDemo.run(spark, "/root/testdata/sf0.001", out)
+    val all = tools.TrainingDataPipelineDemo.run(spark, dir, out)
     assert(all.map(_._1) ==
       Seq("input", "quality_gated", "boilerplate_cleaned", "decontaminated",
         "deduped", "pii_redacted", "sampled", "split_train",
@@ -82,7 +86,7 @@ class PipelineDemoSpec extends AnyFunSuite {
     val corpusIds = written.select(col("doc_id").as("vec_id"))
     assert(sq8.join(corpusIds, Seq("vec_id"), "left_anti").count() == 0,
       "SQ8 store contains vectors outside the written corpus")
-    val missing = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val missing = Tables.embeddings(spark, dir)
       .join(corpusIds, Seq("vec_id"), "left_semi")
       .join(sq8.select("vec_id"), Seq("vec_id"), "left_anti").count()
     assert(missing == 0, s"$missing corpus vectors missing from the SQ8 store")

@@ -360,6 +360,15 @@ class PlanAuditSpec extends AnyFunSuite
     val ex = ops.Bucketing.shuffleExchanges(df)
     assert(ex.size == 2, s"packing plan grew a shuffle:\n${plan(df)}")
     assert(!plan(df).contains("Join"), s"packing grew a join:\n${plan(df)}")
+    // the graded production form keeps the SAME 2-shuffle shape — the
+    // md5 shard key is a pure projection, so sharding must not add an
+    // exchange (1024-way sharding with an extra shuffle per shard
+    // round-trip would be a 100 TB regression)
+    val dfs = SparkEntry.queries("q_pack_sharded")(spark, dir)
+    assert(ops.Bucketing.shuffleExchanges(dfs).size == 2,
+      s"sharded packing plan grew a shuffle:\n${plan(dfs)}")
+    assert(!plan(dfs).contains("Join"),
+      s"sharded packing grew a join:\n${plan(dfs)}")
   }
 
   test("hash split: join-free, window-free, partial+final aggregate only") {
@@ -386,10 +395,21 @@ class PlanAuditSpec extends AnyFunSuite
       s"quantize plan grew a shuffle beyond the output sort:\n$pq")
     // search: the 10-query side must broadcast (knn's pinned shape) —
     // a non-broadcast cartesian here would shuffle the candidate
-    // stream at 100 TB
-    val ps = plan(SparkEntry.queries("q_vec_ann_sq8")(spark, dir))
-    assert(ps.contains("BroadcastNestedLoopJoin") || ps.contains("BroadcastExchange"),
-      s"sq8 search lost its broadcast:\n$ps")
+    // stream at 100 TB. Assert on the SIDE, not mere presence of a
+    // BroadcastExchange: a regression that broadcasts the large
+    // candidate stream would still contain one (r9 advice)
+    val exec = SparkEntry.queries("q_vec_ann_sq8")(spark, dir)
+      .queryExecution.executedPlan
+    val ps = exec.toString
     assert(!ps.contains("CartesianProduct"), s"sq8 search degenerated:\n$ps")
+    val bx = exec.collect {
+      case b if b.getClass.getSimpleName.startsWith("BroadcastExchange") => b
+    }
+    assert(bx.nonEmpty, s"sq8 search lost its broadcast:\n$ps")
+    bx.foreach { b =>
+      val names = b.output.map(_.name)
+      assert(names.contains("q_id") && !names.contains("c_id"),
+        s"sq8 search broadcasts the wrong side (${names.mkString(",")}):\n$ps")
+    }
   }
 }
