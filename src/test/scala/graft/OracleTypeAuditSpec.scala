@@ -44,4 +44,27 @@ class OracleTypeAuditSpec extends AnyFunSuite {
         s"audit did not cover all oracles:\n$out")
     } finally Files.deleteIfExists(json)
   }
+
+  test("every oracled query's Spark schema stays in the driver-safe type set") {
+    // the Spark-side mirror of the DuckDB audit: a widened Spark output
+    // column (e.g. DecimalType from an ANSI SUM, or a raw TimestampType
+    // that §2.8 rule 5 says to format) breaks the driver's typed hash
+    // just as surely as a DuckDB HUGEINT. Schema needs analysis only —
+    // no execution — so all 138 keys audit in seconds.
+    import org.apache.spark.sql.types._
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val ok: Set[DataType] =
+      Set(LongType, DoubleType, StringType, BooleanType, IntegerType)
+    val bad = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { key =>
+      SparkEntry.queries(key)(spark, sfDir).schema.fields.collect {
+        case f if !ok.contains(f.dataType) => s"$key.${f.name}: ${f.dataType}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"oracled keys emit driver-unsafe Spark types:\n${bad.mkString("\n")}")
+  }
 }
