@@ -23,12 +23,11 @@ never pass here either.
 import sys, os, json, glob, math
 import duckdb
 
-# Closed set of oracle output types (§2.8 rule 4) — exactly the types
-# the 137 oracles emit today (DESCRIBE sweep, round 10). Anything else —
-# in particular DuckDB's silent SUM/AVG widenings to HUGEINT or DECIMAL —
-# needs an explicit CAST in the oracle SQL. Extending the set (e.g. DATE
-# for a future calendar oracle) is a deliberate one-line change here.
-ALLOWED_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "INTEGER"}
+# the closed oracle output-type set lives in ONE place (oracle_types.py,
+# which OracleTypeAuditSpec also runs) — two drifting copies would
+# recreate the class this audit exists to kill
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_types import ALLOWED_TYPES
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

@@ -17,6 +17,12 @@ Exit 0 = all oracle output types in the closed set; 1 = violation(s).
 import sys, os, json
 import duckdb
 
+# Closed set of oracle output types (§2.8 rule 4) — exactly the types
+# the oracles emit today (DESCRIBE sweep, round 10); diffcheck.py
+# imports this, so there is ONE copy. Anything else — in particular
+# DuckDB's silent SUM/AVG widenings to HUGEINT or DECIMAL — needs an
+# explicit CAST in the oracle SQL. Extending the set (e.g. DATE for a
+# future calendar oracle) is a deliberate one-line change here.
 ALLOWED_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "INTEGER"}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
