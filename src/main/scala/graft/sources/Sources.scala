@@ -188,6 +188,14 @@ object Sources {
   // writer AND reader).
   // The emit path is a fixed repo-local scratch dir (the oracle needs
   // the path as a literal; target/ is build scratch, never committed).
+  // FRESHNESS CONTRACT: because the path is tier-independent, the
+  // oracle must run against the side files the SAME Verify invocation
+  // wrote (the driver always runs verify→compare back-to-back). A
+  // compare against a dump from an older run after a different-tier
+  // Verify overwrote these files fails LOUDLY on the group counts
+  // (observed: sf0.001 dump vs sf0.1 side files → n 71 vs 702), and a
+  // same-tier overwrite is content-identical — so staleness can never
+  // produce a silent wrong pass, only a re-run-Verify error.
   private[graft] val roundtripRoot = "/root/repo/target/roundtrip"
 
   private def fingerprint(df: DataFrame, group: String): DataFrame =

@@ -11,6 +11,12 @@ Usage: python3 tools/diffcheck.py <sfDir> <outDir>
   cell-by-cell with exact equality (columns sorted by name, like the
   driver's hash).
 
+FRESHNESS: run this against the dump the MOST RECENT graft.Verify wrote.
+The q_source_csv/jsonl roundtrip oracles read side files under
+target/roundtrip/ that Verify regenerates per run at ITS tier; comparing
+an older dump after a different-tier Verify ran fails loudly on those
+two keys' group counts (re-run Verify at the tier you are checking).
+
 TYPE-STRICT (round 10): the driver's hash is typed, so value equality is
 not enough — r9's only red row was a DuckDB window SUM(BIGINT) widening
 seq_id to HUGEINT while the values matched. For every oracled key we now
