@@ -37,6 +37,12 @@ class InvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("the driver's entry flagship returns rows") {
+    // the one contract line no other suite pins: the driver smoke-runs
+    // SparkEntry.entry at sf0.001 and requires rows > 0
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("argmax ordering key stays unique (orderkey below the 10^6 multiplier)") {
     // q_agg_argmax's determinism rests on price_cents·10⁶ + o_orderkey
     // being collision-free, which requires o_orderkey < 10⁶. Assert it
