@@ -48,7 +48,12 @@ object TextAnalysis {
     val nChars = length(col("text")).cast("double")
     val punct = (nChars - length(translate(col("text"), ".,;:!?", ""))).cast("double")
     val lenScore = least(nChars / 400.0, lit(1.0))
-    val punctRatio = punct / nChars
+    // EMPTY-DOC semantics, declared on BOTH engines (adversarial-tier
+    // find, r10): an empty text has punct_ratio 0 by definition — the
+    // unguarded x/0 throws under Spark ANSI but yields NULL in DuckDB,
+    // so the guard is both a crash fix and a cross-engine alignment.
+    // nTok is never 0 (split("", " ") = [""]), so meanTok needs none.
+    val punctRatio = when(nChars === 0.0, 0.0).otherwise(punct / nChars)
     val meanTok = (nChars - (nTok - 1)) / nTok
     docs.select(col("doc_id"), lenScore.as("len_score"),
       punctRatio.as("punct_ratio"), meanTok.as("mean_tok_len"),
@@ -540,16 +545,21 @@ object TextAnalysis {
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
 
+    // empty-doc guard mirrors qualityScore: punct_ratio 0 by definition
+    // (DuckDB's 0.0/0.0 is NULL, Spark ANSI's is an error — neither is
+    // the declared semantics)
     "q_text_quality" ->
       """SELECT doc_id,
         |  LEAST(CAST(length(text) AS DOUBLE) / 400.0, 1.0) AS len_score,
-        |  CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
-        |    / length(text) AS punct_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
+        |      / length(text) END AS punct_ratio,
         |  (CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
         |    / len(string_split(text, ' ')) AS mean_tok_len,
         |  (LEAST(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
-        |    + (1.0 - CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
-        |        / length(text))) / 2.0 AS quality
+        |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE CAST(length(text) - length(translate(text, '.,;:!?', '')) AS DOUBLE)
+        |          / length(text) END)) / 2.0 AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

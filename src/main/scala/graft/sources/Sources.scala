@@ -18,10 +18,34 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 object Sources {
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  /** CSV NULL sentinel (the MySQL `\N` convention), set on BOTH the
+    * writer and the reader. Spark's defaults cannot round-trip the
+    * empty string: the writer emits '' as quoted `""` and NULL as an
+    * empty field, but the reader's default nullValue "" swallows the
+    * quoted form too, so '' comes back NULL (adversarial-tier find,
+    * r10). With the sentinel: NULL ⇄ bare `\N`, '' ⇄ quoted `""`,
+    * whitespace preserved. The one documented ambiguity inherent to
+    * CSV: a text field whose entire content is the two characters
+    * `\N` is written unquoted and reads back as NULL — use JSONL,
+    * ORC, or parquet for data where that collision can occur. */
+  private val csvNullSentinel = "\\N"
+
+  /** `multiLine`: Spark's CSV WRITER quotes embedded newlines, but the
+    * default reader splits records on raw newlines — so write→read is
+    * LOSSY for any text column containing one (adversarial-tier find,
+    * r10: real corpora always do). Set multiLine=true to parse quoted
+    * newlines correctly; the cost is line-splittability of PLAIN csv
+    * (each file becomes one task — gzipped csv is whole-file anyway,
+    * so the lossless roundtrip pair pays nothing). Default stays false:
+    * newline-free curated inputs keep the splittable fast path. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              multiLine: Boolean = false): DataFrame =
     spark.read
       .schema(schema) // never infer: schema inference is a full extra pass
       .option("header", "true")
+      .option("multiLine", multiLine)
+      .option("nullValue", csvNullSentinel)
+      .option("escape", "\"") // RFC 4180 quote-doubling, not Spark's backslash default
       .option("timestampFormat", tsFmt)
       .option("mode", "FAILFAST") // surface corrupt rows at ingest, not 3 jobs later
       .csv(path)
@@ -53,9 +77,18 @@ object Sources {
       .csv(path)
   }
 
+  /** Spark's CSV writer TRIMS leading/trailing whitespace by default
+    * (ignore*WhiteSpace=true on write) — silently lossy for text data
+    * (adversarial-tier find, r10). Disabled here: a write→read pair
+    * must be the identity. Empty string stays distinguishable from
+    * NULL via the writer's quoted-"" emptyValue default. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", csvNullSentinel)
+      .option("escape", "\"") // RFC 4180 quote-doubling, not Spark's backslash default
       .option("timestampFormat", tsFmt)
       .option("compression", "gzip")
       .csv(path)
@@ -213,7 +246,7 @@ object Sources {
         .select(col("doc_id"), col("lang"), col("text")), out)
       fingerprint(readCsv(s, out, StructType(Seq(
         StructField("doc_id", LongType), StructField("lang", StringType),
-        StructField("text", StringType)))), "lang")
+        StructField("text", StringType))), multiLine = true), "lang")
     },
     "q_source_jsonl_roundtrip" -> { (s, dir) =>
       val out = s"$roundtripRoot/jsonl"
@@ -245,6 +278,7 @@ object Sources {
          |  CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)
          |    AS BIGINT) % 1000003) AS BIGINT) AS sig
          |FROM read_csv('$roundtripRoot/csv/*.csv.gz', header=true,
+         |  allow_quoted_nulls=false, nullstr='\\N', escape='"',
          |  columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR', 'text': 'VARCHAR'})
          |GROUP BY lang ORDER BY lang""".stripMargin,
 

@@ -26,6 +26,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(c).count() == 0 && c.exceptAll(back).count() == 0)
   }
 
+  test("CSV round-trip is lossless on adversarial text (r10 fuzz finds)") {
+    // the exact classes the pristine fixtures never exercise, each of
+    // which broke a Spark CSV DEFAULT: embedded newlines (reader line
+    // split), leading/trailing/only whitespace (writer trim), empty
+    // string vs NULL (reader nullValue swallowing quoted ""), quotes
+    // (backslash vs RFC-4180 doubling), unicode incl. astral plane.
+    // Excluded by documented contract: a field that IS the literal \N.
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_csv_adv").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, ""), (2L, " "), (3L, "   both sides padded   "),
+      (4L, "line one\nline two\r\nline three"),
+      (5L, "quote \" and comma , and \"doubled\"\""),
+      (6L, "unicode café 中文 😀"),
+      (7L, "backslash \\ and tab\there"), (8L, null)
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)), 2), schema)
+    Sources.writeCsv(df, s"$tmp/adv")
+    val back = Sources.readCsv(spark, s"$tmp/adv", schema, multiLine = true)
+    assert(back.count() == rows.size)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // NULL and empty string remain distinct through the round-trip
+    assert(back.filter(col("id") === 8 && col("text").isNull).count() == 1)
+    assert(back.filter(col("id") === 1 && col("text") === "").count() == 1)
+  }
+
   test("JSONL round-trip of events (incl. µs timestamps) is lossless") {
     val tmp = Files.createTempDirectory("graft_json").toString
     val e = Tables.events(spark, dir)
