@@ -69,6 +69,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // inputs must be ARRAY<DOUBLE>; call sites (VectorExpressions) guarantee it
   override def dataType: DataType = DoubleType
 
+  // cosine is UNDEFINED for a zero vector: declared NULL (adversarial-
+  // tier find, r10 — the raw division yields NaN here but NULL in
+  // DuckDB's 0/0, and Spark sorts NaN FIRST under DESC where both
+  // engines sort NULL last, so a zero candidate ranked TOP of knn).
+  // NULL needs no oracle change: DuckDB's arithmetic produces it
+  // naturally, and both engines' default DESC null ordering agrees.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -80,7 +88,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -100,7 +109,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yv = $b.getDouble($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -246,13 +246,18 @@ object Relational {
     // total are exact integer aggregations, one double division at the
     // end. Magnitude budget: micros ≤ 5e8 × weight ≤ 150 × 1e5 rows ≈
     // 7.5e15 « Long.Max.
+    // NULLIF guard: a group whose every weight is 0 has an UNDEFINED
+    // weighted average — declared NULL on both engines (adversarial-
+    // tier find, r10: the unguarded form throws under Spark ANSI and
+    // silently yields NULL-by-zero-division nowhere else).
     "q_agg_weighted" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(sum(micros(col("value")) * col("user_id")).cast("long").as("wsum"),
           sum(col("user_id")).cast("long").as("wtot"))
         .select(col("event_type"), col("wsum"), col("wtot"),
-          (col("wsum").cast("double") / col("wtot") / 1000000.0).as("wavg"))
+          (col("wsum").cast("double") / nullif(col("wtot"), lit(0)) / 1000000.0)
+            .as("wavg"))
         .orderBy(col("event_type"))
     },
 
@@ -582,7 +587,7 @@ object Relational {
         |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT) * user_id) AS BIGINT) AS wsum,
         |  CAST(SUM(user_id) AS BIGINT) AS wtot,
         |  CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT) * user_id) AS DOUBLE)
-        |    / SUM(user_id) / 1000000.0 AS wavg
+        |    / NULLIF(SUM(user_id), 0) / 1000000.0 AS wavg
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

@@ -50,6 +50,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("CosineSimilarity of a zero vector is NULL in both eval modes") {
+    // declared semantics (r10): undefined, NOT the NaN raw division
+    // gives — Spark sorts NaN FIRST under DESC while both engines sort
+    // NULL last, so NaN would rank a zero candidate top of knn while
+    // DuckDB (0/0 → NULL) ranks it bottom. Checked in interpreted AND
+    // codegen paths via a literal-free and a literal-bearing plan.
+    import spark.implicits._
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0)),
+                 (Array(1.0, 2.0), Array(0.0, 0.0)),
+                 (Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+    val out = df.select(cosine_sim(col("a"), col("b")).as("c")).collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 1.0)
+  }
+
   test("SQL registration works") {
     graft.expressions.VectorExpressions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("emb_t")

@@ -24,7 +24,7 @@ import sys, os, shutil, random
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "embeddings"]
+          "lineitem"]
 SRC = "/root/testdata/sf0.001"
 
 LANGS = ["de", "en", "es", "fr", "zh"]   # en gets the bulk; zh exactly 1 doc
@@ -58,6 +58,91 @@ EDGE_TEXTS = [
 ]
 
 
+def make_events(con, outdir, rng):
+    """Adversarial events: unique event_id 0..999 and in-domain
+    event_type / valid-JSON props (the DECLARED input contracts — a
+    malformed props diverges by design: Spark's get_json_object is
+    lenient-NULL, DuckDB's json_extract_string errors), but everything
+    else hostile: 20 events on ONE identical microsecond + exact
+    hour-boundary timestamps (window-assignment and tie-order stress),
+    user 0 owning ~70% of events (skew), values negative / zero / 1e-7
+    / micro-exactness edges, event_type 'error' appearing exactly
+    once."""
+    rows = []
+    base = "2024-01-{d:02d} {h:02d}:{m:02d}:{s:02d}.{us:06d}"
+    types = ["click", "view", "purchase", "signup", "error"]
+    for i in range(1000):
+        if i < 20:       # one shared microsecond: total tie cluster
+            ts = "2024-01-05 10:30:00.000000"
+        elif i < 40:     # exact hour boundaries: [start, end) edges
+            ts = base.format(d=6 + (i - 20) // 4, h=(i - 20) % 24,
+                             m=0, s=0, us=0)
+        else:
+            ts = base.format(d=1 + rng.randrange(28), h=rng.randrange(24),
+                             m=rng.randrange(60), s=rng.randrange(60),
+                             us=rng.randrange(1000000))
+        user = 0 if rng.random() < 0.70 else rng.randrange(1, 15)
+        etype = "error" if i == 500 else rng.choice(
+            [t for t in types if t != "error"])
+        value = rng.choice([
+            -123.45, 0.0, 1e-7, 0.01, -0.01, 123456.789012,
+            round(rng.uniform(0.01, 500.0), 2)])
+        k = rng.choice(['{"k": 0}', '{"k": -5}', '{}', '{"k": null}',
+                        '{"k": 9007199254740993}',
+                        f'{{"k": {rng.randrange(100)}}}'])
+        rows.append((i, ts, user, etype, value, k))
+    con.execute("CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, "
+                "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
+                "props VARCHAR)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY ev TO '{outdir}/events.parquet' (FORMAT parquet)")
+    n = con.execute("SELECT count(*), count(DISTINCT event_id), "
+                    "count(*) FILTER (NOT json_valid(props)) FROM ev"
+                    ).fetchone()
+    print(f"wrote {outdir}/events.parquet: rows={n[0]} unique_ids={n[1]} "
+          f"invalid_props={n[2]}")
+    assert n[0] == 1000 and n[1] == 1000 and n[2] == 0
+
+
+def make_embeddings(con, outdir, rng):
+    """Adversarial embeddings: unique vec_id 0..499, 64-dim FLOAT
+    vectors, finite values within the micros-integerization contract
+    (|x| ≲ 1e3 — the IVF/k-means exact-integer recompute rounds x*1e6
+    into BIGINT, so magnitudes beyond ~9e12 are OUT of contract, as are
+    NaN/Inf), but hostile inside it: an all-zero QUERY vector (vec_id
+    3) and two all-zero candidates (cosine undefined → declared NULL,
+    both engines rank them last), exact duplicate candidates (rank
+    tie → c_id tiebreak), a candidate identical to query 1 (cosine
+    exactly 1), ±999.9 extremes and 1e-30 near-denormals."""
+    rows = []
+    for i in range(500):
+        if i in (3, 100, 101):
+            v = [0.0] * 64
+        elif i == 120:
+            rng_q = random.Random(777);  v = [rng_q.uniform(-1, 1) for _ in range(64)]
+        elif i == 1:
+            rng_q = random.Random(777);  v = [rng_q.uniform(-1, 1) for _ in range(64)]
+        elif i in (110, 111):
+            rng_d = random.Random(888);  v = [rng_d.uniform(-1, 1) for _ in range(64)]
+        elif i == 130:
+            v = [999.9 if j % 2 == 0 else -999.9 for j in range(64)]
+        elif i == 131:
+            v = [1e-30] * 64
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v, i % 10))
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], "
+                "label INTEGER)")
+    con.executemany("INSERT INTO emb VALUES (?, ?, ?)", rows)
+    con.execute(f"COPY emb TO '{outdir}/embeddings.parquet' (FORMAT parquet)")
+    n = con.execute("SELECT count(*), count(DISTINCT vec_id), "
+                    "count(*) FILTER (len(embedding) <> 64) FROM emb"
+                    ).fetchone()
+    print(f"wrote {outdir}/embeddings.parquet: rows={n[0]} "
+          f"unique_ids={n[1]} wrong_dim={n[2]}")
+    assert n[0] == 500 and n[1] == 500 and n[2] == 0
+
+
 def main(outdir):
     os.makedirs(outdir, exist_ok=True)
     for t in TABLES:
@@ -81,6 +166,8 @@ def main(outdir):
         lang = "zh" if i == 499 else LANGS[i % 4]
         rows.append((i, text, lang, SOURCES[i % len(SOURCES)], len(text)))
     con = duckdb.connect()
+    make_events(con, outdir, random.Random(20260815))
+    make_embeddings(con, outdir, random.Random(20260816))
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
                 "source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
