@@ -143,6 +143,47 @@ def make_embeddings(con, outdir, rng):
     assert n[0] == 500 and n[1] == 500 and n[2] == 0
 
 
+def mutate_tpch(con, outdir):
+    """Adversarial TPC-H mutations over the sf0.001 copies — FKs and
+    declared bounds preserved (o_orderkey stays < 1e6 for the argmax
+    uniqueness contract; money stays 2-dp for the cents/micros
+    exactness contract), but the shapes the generator never makes:
+    ORDER-DATE TIES inside one customer's window partition (running
+    sums over a tied sort key are layout-dependent unless the sort is
+    total), an order with ZERO lineitems (left/anti-join edges), a
+    customer with extreme ±acctbal, and zero-discount/zero-tax rows."""
+    con.execute(f"CREATE TABLE o AS SELECT * FROM "
+                f"read_parquet('{outdir}/orders.parquet')")
+    # give one active customer five orders on the SAME date
+    ck = con.execute("SELECT o_custkey FROM o GROUP BY 1 "
+                     "ORDER BY count(*) DESC, o_custkey LIMIT 1"
+                     ).fetchone()[0]
+    con.execute(f"""UPDATE o SET o_orderdate = DATE '1995-06-15'
+        WHERE o_orderkey IN (SELECT o_orderkey FROM o
+          WHERE o_custkey = {ck} ORDER BY o_orderkey LIMIT 5)""")
+    # an order with no lineitems, priced at the 2-dp extremes
+    # (fixture orders schema: orderkey, custkey, status, totalprice,
+    # orderdate, orderpriority — NOT the full TPC-H column set)
+    mx = con.execute("SELECT max(o_orderkey) FROM o").fetchone()[0]
+    assert mx + 2 < 1000000, "orderkey headroom for the argmax contract"
+    con.execute(f"""INSERT INTO o SELECT {mx + 1}, o_custkey, 'O',
+        0.01, TIMESTAMP '1992-01-01 00:00:00', o_orderpriority
+        FROM o LIMIT 1""")
+    con.execute(f"COPY o TO '{outdir}/orders.parquet' (FORMAT parquet)")
+    con.execute(f"CREATE TABLE li AS SELECT * FROM "
+                f"read_parquet('{outdir}/lineitem.parquet')")
+    con.execute("UPDATE li SET l_discount = 0.0, l_tax = 0.0 "
+                "WHERE l_linenumber = 1 AND l_orderkey % 7 = 0")
+    con.execute(f"COPY li TO '{outdir}/lineitem.parquet' (FORMAT parquet)")
+    con.execute(f"CREATE TABLE c AS SELECT * FROM "
+                f"read_parquet('{outdir}/customer.parquet')")
+    con.execute("UPDATE c SET c_acctbal = -999.99 WHERE c_custkey % 97 = 0")
+    con.execute("UPDATE c SET c_acctbal = 9999.99 WHERE c_custkey % 89 = 0")
+    con.execute(f"COPY c TO '{outdir}/customer.parquet' (FORMAT parquet)")
+    print(f"mutated orders/lineitem/customer in {outdir} "
+          f"(date-tie custkey={ck}, empty order={mx + 1})")
+
+
 def main(outdir):
     os.makedirs(outdir, exist_ok=True)
     for t in TABLES:
@@ -166,6 +207,7 @@ def main(outdir):
         lang = "zh" if i == 499 else LANGS[i % 4]
         rows.append((i, text, lang, SOURCES[i % len(SOURCES)], len(text)))
     con = duckdb.connect()
+    mutate_tpch(con, outdir)
     make_events(con, outdir, random.Random(20260815))
     make_embeddings(con, outdir, random.Random(20260816))
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
