@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Build the ADVERSARIAL differential tier (round 10).
 
-Usage: python3 tools/make_adversarial.py <outDir>
+Usage: python3 tools/make_adversarial.py <outDir> [seed]
+
+The optional integer seed re-rolls the random filler (edge rows and
+mutations stay fixed) so repeated fuzz runs explore different
+tie/skew/value layouts; default 0 reproduces the canonical tier.
 
 Copies every sf0.001 base table except documents, then generates a
 500-doc documents.parquet that keeps the DECLARED fixture invariants —
@@ -184,12 +188,12 @@ def mutate_tpch(con, outdir):
           f"(date-tie custkey={ck}, empty order={mx + 1})")
 
 
-def main(outdir):
+def main(outdir, seed=0):
     os.makedirs(outdir, exist_ok=True)
     for t in TABLES:
         shutil.copy(os.path.join(SRC, f"{t}.parquet"),
                     os.path.join(outdir, f"{t}.parquet"))
-    rng = random.Random(20260814)
+    rng = random.Random(20260814 + seed)
     rows = []
     for i in range(500):
         if i < len(EDGE_TEXTS):
@@ -208,8 +212,8 @@ def main(outdir):
         rows.append((i, text, lang, SOURCES[i % len(SOURCES)], len(text)))
     con = duckdb.connect()
     mutate_tpch(con, outdir)
-    make_events(con, outdir, random.Random(20260815))
-    make_embeddings(con, outdir, random.Random(20260816))
+    make_events(con, outdir, random.Random(20260815 + seed))
+    make_embeddings(con, outdir, random.Random(20260816 + seed))
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
                 "source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
@@ -223,4 +227,4 @@ def main(outdir):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 0)
