@@ -7,6 +7,13 @@ The optional integer seed re-rolls the random filler (edge rows and
 mutations stay fixed) so repeated fuzz runs explore different
 tie/skew/value layouts; default 0 reproduces the canonical tier.
 
+Pass --hot (as the seed slot's successor arg) to ALSO append 1,100
+byte-identical documents (doc_id 500..1599) — one more than the
+minhash/simhash hot-bucket cap of 1000 — so the production cap and its
+oracle HAVING-count mirror both TRIGGER and must drop identical
+buckets. No driver fixture has ever exercised the cap through the
+oracle compare; DedupScaleSpec pins only the Spark side.
+
 Copies every sf0.001 base table except documents, then generates a
 500-doc documents.parquet that keeps the DECLARED fixture invariants —
 doc_id unique 0..499 (the embeddings join domain), n_chars =
@@ -188,7 +195,7 @@ def mutate_tpch(con, outdir):
           f"(date-tie custkey={ck}, empty order={mx + 1})")
 
 
-def main(outdir, seed=0):
+def main(outdir, seed=0, hot=False):
     os.makedirs(outdir, exist_ok=True)
     for t in TABLES:
         shutil.copy(os.path.join(SRC, f"{t}.parquet"),
@@ -210,6 +217,15 @@ def main(outdir, seed=0):
         # extreme skew: doc 499 is the ONLY zh doc; others round-robin
         lang = "zh" if i == 499 else LANGS[i % 4]
         rows.append((i, text, lang, SOURCES[i % len(SOURCES)], len(text)))
+    if hot:
+        # 1,100 byte-identical docs: every (band, bval) LSH bucket they
+        # share holds 1,100 > the 1,000 cap, so BOTH engines must drop
+        # those buckets entirely — pairs among these docs may only come
+        # from the uncapped shingle-Jaccard path
+        hot_text = ("hot duplicate corpus body text payload sentence "
+                    "repeated identically across many documents")
+        for i in range(500, 1600):
+            rows.append((i, hot_text, "en", "src0", len(hot_text)))
     con = duckdb.connect()
     mutate_tpch(con, outdir)
     make_events(con, outdir, random.Random(20260815 + seed))
@@ -221,10 +237,13 @@ def main(outdir, seed=0):
     n = con.execute("SELECT count(*), count(DISTINCT doc_id), "
                     "count(*) FILTER (n_chars <> length(text)) FROM d"
                     ).fetchone()
+    total = 1600 if hot else 500
     print(f"wrote {outdir}/documents.parquet: rows={n[0]} "
           f"unique_ids={n[1]} nchars_mismatch={n[2]}")
-    assert n[0] == 500 and n[1] == 500 and n[2] == 0
+    assert n[0] == total and n[1] == total and n[2] == 0
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 0)
+    args = [a for a in sys.argv[1:] if a != "--hot"]
+    main(args[0], int(args[1]) if len(args) > 1 else 0,
+         hot="--hot" in sys.argv)
