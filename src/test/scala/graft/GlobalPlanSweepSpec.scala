@@ -1,18 +1,22 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Blanket scale-regression net over the ENTIRE declared contract: no
   * key's physical plan may contain a CartesianProduct, ever — except
   * the one key whose SEMANTICS are a cross join (q_join_cross, a
-  * declared 5×25 product). PlanAuditSpec pins precise shapes for the
-  * load-bearing keys; this sweep catches the silent catastrophe class
-  * on every OTHER key: a future edit that drops a join predicate, or a
-  * type change that stops an equi-key from matching, turns an O(n)
-  * shuffle join into an O(n²) product — invisible at sf0.001, fatal at
-  * 100 TB. Plans are built (and for construction-eager keys, their
-  * prep jobs run) at the smallest tier; nothing is fully executed.
+  * declared 5×25 product) — and no key may plan a GLOBAL window (empty
+  * partition spec → Spark moves the whole input to ONE partition)
+  * except the two declared dimension-table quantile keys. PlanAuditSpec
+  * pins precise shapes for the load-bearing keys; this sweep catches
+  * the silent catastrophe class on every OTHER key: a future edit that
+  * drops a join predicate (or a partitionBy) turns an O(n) shuffle
+  * into an O(n²) product or a single-task sort — invisible at
+  * sf0.001, fatal at 100 TB. Plans are built ONCE per key (and for
+  * construction-eager keys, their prep jobs run) at the smallest tier;
+  * nothing is fully executed.
   *
   * BroadcastNestedLoopJoin is NOT globally banned: the watermark /
   * quantile / vocabulary 1-row-scalar broadcasts are legitimate BNLJs
@@ -44,21 +48,46 @@ class GlobalPlanSweepSpec extends AnyFunSuite
 
   private val dir = "/root/testdata/sf0.001"
 
-  // q_join_cross: its SEMANTICS are a cross join. q_stream_upsert:
-  // constructing it runs the whole 4-batch streaming replay and its
-  // returned plan is just the final snapshot read — the cost buys no
-  // coverage here (its join shape is pinned in UpsertSinkSpec).
-  private val exempt = Set("q_join_cross", "q_stream_upsert")
+  // q_stream_upsert: constructing it runs the whole 4-batch streaming
+  // replay and its returned plan is just the final snapshot read — the
+  // cost buys no coverage here (its join shape is pinned in
+  // UpsertSinkSpec).
+  private val unbuilt = Set("q_stream_upsert")
+
+  // Built once, shared by every sweep below: QueryExecution is lazy,
+  // so each check forces only the plan stage it needs.
+  private lazy val plans: Seq[(String, QueryExecution)] =
+    SparkEntry.queries.toSeq.collect {
+      case (name, fn) if !unbuilt(name) =>
+        name -> fn(spark, dir).queryExecution
+    }
 
   test("no key's plan contains a CartesianProduct (declared cross join excepted)") {
-    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      if (exempt(name)) None
-      else {
-        val p = fn(spark, dir).queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct")) Some(name) else None
-      }
+    val offenders = plans.collect {
+      case (name, qe) if name != "q_join_cross" &&
+        qe.executedPlan.toString.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty,
       s"plans degenerated to cartesian products: ${offenders.mkString(", ")}")
+  }
+
+  test("no key plans a global single-partition Window (declared dimension-table quantiles excepted)") {
+    // q_win_ntile / q_win_percentrank: a total order over customer IS
+    // the semantics (comment-argued at the operator: fine at dimension
+    // size, a range-partitioned quantile at 100 TB). Everything else
+    // must keep a partition spec on every window — losing one is the
+    // WindowExec "No Partition Defined" funnel. Checked on the
+    // optimized LOGICAL plan: one walk covers the whole tree with no
+    // AQE wrapper in the way, and no physical planning re-runs.
+    val globalByDesign = Set("q_win_ntile", "q_win_percentrank")
+    val offenders = plans.collect {
+      case (name, qe) if !globalByDesign(name) &&
+        qe.optimizedPlan.collectFirst {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }.nonEmpty => name
+    }
+    assert(offenders.isEmpty,
+      s"plans grew a global single-partition window: ${offenders.mkString(", ")}")
   }
 }
