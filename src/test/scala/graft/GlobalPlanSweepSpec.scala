@@ -90,4 +90,41 @@ class GlobalPlanSweepSpec extends AnyFunSuite
     assert(offenders.isEmpty,
       s"plans grew a global single-partition window: ${offenders.mkString(", ")}")
   }
+
+  test("every oracled key tops out in a global Sort (the §2.8 rule-1 emission order)") {
+    // The driver hashes VALUES but the stability proof (and the
+    // roundtrip sinks) depend on every dump being emitted in one
+    // deterministic total order — which each query declares as a final
+    // global orderBy. That discipline lived only in convention (and in
+    // tools/stability_check.py's empirical proof); this pins it
+    // structurally on the ANALYZED plan, where the optimizer can't
+    // have collapsed the sort. Limit/Project wrappers are transparent:
+    // topk keys sort THEN limit, and a trailing select doesn't disturb
+    // row order.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def topSort(p: LogicalPlan): Boolean = p match {
+      case s: Sort        => s.global
+      case l: GlobalLimit => topSort(l.child)
+      case l: LocalLimit  => topSort(l.child)
+      case pr: Project    => topSort(pr.child)
+      case _              => false
+    }
+    // a provably single-row result (global aggregate, or a join of
+    // such — the profile keys' 1×1 crossJoin shape) has nothing to
+    // order; requiring a sort there would only add a no-op exchange
+    def singleRow(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case j: Join      => singleRow(j.left) && singleRow(j.right)
+      case pr: Project  => singleRow(pr.child)
+      case _            => false
+    }
+    val oracled = SparkEntry.oracleSql.keySet
+    val offenders = plans.collect {
+      case (name, qe) if oracled(name) && !topSort(qe.analyzed) &&
+        !singleRow(qe.analyzed) => name
+    }
+    assert(offenders.isEmpty,
+      s"oracled keys without a final global orderBy: ${offenders.mkString(", ")}")
+  }
 }
