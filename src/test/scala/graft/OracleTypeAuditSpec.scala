@@ -29,8 +29,32 @@ class OracleTypeAuditSpec extends AnyFunSuite {
     try Seq("python3", "-c", "import duckdb").! == 0
     catch { case _: Exception => false }
 
+  /** The csv/jsonl roundtrip oracles DESCRIBE the side files under
+    * target/roundtrip/ that the roundtrip queries write on execution.
+    * From a clean target/ (fresh checkout, sbt clean) those files don't
+    * exist until SourcesSpec or Verify happens to run first — suite
+    * ordering is not a dependency graph — so materialize them here iff
+    * missing. Types are tier-independent, so an existing different-tier
+    * dump is fine as-is. */
+  private def ensureRoundtripSideFiles(): Unit = {
+    val missing = Seq("csv", "jsonl").filter { d =>
+      !new java.io.File(s"${sources.Sources.roundtripRoot}/$d/_SUCCESS").exists()
+    }
+    if (missing.nonEmpty) {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      missing.foreach { d =>
+        SparkEntry.queries(s"q_source_${d}_roundtrip")(spark, sfDir).count()
+      }
+    }
+  }
+
   test("all oracle output types are in the driver-safe closed set") {
     assume(duckdbAvailable, "python3+duckdb not available; audit skipped")
+    ensureRoundtripSideFiles()
     val json = Files.createTempFile("oracle_sql", ".json")
     try {
       Verify.writeOracleJson(json.toString)
