@@ -195,6 +195,52 @@ def mutate_tpch(con, outdir):
           f"(date-tie custkey={ck}, empty order={mx + 1})")
 
 
+def make_sparse(outdir, seed):
+    """SPARSE tier (--sparse): the anti-adversarial — drive every
+    duplicate-finding family to ZERO output rows. 500 documents whose
+    token sets are pairwise disjoint (token j of doc i is the literal
+    "w{i}x{j}" — no shingle, line, or URL ever repeats across docs) and
+    500 fresh uniform-random embeddings with no planted duplicates or
+    zeros. Base TPC-H + events are copied UNMODIFIED from sf0.001.
+
+    Why: the dedup/near-dup/boilerplate/url oracles all end in a
+    HAVING/COUNT>1-style gate, so on this tier both engines must emit
+    EMPTY results — a class no fixture or prior fuzz tier has ever
+    pushed through the full compare. This proves the empty-output path
+    end-to-end: Verify's coalesce(1) still writes a schema-bearing
+    parquet for 0 rows, DuckDB reads it, columns/types/row-count/hash
+    all match on nothing. Invariants preserved: doc_id unique 0..499,
+    n_chars = length(text), lang/source in the fixture domains, no
+    NULLs; vec_id unique 0..499, 64-dim finite floats in (-1, 1)."""
+    os.makedirs(outdir, exist_ok=True)
+    for t in TABLES + ["events"]:
+        shutil.copy(os.path.join(SRC, f"{t}.parquet"),
+                    os.path.join(outdir, f"{t}.parquet"))
+    rng = random.Random(20260817 + seed)
+    con = duckdb.connect()
+    rows = []
+    for i in range(500):
+        text = " ".join(f"w{i}x{j}" for j in range(3 + i % 40))
+        lang = LANGS[i % 4] if i < 499 else "zh"
+        rows.append((i, text, lang, SOURCES[i % len(SOURCES)], len(text)))
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+                "source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY d TO '{outdir}/documents.parquet' (FORMAT parquet)")
+    erows = [(i, [rng.uniform(-1, 1) for _ in range(64)], i % 10)
+             for i in range(500)]
+    con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], "
+                "label INTEGER)")
+    con.executemany("INSERT INTO emb VALUES (?, ?, ?)", erows)
+    con.execute(f"COPY emb TO '{outdir}/embeddings.parquet' (FORMAT parquet)")
+    n = con.execute("SELECT count(*), count(DISTINCT doc_id), "
+                    "count(*) FILTER (n_chars <> length(text)) FROM d"
+                    ).fetchone()
+    print(f"wrote SPARSE {outdir}/documents.parquet: rows={n[0]} "
+          f"unique_ids={n[1]} nchars_mismatch={n[2]}")
+    assert n[0] == 500 and n[1] == 500 and n[2] == 0
+
+
 def main(outdir, seed=0, hot=False):
     os.makedirs(outdir, exist_ok=True)
     for t in TABLES:
@@ -244,6 +290,9 @@ def main(outdir, seed=0, hot=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--hot"]
-    main(args[0], int(args[1]) if len(args) > 1 else 0,
-         hot="--hot" in sys.argv)
+    args = [a for a in sys.argv[1:] if a not in ("--hot", "--sparse")]
+    seed = int(args[1]) if len(args) > 1 else 0
+    if "--sparse" in sys.argv:
+        make_sparse(args[0], seed)
+    else:
+        main(args[0], seed, hot="--hot" in sys.argv)
