@@ -7,8 +7,12 @@ object WarmProbe {
   def main(args: Array[String]): Unit = {
     sys.props("graft.notune") = "1"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // default stays local[4] so warm totals remain comparable with the
+    // r1-r10 records; set SPARK_GRAFT_CPUS=32 to profile the production
+    // default (Bench/Verify moved to local[32] in the r10 continuation)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
