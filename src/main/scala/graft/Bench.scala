@@ -20,10 +20,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // member order inside the one JSON line is chosen for the harness's
+    // stdout TAIL capture (last ~2000 chars): queries ASCENDING by cost
+    // and the total LAST, so the tail always carries the most expensive
+    // keys and the headline number even when the full ~6 KB line is
+    // truncated from the front. JSON object order is non-semantic; the
+    // fields and their meaning are unchanged.
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
     spark.stop()
   }
 }
