@@ -10,11 +10,18 @@ import org.apache.spark.sql.SparkSession
 object KeyProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // mirror Bench's session exactly (same SPARK_GRAFT_CPUS contract,
+    // no extra confs by default) so attributions reproduce what the
+    // bench actually pays; GRAFT_MINPART optionally forces
+    // spark.sql.files.minPartitionNum for input-split experiments
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b0 = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.files.minPartitionNum", sys.env.getOrElse("GRAFT_MINPART", "1"))
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("GRAFT_MINPART")
+      .fold(b0)(n => b0.config("spark.sql.files.minPartitionNum", n))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       val t0 = System.nanoTime()

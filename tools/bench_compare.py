@@ -12,32 +12,49 @@ Usage: python3 tools/bench_compare.py <old.json> <new.json> [pct]
   only one run are listed informationally, never failed — key-set
   growth between rounds is normal.
 
-Exit 1 iff at least one comparable key regressed past the threshold.
+Exit 1 iff at least one comparable key regressed past the threshold;
+exit 2 if either input yielded no per-key data (a gate that compares
+nothing must not read as green).
 """
 import sys, json, re
 
 
 def load(path):
-    """Accept either a raw Bench JSON line (possibly log-prefixed) or a
-    driver-side BENCH_r{N}.json wrapper ({"rc", "tail", ...}) whose
-    tail holds the truncated end of the line — scrape whatever
-    "q_key":sec pairs (and the trailing total) survived truncation."""
+    """Accept either a raw Bench JSON line (possibly log-prefixed AND
+    log-suffixed — a full `sbt runMain` capture works) or a driver-side
+    BENCH_r{N}.json wrapper ({"rc", "tail", ...}) whose tail holds the
+    truncated end of the line — scrape whatever "q_key":sec pairs (and
+    the trailing total) survived truncation."""
     with open(path) as f:
         txt = f.read()
-    d = json.loads(txt[txt.index('{'):])
-    if "queries" in d:
-        return d["queries"], d.get("value")
-    if "tail" in d:
-        qs = {m.group(1): float(m.group(2)) for m in
-              re.finditer(r'"(q_[a-z0-9_]+)":([0-9.eE+-]+)', d["tail"])}
-        m = re.search(r'"value":([0-9.eE+-]+)', d["tail"])
-        return qs, float(m.group(1)) if m else None
-    return {}, None
+    dec = json.JSONDecoder()
+    # scan every '{' and raw_decode from it: tolerates sbt/log prefixes,
+    # trailing "[success] Total time" lines, and stray braces in logs
+    best = None
+    for m in re.finditer(r"\{", txt):
+        try:
+            d, _ = dec.raw_decode(txt, m.start())
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and ("queries" in d or "tail" in d):
+            best = d  # keep the LAST parseable candidate (final output)
+    if best is None:
+        return {}, None
+    if "queries" in best:
+        return best["queries"], best.get("value")
+    qs = {m.group(1): float(m.group(2)) for m in
+          re.finditer(r'"(q_[a-z0-9_]+)":([0-9.eE+-]+)', best["tail"])}
+    m = re.search(r'"value":([0-9.eE+-]+)', best["tail"])
+    return qs, float(m.group(1)) if m else None
 
 
 def main(old_path, new_path, pct=50.0):
     old, old_total = load(old_path)
     new, new_total = load(new_path)
+    if not old or not new:
+        print(f"ERROR: no per-key bench data parsed from "
+              f"{old_path if not old else new_path} — nothing compared")
+        return 2
     both = sorted(set(old) & set(new))
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))

@@ -290,6 +290,10 @@ def main(outdir, seed=0, hot=False):
 
 
 if __name__ == "__main__":
+    if "--hot" in sys.argv and "--sparse" in sys.argv:
+        sys.exit("--hot and --sparse are mutually exclusive tiers "
+                 "(hot triggers the LSH caps, sparse has no duplicates "
+                 "at all) — pick one")
     args = [a for a in sys.argv[1:] if a not in ("--hot", "--sparse")]
     seed = int(args[1]) if len(args) > 1 else 0
     if "--sparse" in sys.argv:
