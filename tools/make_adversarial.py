@@ -66,6 +66,14 @@ EDGE_TEXTS = [
     "supercalifragilisticexpialidociouswordthatneverends " * 3,  # long words
     "x" * 400,                           # one 400-char word
     ("loremipsum " * 40).strip(),        # long doc, one distinct word
+    # LONG docs (round-10 continuation): every other tier tops out near
+    # 400 chars, so expression loops (BPE count, winnowing, shingling)
+    # and regex scans had never run at length cross-engine. ~30 KB with
+    # a rotating vocabulary (≈6k shingles/doc) and ~24 KB of one
+    # repeated sentence (pathological repetition at length).
+    " ".join(f"v{i % 97}q{i % 13}" for i in range(4800)),
+    ("the quick brown fox jumps over the lazy dog again and again " * 400
+     ).strip(),
 ]
 
 
