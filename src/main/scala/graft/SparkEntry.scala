@@ -11,7 +11,16 @@ object SparkEntry {
     * ~5 s of JVM/codegen/table warm-up, so a hash-ordered map smeared
     * that cost onto a different arbitrary key every time the key set
     * changed — pinning the order keeps per-query bench numbers
-    * comparable across rounds. */
+    * comparable across rounds.
+    *
+    * q_dedup_clusters_md5 is pinned SECOND (r11, VERDICT r10 #4): it is
+    * the first-touch absorber for the whole md5-dedup family (shared
+    * shingle table + 16-permutation signature cache) and under the
+    * driver it has twice shown a 2-4x GC/first-touch spike (25.0 s
+    * r10-run-1, 14.3 s r9-run-2) when that build cost landed mid-run on
+    * a busy heap. Running it immediately after the warm-up key puts the
+    * family's one-time materialization where the warm-up already lives,
+    * so every later md5-family key times only its own work. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all =
       ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
@@ -19,8 +28,12 @@ object SparkEntry {
         ops.Text.queries ++ ops.Vectors.queries ++ ops.Dedup.queries ++
         ops.TextAnalysis.queries ++ ops.Multimodal.queries ++ ops.Ann.queries ++
         ops.Profiling.queries ++ sources.Sources.queries
-    scala.collection.immutable.ListMap(all.toSeq.sortBy {
-      case (k, _) => if (k == "q_scan_project") "" else k
+    scala.collection.immutable.ListMap(all.toSeq.sortBy { case (k, _) =>
+      val rank =
+        if (k == "q_scan_project") 0
+        else if (k == "q_dedup_clusters_md5") 1
+        else 2
+      (rank, k)
     }: _*)
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

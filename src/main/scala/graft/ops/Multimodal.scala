@@ -41,8 +41,14 @@ object Multimodal {
     * mapPartitions boundary, mirroring the decoder. */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // total over NULL payload fields (r11 NULL-tier find): the tuple
+    // encoder's primitive Long slot threw NOT_NULL_ASSERT_VIOLATION the
+    // moment a doc carried NULL text/n_chars, killing the whole query —
+    // at ingest scale a null document must become an EMPTY opaque
+    // payload, not a dead executor. Identity on NULL-free fixtures.
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), col("n_chars"))
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
       .as[(Long, String, Long)]
       .mapPartitions { it =>
         it.map { case (id, text, nChars) =>

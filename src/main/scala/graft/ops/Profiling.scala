@@ -232,10 +232,23 @@ object Profiling {
   /** The 60-bit md5 row digest behind q_profile_checksum — ONE
     * definition (query, pipeline demo, and specs all reuse it, so a
     * digest-scheme change cannot silently de-sync replicas). Columns
-    * must be integer/string-typed and non-null (see the key's
-    * scaladoc for why). */
-  def rowDigest(cols: Column*): Column =
-    conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10).cast("long")
+    * must be integer/string-typed (float formatting differs across
+    * engines — cents-encode doubles first).
+    *
+    * NULL-PROPAGATING (r11 NULL-tier find): every oracle mirrors this
+    * digest as a SQL `||` chain, which nulls the whole digest when any
+    * input is NULL — but concat_ws SKIPS null args, so a NULL text
+    * produced digest("id") on the Spark side and NULL (sum-skipped) in
+    * DuckDB, silently desyncing every fingerprint aggregate. concat
+    * with explicit separators is byte-identical to concat_ws on
+    * non-null inputs (all prior hashes unchanged) and NULL when any
+    * input is — aggregating callers (SUM/bit_xor) skip it on both
+    * engines. */
+  def rowDigest(cols: Column*): Column = {
+    val joined =
+      concat(cols.flatMap(c => Seq(lit("|"), c.cast("string"))).tail: _*)
+    conv(substring(md5(joined), 1, 15), 16, 10).cast("long")
+  }
 
   /** One-row `(n_rows, xor_sig)` XOR fingerprint of `df` over the
     * digest columns; an EMPTY input fingerprints as (0, 0) rather
@@ -348,10 +361,10 @@ object Profiling {
     // (a sum-fold needs widening at scale); the row digest is the
     // leading 60 bits of md5 over '|'-joined columns — integers and
     // strings only, because float FORMATTING differs across engines
-    // (cents-encode doubles before including them), and NON-NULL only
-    // (Spark's concat_ws skips nulls where SQL `||` nulls the whole
-    // row digest — coalesce to a sentinel before including a nullable
-    // column).
+    // (cents-encode doubles before including them). A NULL in any
+    // digest column nulls that row's digest on BOTH engines (rowDigest
+    // concat ≙ SQL `||`), and bit_xor/SUM skip it symmetrically —
+    // coalesce to a sentinel first if NULL rows must be covered.
     "q_profile_checksum" -> { (s, dir) =>
       xorFingerprint(Tables.orders(s, dir),
         col("o_orderkey").cast("string"),

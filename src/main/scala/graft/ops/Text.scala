@@ -149,6 +149,10 @@ object Text {
     // exact-dups only exist at sf0.1 in the fixtures, so without them
     // the sf0.001/0.01 result was empty and the oracle match vacuous —
     // this guarantees ≥2 non-empty groups at every scale factor.
+    // NULL texts: md5(NULL)=NULL on both engines, so all NULL docs form
+    // ONE group (no-content payloads dedupe to one canonical) — the
+    // sort key is then nullable, so the oracle pins NULLS FIRST to
+    // Spark's ASC default (§2.8 rule 2; r11 NULL-tier find).
     "q_dedup_exact" -> { (s, dir) =>
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val planted = d.filter(col("doc_id").isin(1L, 2L))
@@ -789,7 +793,7 @@ object Text {
         |      WHERE doc_id IN (1, 2)) u
         |GROUP BY md5(text)
         |HAVING COUNT(*) > 1
-        |ORDER BY md5h""".stripMargin,
+        |ORDER BY md5h NULLS FIRST""".stripMargin,
 
     "q_dedup_near" ->
       """WITH d AS (

@@ -116,12 +116,21 @@ object TextAnalysis {
 
   /** Shared winnowing shape: hash every `window`-token sliding window
     * with `hashFn`, sort, keep the `keep` smallest. Pure projection —
-    * no shuffle, no UDF; the window strings never leave the row. */
+    * no shuffle, no UDF; the window strings never leave the row.
+    *
+    * NULL text → NULL fingerprint (r11 NULL-tier find): Spark's
+    * `greatest` SKIPS null args, so `greatest(size(NULL) - w, 0)` was
+    * 0 and a NULL doc fingerprinted as [hash("")] while the oracle's
+    * null-propagating pipeline (and [[WinnowFingerprint]]'s
+    * nullSafeEval) yielded NULL. The `when` guard keeps the upper
+    * bound NULL for NULL input, which nulls the whole chain
+    * (sequence → transform → array_sort → slice). */
   private def fingerprintsBy(docs: DataFrame, window: Int, keep: Int,
                              hashFn: Column => Column): DataFrame =
     docs.select(col("doc_id"),
       slice(array_sort(transform(
-        sequence(lit(0), greatest(size(toks) - window, lit(0))),
+        sequence(lit(0), when(size(toks).isNotNull,
+          greatest(size(toks) - window, lit(0)))),
         i => hashFn(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
         1, keep).as("fingerprint"))
 
@@ -377,8 +386,12 @@ object TextAnalysis {
       fingerprintsMd5(Tables.documents(s, dir))
         .select(col("doc_id"),
           element_at(col("fingerprint"), 1).as("min_fp"),
-          concat_ws(",", transform(col("fingerprint"),
-            x => x.cast("string"))).as("fp4"))
+          // concat_ws never returns NULL (a NULL array joins to "") but
+          // the oracle's array_to_string(NULL) is NULL — guard so a
+          // NULL-text doc's fp4 stays NULL on both engines (r11)
+          when(col("fingerprint").isNotNull,
+            concat_ws(",", transform(col("fingerprint"),
+              x => x.cast("string")))).as("fp4"))
         .orderBy(col("doc_id"))
     },
     // PII detection: per-language doc/hit counts over the planted

@@ -9,6 +9,22 @@ import org.apache.spark.sql.SparkSession
   * give. SPARK_GRAFT_SF_DIR selects the tier (default sf0.1). */
 object KeyProbe {
   def main(args: Array[String]): Unit = {
+    // validate BEFORE building the session: a typo'd key used to throw a
+    // bare NoSuchElementException after the full JVM/Spark spin-up with
+    // no hint of valid names (r11 review advice)
+    val known = graft.SparkEntry.queries.keySet
+    val unknown = args.filterNot(known)
+    if (unknown.nonEmpty) {
+      unknown.foreach { u =>
+        val close = known.toSeq.sorted
+          .filter(k => k.contains(u.stripPrefix("q_")) || u.contains(k.stripPrefix("q_")))
+          .take(5)
+        System.err.println(s"unknown key '$u'" +
+          (if (close.nonEmpty) s" — did you mean: ${close.mkString(", ")}?" else ""))
+      }
+      System.err.println(s"available keys:\n  ${known.toSeq.sorted.mkString("\n  ")}")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // mirror Bench's session exactly (same SPARK_GRAFT_CPUS contract,
     // no extra confs by default) so attributions reproduce what the

@@ -41,11 +41,20 @@ class OracleTypeAuditSpec extends AnyFunSuite {
       !new java.io.File(s"${sources.Sources.roundtripRoot}/$d/_SUCCESS").exists()
     }
     if (missing.nonEmpty) {
-      val spark = org.apache.spark.sql.SparkSession.builder()
-        .master("local[2]")
-        .config("spark.sql.shuffle.partitions", "2")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false").getOrCreate()
+      // reuse whatever session already lives in this JVM as-is: calling
+      // builder().config(...).getOrCreate() against an existing session
+      // RE-APPLIES these confs to it (and inherits its), making the
+      // effective config suite-order-dependent — exactly the ordering
+      // coupling this helper exists to remove (r11 review advice). Only
+      // build a fresh local[2] session when none exists; round-trip
+      // TYPES are tier- and partition-count-independent either way.
+      val spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .getOrElse(org.apache.spark.sql.SparkSession.builder()
+          .master("local[2]")
+          .config("spark.sql.shuffle.partitions", "2")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false").getOrCreate())
       missing.foreach { d =>
         SparkEntry.queries(s"q_source_${d}_roundtrip")(spark, sfDir).count()
       }

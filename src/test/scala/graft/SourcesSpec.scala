@@ -178,6 +178,151 @@ class SourcesSpec extends AnyFunSuite {
       e.filter(to_date(col("ts")) === "2024-01-03").count())
   }
 
+  // ---- structural artifact checks (r11, VERDICT r10 #3) -------------
+  // The ORC/XML roundtrip KEYS grade via base-table oracles (DuckDB
+  // reads neither format), so a bug symmetric in writer AND reader is
+  // invisible to the driver. These two tests close that structurally:
+  // they inspect the EMITTED BYTES of the graded artifacts — not a
+  // read-back through the same value-decoding path — so a writer that
+  // silently drops a column, ignores the compression option, or loses
+  // rows trips an assertion even if a mirroring reader bug would mask
+  // it from the round-trip identity.
+
+  test("ORC artifact: postscript/footer declares snappy, 3 columns, all rows") {
+    // run the REAL graded key so we inspect exactly what the driver grades
+    SparkEntry.queries("q_source_orc_roundtrip")(spark, dir).count()
+    val orcFiles = new java.io.File(s"${Sources.roundtripRoot}/orc").listFiles()
+      .filter(f => f.getName.endsWith(".orc") && !f.getName.startsWith("."))
+    assert(orcFiles.nonEmpty, "graded key wrote no .orc files")
+    val nDocs = Tables.documents(spark, dir).count()
+    var totalRows = 0L
+    orcFiles.foreach { f =>
+      val bytes = Files.readAllBytes(f.toPath)
+      // spec-level byte checks (ORC file format v1): 3-byte magic "ORC"
+      // at offset 0; the file's LAST byte is the postscript length, and
+      // the postscript's serialized protobuf ends with the magic again
+      assert(bytes.length > 16, s"${f.getName}: implausibly small ORC file")
+      assert(new String(bytes.slice(0, 3), "US-ASCII") == "ORC",
+        s"${f.getName}: missing ORC header magic")
+      val psLen = bytes(bytes.length - 1) & 0xff
+      assert(psLen > 0 && psLen < bytes.length - 4,
+        s"${f.getName}: postscript length byte $psLen out of range")
+      val ps = bytes.slice(bytes.length - 1 - psLen, bytes.length - 1)
+      assert(new String(ps.takeRight(3), "US-ASCII") == "ORC",
+        s"${f.getName}: postscript does not end with magic")
+      // postscript protobuf: field 2 (compression enum) = varint tag
+      // 0x10; SNAPPY = 2 — protobuf serializes fields in ascending
+      // order, so the pair must appear in the tiny (~25 B) postscript
+      assert(ps.sliding(2).exists(w => w(0) == 0x10.toByte && w(1) == 0x02.toByte),
+        s"${f.getName}: postscript does not declare SNAPPY (tag 0x10 val 2)")
+      // footer metadata via orc-core (a METADATA path, not the Spark
+      // DataFrame value-decode path): schema + row count as written
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val reader = org.apache.orc.OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        org.apache.orc.OrcFile.readerOptions(conf))
+      try {
+        assert(reader.getCompressionKind == org.apache.orc.CompressionKind.SNAPPY)
+        assert(reader.getSchema.getFieldNames.toString ==
+          "[doc_id, lang, text]",
+          s"${f.getName}: footer schema ${reader.getSchema.getFieldNames}")
+        totalRows += reader.getNumberOfRows
+      } finally reader.close()
+    }
+    assert(totalRows == nDocs,
+      s"ORC footers declare $totalRows rows, documents has $nDocs")
+  }
+
+  test("XML artifact: raw bytes carry one rowTag element per document") {
+    SparkEntry.queries("q_source_xml_roundtrip")(spark, dir).count()
+    val xmlFiles = new java.io.File(s"${Sources.roundtripRoot}/xml").listFiles()
+      .filter(f => f.getName.contains(".xml") && !f.getName.startsWith("."))
+    assert(xmlFiles.nonEmpty, "graded key wrote no xml files")
+    val nDocs = Tables.documents(spark, dir).count()
+    val docIds = scala.collection.mutable.ArrayBuffer[Long]()
+    var opens, closes = 0L
+    xmlFiles.foreach { f =>
+      // writeXml compresses with gzip — decompress the raw stream, no
+      // XML parser involved, and regex-count the row elements
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(f))
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      opens += "<doc>".r.findAllIn(txt).size
+      closes += "</doc>".r.findAllIn(txt).size
+      docIds ++= "<doc_id>(\\d+)</doc_id>".r
+        .findAllMatchIn(txt).map(_.group(1).toLong)
+      assert(txt.contains("<ROWS>") && txt.contains("</ROWS>"),
+        s"${f.getName}: missing root tag")
+    }
+    assert(opens == nDocs && closes == nDocs,
+      s"expected $nDocs <doc> elements, found open=$opens close=$closes")
+    // every doc_id appears exactly once across the emitted files
+    assert(docIds.sorted.toSeq ==
+      Tables.documents(spark, dir).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  // ---- adversarial corpus through all four formats (r11, VERDICT
+  // r10 #5): the r10 fuzz fixes (quote doubling, \N sentinel, trim
+  // suppression, multiLine) came from exactly this text class — lock
+  // them in as a standing regression net across EVERY format, not just
+  // the two pinned CSV cases. Exclusions are the documented per-format
+  // contracts, asserted-as-excluded where they exist.
+  test("adversarial corpus round-trips byte-exactly through CSV/JSONL/ORC/XML") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_adv4").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val corpus = Seq[(java.lang.Long, String)](
+      (1L, ""), (2L, " "), (3L, "   "), (4L, "a"),
+      (5L, "  leading and trailing  "),
+      (6L, "quote \" comma , semicolon ; pipe |"),
+      (7L, "doubled \"\" quotes \"inside\""),
+      (8L, "backslash \\ and \\n literal and json } ] chars"),
+      (9L, "unicode café straße über naïve"),
+      (10L, "cjk 中文文本处理 mixed ascii"),
+      (11L, "emoji \ud83d\ude00 \ud83d\ude80 astral plane"),
+      (12L, "regex .* meta [chars] (group) {brace} ^caret$ plus+ ?"),
+      (13L, "xml-hostile <tag> & ampersand ]]> cdata-end </tag>"),
+      (14L, "number-looking 3.14159 -42 1e10 NaN null NULL true"),
+      (15L, "x" * 4000), // long single token
+      (16L, ("the quick brown fox " * 400).trim), // ~8 KB doc
+      (17L, null),
+      (18L, "line one\nline two"), // embedded newline (LF)
+      (19L, "tab\there kept")
+    )
+    // documented per-format content contracts:
+    //  - CSV: a field that IS the literal \N reads back NULL (sentinel
+    //    collision, Sources.csvNullSentinel scaladoc) — excluded;
+    //  - XML: Spark 4's built-in source preserves raw \r / \r\n bytes
+    //    in element content (it does NOT apply the XML-spec
+    //    line-ending normalization a conforming external parser
+    //    would), so the CR row round-trips byte-exactly here too —
+    //    asserted below so a future Spark version silently switching
+    //    to spec normalization trips this net.
+    val crRow = Seq[(java.lang.Long, String)]((20L, "carriage\rreturn and\r\nCRLF"))
+    def df(rows: Seq[(java.lang.Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)), 3), schema)
+    val full = df(corpus ++ crRow)
+
+    def assertSame(back: org.apache.spark.sql.DataFrame,
+                   exp: org.apache.spark.sql.DataFrame, fmt: String): Unit = {
+      assert(back.count() == exp.count(), s"$fmt: row count")
+      assert(back.exceptAll(exp).count() == 0 && exp.exceptAll(back).count() == 0,
+        s"$fmt: round-trip not byte-exact")
+    }
+    Sources.writeCsv(full, s"$tmp/csv")
+    assertSame(Sources.readCsv(spark, s"$tmp/csv", schema, multiLine = true),
+      full, "csv")
+    Sources.writeJsonl(full, s"$tmp/jsonl")
+    assertSame(Sources.readJsonl(spark, s"$tmp/jsonl", schema), full, "jsonl")
+    Sources.writeOrc(full, s"$tmp/orc")
+    assertSame(Sources.readOrc(spark, s"$tmp/orc"), full, "orc")
+    Sources.writeXml(full, s"$tmp/xml", rowTag = "r")
+    assertSame(Sources.readXml(spark, s"$tmp/xml", "r", schema), full, "xml")
+  }
+
   test("withPathFields extracts filename-template metadata") {
     // input_file_name() is empty over a cached (InMemoryRelation) plan
     // — and Spark's CacheManager matches by analyzed plan across every

@@ -51,9 +51,10 @@ def load(path):
 def main(old_path, new_path, pct=50.0):
     old, old_total = load(old_path)
     new, new_total = load(new_path)
-    if not old or not new:
+    empty = [p for p, d in ((old_path, old), (new_path, new)) if not d]
+    if empty:
         print(f"ERROR: no per-key bench data parsed from "
-              f"{old_path if not old else new_path} — nothing compared")
+              f"{' and '.join(empty)} — nothing compared")
         return 2
     both = sorted(set(old) & set(new))
     only_old = sorted(set(old) - set(new))

@@ -14,6 +14,14 @@ oracle HAVING-count mirror both TRIGGER and must drop identical
 buckets. No driver fixture has ever exercised the cap through the
 oracle compare; DedupScaleSpec pins only the Spark side.
 
+Pass --nulls (round 11) to plant NULLs on deterministic indices in the
+nullable-typed payload columns — documents.text (+ n_chars, NULL iff
+text NULL), events.value, events.props — while keys/group domains stay
+NOT NULL. The base fixtures are NULL-free by declaration, so NULLs
+otherwise reach queries only via outer joins/rollups; this tier pushes
+them through every expression, aggregate-skip, coalesce/nullif, and
+NULLS FIRST/LAST ordering path end-to-end through the oracle compare.
+
 Copies every sf0.001 base table except documents, then generates a
 500-doc documents.parquet that keeps the DECLARED fixture invariants —
 doc_id unique 0..499 (the embeddings join domain), n_chars =
@@ -77,7 +85,7 @@ EDGE_TEXTS = [
 ]
 
 
-def make_events(con, outdir, rng):
+def make_events(con, outdir, rng, nulls=False):
     """Adversarial events: unique event_id 0..999 and in-domain
     event_type / valid-JSON props (the DECLARED input contracts — a
     malformed props diverges by design: Spark's get_json_object is
@@ -86,7 +94,9 @@ def make_events(con, outdir, rng):
     hour-boundary timestamps (window-assignment and tie-order stress),
     user 0 owning ~70% of events (skew), values negative / zero / 1e-7
     / micro-exactness edges, event_type 'error' appearing exactly
-    once."""
+    once. With nulls=True, value (i%17==0) and props (i%13==0) go NULL
+    on deterministic indices — NULL json input and NULL aggregation
+    inputs, cross-engine (see the --nulls note in main())."""
     rows = []
     base = "2024-01-{d:02d} {h:02d}:{m:02d}:{s:02d}.{us:06d}"
     types = ["click", "view", "purchase", "signup", "error"]
@@ -109,6 +119,10 @@ def make_events(con, outdir, rng):
         k = rng.choice(['{"k": 0}', '{"k": -5}', '{}', '{"k": null}',
                         '{"k": 9007199254740993}',
                         f'{{"k": {rng.randrange(100)}}}'])
+        if nulls and i % 17 == 0:
+            value = None
+        if nulls and i % 13 == 0:
+            k = None
         rows.append((i, ts, user, etype, value, k))
     con.execute("CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, "
                 "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
@@ -249,7 +263,7 @@ def make_sparse(outdir, seed):
     assert n[0] == 500 and n[1] == 500 and n[2] == 0
 
 
-def main(outdir, seed=0, hot=False):
+def main(outdir, seed=0, hot=False, nulls=False):
     os.makedirs(outdir, exist_ok=True)
     for t in TABLES:
         shutil.copy(os.path.join(SRC, f"{t}.parquet"),
@@ -270,7 +284,21 @@ def main(outdir, seed=0, hot=False):
             text = " ".join(words)
         # extreme skew: doc 499 is the ONLY zh doc; others round-robin
         lang = "zh" if i == 499 else LANGS[i % 4]
-        rows.append((i, text, lang, SOURCES[i % len(SOURCES)], len(text)))
+        # --nulls (round 11, VERDICT r10 #2): the base fixtures are
+        # NULL-free by declaration (FIXTURES.md §2), so NULLs normally
+        # enter queries only via outer joins / rollups. This tier relaxes
+        # that for the nullable-typed payload columns — documents.text
+        # (and its derived n_chars, kept consistent: NULL iff text NULL),
+        # events.props, events.value — planting them on deterministic
+        # FILLER indices (the curated EDGE_TEXTS rows keep their shapes),
+        # so every coalesce/nullif, NULL-propagating expression, and
+        # NULLS FIRST/LAST ordering clause is fuzzed cross-engine from
+        # the data side. Keys stay NOT NULL: doc_id/lang/source remain
+        # join/group domains.
+        if nulls and i >= len(EDGE_TEXTS) and i % 11 == 0:
+            rows.append((i, None, lang, SOURCES[i % len(SOURCES)], None))
+        else:
+            rows.append((i, text, lang, SOURCES[i % len(SOURCES)], len(text)))
     if hot:
         # 1,100 byte-identical docs: every (band, bval) LSH bucket they
         # share holds 1,100 > the 1,000 cap, so BOTH engines must drop
@@ -282,29 +310,45 @@ def main(outdir, seed=0, hot=False):
             rows.append((i, hot_text, "en", "src0", len(hot_text)))
     con = duckdb.connect()
     mutate_tpch(con, outdir)
-    make_events(con, outdir, random.Random(20260815 + seed))
+    make_events(con, outdir, random.Random(20260815 + seed), nulls=nulls)
     make_embeddings(con, outdir, random.Random(20260816 + seed))
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
                 "source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
     con.execute(f"COPY d TO '{outdir}/documents.parquet' (FORMAT parquet)")
     n = con.execute("SELECT count(*), count(DISTINCT doc_id), "
-                    "count(*) FILTER (n_chars <> length(text)) FROM d"
-                    ).fetchone()
+                    "count(*) FILTER (n_chars <> length(text)), "
+                    "count(*) FILTER ((text IS NULL) <> (n_chars IS NULL)), "
+                    "count(*) FILTER (text IS NULL) FROM d").fetchone()
     total = 1600 if hot else 500
     print(f"wrote {outdir}/documents.parquet: rows={n[0]} "
-          f"unique_ids={n[1]} nchars_mismatch={n[2]}")
-    assert n[0] == total and n[1] == total and n[2] == 0
+          f"unique_ids={n[1]} nchars_mismatch={n[2]} null_docs={n[4]}")
+    assert n[0] == total and n[1] == total and n[2] == 0 and n[3] == 0
+    assert (n[4] > 0) == nulls  # the tier does (and only does) what it says
 
+
+FLAGS = ("--hot", "--sparse", "--nulls")
 
 if __name__ == "__main__":
-    if "--hot" in sys.argv and "--sparse" in sys.argv:
-        sys.exit("--hot and --sparse are mutually exclusive tiers "
+    # reject any unrecognized --flag up front: a misspelled one used to
+    # fall into the positional args and crash as int('--spars') with a
+    # raw traceback, or silently shift the seed slot (r11 review advice)
+    bad = [a for a in sys.argv[1:] if a.startswith("--") and a not in FLAGS]
+    if bad:
+        sys.exit(f"unrecognized flag(s): {' '.join(bad)}\n"
+                 f"usage: make_adversarial.py <outDir> [seed] "
+                 f"[--hot | --sparse | --nulls]")
+    flags = [a for a in sys.argv[1:] if a in FLAGS]
+    if len(flags) > 1:
+        sys.exit(f"{' and '.join(flags)} are mutually exclusive tiers "
                  "(hot triggers the LSH caps, sparse has no duplicates "
-                 "at all) — pick one")
-    args = [a for a in sys.argv[1:] if a not in ("--hot", "--sparse")]
+                 "at all, nulls plants NULL payloads) — pick one")
+    args = [a for a in sys.argv[1:] if a not in FLAGS]
+    if not args:
+        sys.exit("usage: make_adversarial.py <outDir> [seed] "
+                 "[--hot | --sparse | --nulls]")
     seed = int(args[1]) if len(args) > 1 else 0
-    if "--sparse" in sys.argv:
+    if "--sparse" in flags:
         make_sparse(args[0], seed)
     else:
-        main(args[0], seed, hot="--hot" in sys.argv)
+        main(args[0], seed, hot="--hot" in flags, nulls="--nulls" in flags)
