@@ -91,6 +91,39 @@ class GlobalPlanSweepSpec extends AnyFunSuite
       s"plans grew a global single-partition window: ${offenders.mkString(", ")}")
   }
 
+  test("single-partition exchanges stay within the declared bounded-reduction set") {
+    // The r10 SinglePartProbe audit found exactly 16 keys planning an
+    // `Exchange SinglePartition`, each argued bounded (single-row
+    // global aggregates, scalar watermark/threshold gates, ≤15-row hot
+    // sets, the two declared global-window quantile keys). A blanket
+    // ban was rejected then — there is no structural signal separating
+    // a bounded reduction from a funnel — but the SET is a contract:
+    // this sweep makes the probe's finding standing, so a future edit
+    // that collapses some other key's shuffle into one partition (the
+    // classic lost-distribution regression: a coalesce(1), a global
+    // orderBy feeding an agg, a window losing its partitionBy AFTER
+    // the optimizer) names itself here instead of surfacing at the
+    // driver as a mystery slowdown. A NEW name must be argued bounded
+    // in a comment and added; a DISAPPEARED name is fine (tighter plan,
+    // subset assertion only).
+    val allowed = Set(
+      "q_agg_cms", "q_agg_global",                       // 1-row global aggs
+      "q_climate_ensemble", "q_climate_pipeline",        // scalar ensemble stats
+      "q_profile_checksum", "q_profile_expect", "q_profile_stats",
+      "q_stream_session_closed", "q_stream_sliding_closed",
+      "q_stream_tumbling_closed", "q_stream_watermark",  // scalar watermark gates
+      "q_text_boilerplate",                              // ≤15-row hot-line set
+      "q_text_heavyhitters",                             // global top-k fold
+      "q_text_tfidf",                                    // vocabulary gate
+      "q_win_ntile", "q_win_percentrank")                // declared global windows
+    val offenders = plans.collect {
+      case (name, qe) if !allowed(name) &&
+        qe.executedPlan.toString.contains("Exchange SinglePartition") => name
+    }
+    assert(offenders.isEmpty,
+      s"keys grew an undeclared single-partition exchange: ${offenders.mkString(", ")}")
+  }
+
   test("every oracled key tops out in a global Sort (the §2.8 rule-1 emission order)") {
     // The driver hashes VALUES but the stability proof (and the
     // roundtrip sinks) depend on every dump being emitted in one
