@@ -22,7 +22,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * quantile / vocabulary 1-row-scalar broadcasts are legitimate BNLJs
   * (bounded side provably ≤ a few rows). Those are individually
   * shape-pinned in PlanAuditSpec; banning them here would just force
-  * noisier equivalents.
+  * noisier equivalents. But the SET of keys that plan one is a
+  * contract, allowlisted below (r11) exactly like the single-partition
+  * exchanges: a lost equi-predicate turns a hash join into a BNLJ
+  * without ever producing a CartesianProduct, and only the allowlist
+  * catches that O(n·m) degeneration on the other 130 keys.
   */
 class GlobalPlanSweepSpec extends AnyFunSuite
     with org.scalatest.BeforeAndAfterAll {
@@ -122,6 +126,35 @@ class GlobalPlanSweepSpec extends AnyFunSuite
     }
     assert(offenders.isEmpty,
       s"keys grew an undeclared single-partition exchange: ${offenders.mkString(", ")}")
+  }
+
+  test("nested-loop joins stay within the declared bounded-broadcast set") {
+    // The r11 BnljProbe audit: exactly 19 keys plan a
+    // BroadcastNestedLoopJoin, every one with a bounded broadcast side
+    // — 1-row scalar gates (cms/expect/watermark/closed-stream), ≤15-row
+    // hot sets (boilerplate), bounded vocab/top-k (tfidf/heavyhitters),
+    // ≤k centroid / ≤50 query-vector broadcasts (vec family, semantic
+    // sample), the bounded target grid (regrid idw/nearest), and the
+    // two keys whose SEMANTICS are non-equi (cross, range). A dropped
+    // equi-predicate on any OTHER key degenerates its hash join to a
+    // BNLJ — never a CartesianProduct, so the cartesian sweep stays
+    // silent — and this allowlist names it. New names must be argued
+    // bounded; disappeared names are fine (subset assertion).
+    val allowed = Set(
+      "q_agg_cms", "q_profile_expect",                       // 1-row gates
+      "q_climate_regrid_idw", "q_climate_regrid_nearest",    // bounded grid
+      "q_join_cross", "q_join_range",                        // non-equi semantics
+      "q_sample_semantic", "q_vec_kmeans", "q_vec_knn",      // ≤k centroids /
+      "q_vec_ann_ivf", "q_vec_ann_ivf_det", "q_vec_ann_sq8", //  ≤50 queries
+      "q_stream_session_closed", "q_stream_sliding_closed",
+      "q_stream_tumbling_closed", "q_stream_watermark",      // scalar watermarks
+      "q_text_boilerplate", "q_text_heavyhitters", "q_text_tfidf")
+    val offenders = plans.collect {
+      case (name, qe) if !allowed(name) &&
+        qe.executedPlan.toString.contains("BroadcastNestedLoopJoin") => name
+    }
+    assert(offenders.isEmpty,
+      s"keys grew an undeclared nested-loop join: ${offenders.mkString(", ")}")
   }
 
   test("every oracled key tops out in a global Sort (the §2.8 rule-1 emission order)") {
