@@ -245,6 +245,7 @@ object Profiling {
     * input is — aggregating callers (SUM/bit_xor) skip it on both
     * engines. */
   def rowDigest(cols: Column*): Column = {
+    require(cols.nonEmpty, "rowDigest needs at least one column")
     val joined =
       concat(cols.flatMap(c => Seq(lit("|"), c.cast("string"))).tail: _*)
     conv(substring(md5(joined), 1, 15), 16, 10).cast("long")

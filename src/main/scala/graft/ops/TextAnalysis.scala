@@ -124,12 +124,15 @@ object TextAnalysis {
     * null-propagating pipeline (and [[WinnowFingerprint]]'s
     * nullSafeEval) yielded NULL. The `when` guard keeps the upper
     * bound NULL for NULL input, which nulls the whole chain
-    * (sequence → transform → array_sort → slice). */
+    * (sequence → transform → array_sort → slice). Guarded on the TEXT
+    * column, not size(toks).isNotNull: under legacy
+    * spark.sql.ansi/sizeOfNull configs size(NULL) is -1, not NULL,
+    * which would silently resurrect the bug (r11 review find). */
   private def fingerprintsBy(docs: DataFrame, window: Int, keep: Int,
                              hashFn: Column => Column): DataFrame =
     docs.select(col("doc_id"),
       slice(array_sort(transform(
-        sequence(lit(0), when(size(toks).isNotNull,
+        sequence(lit(0), when(col("text").isNotNull,
           greatest(size(toks) - window, lit(0)))),
         i => hashFn(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
         1, keep).as("fingerprint"))

@@ -66,13 +66,25 @@ class GlobalPlanSweepSpec extends AnyFunSuite
         name -> fn(spark, dir).queryExecution
     }
 
-  test("no key's plan contains a CartesianProduct (declared cross join excepted)") {
+  /** One engine for the three physical-plan-fragment allowlist sweeps
+    * (cartesian / single-partition exchange / nested-loop join): scan
+    * every key's executedPlan for `fragment`, assert hits ⊆ `allowed`
+    * (r11 review find — three hand-copied blocks consolidated). The
+    * matching audit tools are graft.tools.{SinglePart,Bnlj}Probe. */
+  private def assertFragmentAllowlisted(fragment: String,
+                                        allowed: Set[String],
+                                        what: String): Unit = {
     val offenders = plans.collect {
-      case (name, qe) if name != "q_join_cross" &&
-        qe.executedPlan.toString.contains("CartesianProduct") => name
+      case (name, qe) if !allowed(name) &&
+        qe.executedPlan.toString.contains(fragment) => name
     }
     assert(offenders.isEmpty,
-      s"plans degenerated to cartesian products: ${offenders.mkString(", ")}")
+      s"keys grew an undeclared $what: ${offenders.mkString(", ")}")
+  }
+
+  test("no key's plan contains a CartesianProduct (declared cross join excepted)") {
+    assertFragmentAllowlisted("CartesianProduct", Set("q_join_cross"),
+      "cartesian product")
   }
 
   test("no key plans a global single-partition Window (declared dimension-table quantiles excepted)") {
@@ -120,12 +132,8 @@ class GlobalPlanSweepSpec extends AnyFunSuite
       "q_text_heavyhitters",                             // global top-k fold
       "q_text_tfidf",                                    // vocabulary gate
       "q_win_ntile", "q_win_percentrank")                // declared global windows
-    val offenders = plans.collect {
-      case (name, qe) if !allowed(name) &&
-        qe.executedPlan.toString.contains("Exchange SinglePartition") => name
-    }
-    assert(offenders.isEmpty,
-      s"keys grew an undeclared single-partition exchange: ${offenders.mkString(", ")}")
+    assertFragmentAllowlisted("Exchange SinglePartition", allowed,
+      "single-partition exchange")
   }
 
   test("nested-loop joins stay within the declared bounded-broadcast set") {
@@ -149,12 +157,8 @@ class GlobalPlanSweepSpec extends AnyFunSuite
       "q_stream_session_closed", "q_stream_sliding_closed",
       "q_stream_tumbling_closed", "q_stream_watermark",      // scalar watermarks
       "q_text_boilerplate", "q_text_heavyhitters", "q_text_tfidf")
-    val offenders = plans.collect {
-      case (name, qe) if !allowed(name) &&
-        qe.executedPlan.toString.contains("BroadcastNestedLoopJoin") => name
-    }
-    assert(offenders.isEmpty,
-      s"keys grew an undeclared nested-loop join: ${offenders.mkString(", ")}")
+    assertFragmentAllowlisted("BroadcastNestedLoopJoin", allowed,
+      "nested-loop join")
   }
 
   test("every oracled key tops out in a global Sort (the §2.8 rule-1 emission order)") {

@@ -85,11 +85,16 @@ class OracleTypeAuditSpec extends AnyFunSuite {
     // just as surely as a DuckDB HUGEINT. Schema needs analysis only —
     // no execution — so all 138 keys audit in seconds.
     import org.apache.spark.sql.types._
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // same session-reuse rule as ensureRoundtripSideFiles (r11 review):
+    // getOrCreate against a live shared session would re-apply these
+    // confs to it; schemas need analysis only, so any session works
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .getOrElse(org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate())
     val ok: Set[DataType] =
       Set(LongType, DoubleType, StringType, BooleanType, IntegerType)
     val bad = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { key =>

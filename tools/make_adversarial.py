@@ -330,10 +330,18 @@ def main(outdir, seed=0, hot=False, nulls=False):
 FLAGS = ("--hot", "--sparse", "--nulls")
 
 if __name__ == "__main__":
-    # reject any unrecognized --flag up front: a misspelled one used to
+    # reject any unrecognized -flag up front: a misspelled one used to
     # fall into the positional args and crash as int('--spars') with a
-    # raw traceback, or silently shift the seed slot (r11 review advice)
-    bad = [a for a in sys.argv[1:] if a.startswith("--") and a not in FLAGS]
+    # raw traceback, or silently shift the seed slot (r11 review advice;
+    # single-dash typos like '-hot' covered too — a leading '-' is only
+    # legitimate on a [non-negative-by-convention] integer seed)
+    def is_int(a):
+        try:
+            int(a); return True
+        except ValueError:
+            return False
+    bad = [a for a in sys.argv[1:]
+           if a.startswith("-") and a not in FLAGS and not is_int(a)]
     if bad:
         sys.exit(f"unrecognized flag(s): {' '.join(bad)}\n"
                  f"usage: make_adversarial.py <outDir> [seed] "
