@@ -28,6 +28,17 @@ class InvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = SparkEntry.queries(name)(spark, dir)
 
+  test("bench iteration order keeps its two pinned warm-up absorbers first") {
+    // SparkEntry pins q_scan_project first (JVM/codegen/table warm-up)
+    // and q_dedup_clusters_md5 second (md5-family shared-cache
+    // first-touch in the warm-up shadow — r11, insurance against the
+    // 10-25 s mid-run GC transients the driver saw in r9/r10). A
+    // refactor that silently reverts to plain alphabetical order would
+    // smear those costs onto arbitrary keys again; pin the prefix.
+    assert(SparkEntry.queries.keys.take(2).toSeq ==
+      Seq("q_scan_project", "q_dedup_clusters_md5"))
+  }
+
   test("every declared query has either an oracle or a documented skip") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_hll", "q_agg_cms", "q_dedup_minhash",
