@@ -102,6 +102,28 @@ object EventStreams {
     import org.apache.spark.sql.functions.{floor => ffloor}
     val e = events
     val r = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    if (r.isNullAt(0)) {
+      // EMPTY source (r11 empty-tier find): min/max are NULL and the
+      // getLong below threw ROW_VALUE_IS_NULL, killing the whole
+      // pipeline — but an empty day/partition is a normal condition at
+      // ingest scale. Emit ONE empty chunk instead: the parquet file
+      // still carries the schema, so the stream reader probes it, the
+      // replay runs a single 0-row micro-batch, and the upsert sink
+      // commits an EMPTY snapshot — end-to-end, an empty source
+      // converges to an empty table (exactly the batch fixpoint).
+      val build = s"$destDir/_chunk_build"
+      e.coalesce(1).write.mode("overwrite").parquet(build)
+      Option(new java.io.File(build).listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+        .foreach { part =>
+          val dest = new java.io.File(destDir, "chunk_00.parquet")
+          dest.getParentFile.mkdirs()
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(1700000000000L)
+        }
+      UpsertSink.deleteRecursively(java.nio.file.Paths.get(build))
+      return
+    }
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     val step = (hi - lo) / n + 1
     val build = s"$destDir/_chunk_build"

@@ -245,4 +245,35 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0,
       "batch fixpoint window missing from the upsert table")
   }
+
+  test("empty source law: zero events converge to an empty table, not a crash") {
+    // r11 empty-tier find: writeChronologicalChunks threw
+    // ROW_VALUE_IS_NULL on min/max of an empty source — but an empty
+    // day/partition is a normal ingest condition. Contract now: one
+    // empty schema-bearing chunk is written, the stream replays a
+    // single 0-row micro-batch, the sink commits an EMPTY snapshot,
+    // and the fixpoint equals the (empty) batch aggregation.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val chunks = s"$root/chunks"
+    graft.streaming.EventStreams.writeChronologicalChunks(
+      Tables.events(spark, dir).filter(lit(false))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value")),
+      n = 4, destDir = chunks)
+    assert(new java.io.File(chunks, "chunk_00.parquet").isFile,
+      "empty source must still write one schema-bearing chunk")
+    val stream = graft.streaming.EventStreams
+      .readEventsStream(spark, chunks, maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(col("window.start").as("w"), col("cnt"))
+    val q = graft.streaming.UpsertSink.start(stream, s"$root/table",
+      s"$root/ckpt", Seq("w"))
+    q.processAllAvailable(); q.stop()
+    val table = UpsertSink.readTable(spark, s"$root/table")
+    assert(table.nonEmpty, "sink must commit a snapshot for an empty replay")
+    assert(table.get.count() == 0, "empty source must yield an empty table")
+  }
 }

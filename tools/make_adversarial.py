@@ -263,6 +263,32 @@ def make_sparse(outdir, seed):
     assert n[0] == 500 and n[1] == 500 and n[2] == 0
 
 
+def make_empty(outdir):
+    """EMPTY tier (--empty, round 11): zero-row documents AND events
+    (schemas preserved), everything else copied unmodified — the
+    zero-INPUT boundary (--sparse proves zero OUTPUT on populated
+    inputs; this proves the engine over inputs with no rows at all:
+    empty aggregations, empty streams, empty dedup/text/pack families,
+    all through the full oracle compare). Found q_stream_upsert's
+    min/max-of-empty ROW_VALUE_IS_NULL crash the day it was added."""
+    os.makedirs(outdir, exist_ok=True)
+    for t in TABLES + ["embeddings"]:
+        shutil.copy(os.path.join(SRC, f"{t}.parquet"),
+                    os.path.join(outdir, f"{t}.parquet"))
+    con = duckdb.connect()
+    for t, schema in (
+        ("documents", "doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+                      "source VARCHAR, n_chars BIGINT"),
+        ("events", "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                   "event_type VARCHAR, value DOUBLE, props VARCHAR")):
+        con.execute(f"CREATE TABLE {t} ({schema})")
+        con.execute(f"COPY {t} TO '{outdir}/{t}.parquet' (FORMAT parquet)")
+        n = con.execute(f"SELECT count(*) FROM "
+                        f"read_parquet('{outdir}/{t}.parquet')").fetchone()[0]
+        print(f"wrote EMPTY {outdir}/{t}.parquet: rows={n}")
+        assert n == 0
+
+
 def main(outdir, seed=0, hot=False, nulls=False):
     os.makedirs(outdir, exist_ok=True)
     for t in TABLES:
@@ -327,7 +353,7 @@ def main(outdir, seed=0, hot=False, nulls=False):
     assert (n[4] > 0) == nulls  # the tier does (and only does) what it says
 
 
-FLAGS = ("--hot", "--sparse", "--nulls")
+FLAGS = ("--hot", "--sparse", "--nulls", "--empty")
 
 if __name__ == "__main__":
     # reject any unrecognized -flag up front: a misspelled one used to
@@ -345,18 +371,21 @@ if __name__ == "__main__":
     if bad:
         sys.exit(f"unrecognized flag(s): {' '.join(bad)}\n"
                  f"usage: make_adversarial.py <outDir> [seed] "
-                 f"[--hot | --sparse | --nulls]")
+                 f"[--hot | --sparse | --nulls | --empty]")
     flags = [a for a in sys.argv[1:] if a in FLAGS]
     if len(flags) > 1:
         sys.exit(f"{' and '.join(flags)} are mutually exclusive tiers "
                  "(hot triggers the LSH caps, sparse has no duplicates "
-                 "at all, nulls plants NULL payloads) — pick one")
+                 "at all, nulls plants NULL payloads, empty has no "
+                 "document/event rows) — pick one")
     args = [a for a in sys.argv[1:] if a not in FLAGS]
     if not args:
         sys.exit("usage: make_adversarial.py <outDir> [seed] "
-                 "[--hot | --sparse | --nulls]")
+                 "[--hot | --sparse | --nulls | --empty]")
     seed = int(args[1]) if len(args) > 1 else 0
     if "--sparse" in flags:
         make_sparse(args[0], seed)
+    elif "--empty" in flags:
+        make_empty(args[0])
     else:
         main(args[0], seed, hot="--hot" in flags, nulls="--nulls" in flags)
