@@ -126,6 +126,15 @@ object Ann {
       .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
       .limit(sampleCap)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) {
+      // EMPTY corpus (r11 empty-shard find): lloyd's nonEmpty require
+      // killed the build, but an empty shard is a normal ingest
+      // condition — the index over nothing is an EMPTY index (zero
+      // centroids, zero assignments; cellOf is skipped because there
+      // are no rows to assign). Searches probe an empty broadcast
+      // centroid table and return no candidates.
+      return IvfIndex(vecs.withColumn("cell", lit(0)), Array.empty)
+    }
     val k = if (nlist > 0) nlist else defaultNlist(vecs.count())
     val centroids = lloyd(sample, k, seed, iters = 6)
     val assigned = vecs

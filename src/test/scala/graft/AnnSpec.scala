@@ -100,6 +100,22 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf == brute, "coarse-index full-probe search ≠ exact top-k")
   }
 
+  test("empty corpus law: index over nothing is empty, searches return no rows") {
+    // r11 empty-shard find: lloyd's nonEmpty require killed buildIndex
+    // on a zero-row corpus, but an empty shard is a normal ingest
+    // condition. Contract: empty index (zero centroids, zero
+    // assignments), and a search against it probes an empty broadcast
+    // centroid table and yields zero candidates — not an exception.
+    val idx = ops.Ann.buildIndex(corpus.filter(lit(false)), nlist = 8)
+    assert(idx.centroids.isEmpty && idx.assigned.count() == 0)
+    val queries = Tables.embeddings(spark, dir).limit(3)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val hits = ops.Ann.ivfSearch(spark, idx.assigned, idx.centroids,
+      queries, k = 5, nprobe = 2)
+    assert(hits.count() == 0)
+  }
+
   test("defaultNlist follows √n inside the [16, 65536] envelope") {
     assert(ops.Ann.defaultNlist(100) == 16)          // clamped low
     assert(ops.Ann.defaultNlist(1000000) == 1000)    // √n

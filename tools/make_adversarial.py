@@ -264,15 +264,17 @@ def make_sparse(outdir, seed):
 
 
 def make_empty(outdir):
-    """EMPTY tier (--empty, round 11): zero-row documents AND events
-    (schemas preserved), everything else copied unmodified — the
+    """EMPTY tier (--empty, round 11): zero-row documents, events AND
+    embeddings (schemas preserved), TPC-H copied unmodified — the
     zero-INPUT boundary (--sparse proves zero OUTPUT on populated
     inputs; this proves the engine over inputs with no rows at all:
     empty aggregations, empty streams, empty dedup/text/pack families,
-    all through the full oracle compare). Found q_stream_upsert's
-    min/max-of-empty ROW_VALUE_IS_NULL crash the day it was added."""
+    empty ANN index builds, all through the full oracle compare).
+    Found q_stream_upsert's min/max-of-empty ROW_VALUE_IS_NULL crash
+    and q_vec_ann_ivf's empty-training-sample crash the day it was
+    added."""
     os.makedirs(outdir, exist_ok=True)
-    for t in TABLES + ["embeddings"]:
+    for t in TABLES:
         shutil.copy(os.path.join(SRC, f"{t}.parquet"),
                     os.path.join(outdir, f"{t}.parquet"))
     con = duckdb.connect()
@@ -280,7 +282,8 @@ def make_empty(outdir):
         ("documents", "doc_id BIGINT, text VARCHAR, lang VARCHAR, "
                       "source VARCHAR, n_chars BIGINT"),
         ("events", "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
-                   "event_type VARCHAR, value DOUBLE, props VARCHAR")):
+                   "event_type VARCHAR, value DOUBLE, props VARCHAR"),
+        ("embeddings", "vec_id BIGINT, embedding FLOAT[], label INTEGER")):
         con.execute(f"CREATE TABLE {t} ({schema})")
         con.execute(f"COPY {t} TO '{outdir}/{t}.parquet' (FORMAT parquet)")
         n = con.execute(f"SELECT count(*) FROM "
