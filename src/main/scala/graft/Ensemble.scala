@@ -49,14 +49,33 @@ final case class Ensemble(df: DataFrame) {
     * computed INSIDE the plan (1-row broadcast agg crossed onto the
     * per-cell counts), so composing this op runs no Spark job — at
     * 100 TB an eager distinct().count() here would full-scan the
-    * ensemble before the pipeline even built. */
-  def alignMembers(): Ensemble = {
-    val total = df.agg(countDistinct(col("dataset")).as("n_total"))
-    val common = df.groupBy("time", "lat", "lon")
+    * ensemble before the pipeline even built.
+    *
+    * `declaredMembers` (r11 single-row-tier find): membership is
+    * data-carried (the `dataset` tag), so the default inferred count
+    * CANNOT see a member that contributed ZERO rows — inference then
+    * silently degrades to "present in all NON-EMPTY members", and a
+    * member whose loader lost everything passes alignment unnoticed.
+    * When the caller knows the declared member count (it usually
+    * does — it called addMember), pass it: an all-empty member then
+    * correctly aligns every cell away (no cell is present in all N),
+    * surfacing the upstream data loss instead of masking it. */
+  def alignMembers(declaredMembers: Int = -1): Ensemble = {
+    val cellCounts = df.groupBy("time", "lat", "lon")
       .agg(countDistinct(col("dataset")).as("nds"))
-      .crossJoin(broadcast(total))
-      .filter(col("nds") === col("n_total"))
-      .select("time", "lat", "lon")
+    val common =
+      if (declaredMembers > 0)
+        // declared count: a literal filter — no member-count subplan,
+        // no 1-row cross join at all (strictly cheaper than inference)
+        cellCounts.filter(col("nds") === lit(declaredMembers.toLong))
+          .select("time", "lat", "lon")
+      else {
+        val total = df.agg(countDistinct(col("dataset")).as("n_total"))
+        cellCounts
+          .crossJoin(broadcast(total))
+          .filter(col("nds") === col("n_total"))
+          .select("time", "lat", "lon")
+      }
     Ensemble(df.join(common, Seq("time", "lat", "lon"), "left_semi"))
   }
 

@@ -468,7 +468,11 @@ object Climate {
             .df.cache() // align reads the union 3×; it is |cells|-sized
         })
       graft.Ensemble.of(tagged)
-        .alignMembers()
+        // declared count 2: member(1) can be legitimately EMPTY (a
+        // single-event corpus has no odd event_ids) and inference
+        // cannot see an empty member (r11 single-row-tier find) —
+        // alignment must then be empty, like the oracle's inner join
+        .alignMembers(declaredMembers = 2)
         .df
         .groupBy(col("time"), col("lat"), col("lon"))
         .agg(max(when(col("dataset") === "ma", col("value"))).as("va"),
@@ -652,7 +656,7 @@ object Climate {
       val preDf = ensembleCache.getOrElseUpdate(
         (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, "pipeline"),
         pre.df.cache())
-      val out = graft.Ensemble.of(preDf).alignMembers()
+      val out = graft.Ensemble.of(preDf).alignMembers(declaredMembers = 2)
       // clim = value − anomaly re-derives the windowed climatology
       // through the SAME two-subtraction op sequence the oracle runs
       // (value − (value − avg) is NOT bitwise avg — both engines must
@@ -890,9 +894,13 @@ object Climate {
          |conv AS (
          |  SELECT dataset, time, lat, lon, value * 2.0 + 1.0 AS value FROM resamp),
          |common AS (
+         |  -- DECLARED member count (2), not COUNT(DISTINCT dataset)
+         |  -- inference: a member the subset/season filters drained to
+         |  -- zero rows is invisible to inference, and the Spark side
+         |  -- aligns on the declared count (r11, alignMembers scaladoc)
          |  SELECT time, lat, lon FROM conv
          |  GROUP BY 1, 2, 3
-         |  HAVING COUNT(DISTINCT dataset) = (SELECT COUNT(DISTINCT dataset) FROM conv)),
+         |  HAVING COUNT(DISTINCT dataset) = 2),
          |aligned AS (
          |  SELECT c.dataset, c.time, c.lat, c.lon, c.value
          |  FROM conv c JOIN common u USING (time, lat, lon))

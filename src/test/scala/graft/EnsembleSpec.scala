@@ -46,6 +46,20 @@ class EnsembleSpec extends AnyFunSuite {
     assert(aligned.df.count() == 2 * 2 * 2 * 2) // members × times × lats × lons
   }
 
+  test("alignMembers with a declared count sees an all-empty member; inference cannot") {
+    // r11 single-row-tier find: membership is data-carried, so the
+    // inferred member count cannot see a member that contributed ZERO
+    // rows — inference degrades to "present in all NON-EMPTY members"
+    // (documented). With the declared count, an empty member correctly
+    // aligns every cell away, surfacing the upstream data loss.
+    val m1 = member("m1", Seq(0.0, 20.0))
+    val ens = Ensemble.of(m1.unionByName(member("m2", Seq(0.0)).limit(0)))
+    assert(ens.alignMembers(declaredMembers = 2).df.count() == 0,
+      "an all-empty declared member must align every cell away")
+    // default inference: the empty member is invisible, m1 survives
+    assert(ens.alignMembers().df.count() == m1.count())
+  }
+
   test("alignMembers composes lazily — no Spark job at plan time") {
     val ens = Ensemble.of(member("m1", Seq(0.0, 20.0))
       .unionByName(member("m2", Seq(0.0, 20.0, 40.0))))

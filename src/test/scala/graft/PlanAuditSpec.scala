@@ -276,12 +276,12 @@ class PlanAuditSpec extends AnyFunSuite
     assert(!p.contains("CartesianProduct"), s"pipeline went cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"pipeline grew a nested-loop join:\n$p")
-    // 2. alignMembers runs over the CACHED pre-align grid: its three
-    //    reads (member count, per-cell counts, semi base) must be
-    //    InMemoryTableScans of the few-thousand-row reduced grid, not
-    //    three re-executions of both members' full event scans (6 fact
-    //    scans per invocation uncached)
-    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+    // 2. alignMembers runs over the CACHED pre-align grid: its reads
+    //    (per-cell counts + semi base — the r11 declaredMembers form
+    //    has NO member-count read at all, one fewer than inference)
+    //    must be InMemoryTableScans of the few-thousand-row reduced
+    //    grid, not re-executions of both members' full event scans
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
       s"pre-align grid not cached — alignMembers re-executes the member build:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"common-cell join not broadcast:\n$p")
     assert(p.contains("LeftSemi"), s"alignMembers lost its semi join:\n$p")

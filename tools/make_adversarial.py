@@ -292,6 +292,30 @@ def make_empty(outdir):
         assert n == 0
 
 
+def make_one(outdir):
+    """ONE tier (--one, round 11): exactly ONE row in each payload
+    table (documents, events, embeddings — lowest doc_id/event_id/
+    vec_id of sf0.001), TPC-H unmodified — the single-row boundary
+    between --empty and normal. Windows over one row, quantiles of a
+    single value, a 2-member ensemble whose odd-id member is EMPTY
+    (found the alignMembers inference-vs-declared-count divergence the
+    day it was added), self-joins with no partner rows."""
+    os.makedirs(outdir, exist_ok=True)
+    for t in TABLES:
+        shutil.copy(os.path.join(SRC, f"{t}.parquet"),
+                    os.path.join(outdir, f"{t}.parquet"))
+    con = duckdb.connect()
+    for t, key in (("documents", "doc_id"), ("events", "event_id"),
+                   ("embeddings", "vec_id")):
+        con.execute(f"CREATE TABLE {t} AS SELECT * FROM read_parquet("
+                    f"'{SRC}/{t}.parquet') ORDER BY {key} LIMIT 1")
+        con.execute(f"COPY {t} TO '{outdir}/{t}.parquet' (FORMAT parquet)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet("
+                        f"'{outdir}/{t}.parquet')").fetchone()[0]
+        print(f"wrote ONE {outdir}/{t}.parquet: rows={n}")
+        assert n == 1
+
+
 def main(outdir, seed=0, hot=False, nulls=False):
     os.makedirs(outdir, exist_ok=True)
     for t in TABLES:
@@ -356,7 +380,7 @@ def main(outdir, seed=0, hot=False, nulls=False):
     assert (n[4] > 0) == nulls  # the tier does (and only does) what it says
 
 
-FLAGS = ("--hot", "--sparse", "--nulls", "--empty")
+FLAGS = ("--hot", "--sparse", "--nulls", "--empty", "--one")
 
 if __name__ == "__main__":
     # reject any unrecognized -flag up front: a misspelled one used to
@@ -374,7 +398,7 @@ if __name__ == "__main__":
     if bad:
         sys.exit(f"unrecognized flag(s): {' '.join(bad)}\n"
                  f"usage: make_adversarial.py <outDir> [seed] "
-                 f"[--hot | --sparse | --nulls | --empty]")
+                 f"[--hot | --sparse | --nulls | --empty | --one]")
     flags = [a for a in sys.argv[1:] if a in FLAGS]
     if len(flags) > 1:
         sys.exit(f"{' and '.join(flags)} are mutually exclusive tiers "
@@ -384,11 +408,13 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if a not in FLAGS]
     if not args:
         sys.exit("usage: make_adversarial.py <outDir> [seed] "
-                 "[--hot | --sparse | --nulls | --empty]")
+                 "[--hot | --sparse | --nulls | --empty | --one]")
     seed = int(args[1]) if len(args) > 1 else 0
     if "--sparse" in flags:
         make_sparse(args[0], seed)
     elif "--empty" in flags:
         make_empty(args[0])
+    elif "--one" in flags:
+        make_one(args[0])
     else:
         main(args[0], seed, hot="--hot" in flags, nulls="--nulls" in flags)
