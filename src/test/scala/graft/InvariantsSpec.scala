@@ -125,6 +125,34 @@ class InvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.select("cid").distinct().count() <= 8)
   }
 
+  test("rowDigest: byte-compatible with concat_ws on non-null inputs, NULL-propagating otherwise") {
+    // the two claims of the r11 digest fix, pinned: (a) for non-null
+    // inputs the interleaved-concat digest is bit-identical to the old
+    // concat_ws form (every historical hash unchanged); (b) ANY null
+    // input nulls the digest — matching the oracles' `||` chains, so
+    // SUM/bit_xor skip the row identically on both engines
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "alpha"), (2L, ""), (3L, "with|pipe"), (4L, null),
+      (5L, "café 中文"), (6L, " padded ")
+    ).toDF("id", "s")
+    val oldForm = conv(substring(md5(
+      concat_ws("|", col("id").cast("string"), col("s"))), 1, 15), 16, 10)
+      .cast("long")
+    val got = df.select(col("id"), col("s"),
+      ops.Profiling.rowDigest(col("id"), col("s")).as("d"), oldForm.as("old"))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2),
+        s"NULL input must null the digest (id=${r.getLong(0)})")
+      else {
+        assert(!r.isNullAt(2) && r.getLong(2) == r.getLong(3),
+          s"digest diverged from the historical concat_ws bytes (id=${r.getLong(0)})")
+      }
+    }
+    intercept[IllegalArgumentException](ops.Profiling.rowDigest())
+  }
+
   test("table checksum is row-order and partitioning independent") {
     // the whole point of the XOR fold: any replica layout fingerprints
     // identically — recompute via the shared helper over a reshuffled,
