@@ -21,6 +21,25 @@ class MultimodalSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("mediaTable is total over NULL docs: empty opaque payload, not a dead task") {
+    // r11 NULL-tier law: the tuple encoder's primitive Long slot threw
+    // NOT_NULL_ASSERT_VIOLATION on NULL text/n_chars — a null document
+    // must become an EMPTY payload row (id ≡ 2 mod 3 is the opaque
+    // branch; 0/1 synthesize BMP/WAV regardless of text)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mmnull")
+    Seq[(java.lang.Long, String, String, String, java.lang.Long)](
+      (2L, null, "en", "src0", null),
+      (5L, "real text", "en", "src1", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val media = ops.Multimodal.mediaTable(spark, tmp.toString)
+      .orderBy("media_id").collect()
+    assert(media.length == 2)
+    assert(media(0).getAs[Array[Byte]]("payload").isEmpty,
+      "NULL doc must carry an empty opaque payload")
+    assert(media(1).getAs[Array[Byte]]("payload").nonEmpty)
+  }
+
   test("decode emits exactly one feature row per media row, n_bytes = payload size") {
     val media = ops.Multimodal.mediaTable(spark, dir)
     val feats = ops.Multimodal.decodeFeatures(spark, media).toDF()

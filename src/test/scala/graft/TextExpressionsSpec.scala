@@ -100,6 +100,23 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("winnow fingerprint: NULL text is NULL in BOTH forms (r11 NULL-tier law)") {
+    // the native expression null-propagates via nullSafeEval; the HOF
+    // form used to fingerprint NULL as [hash("")] because greatest()
+    // skips null args — the fixed when-guard must keep the two forms
+    // in parity on NULL input, and md5 grading twin included
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, "present text here")).toDF("doc_id", "text")
+    for (fp <- Seq(ops.TextAnalysis.fingerprints(df),
+                   ops.TextAnalysis.fingerprintsHof(df),
+                   ops.TextAnalysis.fingerprintsMd5(df))) {
+      val rows = fp.orderBy("doc_id").collect()
+      assert(rows(0).isNullAt(1), "NULL text must fingerprint as NULL")
+      assert(!rows(1).isNullAt(1), "non-null text must keep its fingerprint")
+    }
+  }
+
   test("shingle hash set equals the declarative reference on fixture and edge strings") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
