@@ -27,9 +27,10 @@ final case class Ensemble(df: DataFrame) {
     df.select("dataset").distinct().collect().map(_.getString(0)).toSeq.sorted
 
   /** Persist the long form — call before a multi-read reduction
-    * ([[alignMembers]] reads the union three times: the member count,
-    * the per-cell counts, and the semi-join base; uncached, each read
-    * re-executes every member's upstream pipeline). Identical-plan
+    * ([[alignMembers]] reads the union two or three times: the
+    * per-cell counts and the semi-join base always, plus the inferred
+    * member count only when `declaredMembers` is not passed; uncached,
+    * each read re-executes every member's upstream pipeline). Identical-plan
     * cache() calls share one entry via the cache manager. The CALLER
     * owns the persisted lifetime: unpersist via `.df.unpersist()` (or
     * hold it in a tracked memo — the ops.Climate.ensembleCache
@@ -59,15 +60,35 @@ final case class Ensemble(df: DataFrame) {
     * When the caller knows the declared member count (it usually
     * does — it called addMember), pass it: an all-empty member then
     * correctly aligns every cell away (no cell is present in all N),
-    * surfacing the upstream data loss instead of masking it. */
+    * surfacing the upstream data loss instead of masking it.
+    *
+    * MISUSE MODES of a wrong declaration (r11 advice): an UNDERSTATED
+    * count (declared < actual distinct tags) is provably wrong the
+    * moment any cell counts more members than declared, so the plan
+    * carries a per-row guard that fails the job loudly (one codegen'd
+    * comparison per cell — no extra shuffle, no extra job, and the
+    * when/otherwise form is a single unsplittable predicate the
+    * optimizer cannot reorder past the guard). An OVERSTATED count is
+    * indistinguishable per-row from genuine non-alignment — it empties
+    * the result exactly like an all-empty member does; that ambiguity
+    * is inherent (it is WHY the declaration surfaces data loss), so
+    * callers seeing an unexpectedly empty alignment should check the
+    * declared count first. */
   def alignMembers(declaredMembers: Int = -1): Ensemble = {
     val cellCounts = df.groupBy("time", "lat", "lon")
       .agg(countDistinct(col("dataset")).as("nds"))
     val common =
       if (declaredMembers > 0)
         // declared count: a literal filter — no member-count subplan,
-        // no 1-row cross join at all (strictly cheaper than inference)
-        cellCounts.filter(col("nds") === lit(declaredMembers.toLong))
+        // no 1-row cross join at all (strictly cheaper than inference);
+        // the when-guard raises on nds > declared (understated count)
+        cellCounts.filter(
+            when(col("nds") > lit(declaredMembers.toLong),
+              assert_true(col("nds") <= lit(declaredMembers.toLong),
+                concat(lit(s"alignMembers: declaredMembers=$declaredMembers " +
+                  "understates the ensemble — a cell was observed in "),
+                  col("nds"), lit(" distinct members"))).isNotNull)
+              .otherwise(col("nds") === lit(declaredMembers.toLong)))
           .select("time", "lat", "lon")
       else {
         val total = df.agg(countDistinct(col("dataset")).as("n_total"))

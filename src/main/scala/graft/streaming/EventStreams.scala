@@ -101,8 +101,20 @@ object EventStreams {
   def writeChronologicalChunks(events: DataFrame, n: Int, destDir: String): Unit = {
     import org.apache.spark.sql.functions.{floor => ffloor}
     val e = events
-    val r = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    if (r.isNullAt(0)) {
+    val r = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      count(lit(1)), count(col("ts"))).head()
+    val (nRows, nTs) = (r.getLong(2), r.getLong(3))
+    if (nRows != nTs)
+      // NULL ts cannot be placed chronologically: the chunk expression
+      // below maps them to a NULL partition the pickup loop never reads
+      // (silent row loss), and an ALL-NULL source used to take the
+      // empty branch and smuggle every row into "empty" chunk_00. Both
+      // are caller bugs — fail loudly (r11 advice).
+      throw new IllegalArgumentException(
+        s"writeChronologicalChunks: ${nRows - nTs} of $nRows rows have " +
+          "NULL ts — a replay chunk is a time range, so every row needs " +
+          "a timestamp; filter or repair NULL ts upstream")
+    if (nRows == 0L) {
       // EMPTY source (r11 empty-tier find): min/max are NULL and the
       // getLong below threw ROW_VALUE_IS_NULL, killing the whole
       // pipeline — but an empty day/partition is a normal condition at
@@ -111,16 +123,19 @@ object EventStreams {
       // replay runs a single 0-row micro-batch, and the upsert sink
       // commits an EMPTY snapshot — end-to-end, an empty source
       // converges to an empty table (exactly the batch fixpoint).
+      // limit(0) makes the 0-row guarantee structural, not data-driven.
       val build = s"$destDir/_chunk_build"
-      e.coalesce(1).write.mode("overwrite").parquet(build)
-      Option(new java.io.File(build).listFiles())
+      e.limit(0).coalesce(1).write.mode("overwrite").parquet(build)
+      val part = Option(new java.io.File(build).listFiles())
         .flatMap(_.find(_.getName.endsWith(".parquet")))
-        .foreach { part =>
-          val dest = new java.io.File(destDir, "chunk_00.parquet")
-          dest.getParentFile.mkdirs()
-          java.nio.file.Files.move(part.toPath, dest.toPath)
-          dest.setLastModified(1700000000000L)
-        }
+        .getOrElse(throw new IllegalStateException(
+          s"writeChronologicalChunks: empty-source write to $build " +
+            "produced no part file — the stream reader needs one " +
+            "schema-bearing chunk to probe"))
+      val dest = new java.io.File(destDir, "chunk_00.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L)
       UpsertSink.deleteRecursively(java.nio.file.Paths.get(build))
       return
     }

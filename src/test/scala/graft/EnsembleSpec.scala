@@ -60,6 +60,25 @@ class EnsembleSpec extends AnyFunSuite {
     assert(ens.alignMembers().df.count() == m1.count())
   }
 
+  test("alignMembers fails loudly on an UNDERSTATED declared count") {
+    // r11 advice: declared < actual distinct tags used to silently drop
+    // fully-aligned cells (nds > declared fails the === filter). The
+    // in-plan guard now raises the moment any cell counts more members
+    // than declared — no extra job, the guard lives in the same filter.
+    val ens = Ensemble.of(member("m1", Seq(0.0, 20.0))
+      .unionByName(member("m2", Seq(0.0, 20.0))))
+    val ex = intercept[Exception] {
+      ens.alignMembers(declaredMembers = 1).df.count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("understates")),
+      s"expected the understated-declaration guard, got: ${msgs(ex)}")
+    // and a CORRECT declaration on the same data still aligns cleanly
+    assert(ens.alignMembers(declaredMembers = 2).df.count() ==
+      ens.df.count())
+  }
+
   test("alignMembers composes lazily — no Spark job at plan time") {
     val ens = Ensemble.of(member("m1", Seq(0.0, 20.0))
       .unionByName(member("m2", Seq(0.0, 20.0, 40.0))))

@@ -276,4 +276,30 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(table.nonEmpty, "sink must commit a snapshot for an empty replay")
     assert(table.get.count() == 0, "empty source must yield an empty table")
   }
+
+  test("NULL-ts rows are rejected loudly, never silently dropped or smuggled") {
+    // r11 advice: a non-empty source whose every ts is NULL took the
+    // empty-source branch (min/max skip NULLs) and coalesced ALL its
+    // rows into the "empty" chunk_00; a partly-NULL source dropped the
+    // NULL rows into a partition the pickup loop never reads. Both are
+    // now a loud IllegalArgumentException naming the NULL-row count.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_nullts").toString
+    val base = Tables.events(spark, dir).limit(10)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val allNull = base.withColumn("ts", lit(null).cast("timestamp"))
+    val exAll = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.writeChronologicalChunks(
+        allNull, n = 2, destDir = s"$root/all")
+    }
+    assert(exAll.getMessage.contains("10 of 10 rows have NULL ts"))
+    val someNull = base.withColumn("ts",
+      when(col("event_id") % 2 === 0, col("ts")))
+    val exSome = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.writeChronologicalChunks(
+        someNull, n = 2, destDir = s"$root/some")
+    }
+    assert(exSome.getMessage.contains("rows have NULL ts"))
+  }
 }

@@ -409,6 +409,12 @@ if __name__ == "__main__":
     if not args:
         sys.exit("usage: make_adversarial.py <outDir> [seed] "
                  "[--hot | --sparse | --nulls | --empty | --one]")
+    if len(args) > 1 and ("--empty" in flags or "--one" in flags):
+        # r11 advice: these tiers are fully deterministic (no RNG), so a
+        # seed positional would silently have no effect and corrupt
+        # tier-reproduction bookkeeping — reject it loudly instead
+        sys.exit(f"{flags[0]} takes no seed (the tier is deterministic); "
+                 f"got extra positional arg(s): {' '.join(args[1:])}")
     seed = int(args[1]) if len(args) > 1 else 0
     if "--sparse" in flags:
         make_sparse(args[0], seed)
