@@ -177,5 +177,17 @@ object Ensemble {
       .readClassic(spark, pathGlob, varName, latVar, lonVar, timeVar)
       .select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")))
 
+  /** bcdp `load_local` for MIXED archives (r12): format auto-detected
+    * per file from the magic bytes — NetCDF-3 classic and NetCDF-4/
+    * HDF5 (contiguous, uncompressed subset; see
+    * [[graft.sources.Hdf5Classic]]) members load side by side, the
+    * mid-migration state every real CMIP mirror is in. */
+  def loadGrid(spark: SparkSession, pathGlob: String, varName: String,
+               latVar: String = "lat", lonVar: String = "lon",
+               timeVar: String = "time"): Ensemble =
+    Ensemble(graft.sources.NetcdfSource
+      .readGrid(spark, pathGlob, varName, latVar, lonVar, timeVar)
+      .select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")))
+
   def of(df: DataFrame): Ensemble = Ensemble(df)
 }

@@ -18,11 +18,15 @@ import org.apache.spark.sql.types._
   * everything downstream (subset pushdown on the emitted frame,
   * regrid, climatology) is ordinary engine code.
   *
-  * NetCDF-4/HDF5 files (magic `\x89HDF`) genuinely need the HDF5
-  * library and are rejected with a clear error; the DataSourceV2
-  * upgrade path (hyperslab pushdown via `SupportsPushDownFilters`, one
-  * InputPartition per (file, variable, time-chunk)) remains documented
-  * for when a full netcdf jar is available.
+  * NetCDF-4/HDF5 files (magic `\x89HDF`) load through the same
+  * pipeline via [[Hdf5Classic]] (r12): the contiguous, uncompressed
+  * netCDF-4 subset — superblock v0, v1 object headers, dimension
+  * scales via DIMENSION_LIST — parses dependency-free; chunked/
+  * compressed files are rejected with a NAMED error (deflate needs
+  * zlib) and the DataSourceV2 upgrade path (hyperslab pushdown via
+  * `SupportsPushDownFilters`, one InputPartition per (file, variable,
+  * time-chunk)) remains documented for when a full netcdf jar is
+  * available. [[readGrid]] auto-detects the format per file.
   */
 object NetcdfSource {
 
@@ -84,9 +88,93 @@ object NetcdfSource {
     ts
   }
 
-  /** Distributed NetCDF-3 classic → long-form DataFrame. Supports
-    * (time, lat, lon) and (lat, lon) variables; `dataset` is the file
-    * basename (compose with [[withPathFields]] for template fields). */
+  /** The two self-describing grid container formats behind ONE view:
+    * axis names of a variable, raw values, and an attribute lookup.
+    * NetCDF-3 names axes via dim ids; NetCDF-4/HDF5 via DIMENSION_LIST
+    * dimension scales (see [[Hdf5Classic]]). */
+  private sealed trait GridView {
+    def dimsOf(v: String): Seq[String]
+    def read(v: String): Array[Double]
+    def unitsOf(v: String): Option[String]
+  }
+  private final class ClassicView(nc: NetcdfClassic.NcFile) extends GridView {
+    def dimsOf(v: String): Seq[String] =
+      nc.variable(v).dimIds.map(nc.dim(_).name)
+    def read(v: String): Array[Double] = nc.read(v)
+    def unitsOf(v: String): Option[String] =
+      nc.variable(v).attrs.collectFirst {
+        case NetcdfClassic.NcAttr("units", s: String) => s
+      }
+  }
+  private final class Hdf5View(h5: Hdf5Classic.H5File) extends GridView {
+    def dimsOf(v: String): Seq[String] = h5.dimNames(v)
+    def read(v: String): Array[Double] = h5.read(v)
+    def unitsOf(v: String): Option[String] = h5.variable(v).attrStr("units")
+  }
+
+  private def openGrid(bytes: Array[Byte]): GridView =
+    if (bytes.length >= 4 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F')
+      new ClassicView(NetcdfClassic.parse(bytes))
+    else new Hdf5View(Hdf5Classic.parse(bytes)) // parse names bad magic
+
+  /** Shared long-form emitter: one file's (time,lat,lon) or (lat,lon)
+    * variable → GridRow iterator (row-major, records outermost). */
+  private def emitRows(g: GridView, path: String, varName: String,
+                       latVar: String, lonVar: String,
+                       timeVar: String): Iterator[GridRow] = {
+    val dimNames = g.dimsOf(varName)
+    val lats = g.read(latVar)
+    val lons = g.read(lonVar)
+    val data = g.read(varName)
+    val ds = path.substring(path.lastIndexOf('/') + 1)
+    dimNames match {
+      case Seq(`timeVar`, `latVar`, `lonVar`) =>
+        val units = g.unitsOf(timeVar)
+          .getOrElse(throw new IllegalArgumentException(
+            s"time variable '$timeVar' has no units attribute"))
+        val (base, step) = cfTimeBase(units)
+        val times = g.read(timeVar).map(t =>
+          microsToTimestamp(base + math.round(t * step)))
+        for {
+          ti <- times.indices.iterator
+          li <- lats.indices
+          oi <- lons.indices
+        } yield GridRow(ds, varName, times(ti), lats(li), lons(oi),
+          data((ti * lats.length + li) * lons.length + oi))
+      case Seq(`latVar`, `lonVar`) =>
+        for {
+          li <- lats.indices.iterator
+          oi <- lons.indices
+        } yield GridRow(ds, varName, null, lats(li), lons(oi),
+          data(li * lons.length + oi))
+      case other => throw new IllegalArgumentException(
+        s"unsupported dim layout $other for '$varName' " +
+          s"(expected ($timeVar, $latVar, $lonVar) or ($latVar, $lonVar))")
+    }
+  }
+
+  /** Distributed grid-file ensemble → long-form DataFrame, format
+    * auto-detected PER FILE from the magic bytes (a mixed NetCDF-3 /
+    * NetCDF-4 archive — common mid-migration — loads in one call).
+    * Supports (time, lat, lon) and (lat, lon) variables; `dataset` is
+    * the file basename (compose with [[withPathFields]] for template
+    * fields). Parallelism comes from the file count, exactly like
+    * dask's per-file chunks in the reference. */
+  def readGrid(spark: SparkSession, pathGlob: String, varName: String,
+               latVar: String = "lat", lonVar: String = "lon",
+               timeVar: String = "time"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        emitRows(openGrid(bytes), path, varName, latVar, lonVar, timeVar)
+      }
+      .toDF()
+  }
+
+  /** Distributed NetCDF-3 classic → long-form DataFrame (rejects HDF5
+    * files with the classic parser's magic error — use [[readHdf5]] or
+    * [[readGrid]] for NetCDF-4). */
   def readClassic(spark: SparkSession, pathGlob: String, varName: String,
                   latVar: String = "lat", lonVar: String = "lon",
                   timeVar: String = "time"): DataFrame = {
@@ -94,39 +182,24 @@ object NetcdfSource {
     spark.read.format("binaryFile").load(pathGlob)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        val nc = NetcdfClassic.parse(bytes)
-        val v = nc.variable(varName)
-        val dimNames = v.dimIds.map(nc.dim(_).name)
-        val lats = nc.read(latVar)
-        val lons = nc.read(lonVar)
-        val data = nc.read(varName)
-        val ds = path.substring(path.lastIndexOf('/') + 1)
-        dimNames match {
-          case Seq(`timeVar`, `latVar`, `lonVar`) =>
-            val tv = nc.variable(timeVar)
-            val units = tv.attrs.collectFirst {
-              case NetcdfClassic.NcAttr("units", s: String) => s
-            }.getOrElse(throw new IllegalArgumentException(
-              s"time variable '$timeVar' has no units attribute"))
-            val (base, step) = cfTimeBase(units)
-            val times = nc.read(timeVar).map(t =>
-              microsToTimestamp(base + math.round(t * step)))
-            for {
-              ti <- times.indices.iterator
-              li <- lats.indices
-              oi <- lons.indices
-            } yield GridRow(ds, varName, times(ti), lats(li), lons(oi),
-              data((ti * lats.length + li) * lons.length + oi))
-          case Seq(`latVar`, `lonVar`) =>
-            for {
-              li <- lats.indices.iterator
-              oi <- lons.indices
-            } yield GridRow(ds, varName, null, lats(li), lons(oi),
-              data(li * lons.length + oi))
-          case other => throw new IllegalArgumentException(
-            s"unsupported dim layout $other for '$varName' " +
-              s"(expected ($timeVar, $latVar, $lonVar) or ($latVar, $lonVar))")
-        }
+        emitRows(new ClassicView(NetcdfClassic.parse(bytes)), path,
+          varName, latVar, lonVar, timeVar)
+      }
+      .toDF()
+  }
+
+  /** Distributed NetCDF-4/HDF5 (contiguous, uncompressed subset — see
+    * [[Hdf5Classic]] for the precise scope and the named rejections)
+    * → long-form DataFrame. */
+  def readHdf5(spark: SparkSession, pathGlob: String, varName: String,
+               latVar: String = "lat", lonVar: String = "lon",
+               timeVar: String = "time"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        emitRows(new Hdf5View(Hdf5Classic.parse(bytes)), path,
+          varName, latVar, lonVar, timeVar)
       }
       .toDF()
   }
