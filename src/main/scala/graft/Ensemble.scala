@@ -156,6 +156,14 @@ final case class Ensemble(df: DataFrame) {
 
   /** bcdp's generic `apply` escape hatch (R14), kept declarative. */
   def transform(f: DataFrame => DataFrame): Ensemble = Ensemble(f(df))
+
+  /** bcdp's `to_netcdf` terminal (r12): export one grid file per
+    * member — NetCDF-3 classic, or NetCDF-4/HDF5 with `hdf5 = true` —
+    * distributed at the read side's granularity (one task ⇔ one
+    * member's file). See [[graft.sources.NetcdfSource.writeGrid]]. */
+  def toNetcdf(destDir: String, varName: String = "value",
+               hdf5: Boolean = false): Unit =
+    graft.sources.NetcdfSource.writeGrid(df, destDir, varName, hdf5)
 }
 
 object Ensemble {

@@ -172,6 +172,28 @@ object NetcdfSource {
       .toDF()
   }
 
+  /** Multi-variable grid load (xarray `Dataset` fidelity: a real CMIP
+    * file carries several data variables on shared axes). Each file is
+    * parsed ONCE and emits rows for every requested variable; the
+    * long-form `variable` column distinguishes them, so downstream
+    * per-variable pipelines are ordinary `filter`/`groupBy("variable")`
+    * plans. Format auto-detected per file like [[readGrid]]. */
+  def readGridVars(spark: SparkSession, pathGlob: String,
+                   varNames: Seq[String],
+                   latVar: String = "lat", lonVar: String = "lon",
+                   timeVar: String = "time"): DataFrame = {
+    require(varNames.nonEmpty, "readGridVars needs at least one variable")
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val g = openGrid(bytes)
+        varNames.iterator.flatMap(v =>
+          emitRows(g, path, v, latVar, lonVar, timeVar))
+      }
+      .toDF()
+  }
+
   /** Distributed NetCDF-3 classic → long-form DataFrame (rejects HDF5
     * files with the classic parser's magic error — use [[readHdf5]] or
     * [[readGrid]] for NetCDF-4). */
@@ -212,6 +234,78 @@ object NetcdfSource {
     StructField("lev", DoubleType),
     StructField("value", DoubleType),
     StructField("attrs", MapType(StringType, StringType))))
+
+  /** bcdp's `to_netcdf` terminal (the reference pipeline's export
+    * step): write a long-form ensemble back out as ONE grid file per
+    * member — NetCDF-3 classic or NetCDF-4/HDF5 per `hdf5`.
+    *
+    * Distributed by the same granularity the READ side uses (one task
+    * ⇔ one member's file): `repartition(dataset)` co-locates each
+    * member, `sortWithinPartitions` makes members contiguous, and each
+    * task streams its partition once, assembling one member grid at a
+    * time — peak task memory is ONE member's dense grid, the same
+    * bound parsing imposes. `destDir` must be a path every executor
+    * can write (shared FS at cluster scale; local FS on local[n]).
+    *
+    * Grid semantics: axes are the member's distinct sorted lat/lon/
+    * time values; cells absent from the input are filled NaN; times
+    * are written CF "seconds since 1970-01-01" (microsecond fractions
+    * preserved as decimals — exact for whole-second data). Member tags
+    * become file basenames and must be path-safe. */
+  def writeGrid(df: DataFrame, destDir: String, varName: String = "value",
+                hdf5: Boolean = false): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    new java.io.File(destDir).mkdirs()
+    val ext = if (hdf5) "h5" else "nc"
+    df.select(col("dataset"), col("time"), col("lat"), col("lon"), col("value"))
+      .repartition(col("dataset"))
+      .sortWithinPartitions(col("dataset"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        def flush(ds: String, buf: Seq[(Long, Double, Double, Double)]): Unit = {
+          require(!ds.contains('/') && !ds.contains(java.io.File.separatorChar),
+            s"member tag '$ds' is not a path-safe file basename")
+          val times = buf.map(_._1).distinct.sorted
+          val lats = buf.map(_._2).distinct.sorted
+          val lons = buf.map(_._3).distinct.sorted
+          val tIx = times.zipWithIndex.toMap
+          val laIx = lats.zipWithIndex.toMap
+          val loIx = lons.zipWithIndex.toMap
+          val grid = Array.fill(times.length * lats.length * lons.length)(Double.NaN)
+          buf.foreach { case (t, la, lo, v) =>
+            grid((tIx(t) * lats.length + laIx(la)) * lons.length + loIx(lo)) = v
+          }
+          val dims = Seq(NetcdfClassic.NcDim("time", times.length),
+            NetcdfClassic.NcDim("lat", lats.length),
+            NetcdfClassic.NcDim("lon", lons.length))
+          val vars = Seq(
+            ("time", Seq(0),
+              Seq(NetcdfClassic.NcAttr("units", "seconds since 1970-01-01")),
+              times.map(_ / 1e6).toArray),
+            ("lat", Seq(1),
+              Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
+            ("lon", Seq(2),
+              Seq(NetcdfClassic.NcAttr("units", "degrees_east")), lons.toArray),
+            (varName, Seq(0, 1, 2), Nil, grid))
+          val bytes = if (hdf5) Hdf5Classic.write(dims, vars)
+                      else NetcdfClassic.write(dims, vars)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$destDir/$ds.$ext"), bytes)
+        }
+        var cur: String = null
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Double, Double)]
+        rows.foreach { r =>
+          val ds = r.getString(0)
+          if (ds != cur && cur != null) { flush(cur, buf.toSeq); buf.clear() }
+          cur = ds
+          buf += ((r.getTimestamp(1).getTime * 1000L +
+            (r.getTimestamp(1).getNanos / 1000L) % 1000L,
+            r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        }
+        if (cur != null) flush(cur, buf.toSeq)
+      }
+  }
 
   /** Filename-template metadata extraction, e.g.
     * "{model}_{variable}_{start}.nc" — the R1 path-parsing feature as a

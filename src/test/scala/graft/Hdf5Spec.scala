@@ -492,6 +492,50 @@ class Hdf5Spec extends AnyFunSuite {
     assert(binned.count() > 0)
   }
 
+  test("readGridVars loads several variables from one parse per file") {
+    val tmp = Files.createTempDirectory("h5multi").toString
+    val lats = Array(0.0, 10.0); val lons = Array(100.0, 110.0, 120.0)
+    Files.write(Paths.get(s"$tmp/m.h5"), Hdf5Classic.write(
+      dims = Seq(NcDim("time", 1), NcDim("lat", 2), NcDim("lon", 3)),
+      vars = Seq(
+        ("time", Seq(0), Seq(NcAttr("units", "days since 2000-01-01")), Array(0.0)),
+        ("lat", Seq(1), Nil, lats), ("lon", Seq(2), Nil, lons),
+        ("tas", Seq(0, 1, 2), Nil, Array.tabulate(6)(_.toDouble)),
+        ("pr", Seq(0, 1, 2), Nil, Array.tabulate(6)(i => 100.0 + i)))))
+    val df = NetcdfSource.readGridVars(spark, s"$tmp/m.h5", Seq("tas", "pr"))
+    assert(df.count() == 12)
+    val byVar = df.groupBy("variable").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byVar == Map("tas" -> 6L, "pr" -> 6L))
+    // same cell, two variables, the right values
+    val cell = df.filter(col("lat") === 0.0 && col("lon") === 110.0)
+      .select("variable", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cell == Map("tas" -> 1.0, "pr" -> 101.0))
+  }
+
+  test("to_netcdf export: writeGrid → loadGrid is the identity, both formats") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("export").toString
+    val rows = for {
+      m <- Seq("mA", "mB"); t <- 0 to 1; la <- Seq(0.0, 10.0); lo <- Seq(100.0, 110.0)
+    } yield (m, java.sql.Timestamp.valueOf(s"2024-01-0${t + 1} 00:00:00"),
+      la, lo, m.hashCode % 13 + t * 100.0 + la + lo)
+    val df = rows.toDF("dataset", "time", "lat", "lon", "value")
+    for (h5 <- Seq(false, true)) {
+      val dir = s"$tmp/${if (h5) "h5" else "nc"}"
+      NetcdfSource.writeGrid(df, dir, varName = "tas", hdf5 = h5)
+      val names = new java.io.File(dir).list().sorted.toSeq
+      assert(names == Seq("mA", "mB").map(m => s"$m.${if (h5) "h5" else "nc"}"))
+      val back = NetcdfSource.readGrid(spark, s"$dir/*", "tas")
+        .select(regexp_replace(col("dataset"), "\\.(nc|h5)$", "").as("dataset"),
+          col("time"), col("lat"), col("lon"), col("value"))
+      assert(back.count() == rows.length)
+      assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0,
+        s"writeGrid(hdf5=$h5) round-trip must be the identity")
+    }
+  }
+
   test("readGrid auto-detects NetCDF-3 and HDF5 members in ONE mixed archive") {
     val tmp = Files.createTempDirectory("mixed").toString
     // classic member via the NetCDF-3 writer, HDF5 member via this one
