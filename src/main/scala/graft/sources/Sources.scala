@@ -271,82 +271,68 @@ object Sources {
         StructField("text", StringType)))), "source")
     },
 
-    // HDF5/NetCDF-4 round-trip (r12): events are bucketed into a dense
-    // (day, lat, lon) COUNT grid, emitted as a REAL netCDF-4-style
-    // HDF5 file through Hdf5Classic.write (dimension scales,
-    // DIMENSION_LIST through the global heap, CF time axis), re-read
-    // DISTRIBUTED through NetcdfSource.readHdf5, and fingerprinted per
-    // latitude row. The oracle recomputes the fingerprint from the
-    // BASE events table (DuckDB reads no HDF5) — equality holds iff
-    // write→parse→CF-decode→long-form emission is lossless. All grid
-    // values are exact-integer counts and day numbers, so double
-    // arithmetic is exact on both engines. The grid build collects
-    // BOUNDED cell aggregates (days × 3 lat-buckets × ≤5 lon-buckets —
-    // metadata scale, like the IVF trainer; capped loudly), while the
-    // bucketing aggregation and the read-back fingerprint both run
-    // distributed.
-    "q_source_hdf5_roundtrip" -> { (s, dir) =>
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.DoubleType
-      val out = s"$roundtripRoot/hdf5"
-      val cells = graft.Tables.events(s, dir)
-        .select(to_date(col("ts")).as("day"),
-          (col("user_id") % 3).cast("int").as("latb"),
-          when(col("event_type") === "click", 0)
-            .when(col("event_type") === "view", 1)
-            .when(col("event_type") === "purchase", 2)
-            .when(col("event_type") === "signup", 3)
-            .otherwise(4).as("lonb"))
-        .groupBy("day", "latb", "lonb")
-        .agg(count(lit(1)).cast("double").as("v"))
-        .collect()
-      require(cells.length <= 200000,
-        s"hdf5 grid build: ${cells.length} cells exceeds the driver cap")
-      val outSchema = StructType(Seq(
-        StructField("lat", DoubleType), StructField("n_cells", LongType),
-        StructField("sum_val", LongType), StructField("t_sig", LongType)))
-      if (cells.isEmpty) {
-        // empty-events tier: no grid to write; the oracle's GROUP BY
-        // over zero cells is empty too
-        s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
-      } else {
-        val days = cells.map(_.getDate(0).toLocalDate.toEpochDay).distinct.sorted
-        val latbs = cells.map(_.getInt(1)).distinct.sorted
-        val lonbs = cells.map(_.getInt(2)).distinct.sorted
-        val dayIx = days.zipWithIndex.toMap
-        val latIx = latbs.zipWithIndex.toMap
-        val lonIx = lonbs.zipWithIndex.toMap
-        val grid = new Array[Double](days.length * latbs.length * lonbs.length)
-        cells.foreach { r =>
-          val i = (dayIx(r.getDate(0).toLocalDate.toEpochDay) * latbs.length +
-            latIx(r.getInt(1))) * lonbs.length + lonIx(r.getInt(2))
-          grid(i) = r.getDouble(3)
-        }
-        val bytes = Hdf5Classic.write(
-          dims = Seq(NetcdfClassic.NcDim("time", days.length),
-            NetcdfClassic.NcDim("lat", latbs.length),
-            NetcdfClassic.NcDim("lon", lonbs.length)),
-          vars = Seq(
-            ("time", Seq(0),
-              Seq(NetcdfClassic.NcAttr("units", "days since 1970-01-01")),
-              days.map(_.toDouble)),
-            ("lat", Seq(1), Nil, latbs.map(b => b * 10.0)),
-            ("lon", Seq(2), Nil, lonbs.map(b => 100.0 + b * 10.0)),
-            ("events", Seq(0, 1, 2),
-              Seq(NetcdfClassic.NcAttr("units", "count")), grid)))
-        val dirF = new java.io.File(out); dirF.mkdirs()
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$out/grid.h5"), bytes)
-        NetcdfSource.readHdf5(s, s"$out/grid.h5", "events")
-          .groupBy(col("lat"))
-          .agg(count(lit(1)).cast("long").as("n_cells"),
-            sum(col("value")).cast("long").as("sum_val"),
-            sum(col("value") *
-              datediff(to_date(col("time")), lit("1970-01-01")))
-              .cast("long").as("t_sig"))
-          .orderBy(col("lat"))
-      }
-    })
+    // Grid round-trips (r12): events are bucketed into a dense
+    // (day, lat, lon) COUNT grid — built DISTRIBUTED (distinct-axis
+    // cross join + left join, no driver collect) — exported through
+    // the REAL distributed NetcdfSource.writeGrid sink (one task ⇔ one
+    // member file; the hdf5 twin exercises dimension scales,
+    // DIMENSION_LIST through the global heap, and the CF time axis),
+    // re-read through readGrid, and fingerprinted per latitude row.
+    // The oracle recomputes the fingerprint from the BASE events table
+    // (DuckDB reads neither format) — equality holds iff
+    // grid-build→write→parse→CF-decode→long-form emission is lossless.
+    // All grid values are exact-integer counts and epoch-day/second
+    // numbers, so double arithmetic is exact on both engines.
+    "q_source_netcdf_roundtrip" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = false)),
+    "q_source_hdf5_roundtrip" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true)))
+
+  private def gridRoundtrip(s: SparkSession, dir: String,
+                            hdf5: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    val out = s"$roundtripRoot/${if (hdf5) "hdf5" else "netcdf"}"
+    val cells = graft.Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        (col("user_id") % 3).cast("int").as("latb"),
+        when(col("event_type") === "click", 0)
+          .when(col("event_type") === "view", 1)
+          .when(col("event_type") === "purchase", 2)
+          .when(col("event_type") === "signup", 3)
+          .otherwise(4).as("lonb"))
+      .groupBy("day", "latb", "lonb")
+      .agg(count(lit(1)).cast("double").as("v"))
+    val outSchema = StructType(Seq(
+      StructField("lat", DoubleType), StructField("n_cells", LongType),
+      StructField("sum_val", LongType), StructField("t_sig", LongType)))
+    if (cells.isEmpty) {
+      // empty-events tier: no grid to write; the oracle's GROUP BY
+      // over zero cells is empty too (a stale file from a previous
+      // tier is never read — the readback below is skipped entirely)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
+    } else {
+      // densify over the OBSERVED axes (zero-filled): broadcast-sized
+      // distinct-axis frames cross-joined then left-joined back — the
+      // 100 TB shape, no collect
+      val dense = cells.select("day").distinct()
+        .crossJoin(cells.select("latb").distinct())
+        .crossJoin(cells.select("lonb").distinct())
+        .join(cells, Seq("day", "latb", "lonb"), "left")
+        .select(lit("grid").as("dataset"),
+          col("day").cast("timestamp").as("time"),
+          (col("latb") * 10.0).as("lat"),
+          (lit(100.0) + col("lonb") * 10.0).as("lon"),
+          coalesce(col("v"), lit(0.0)).as("value"))
+      NetcdfSource.writeGrid(dense, out, varName = "events", hdf5 = hdf5)
+      NetcdfSource.readGrid(s, s"$out/grid.${if (hdf5) "h5" else "nc"}", "events")
+        .groupBy(col("lat"))
+        .agg(count(lit(1)).cast("long").as("n_cells"),
+          sum(col("value")).cast("long").as("sum_val"),
+          sum(col("value") *
+            datediff(to_date(col("time")), lit("1970-01-01")))
+            .cast("long").as("t_sig"))
+        .orderBy(col("lat"))
+    }
+  }
 
   val oracle: Map[String, String] = Map(
     "q_source_csv_roundtrip" ->
@@ -386,10 +372,29 @@ object Sources {
         |    AS BIGINT) % 1000003) AS BIGINT) AS sig
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
-    // base-table oracle (DuckDB reads no HDF5): recompute the dense-
-    // grid fingerprint straight from events. Dense zero cells add
-    // nothing to the sums, so sum_val/t_sig reduce to per-event sums;
-    // n_cells is the dense count: distinct-days × observed-lon-buckets.
+    // base-table oracles (DuckDB reads neither grid format): recompute
+    // the dense-grid fingerprint straight from events. Dense zero
+    // cells add nothing to the sums, so sum_val/t_sig reduce to
+    // per-event sums; n_cells is the dense count: distinct-days ×
+    // observed-lon-buckets. The classic and hdf5 twins must agree with
+    // the SAME oracle — the formats differ only in bytes on disk.
+    "q_source_netcdf_roundtrip" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 3 AS INT) AS latb,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS lonb,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |shape AS (
+        |  SELECT COUNT(DISTINCT day) AS nt, COUNT(DISTINCT lonb) AS nlon
+        |  FROM cells)
+        |SELECT CAST(latb * 10 AS DOUBLE) AS lat,
+        |  CAST(nt * nlon AS BIGINT) AS n_cells,
+        |  CAST(SUM(v) AS BIGINT) AS sum_val,
+        |  CAST(SUM(v * datediff('day', DATE '1970-01-01', day)) AS BIGINT) AS t_sig
+        |FROM cells, shape
+        |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin,
     "q_source_hdf5_roundtrip" ->
       """WITH cells AS (
         |  SELECT CAST(ts AS DATE) AS day,
