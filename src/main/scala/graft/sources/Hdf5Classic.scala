@@ -27,7 +27,11 @@ import NetcdfClassic.{NcAttr, NcDim}
   *     (global-heap resolved — netCDF-4's DIMENSION_LIST and
   *     NC_STRING attributes);
   *   - dataspaces v1 and v2 (scalar and simple);
-  *   - data layout v3, contiguous and compact classes;
+  *   - data layout v3: contiguous, compact, AND uncompressed chunked
+  *     (v1 raw-data-chunk B-tree walk with edge-chunk clipping —
+  *     netCDF-4 chunks any variable with an unlimited time dimension
+  *     even when uncompressed, so contiguous-only would miss common
+  *     record-variable climate files);
   *   - attributes v1 (padded) and v2/v3 (packed);
   *   - netCDF-4 dimension scales: DIMENSION_LIST object references
   *     resolve each data variable's axes to the dim-scale datasets,
@@ -36,10 +40,10 @@ import NetcdfClassic.{NcAttr, NcDim}
   *
   * Out of scope, rejected with NAMED errors (never a silent wrong
   * read): superblock v1-v3 (libver=latest), v2 object headers,
-  * chunked layout (and therefore all filters/compression — deflate
-  * needs zlib; a re-export with `nccopy -k classic` or contiguous
-  * storage is the documented workaround), fractal-heap "new style"
-  * groups, and shared datatype messages.
+  * FILTERED chunks (deflate/shuffle need zlib; a re-export with
+  * `nccopy -k classic` or compression off is the documented
+  * workaround), fractal-heap "new style" groups, and shared datatype
+  * messages.
   *
   * WRITE scope: a minimal but spec-valid netCDF-4-style grid file —
   * superblock v0, one root group (single SNOD; enough for the ≤2·K
@@ -68,6 +72,8 @@ object Hdf5Classic {
   sealed trait H5Data
   final case class H5Contiguous(at: Long, size: Long) extends H5Data
   final case class H5Compact(raw: Array[Byte]) extends H5Data
+  /** chunkDims excludes the trailing element-size pseudo-dimension. */
+  final case class H5Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends H5Data
   case object H5NoData extends H5Data
 
   final case class H5Var(name: String, addr: Long, shape: Seq[Long],
@@ -118,33 +124,22 @@ object Hdf5Classic {
       }
     }
 
-    /** All values of a numeric dataset as doubles (row-major). */
-    def read(name: String): Array[Double] = {
-      val v = variable(name)
-      // scalar (rank 0) → 1 element; a genuine zero-length axis → 0
-      val n = (if (v.shape.isEmpty) 1L else v.shape.product).toInt
-      val raw: ByteBuffer = v.data match {
-        case H5Contiguous(at, size) =>
-          require(at != UNDEF,
-            s"'$name': contiguous data address undefined (never allocated)")
-          ByteBuffer.wrap(bytes, at.toInt, size.toInt)
-        case H5Compact(r) => ByteBuffer.wrap(r)
-        case H5NoData => throw new IllegalArgumentException(
-          s"'$name' has no data layout message")
-      }
-      raw.order(if (v.dtype.littleEndian) ByteOrder.LITTLE_ENDIAN
+    /** Decode `n` values of `t` from `raw` (already positioned). */
+    private def decodeSlab(raw: ByteBuffer, t: H5Type, n: Int,
+                           name: String): Array[Double] = {
+      raw.order(if (t.littleEndian) ByteOrder.LITTLE_ENDIAN
                 else ByteOrder.BIG_ENDIAN)
       val out = new Array[Double](n)
       var i = 0
       while (i < n) {
-        out(i) = (v.dtype.clazz, v.dtype.size) match {
+        out(i) = (t.clazz, t.size) match {
           case (1, 8) => raw.getDouble()
           case (1, 4) => raw.getFloat().toDouble
-          case (0, 1) => if (v.dtype.signed) raw.get().toDouble
+          case (0, 1) => if (t.signed) raw.get().toDouble
                          else (raw.get() & 0xff).toDouble
-          case (0, 2) => if (v.dtype.signed) raw.getShort().toDouble
+          case (0, 2) => if (t.signed) raw.getShort().toDouble
                          else (raw.getShort() & 0xffff).toDouble
-          case (0, 4) => if (v.dtype.signed) raw.getInt().toDouble
+          case (0, 4) => if (t.signed) raw.getInt().toDouble
                          else (raw.getInt() & 0xffffffffL).toDouble
           case (0, 8) => raw.getLong().toDouble
           case (c, s) => throw new IllegalArgumentException(
@@ -153,6 +148,82 @@ object Hdf5Classic {
         i += 1
       }
       out
+    }
+
+    /** Raw-data chunk B-tree (v1, node type 1): every (chunk offsets,
+      * data address) pair, recursing through internal levels. Keys are
+      * (chunk byte size, filter mask, rank+1 offsets). */
+    private def chunkEntries(btAddr: Long, rank: Int,
+                             name: String): Seq[(Seq[Long], Long)] = {
+      require(new String(bytes, btAddr.toInt, 4, StandardCharsets.US_ASCII) == "TREE",
+        s"'$name': no chunk B-tree node at $btAddr")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require((bytes(btAddr.toInt + 4) & 0xff) == 1,
+        s"'$name': B-tree at $btAddr is not a raw-data-chunk tree")
+      val level = bytes(btAddr.toInt + 5) & 0xff
+      val used = bb.getShort(btAddr.toInt + 6) & 0xffff
+      val keySize = 8 + 8 * (rank + 1)
+      (0 until used).flatMap { i =>
+        val keyAt = (btAddr + 24 + i.toLong * (keySize + 8)).toInt
+        val child = bb.getLong(keyAt + keySize)
+        if (level > 0) chunkEntries(child, rank, name)
+        else {
+          val offs = (0 until rank).map(d => bb.getLong(keyAt + 8 + d * 8))
+          Seq((offs, child))
+        }
+      }
+    }
+
+    /** All values of a numeric dataset as doubles (row-major). */
+    def read(name: String): Array[Double] = {
+      val v = variable(name)
+      // scalar (rank 0) → 1 element; a genuine zero-length axis → 0
+      val n = (if (v.shape.isEmpty) 1L else v.shape.product).toInt
+      v.data match {
+        case H5Contiguous(at, size) =>
+          require(at != UNDEF,
+            s"'$name': contiguous data address undefined (never allocated)")
+          decodeSlab(ByteBuffer.wrap(bytes, at.toInt, size.toInt), v.dtype, n, name)
+        case H5Compact(r) => decodeSlab(ByteBuffer.wrap(r), v.dtype, n, name)
+        case H5Chunked(bt, cdims) =>
+          require(bt != UNDEF,
+            s"'$name': chunk B-tree address undefined (never allocated)")
+          require(cdims.length == v.shape.length,
+            s"'$name': chunk rank ${cdims.length} != dataspace rank ${v.shape.length}")
+          // scatter each full-size chunk slab into the dense output,
+          // clipping edge chunks (they are allocated full-size on disk)
+          val out = new Array[Double](n)
+          val perChunk = cdims.product
+          val shape = v.shape.toArray
+          val rank = cdims.length
+          // row-major strides within a chunk (element index → coords)
+          val cstride = new Array[Int](rank)
+          var acc = 1
+          for (d <- (rank - 1) to 0 by -1) { cstride(d) = acc; acc *= cdims(d) }
+          chunkEntries(bt, rank, name).foreach { case (offs, addr) =>
+            val slab = decodeSlab(
+              ByteBuffer.wrap(bytes, addr.toInt, perChunk * v.dtype.size),
+              v.dtype, perChunk, name)
+            var e = 0
+            while (e < perChunk) {
+              // unflatten e over cdims; add chunk offsets; bound-check
+              var rem = e; var flat = 0L; var inBounds = true
+              var d = 0
+              while (d < rank) {
+                val coord = offs(d) + rem / cstride(d)
+                rem = rem % cstride(d)
+                if (coord >= shape(d)) inBounds = false
+                flat = flat * shape(d) + coord
+                d += 1
+              }
+              if (inBounds) out(flat.toInt) = slab(e)
+              e += 1
+            }
+          }
+          out
+        case H5NoData => throw new IllegalArgumentException(
+          s"'$name' has no data layout message")
+      }
     }
   }
 
@@ -431,9 +502,20 @@ object Hdf5Classic {
               H5Compact(java.util.Arrays.copyOfRange(
                 m.body, b.position(), b.position() + sz))
             case 1 => H5Contiguous(b.getLong(), b.getLong())
-            case 2 => throw new IllegalArgumentException(
-              s"'$name': chunked layout (compressed HDF5) not supported — " +
-                "re-export with contiguous storage or NetCDF-3 classic")
+            case 2 =>
+              // chunked is readable UNCOMPRESSED (r12; netCDF-4 chunks
+              // any variable with an unlimited time dim even without
+              // compression) — only a filter pipeline (deflate etc.,
+              // needs zlib) stays out, rejected by name
+              if (msgs.exists(_.typ == 0x000B))
+                throw new IllegalArgumentException(
+                  s"'$name': filtered (compressed) chunks not supported — " +
+                    "deflate needs zlib; re-export uncompressed or as " +
+                    "NetCDF-3 classic")
+              val dimensionality = b.get() & 0xff // rank + 1 (elem size)
+              val bt = b.getLong()
+              val dims = Seq.fill(dimensionality)(b.getInt())
+              H5Chunked(bt, dims.dropRight(1)) // last entry = element size
             case c => throw new IllegalArgumentException(s"layout class $c")
           }
         }.getOrElse(H5NoData)

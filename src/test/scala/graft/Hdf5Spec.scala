@@ -178,9 +178,8 @@ class Hdf5Spec extends AnyFunSuite {
     val ohdr = intercept[IllegalArgumentException](Hdf5Classic.parse(
       mutated { b => b(96) = 'O'; b(97) = 'H'; b(98) = 'D'; b(99) = 'R' }))
     assert(ohdr.getMessage.contains("OHDR"))
-    val chunked = intercept[IllegalArgumentException](Hdf5Classic.parse(
-      mutated(_(280 + 16 + 24 + 32 + 8 + 1) = 2))) // layout msg class byte
-    assert(chunked.getMessage.contains("chunked"))
+    // (chunked layout is SUPPORTED since r12 — its filtered-pipeline
+    // rejection has its own named-error test below)
     val notH5 = intercept[IllegalArgumentException](Hdf5Classic.parse(
       "CDFgarbage-not-hdf5-but-long-enough".getBytes ++ new Array[Byte](96)))
     assert(notH5.getMessage.contains("NetCDF-3 classic starts 'CDF'"))
@@ -337,6 +336,77 @@ class Hdf5Spec extends AnyFunSuite {
     val h5 = Hdf5Classic.parse(out.array())
     assert(h5.vars.map(_.name) == Seq("g/v"))
     assert(h5.read("g/v").toSeq == Seq(9.0, 8.0, 7.0))
+  }
+
+  // 3×3 f64 dataset "v" in 2×2 chunks (4 chunks, edge-padded on disk)
+  // behind a level-0 raw-data-chunk B-tree — the layout netCDF-4 gives
+  // any record (unlimited-time) variable. withFilter adds a filter-
+  // pipeline message, which must be rejected by name (deflate ⇒ zlib).
+  private def chunkedFile(withFilter: Boolean): Array[Byte] = {
+    val nMsgs = if (withFilter) 4 else 3
+    val msgBytes = 32 + 32 + 32 + (if (withFilter) 24 else 0)
+    val btAt = 280 + 16 + msgBytes
+    val chunksAt = btAt + 24 + 5 * 32 + 4 * 8 // hdr + 5 keys + 4 children
+    val eof = chunksAt + 4 * 32
+    val out = ByteBuffer.allocate(eof).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(commonPrefix(eof))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(nMsgs.toShort)
+    out.putInt(1); out.putInt(msgBytes); out.putInt(0)
+    def msg(typ: Int, body: Array[Byte]): Unit = {
+      val pad = (body.length + 7) & ~7
+      out.putShort(typ.toShort); out.putShort(pad.toShort); out.putInt(0)
+      val at = out.position(); out.put(body); out.position(at + pad)
+    }
+    msg(0x0001, { // dataspace rank 2: [3, 3]
+      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(2.toByte); b.put(0.toByte)
+      b.put(new Array[Byte](5)); b.putLong(3L); b.putLong(3L); b.array()
+    })
+    msg(0x0003, f64Dt)
+    if (withFilter) msg(0x000B, { // filter pipeline: 1 filter (deflate)
+      val b = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.array()
+    })
+    msg(0x0008, { // layout v3 class 2: dimensionality 3 = rank+1
+      val b = ByteBuffer.allocate(23).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(2.toByte); b.put(3.toByte)
+      b.putLong(btAt.toLong)
+      b.putInt(2); b.putInt(2); b.putInt(8) // chunk 2×2, elem size 8
+      b.array()
+    })
+    assert(out.position() == btAt)
+    // raw-data-chunk B-tree: level 0, 4 entries; key = (size, mask,
+    // 3×8-byte offsets incl. the trailing elem-size 0)
+    out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(4)
+    out.putLong(-1L); out.putLong(-1L)
+    val offsets = Seq((0L, 0L), (0L, 2L), (2L, 0L), (2L, 2L))
+    offsets.zipWithIndex.foreach { case ((r, c), i) =>
+      out.putInt(32); out.putInt(0)
+      out.putLong(r); out.putLong(c); out.putLong(0L)
+      out.putLong(chunksAt + i * 32L)
+    }
+    out.putInt(32); out.putInt(0) // trailing key N (past-the-end)
+    out.putLong(4L); out.putLong(4L); out.putLong(0L)
+    assert(out.position() == chunksAt)
+    // chunk slabs, edge cells padded with -99 (must be clipped away)
+    val P = -99.0
+    Seq(Seq(1.0, 2, 4, 5), Seq(3.0, P, 6, P), Seq(7.0, 8, P, P), Seq(9.0, P, P, P))
+      .foreach(_.foreach(out.putDouble))
+    out.array()
+  }
+
+  test("uncompressed chunked layout reads through the chunk B-tree") {
+    val h5 = Hdf5Classic.parse(chunkedFile(withFilter = false))
+    assert(h5.variable("v").shape == Seq(3L, 3L))
+    assert(h5.read("v").toSeq == (1 to 9).map(_.toDouble),
+      "edge-padded chunks must scatter-clip into the dense row-major array")
+  }
+
+  test("filtered (compressed) chunks are rejected by name") {
+    val ex = intercept[IllegalArgumentException](
+      Hdf5Classic.parse(chunkedFile(withFilter = true)))
+    assert(ex.getMessage.contains("filtered") && ex.getMessage.contains("zlib"))
   }
 
   test("multi-SNOD B-tree: two leaf children, both symbol nodes walked") {
