@@ -95,21 +95,28 @@ object NetcdfSource {
   private sealed trait GridView {
     def dimsOf(v: String): Seq[String]
     def read(v: String): Array[Double]
-    def unitsOf(v: String): Option[String]
+    def attrs(v: String): Seq[NetcdfClassic.NcAttr]
+    final def unitsOf(v: String): Option[String] =
+      attrs(v).collectFirst {
+        case NetcdfClassic.NcAttr("units", s: String) => s
+      }
+    /** First value of a numeric attribute (scalar by convention). */
+    final def numAttr(v: String, a: String): Option[Double] =
+      attrs(v).collectFirst {
+        case NetcdfClassic.NcAttr(`a`, ds: Array[Double]) if ds.nonEmpty => ds.head
+        case NetcdfClassic.NcAttr(`a`, ls: Array[Long]) if ls.nonEmpty => ls.head.toDouble
+      }
   }
   private final class ClassicView(nc: NetcdfClassic.NcFile) extends GridView {
     def dimsOf(v: String): Seq[String] =
       nc.variable(v).dimIds.map(nc.dim(_).name)
     def read(v: String): Array[Double] = nc.read(v)
-    def unitsOf(v: String): Option[String] =
-      nc.variable(v).attrs.collectFirst {
-        case NetcdfClassic.NcAttr("units", s: String) => s
-      }
+    def attrs(v: String): Seq[NetcdfClassic.NcAttr] = nc.variable(v).attrs
   }
   private final class Hdf5View(h5: Hdf5Classic.H5File) extends GridView {
     def dimsOf(v: String): Seq[String] = h5.dimNames(v)
     def read(v: String): Array[Double] = h5.read(v)
-    def unitsOf(v: String): Option[String] = h5.variable(v).attrStr("units")
+    def attrs(v: String): Seq[NetcdfClassic.NcAttr] = h5.variable(v).attrs
   }
 
   private def openGrid(bytes: Array[Byte]): GridView =
@@ -118,7 +125,16 @@ object NetcdfSource {
     else new Hdf5View(Hdf5Classic.parse(bytes)) // parse names bad magic
 
   /** Shared long-form emitter: one file's (time,lat,lon) or (lat,lon)
-    * variable → GridRow iterator (row-major, records outermost). */
+    * variable → GridRow iterator (row-major, records outermost).
+    *
+    * Applies the CF mask-and-scale conventions the reference applies
+    * by default (xarray `open_dataset(mask_and_scale=True)`): cells
+    * equal to `_FillValue` (or the legacy `missing_value`) are MISSING
+    * and emit NO row — the Spark-native representation of a masked
+    * cell, and what makes [[writeGrid]] → read a true inverse on
+    * sparse grids — and packed data unpacks as
+    * `raw * scale_factor + add_offset` (CMIP obs archives short-pack
+    * routinely). */
   private def emitRows(g: GridView, path: String, varName: String,
                        latVar: String, lonVar: String,
                        timeVar: String): Iterator[GridRow] = {
@@ -127,6 +143,12 @@ object NetcdfSource {
     val lons = g.read(lonVar)
     val data = g.read(varName)
     val ds = path.substring(path.lastIndexOf('/') + 1)
+    val scale = g.numAttr(varName, "scale_factor").getOrElse(1.0)
+    val offset = g.numAttr(varName, "add_offset").getOrElse(0.0)
+    val fill = g.numAttr(varName, "_FillValue")
+      .orElse(g.numAttr(varName, "missing_value"))
+    def present(raw: Double): Boolean =
+      fill.forall(f => !(raw == f || (f.isNaN && raw.isNaN)))
     dimNames match {
       case Seq(`timeVar`, `latVar`, `lonVar`) =>
         val units = g.unitsOf(timeVar)
@@ -139,14 +161,18 @@ object NetcdfSource {
           ti <- times.indices.iterator
           li <- lats.indices
           oi <- lons.indices
+          raw = data((ti * lats.length + li) * lons.length + oi)
+          if present(raw)
         } yield GridRow(ds, varName, times(ti), lats(li), lons(oi),
-          data((ti * lats.length + li) * lons.length + oi))
+          raw * scale + offset)
       case Seq(`latVar`, `lonVar`) =>
         for {
           li <- lats.indices.iterator
           oi <- lons.indices
+          raw = data(li * lons.length + oi)
+          if present(raw)
         } yield GridRow(ds, varName, null, lats(li), lons(oi),
-          data(li * lons.length + oi))
+          raw * scale + offset)
       case other => throw new IllegalArgumentException(
         s"unsupported dim layout $other for '$varName' " +
           s"(expected ($timeVar, $latVar, $lonVar) or ($latVar, $lonVar))")
@@ -286,7 +312,11 @@ object NetcdfSource {
               Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
             ("lon", Seq(2),
               Seq(NetcdfClassic.NcAttr("units", "degrees_east")), lons.toArray),
-            (varName, Seq(0, 1, 2), Nil, grid))
+            // declare the NaN fill so readers (ours via mask-and-scale,
+            // xarray via mask_and_scale=True) drop absent cells — the
+            // write→read pair is then the identity on SPARSE grids too
+            (varName, Seq(0, 1, 2),
+              Seq(NetcdfClassic.NcAttr("_FillValue", Array(Double.NaN))), grid))
           val bytes = if (hdf5) Hdf5Classic.write(dims, vars)
                       else NetcdfClassic.write(dims, vars)
           java.nio.file.Files.write(

@@ -606,6 +606,58 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("mask-and-scale: _FillValue cells emit NO row; packed data unpacks") {
+    // xarray open_dataset defaults (mask_and_scale=True): raw -999 is
+    // missing, everything else unpacks as raw*scale + offset
+    val tmp = Files.createTempDirectory("mask").toString
+    Files.write(Paths.get(s"$tmp/m.h5"), Hdf5Classic.write(
+      dims = Seq(NcDim("lat", 2), NcDim("lon", 2)),
+      vars = Seq(
+        ("lat", Seq(0), Nil, Array(0.0, 10.0)),
+        ("lon", Seq(1), Nil, Array(100.0, 110.0)),
+        ("tas", Seq(0, 1), Seq(
+          NcAttr("scale_factor", Array(0.5)),
+          NcAttr("add_offset", Array(100.0)),
+          NcAttr("_FillValue", Array(-999.0))),
+          Array(2.0, -999.0, 4.0, -999.0)))))
+    val df = NetcdfSource.readGrid(spark, s"$tmp/m.h5", "tas")
+    assert(df.count() == 2, "both fill cells must be ABSENT, not NaN rows")
+    val vals = df.orderBy("lat").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(vals == Seq(2.0 * 0.5 + 100.0, 4.0 * 0.5 + 100.0))
+    // legacy missing_value alias honored too (classic-format member)
+    Files.write(Paths.get(s"$tmp/m2.nc"), NetcdfClassic.write(
+      dims = Seq(NcDim("lat", 1), NcDim("lon", 2)),
+      vars = Seq(
+        ("lat", Seq(0), Nil, Array(0.0)),
+        ("lon", Seq(1), Nil, Array(100.0, 110.0)),
+        ("tas", Seq(0, 1), Seq(NcAttr("missing_value", Array(-1.0))),
+          Array(-1.0, 7.0)))))
+    val df2 = NetcdfSource.readGrid(spark, s"$tmp/m2.nc", "tas")
+    assert(df2.count() == 1 &&
+      df2.select("value").head().getDouble(0) == 7.0)
+  }
+
+  test("sparse grids round-trip: writeGrid NaN-fills, readGrid masks back") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("sparse").toString
+    // an INCOMPLETE grid: member mA is missing one (time,lat,lon) cell
+    val rows = Seq(
+      ("mA", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0, 100.0, 1.0),
+      ("mA", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0, 110.0, 2.0),
+      ("mA", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 0.0, 110.0, 3.0))
+    val df = rows.toDF("dataset", "time", "lat", "lon", "value")
+    for (h5 <- Seq(false, true)) {
+      val dir = s"$tmp/${if (h5) "h5" else "nc"}"
+      NetcdfSource.writeGrid(df, dir, varName = "tas", hdf5 = h5)
+      val back = NetcdfSource.readGrid(spark, s"$dir/*", "tas")
+        .select(regexp_replace(col("dataset"), "\\.(nc|h5)$", "").as("dataset"),
+          col("time"), col("lat"), col("lon"), col("value"))
+      assert(back.count() == rows.length,
+        s"hdf5=$h5: NaN-filled absent cells must be masked back OUT on read")
+      assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    }
+  }
+
   test("readGrid auto-detects NetCDF-3 and HDF5 members in ONE mixed archive") {
     val tmp = Files.createTempDirectory("mixed").toString
     // classic member via the NetCDF-3 writer, HDF5 member via this one
