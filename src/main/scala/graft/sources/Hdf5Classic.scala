@@ -38,11 +38,17 @@ import NetcdfClassic.{NcAttr, NcDim}
   *     with shape-matching against CLASS="DIMENSION_SCALE" coordinate
   *     variables as the fallback for plain-HDF5 grids.
   *
+  * Also readable (r12): the libver=latest on-disk form for SMALL
+  * groups — superblock v2/v3, version-2 'OHDR' object headers (packed
+  * messages, OCHK continuations; checksums skipped, not verified), and
+  * compact new-style groups whose links live as link messages in the
+  * header.
+  *
   * Out of scope, rejected with NAMED errors (never a silent wrong
-  * read): superblock v1-v3 (libver=latest), v2 object headers,
-  * FILTERED chunks (deflate/shuffle need zlib; a re-export with
-  * `nccopy -k classic` or compression off is the documented
-  * workaround), fractal-heap "new style" groups, and shared datatype
+  * read): superblock v1, DENSE fractal-heap storage (group links past
+  * the compact limit, attribute counts past 8), FILTERED chunks
+  * (deflate/shuffle need zlib; a re-export with `nccopy -k classic` or
+  * compression off is the documented workaround), and shared datatype
   * messages.
   *
   * WRITE scope: a minimal but spec-valid netCDF-4-style grid file —
@@ -234,26 +240,30 @@ object Hdf5Classic {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
     val sbVersion = bb.get(8) & 0xff
-    require(sbVersion == 0,
-      s"superblock version $sbVersion not supported (only version 0, the " +
-        "netCDF-4 default; rewrite without libver='latest')")
-    val offSize = bb.get(13) & 0xff
-    val lenSize = bb.get(14) & 0xff
+    require(sbVersion == 0 || sbVersion == 2 || sbVersion == 3,
+      s"superblock version $sbVersion not supported (0 = netCDF-4 " +
+        "default, 2/3 = libver latest)")
+    val (offSize, lenSize, baseAddr, rootOh) =
+      if (sbVersion == 0)
+        (bb.get(13) & 0xff, bb.get(14) & 0xff, bb.getLong(24), bb.getLong(64))
+      else // v2/v3: sig, ver, offSize, lenSize, flags, base, ext, eof, rootOH, cksum
+        (bb.get(9) & 0xff, bb.get(10) & 0xff, bb.getLong(12), bb.getLong(36))
     require(offSize == 8 && lenSize == 8,
       s"only 8-byte offsets/lengths supported (file has $offSize/$lenSize)")
-    val baseAddr = bb.getLong(24)
     require(baseAddr == 0L, s"non-zero base address $baseAddr not supported")
-    val rootOh = bb.getLong(64) // root group symbol table entry: OH address
 
-    // -- v1 object header → flat message list (follows continuations)
+    // -- object header (v1 padded-with-count, or v2 'OHDR' packed-with-
+    //    checksums) → flat message list, continuations followed
     final case class Msg(typ: Int, flags: Int, body: Array[Byte])
     def readMessages(ohAddr: Long): Seq[Msg] = {
+      val isV2 = bytes.length > ohAddr + 4 &&
+        new String(bytes, ohAddr.toInt, 4, StandardCharsets.US_ASCII) == "OHDR"
+      if (isV2) readMessagesV2(ohAddr) else readMessagesV1(ohAddr)
+    }
+
+    def readMessagesV1(ohAddr: Long): Seq[Msg] = {
       val ver = bytes(ohAddr.toInt) & 0xff
-      require(ver == 1,
-        if (bytes.length > ohAddr + 4 &&
-            new String(bytes, ohAddr.toInt, 4, StandardCharsets.US_ASCII) == "OHDR")
-          "version-2 object headers ('OHDR', libver=latest) not supported"
-        else s"object header at $ohAddr has unsupported version $ver")
+      require(ver == 1, s"object header at $ohAddr has unsupported version $ver")
       val nMsgs = bb.getShort(ohAddr.toInt + 2) & 0xffff
       val firstSize = bb.getInt(ohAddr.toInt + 8)
       val msgs = Seq.newBuilder[Msg]
@@ -279,6 +289,57 @@ object Hdf5Classic {
           }
           seen += 1
           p += 8 + size
+        }
+      }
+      msgs.result()
+    }
+
+    /** v2 'OHDR': 1-byte message types, packed (no 8-alignment), no
+      * message count (parse to block end), trailing 4-byte checksums
+      * (not verified), 'OCHK'-signed continuation blocks. */
+    def readMessagesV2(ohAddr: Long): Seq[Msg] = {
+      var p = ohAddr.toInt + 4
+      val ver = bytes(p) & 0xff; p += 1
+      require(ver == 2, s"OHDR at $ohAddr has version $ver (need 2)")
+      val ohFlags = bytes(p) & 0xff; p += 1
+      if ((ohFlags & 0x20) != 0) p += 16 // access/mod/change/birth times
+      if ((ohFlags & 0x10) != 0) p += 4  // max compact/min dense attrs
+      val szBytes = 1 << (ohFlags & 0x3)
+      val chunk0Size = szBytes match {
+        case 1 => bytes(p) & 0xffL
+        case 2 => bb.getShort(p) & 0xffffL
+        case 4 => bb.getInt(p) & 0xffffffffL
+        case 8 => bb.getLong(p)
+      }
+      p += szBytes
+      val hasOrder = (ohFlags & 0x4) != 0 // 2-byte creation order per msg
+      val msgHdr = if (hasOrder) 6 else 4
+      val msgs = Seq.newBuilder[Msg]
+      // regions of message bytes. Chunk-0's stored size EXCLUDES its
+      // trailing 4-byte checksum; an OCHK continuation's stored length
+      // INCLUDES its signature and checksum (the convention the public
+      // pure-python reimplementations — pyfive/jsfive — agree on).
+      var blocks = List((p.toLong, p + chunk0Size))
+      while (blocks.nonEmpty) {
+        val (start, end) = blocks.head
+        blocks = blocks.tail
+        var q = start.toInt
+        while (q + msgHdr <= end) { // a sub-header-size tail is a gap
+          val typ = bytes(q) & 0xff
+          val size = bb.getShort(q + 1) & 0xffff
+          val flags = bytes(q + 3) & 0xff
+          val bodyAt = q + msgHdr
+          val body = java.util.Arrays.copyOfRange(bytes, bodyAt, bodyAt + size)
+          if (typ == 0x10) { // continuation: 'OCHK' sig + msgs + checksum
+            val cbb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+            val (co, cl) = (cbb.getLong(0), cbb.getLong(8))
+            require(new String(bytes, co.toInt, 4, StandardCharsets.US_ASCII) == "OCHK",
+              s"continuation block at $co lacks the OCHK signature")
+            blocks = blocks :+ ((co + 4, co + cl - 4))
+          } else if (typ != 0x00) {
+            msgs += Msg(typ, flags, body)
+          }
+          q = bodyAt + size
         }
       }
       msgs.result()
@@ -471,11 +532,46 @@ object Hdf5Classic {
     val varsB = Seq.newBuilder[H5Var]
     val gattrsB = Seq.newBuilder[NcAttr]
 
+    /** Hard link message (0x0006) → (name, OH address); soft/external
+      * links (absent from netCDF-4 data files) are skipped. */
+    def parseLink(body: Array[Byte]): Option[(String, Long)] = {
+      val b = lbb(body)
+      val ver = b.get() & 0xff
+      require(ver == 1, s"link message version $ver")
+      val flags = b.get() & 0xff
+      val ltype = if ((flags & 0x8) != 0) b.get() & 0xff else 0
+      if ((flags & 0x4) != 0) b.position(b.position() + 8) // creation order
+      if ((flags & 0x10) != 0) b.get()                     // charset
+      val lenSz = 1 << (flags & 0x3)
+      val nameLen = (lenSz match {
+        case 1 => b.get() & 0xffL
+        case 2 => b.getShort() & 0xffffL
+        case 4 => b.getInt() & 0xffffffffL
+        case 8 => b.getLong()
+      }).toInt
+      val nm = new String(body, b.position(), nameLen, StandardCharsets.UTF_8)
+      b.position(b.position() + nameLen)
+      if (ltype == 0) Some((nm, b.getLong())) else None
+    }
+
     def visit(name: String, ohAddr: Long, isRoot: Boolean): Unit = {
       val msgs = readMessages(ohAddr)
       val symTab = msgs.find(_.typ == 0x0011)
+      val linkInfo = msgs.find(_.typ == 0x0002)
       val attrs = msgs.filter(_.typ == 0x000C).map(m => parseAttribute(m.body))
-      if (symTab.isDefined) { // a GROUP
+      // dense attribute storage (attribute-info with a defined fractal
+      // heap) cannot be read — netCDF-4 only goes dense past 8 attrs
+      msgs.find(_.typ == 0x0015).foreach { ai =>
+        val b = lbb(ai.body)
+        b.get() // version
+        val fl = b.get() & 0xff
+        if ((fl & 1) != 0) b.position(b.position() + 2) // max creation idx
+        if (b.getLong() != UNDEF)
+          throw new IllegalArgumentException(
+            s"object '$name' stores attributes densely (fractal heap) — " +
+              "not supported; keep attribute counts in the compact range")
+      }
+      if (symTab.isDefined) { // an old-style (symbol table) GROUP
         if (isRoot) gattrsB ++= attrs
         val st = lbb(symTab.get.body)
         val (bt, heap) = (st.getLong(), st.getLong())
@@ -483,10 +579,24 @@ object Hdf5Classic {
         groupEntries(bt, heap).foreach { case (child, a) =>
           visit(prefix + child, a, isRoot = false)
         }
-      } else if (msgs.exists(m => m.typ == 0x0002 || m.typ == 0x0006)) {
-        throw new IllegalArgumentException(
-          s"object '$name' uses new-style (fractal heap) group links — " +
-            "only symbol-table groups (netCDF-4 default) are supported")
+      } else if (linkInfo.isDefined || msgs.exists(_.typ == 0x0006)) {
+        // a new-style GROUP (libver=latest): compact links live as
+        // messages right in the header; dense (fractal-heap) storage
+        // is rejected by name
+        linkInfo.foreach { li =>
+          val b = lbb(li.body)
+          b.get() // version
+          val fl = b.get() & 0xff
+          if ((fl & 1) != 0) b.position(b.position() + 8) // max creation idx
+          if (b.getLong() != UNDEF)
+            throw new IllegalArgumentException(
+              s"group '$name' uses dense (fractal-heap) link storage — " +
+                "only compact link messages are supported (small groups)")
+        }
+        if (isRoot) gattrsB ++= attrs
+        val prefix = if (isRoot) "" else name + "/"
+        msgs.filter(_.typ == 0x0006).flatMap(m => parseLink(m.body))
+          .foreach { case (child, a) => visit(prefix + child, a, isRoot = false) }
       } else { // a DATASET
         val shape = msgs.find(_.typ == 0x0001).map(m => parseDataspace(m.body))
           .getOrElse(throw new IllegalArgumentException(s"'$name': no dataspace"))

@@ -172,12 +172,12 @@ class Hdf5Spec extends AnyFunSuite {
     def mutated(f: Array[Byte] => Unit): Array[Byte] = {
       val b = good.clone(); f(b); b
     }
-    val sbV2 = intercept[IllegalArgumentException](Hdf5Classic.parse(
-      mutated(_(8) = 2)))
-    assert(sbV2.getMessage.contains("superblock version 2"))
+    val sbV1 = intercept[IllegalArgumentException](Hdf5Classic.parse(
+      mutated(_(8) = 1)))
+    assert(sbV1.getMessage.contains("superblock version 1"))
     val ohdr = intercept[IllegalArgumentException](Hdf5Classic.parse(
       mutated { b => b(96) = 'O'; b(97) = 'H'; b(98) = 'D'; b(99) = 'R' }))
-    assert(ohdr.getMessage.contains("OHDR"))
+    assert(ohdr.getMessage.contains("OHDR")) // garbage version byte named
     // (chunked layout is SUPPORTED since r12 — its filtered-pipeline
     // rejection has its own named-error test below)
     val notH5 = intercept[IllegalArgumentException](Hdf5Classic.parse(
@@ -407,6 +407,47 @@ class Hdf5Spec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](
       Hdf5Classic.parse(chunkedFile(withFilter = true)))
     assert(ex.getMessage.contains("filtered") && ex.getMessage.contains("zlib"))
+  }
+
+  test("libver=latest: superblock v3, OHDR headers, compact link group") {
+    // the 'latest' on-disk form by hand: 48-byte v3 superblock → root
+    // OHDR whose single hard-link MESSAGE names dataset "v" → dataset
+    // OHDR with dataspace v2 / f64 / contiguous layout. Checksums are
+    // zeroed (the parser skips, never verifies).
+    val out = ByteBuffer.allocate(172).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+    out.putLong(0L); out.putLong(-1L)   // base, extension
+    out.putLong(172L); out.putLong(48L) // eof, root OHDR
+    out.putInt(0)                       // superblock checksum (unverified)
+    assert(out.position() == 48)
+    // root OHDR: flags 0 → 1-byte chunk-0 size; one link message
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(16.toByte)
+    out.put(0x06.toByte); out.putShort(12); out.put(0.toByte) // link msg hdr
+    out.put(1.toByte); out.put(0.toByte)  // link ver, flags (1-byte name len)
+    out.put(1.toByte); out.put('v'.toByte)
+    out.putLong(75L)                      // hard link → dataset OHDR
+    out.putInt(0)                         // chunk-0 checksum
+    assert(out.position() == 75)
+    // dataset OHDR: dataspace v2 (16) + datatype (24) + layout (22)
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(62.toByte)
+    out.put(0x01.toByte); out.putShort(12); out.put(0.toByte)
+    out.put(2.toByte); out.put(1.toByte); out.put(0.toByte) // dataspace v2
+    out.put(1.toByte)                                       // type: simple
+    out.putLong(3L)
+    out.put(0x03.toByte); out.putShort(20); out.put(0.toByte)
+    out.put(f64Dt)
+    out.put(0x08.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(contiguousLayout(148L, 24L))
+    out.putInt(0) // chunk-0 checksum
+    assert(out.position() == 148)
+    out.putDouble(10.5); out.putDouble(20.5); out.putDouble(30.5)
+    val h5 = Hdf5Classic.parse(out.array())
+    assert(h5.vars.map(_.name) == Seq("v"))
+    assert(h5.variable("v").shape == Seq(3L))
+    assert(h5.read("v").toSeq == Seq(10.5, 20.5, 30.5))
   }
 
   test("multi-SNOD B-tree: two leaf children, both symbol nodes walked") {
