@@ -159,8 +159,12 @@ object Hdf5Classic {
     /** Raw-data chunk B-tree (v1, node type 1): every (chunk offsets,
       * data address) pair, recursing through internal levels. Keys are
       * (chunk byte size, filter mask, rank+1 offsets). */
-    private def chunkEntries(btAddr: Long, rank: Int,
-                             name: String): Seq[(Seq[Long], Long)] = {
+    private def chunkEntries(btAddr: Long, rank: Int, name: String,
+                             depth: Int = 0): Seq[(Seq[Long], Long)] = {
+      // cyclic-pointer guard, mirroring the group-tree walk: a corrupt
+      // file must throw, never hang or overflow the stack
+      require(depth < 64, s"'$name': chunk B-tree deeper than 64 at " +
+        s"$btAddr — cyclic child pointers (corrupt file)")
       require(new String(bytes, btAddr.toInt, 4, StandardCharsets.US_ASCII) == "TREE",
         s"'$name': no chunk B-tree node at $btAddr")
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -172,7 +176,7 @@ object Hdf5Classic {
       (0 until used).flatMap { i =>
         val keyAt = (btAddr + 24 + i.toLong * (keySize + 8)).toInt
         val child = bb.getLong(keyAt + keySize)
-        if (level > 0) chunkEntries(child, rank, name)
+        if (level > 0) chunkEntries(child, rank, name, depth + 1)
         else {
           val offs = (0 until rank).map(d => bb.getLong(keyAt + 8 + d * 8))
           Seq((offs, child))
@@ -320,7 +324,14 @@ object Hdf5Classic {
       // INCLUDES its signature and checksum (the convention the public
       // pure-python reimplementations — pyfive/jsfive — agree on).
       var blocks = List((p.toLong, p + chunk0Size))
+      var processed = 0
       while (blocks.nonEmpty) {
+        // v2 stores no message count, so a cyclic OCHK chain in a
+        // corrupt file would loop forever without this cap
+        processed += 1
+        require(processed <= 1024,
+          s"OHDR at $ohAddr chains more than 1024 continuation blocks — " +
+            "cyclic OCHK pointers (corrupt file)")
         val (start, end) = blocks.head
         blocks = blocks.tail
         var q = start.toInt
@@ -500,7 +511,13 @@ object Hdf5Classic {
       new String(bytes, s, p - s, StandardCharsets.UTF_8)
     }
 
-    def groupEntries(btAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
+    def groupEntries(btAddr: Long, heapAddr: Long,
+                     depth: Int = 0): Seq[(String, Long)] = {
+      // a corrupt file whose TREE child points back at an ancestor
+      // would recurse forever — one bad file must throw, not kill the
+      // executor (any REAL B-tree is a few levels deep)
+      require(depth < 64, s"group B-tree deeper than 64 at $btAddr — " +
+        "cyclic child pointers (corrupt file)")
       val sig = new String(bytes, btAddr.toInt, 4, StandardCharsets.US_ASCII)
       sig match {
         case "TREE" =>
@@ -509,7 +526,7 @@ object Hdf5Classic {
           // entries: key0(8) child0(8) key1(8) ... keyN(8)
           (0 until used).flatMap { i =>
             val child = bb.getLong(btAddr.toInt + 24 + 8 + i * 16)
-            if (level > 0) groupEntries(child, heapAddr)
+            if (level > 0) groupEntries(child, heapAddr, depth + 1)
             else snodEntries(child, heapAddr)
           }
         case "SNOD" => snodEntries(btAddr, heapAddr)
@@ -554,7 +571,12 @@ object Hdf5Classic {
       if (ltype == 0) Some((nm, b.getLong())) else None
     }
 
-    def visit(name: String, ohAddr: Long, isRoot: Boolean): Unit = {
+    def visit(name: String, ohAddr: Long, isRoot: Boolean,
+              depth: Int = 0): Unit = {
+      // group-cycle guard (group A linking group B linking A in a
+      // corrupt/malicious file): throw, never recurse unboundedly
+      require(depth < 64,
+        s"group nesting deeper than 64 at '$name' — cyclic links (corrupt file)")
       val msgs = readMessages(ohAddr)
       val symTab = msgs.find(_.typ == 0x0011)
       val linkInfo = msgs.find(_.typ == 0x0002)
@@ -577,7 +599,7 @@ object Hdf5Classic {
         val (bt, heap) = (st.getLong(), st.getLong())
         val prefix = if (isRoot) "" else name + "/"
         groupEntries(bt, heap).foreach { case (child, a) =>
-          visit(prefix + child, a, isRoot = false)
+          visit(prefix + child, a, isRoot = false, depth + 1)
         }
       } else if (linkInfo.isDefined || msgs.exists(_.typ == 0x0006)) {
         // a new-style GROUP (libver=latest): compact links live as
@@ -596,7 +618,9 @@ object Hdf5Classic {
         if (isRoot) gattrsB ++= attrs
         val prefix = if (isRoot) "" else name + "/"
         msgs.filter(_.typ == 0x0006).flatMap(m => parseLink(m.body))
-          .foreach { case (child, a) => visit(prefix + child, a, isRoot = false) }
+          .foreach { case (child, a) =>
+            visit(prefix + child, a, isRoot = false, depth + 1)
+          }
       } else { // a DATASET
         val shape = msgs.find(_.typ == 0x0001).map(m => parseDataspace(m.body))
           .getOrElse(throw new IllegalArgumentException(s"'$name': no dataspace"))

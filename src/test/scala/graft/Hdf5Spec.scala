@@ -509,6 +509,20 @@ class Hdf5Spec extends AnyFunSuite {
     assert(h5.read("a").toSeq == Seq(111.0) && h5.read("z").toSeq == Seq(999.0))
   }
 
+  test("cyclic B-tree pointers throw the depth guard, never hang") {
+    // one corrupt file at 100 TB ingest must throw, not spin or
+    // stack-overflow an executor: point the root group B-tree's child
+    // back at the B-tree itself and mark it an internal node
+    val data = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    (1 to 3).foreach(i => data.putDouble(i))
+    val b = handFile(f64Dt, contiguousLayout(432L, 24L), data.array(), 3L).clone()
+    b(136 + 5) = 1 // B-tree @136: level byte → internal
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(136 + 24 + 8, 136L) // child0 → the node itself
+    val ex = intercept[IllegalArgumentException](Hdf5Classic.parse(b))
+    assert(ex.getMessage.contains("cyclic"))
+  }
+
   // ---- writer ↔ parser round-trips ----------------------------------
   private def writeGridFile(path: String, nt: Int, bias: Double): Unit = {
     val lats = Array(0.0, 10.0)
