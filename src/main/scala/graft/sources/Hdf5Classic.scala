@@ -83,7 +83,8 @@ object Hdf5Classic {
   case object H5NoData extends H5Data
 
   final case class H5Var(name: String, addr: Long, shape: Seq[Long],
-                         dtype: H5Type, attrs: Seq[NcAttr], data: H5Data) {
+                         dtype: H5Type, attrs: Seq[NcAttr], data: H5Data,
+                         fillRaw: Option[Array[Byte]] = None) {
     def attrStr(a: String): Option[String] =
       attrs.collectFirst { case NcAttr(`a`, s: String) => s }
     def dimRefs: Option[Seq[Long]] =
@@ -114,7 +115,13 @@ object Hdf5Classic {
             s"'$name': DIMENSION_LIST references object header at $a " +
               "which is not a dataset in this file")).name)
         case None =>
-          val coords = vars.filter(c => c.shape.length == 1 && c.name != name)
+          // prefer declared CLASS="DIMENSION_SCALE" coordinates; only a
+          // plain-HDF5 file with NO scales at all falls back to any
+          // 1-D dataset (an auxiliary bounds/label var must not shadow
+          // a real coordinate, nor make it spuriously ambiguous)
+          val oneD = vars.filter(c => c.shape.length == 1 && c.name != name)
+          val scales = oneD.filter(_.isDimScale)
+          val coords = if (scales.nonEmpty) scales else oneD
           v.shape.map { len =>
             coords.filter(_.shape.head == len) match {
               case Seq(c) => c.name
@@ -203,6 +210,15 @@ object Hdf5Classic {
           // scatter each full-size chunk slab into the dense output,
           // clipping edge chunks (they are allocated full-size on disk)
           val out = new Array[Double](n)
+          // chunks the B-tree never allocated hold the dataset's FILL
+          // value, not zero — netCDF-4's default fill is ≈9.97e36, and
+          // leaving zeros would fabricate data for never-written cells
+          // (r12 review find); HDF5's own default fill IS all-zero, so
+          // an absent/empty fill message keeps the zero-initialized out
+          v.fillRaw.filter(_.length == v.dtype.size).foreach { fr =>
+            val fill = decodeSlab(ByteBuffer.wrap(fr), v.dtype, 1, name)(0)
+            java.util.Arrays.fill(out, fill)
+          }
           val perChunk = cdims.product
           val shape = v.shape.toArray
           val rank = cdims.length
@@ -578,6 +594,17 @@ object Hdf5Classic {
       require(depth < 64,
         s"group nesting deeper than 64 at '$name' — cyclic links (corrupt file)")
       val msgs = readMessages(ohAddr)
+      // SOHM/committed-datatype sharing stores a (version, type, OH
+      // address) SHARED record where the inline body would be — parsing
+      // it as a raw datatype/dataspace would silently garbage-decode,
+      // so reject by name (message flag bit 1 = shared)
+      msgs.find(m => (m.flags & 2) != 0 &&
+          Set(0x0001, 0x0003, 0x0008, 0x000C).contains(m.typ)).foreach { m =>
+        throw new IllegalArgumentException(
+          f"object '$name' uses a SHARED message (type 0x${m.typ}%04X, " +
+            "committed datatype / SOHM) — shared message storage is not " +
+            "supported")
+      }
       val symTab = msgs.find(_.typ == 0x0011)
       val linkInfo = msgs.find(_.typ == 0x0002)
       val attrs = msgs.filter(_.typ == 0x000C).map(m => parseAttribute(m.body))
@@ -653,7 +680,28 @@ object Hdf5Classic {
             case c => throw new IllegalArgumentException(s"layout class $c")
           }
         }.getOrElse(H5NoData)
-        varsB += H5Var(name, ohAddr, shape, dtype, attrs, data)
+        // fill-value message (0x0005): raw fill bytes, needed to
+        // materialize chunks the B-tree never allocated (netCDF-4's
+        // default fill ≈9.97e36 is NOT zero; HDF5's default IS zero)
+        val fillRaw: Option[Array[Byte]] = msgs.find(_.typ == 0x0005).flatMap { m =>
+          val b = lbb(m.body)
+          val ver = b.get() & 0xff
+          val defined = ver match {
+            case 1 => b.get(); b.get(); b.get(); true // v1: size always present
+            case 2 => b.get(); b.get(); (b.get() & 0xff) == 1
+            case 3 => ((b.get() & 0xff) & 0x20) != 0
+            case v => throw new IllegalArgumentException(
+              s"'$name': fill value message version $v")
+          }
+          if (!defined) None
+          else {
+            val sz = b.getInt()
+            if (sz <= 0) None
+            else Some(java.util.Arrays.copyOfRange(
+              m.body, b.position(), b.position() + sz))
+          }
+        }
+        varsB += H5Var(name, ohAddr, shape, dtype, attrs, data, fillRaw)
       }
     }
 
@@ -952,11 +1000,10 @@ object Hdf5Classic {
     // heap coordinates now resolvable
     var axisCursor = 0
     sortedVars.zipWithIndex.foreach { case ((n, dimIds, user, data), i) =>
-      val attrs = fullAttrs(n, dimIds, user).map {
-        case NcAttr("DIMENSION_LIST", H5Refs(ids)) =>
-          NcAttr("DIMENSION_LIST", H5Refs(ids)) // placeholder kept; patch below
-        case a => a
-      }
+      // DIMENSION_LIST attrs still carry dim-INDEX placeholders here;
+      // the real global-heap coordinates are patched into the message
+      // BYTES in the attrs.map below, once gheapAt/axisCursor are known
+      val attrs = fullAttrs(n, dimIds, user)
       val msgs = Seq(
         RawMsg(0x0001, dsSimple(dimIds.map(d => dims(d).length.toLong))),
         RawMsg(0x0003, dtF64),

@@ -276,14 +276,21 @@ object NetcdfSource {
     * Grid semantics: axes are the member's distinct sorted lat/lon/
     * time values; cells absent from the input are filled NaN; times
     * are written CF "seconds since 1970-01-01" (microsecond fractions
-    * preserved as decimals — exact for whole-second data). Member tags
-    * become file basenames and must be path-safe. */
+    * preserved as decimals — exact for whole-second data). A member
+    * whose rows ALL have a null time (the (lat, lon) static-grid form
+    * emitRows produces) writes a 2-D file; mixing null and non-null
+    * times in one member is a caller error, rejected by name, as is a
+    * duplicate (time, lat, lon) cell (pass ONE variable at a time — a
+    * readGridVars frame must be filtered or pivoted first; silent
+    * last-write-wins would lose data). Member tags become file
+    * basenames and must be path-safe. */
   def writeGrid(df: DataFrame, destDir: String, varName: String = "value",
                 hdf5: Boolean = false): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions.col
     new java.io.File(destDir).mkdirs()
     val ext = if (hdf5) "h5" else "nc"
+    val NoTime = Long.MinValue // sentinel: null ts (2-D static grid)
     df.select(col("dataset"), col("time"), col("lat"), col("lon"), col("value"))
       .repartition(col("dataset"))
       .sortWithinPartitions(col("dataset"))
@@ -292,31 +299,51 @@ object NetcdfSource {
           require(!ds.contains('/') && !ds.contains(java.io.File.separatorChar),
             s"member tag '$ds' is not a path-safe file basename")
           val times = buf.map(_._1).distinct.sorted
+          val is2d = times == Seq(NoTime)
+          require(is2d || !times.contains(NoTime),
+            s"member '$ds' mixes null and non-null times — a grid file is " +
+              "either a (time, lat, lon) series or a static (lat, lon) field")
           val lats = buf.map(_._2).distinct.sorted
           val lons = buf.map(_._3).distinct.sorted
           val tIx = times.zipWithIndex.toMap
           val laIx = lats.zipWithIndex.toMap
           val loIx = lons.zipWithIndex.toMap
           val grid = Array.fill(times.length * lats.length * lons.length)(Double.NaN)
+          val seen = new java.util.HashSet[Integer](buf.length * 2)
           buf.foreach { case (t, la, lo, v) =>
-            grid((tIx(t) * lats.length + laIx(la)) * lons.length + loIx(lo)) = v
+            val i = (tIx(t) * lats.length + laIx(la)) * lons.length + loIx(lo)
+            require(seen.add(i),
+              s"member '$ds' has duplicate rows for one (time, lat, lon) " +
+                "cell — write ONE variable per call (filter or pivot a " +
+                "readGridVars frame first); last-write-wins would lose data")
+            grid(i) = v
           }
-          val dims = Seq(NetcdfClassic.NcDim("time", times.length),
-            NetcdfClassic.NcDim("lat", lats.length),
-            NetcdfClassic.NcDim("lon", lons.length))
-          val vars = Seq(
-            ("time", Seq(0),
-              Seq(NetcdfClassic.NcAttr("units", "seconds since 1970-01-01")),
-              times.map(_ / 1e6).toArray),
-            ("lat", Seq(1),
-              Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
-            ("lon", Seq(2),
-              Seq(NetcdfClassic.NcAttr("units", "degrees_east")), lons.toArray),
-            // declare the NaN fill so readers (ours via mask-and-scale,
-            // xarray via mask_and_scale=True) drop absent cells — the
-            // write→read pair is then the identity on SPARSE grids too
-            (varName, Seq(0, 1, 2),
-              Seq(NetcdfClassic.NcAttr("_FillValue", Array(Double.NaN))), grid))
+          val (dims, coordVars) =
+            if (is2d)
+              (Seq(NetcdfClassic.NcDim("lat", lats.length),
+                NetcdfClassic.NcDim("lon", lons.length)),
+                Seq(
+                  ("lat", Seq(0),
+                    Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
+                  ("lon", Seq(1),
+                    Seq(NetcdfClassic.NcAttr("units", "degrees_east")), lons.toArray)))
+            else
+              (Seq(NetcdfClassic.NcDim("time", times.length),
+                NetcdfClassic.NcDim("lat", lats.length),
+                NetcdfClassic.NcDim("lon", lons.length)),
+                Seq(
+                  ("time", Seq(0),
+                    Seq(NetcdfClassic.NcAttr("units", "seconds since 1970-01-01")),
+                    times.map(_ / 1e6).toArray),
+                  ("lat", Seq(1),
+                    Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
+                  ("lon", Seq(2),
+                    Seq(NetcdfClassic.NcAttr("units", "degrees_east")), lons.toArray)))
+          // declare the NaN fill so readers (ours via mask-and-scale,
+          // xarray via mask_and_scale=True) drop absent cells — the
+          // write→read pair is then the identity on SPARSE grids too
+          val vars = coordVars :+ ((varName, dims.indices.toSeq,
+            Seq(NetcdfClassic.NcAttr("_FillValue", Array(Double.NaN))), grid))
           val bytes = if (hdf5) Hdf5Classic.write(dims, vars)
                       else NetcdfClassic.write(dims, vars)
           java.nio.file.Files.write(
@@ -329,9 +356,10 @@ object NetcdfSource {
           val ds = r.getString(0)
           if (ds != cur && cur != null) { flush(cur, buf.toSeq); buf.clear() }
           cur = ds
-          buf += ((r.getTimestamp(1).getTime * 1000L +
-            (r.getTimestamp(1).getNanos / 1000L) % 1000L,
-            r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+          val ts = if (r.isNullAt(1)) NoTime
+            else r.getTimestamp(1).getTime * 1000L +
+              (r.getTimestamp(1).getNanos / 1000L) % 1000L
+          buf += ((ts, r.getDouble(2), r.getDouble(3), r.getDouble(4)))
         }
         if (cur != null) flush(cur, buf.toSeq)
       }

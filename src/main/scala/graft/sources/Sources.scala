@@ -301,6 +301,11 @@ object Sources {
           .otherwise(4).as("lonb"))
       .groupBy("day", "latb", "lonb")
       .agg(count(lit(1)).cast("double").as("v"))
+      // read 5× below (isEmpty, three distinct-axis scans, the left
+      // join): cache the one bounded aggregate instead of re-running
+      // the full events scan each time (r12 review find); unpersisted
+      // before returning — the readback frame reads the FILE, not this
+      .cache()
     val outSchema = StructType(Seq(
       StructField("lat", DoubleType), StructField("n_cells", LongType),
       StructField("sum_val", LongType), StructField("t_sig", LongType)))
@@ -308,6 +313,7 @@ object Sources {
       // empty-events tier: no grid to write; the oracle's GROUP BY
       // over zero cells is empty too (a stale file from a previous
       // tier is never read — the readback below is skipped entirely)
+      cells.unpersist()
       s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
     } else {
       // densify over the OBSERVED axes (zero-filled): broadcast-sized
@@ -323,6 +329,7 @@ object Sources {
           (lit(100.0) + col("lonb") * 10.0).as("lon"),
           coalesce(col("v"), lit(0.0)).as("value"))
       NetcdfSource.writeGrid(dense, out, varName = "events", hdf5 = hdf5)
+      cells.unpersist()
       NetcdfSource.readGrid(s, s"$out/grid.${if (hdf5) "h5" else "nc"}", "events")
         .groupBy(col("lat"))
         .agg(count(lit(1)).cast("long").as("n_cells"),

@@ -509,6 +509,67 @@ class Hdf5Spec extends AnyFunSuite {
     assert(h5.read("a").toSeq == Seq(111.0) && h5.read("z").toSeq == Seq(999.0))
   }
 
+  test("unallocated chunks read as the dataset FILL value, not zero") {
+    // r12 review find: a partially-written chunked variable has B-tree
+    // entries only for written chunks; the missing cells must hold the
+    // fill-value message's value (netCDF-4 default ≈9.97e36), never a
+    // fabricated 0.0. 1-D [4] in chunks of 2; only chunk (0) allocated.
+    val msgBytes = 24 + 32 + 24 + 32 // dataspace + datatype + fill + layout
+    val btAt = 280 + 16 + msgBytes
+    val chunkAt = btAt + 24 + 2 * 24 + 8 // hdr + 2 keys + 1 child
+    val eof = chunkAt + 16
+    val out = ByteBuffer.allocate(eof).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(commonPrefix(eof))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(4)
+    out.putInt(1); out.putInt(msgBytes); out.putInt(0)
+    def msg(typ: Int, body: Array[Byte]): Unit = {
+      val pad = (body.length + 7) & ~7
+      out.putShort(typ.toShort); out.putShort(pad.toShort); out.putInt(0)
+      val at = out.position(); out.put(body); out.position(at + pad)
+    }
+    msg(0x0001, {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
+      b.put(new Array[Byte](5)); b.putLong(4L); b.array()
+    })
+    msg(0x0003, f64Dt)
+    msg(0x0005, { // fill value v2, defined, f64 -7.5
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(2.toByte); b.put(0.toByte); b.put(1.toByte)
+      b.putInt(8); b.putDouble(-7.5); b.array()
+    })
+    msg(0x0008, { // layout v3 chunked: rank+1 = 2, chunk [2]
+      val b = ByteBuffer.allocate(19).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(2.toByte); b.put(2.toByte)
+      b.putLong(btAt.toLong)
+      b.putInt(2); b.putInt(8)
+      b.array()
+    })
+    assert(out.position() == btAt)
+    out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(1)
+    out.putLong(-1L); out.putLong(-1L)
+    out.putInt(16); out.putInt(0); out.putLong(0L); out.putLong(0L) // key0: chunk (0)
+    out.putLong(chunkAt.toLong)
+    out.putInt(16); out.putInt(0); out.putLong(4L); out.putLong(0L) // keyN
+    assert(out.position() == chunkAt)
+    out.putDouble(1.0); out.putDouble(2.0)
+    val h5 = Hdf5Classic.parse(out.array())
+    assert(h5.read("v").toSeq == Seq(1.0, 2.0, -7.5, -7.5))
+  }
+
+  test("SHARED messages (committed datatype / SOHM) are rejected by name") {
+    // flag bit 1 on a datatype message means its body is a shared
+    // RECORD, not an inline datatype — parsing it inline would
+    // garbage-decode (r12 review find)
+    val data = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    (1 to 3).foreach(i => data.putDouble(i))
+    val b = handFile(f64Dt, contiguousLayout(432L, 24L), data.array(), 3L).clone()
+    b(280 + 16 + 24 + 4) = 2 // datatype message header's flags byte
+    val ex = intercept[IllegalArgumentException](Hdf5Classic.parse(b))
+    assert(ex.getMessage.contains("SHARED"))
+  }
+
   test("cyclic B-tree pointers throw the depth guard, never hang") {
     // one corrupt file at 100 TB ingest must throw, not spin or
     // stack-overflow an executor: point the root group B-tree's child
@@ -690,6 +751,64 @@ class Hdf5Spec extends AnyFunSuite {
     val df2 = NetcdfSource.readGrid(spark, s"$tmp/m2.nc", "tas")
     assert(df2.count() == 1 &&
       df2.select("value").head().getDouble(0) == 7.0)
+  }
+
+  test("2-D (lat, lon) members export and re-load; mixed times reject by name") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("static").toString
+    // static field: every time is null (the (lat, lon) layout emitRows
+    // produces) — r12 review find: this used to NPE in writeGrid
+    val static = Seq(
+      ("oro", null.asInstanceOf[java.sql.Timestamp], 0.0, 100.0, 5.0),
+      ("oro", null.asInstanceOf[java.sql.Timestamp], 10.0, 100.0, 6.0))
+      .toDF("dataset", "time", "lat", "lon", "value")
+    NetcdfSource.writeGrid(static, tmp, varName = "orog", hdf5 = true)
+    val back = NetcdfSource.readGrid(spark, s"$tmp/oro.h5", "orog")
+    assert(back.count() == 2 && back.filter(col("time").isNotNull).count() == 0)
+    assert(back.orderBy("lat").select("value").collect().map(_.getDouble(0))
+      .toSeq == Seq(5.0, 6.0))
+    // one member mixing null and real times is a caller error, by name
+    val mixed = Seq(
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0, 100.0, 1.0),
+      ("m", null.asInstanceOf[java.sql.Timestamp], 0.0, 110.0, 2.0))
+      .toDF("dataset", "time", "lat", "lon", "value")
+    val ex = intercept[org.apache.spark.SparkException](
+      NetcdfSource.writeGrid(mixed, s"$tmp/bad", varName = "x"))
+    assert(ex.getMessage.contains("mixes null and non-null times") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mixes null and non-null")))
+  }
+
+  test("duplicate (time,lat,lon) cells reject by name — no last-write-wins") {
+    import spark.implicits._
+    // a readGridVars frame (two variables on the same axes) must not
+    // silently lose one variable (r12 review find)
+    val tmp = Files.createTempDirectory("dup").toString
+    val twoVars = Seq(
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0, 100.0, 1.0),
+      ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0, 100.0, 2.0))
+      .toDF("dataset", "time", "lat", "lon", "value")
+    val ex = intercept[org.apache.spark.SparkException](
+      NetcdfSource.writeGrid(twoVars, tmp, varName = "x"))
+    assert(ex.getMessage.contains("duplicate rows") ||
+      Option(ex.getCause).exists(_.getMessage.contains("duplicate rows")))
+  }
+
+  test("fallback axis naming prefers declared DIMENSION_SCALEs over aux 1-D vars") {
+    // r12 review find: an auxiliary 1-D dataset (station labels, bounds)
+    // of the same length as an axis must neither shadow a real
+    // coordinate nor make it spuriously ambiguous
+    val h5 = Hdf5Classic.parse(Hdf5Classic.write(
+      dims = Seq(NcDim("lat", 2), NcDim("lon", 3)),
+      vars = Seq(
+        ("lat", Seq(0), Nil, Array(0.0, 10.0)),
+        ("lon", Seq(1), Nil, Array(1.0, 2.0, 3.0)),
+        ("stations", Seq(1), Nil, Array(7.0, 8.0, 9.0)), // aux, same len as lon
+        ("tas", Seq(0, 1), Nil, Array.tabulate(6)(_.toDouble)))))
+    val strip = h5.copy(vars = h5.vars.map(v =>
+      v.copy(attrs = v.attrs.filterNot(_.name == "DIMENSION_LIST"))))
+    // lat/lon kept their CLASS="DIMENSION_SCALE"; stations has none →
+    // the scale-filtered fallback resolves cleanly despite the clash
+    assert(strip.dimNames("tas") == Seq("lat", "lon"))
   }
 
   test("sparse grids round-trip: writeGrid NaN-fills, readGrid masks back") {
