@@ -570,6 +570,116 @@ class Hdf5Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("SHARED"))
   }
 
+  test("internal (level-1) group B-tree nodes recurse to their leaves") {
+    // the level>0 walk had no fixture: root btree is an INTERNAL node
+    // whose child is a LEAF node whose child is the SNOD
+    val out = ByteBuffer.allocate(504).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(superblock(eof = 504))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(1) // root OH @96
+    out.putInt(1); out.putInt(24); out.putInt(0)
+    out.putShort(0x0011); out.putShort(16); out.putInt(0)
+    out.putLong(136L); out.putLong(232L) // btree, heap
+    // internal TREE @136 (level 1) → leaf TREE @184
+    out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(1.toByte); out.putShort(1)
+    out.putLong(-1L); out.putLong(-1L)
+    out.putLong(0L); out.putLong(184L); out.putLong(8L)
+    // leaf TREE @184 (level 0) → SNOD @280
+    out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(0.toByte); out.putShort(1)
+    out.putLong(-1L); out.putLong(-1L)
+    out.putLong(0L); out.putLong(280L); out.putLong(8L)
+    // heap @232, data @264: "v"
+    out.put("HEAP".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(new Array[Byte](3))
+    out.putLong(16L); out.putLong(-1L); out.putLong(264L)
+    out.put(new Array[Byte](8)); out.put('v'.toByte); out.put(new Array[Byte](7))
+    // SNOD @280 → dataset OH @328
+    out.put("SNOD".getBytes(StandardCharsets.US_ASCII))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(1)
+    out.putLong(8L); out.putLong(328L)
+    out.putInt(0); out.putInt(0); out.put(new Array[Byte](16))
+    assert(out.position() == 328)
+    // dataset OH: ds(24) + dt(32) + layout(32) + units attr(48) → data @480
+    out.put(1.toByte); out.put(0.toByte); out.putShort(4)
+    out.putInt(1); out.putInt(136); out.putInt(0)
+    def msg(typ: Int, body: Array[Byte]): Unit = {
+      val pad = (body.length + 7) & ~7
+      out.putShort(typ.toShort); out.putShort(pad.toShort); out.putInt(0)
+      val at = out.position(); out.put(body); out.position(at + pad)
+    }
+    msg(0x0001, {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
+      b.put(new Array[Byte](5)); b.putLong(3L); b.array()
+    })
+    msg(0x0003, f64Dt)
+    msg(0x0008, contiguousLayout(480L, 24L))
+    msg(0x000C, unitsAttrBody)
+    assert(out.position() == 480)
+    out.putDouble(42.0); out.putDouble(43.0); out.putDouble(44.0)
+    val h5 = Hdf5Classic.parse(out.array())
+    assert(h5.vars.map(_.name) == Seq("v"))
+    assert(h5.read("v").toSeq == Seq(42.0, 43.0, 44.0))
+  }
+
+  test("internal (level-1) chunk B-tree nodes recurse to their leaves") {
+    // 1-D [4] in chunks of 2; the chunk tree has an INTERNAL node over
+    // one LEAF carrying both chunks
+    val msgBytes = 24 + 32 + 32 // dataspace + datatype + layout
+    val internalAt = 280 + 16 + msgBytes
+    val keySize = 8 + 8 * 2 // rank+1 = 2
+    val internalSize = 24 + 2 * keySize + 8
+    val leafAt = internalAt + internalSize
+    val leafSize = 24 + 3 * keySize + 2 * 8
+    val chunksAt = leafAt + leafSize
+    val eof = chunksAt + 4 * 8
+    val out = ByteBuffer.allocate(eof).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(commonPrefix(eof))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(3)
+    out.putInt(1); out.putInt(msgBytes); out.putInt(0)
+    def msg(typ: Int, body: Array[Byte]): Unit = {
+      val pad = (body.length + 7) & ~7
+      out.putShort(typ.toShort); out.putShort(pad.toShort); out.putInt(0)
+      val at = out.position(); out.put(body); out.position(at + pad)
+    }
+    msg(0x0001, {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
+      b.put(new Array[Byte](5)); b.putLong(4L); b.array()
+    })
+    msg(0x0003, f64Dt)
+    msg(0x0008, {
+      val b = ByteBuffer.allocate(19).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(2.toByte); b.put(2.toByte)
+      b.putLong(internalAt.toLong)
+      b.putInt(2); b.putInt(8)
+      b.array()
+    })
+    assert(out.position() == internalAt)
+    // internal node (level 1): one child = the leaf
+    out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+    out.put(1.toByte); out.put(1.toByte); out.putShort(1)
+    out.putLong(-1L); out.putLong(-1L)
+    out.putInt(16); out.putInt(0); out.putLong(0L); out.putLong(0L)
+    out.putLong(leafAt.toLong)
+    out.putInt(16); out.putInt(0); out.putLong(4L); out.putLong(0L)
+    assert(out.position() == leafAt)
+    // leaf node (level 0): chunks (0) and (2)
+    out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(2)
+    out.putLong(-1L); out.putLong(-1L)
+    out.putInt(16); out.putInt(0); out.putLong(0L); out.putLong(0L)
+    out.putLong(chunksAt.toLong)
+    out.putInt(16); out.putInt(0); out.putLong(2L); out.putLong(0L)
+    out.putLong(chunksAt + 16L)
+    out.putInt(16); out.putInt(0); out.putLong(4L); out.putLong(0L)
+    assert(out.position() == chunksAt)
+    Seq(1.0, 2.0, 3.0, 4.0).foreach(out.putDouble)
+    val h5 = Hdf5Classic.parse(out.array())
+    assert(h5.read("v").toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("cyclic B-tree pointers throw the depth guard, never hang") {
     // one corrupt file at 100 TB ingest must throw, not spin or
     // stack-overflow an executor: point the root group B-tree's child
@@ -762,11 +872,14 @@ class Hdf5Spec extends AnyFunSuite {
       ("oro", null.asInstanceOf[java.sql.Timestamp], 0.0, 100.0, 5.0),
       ("oro", null.asInstanceOf[java.sql.Timestamp], 10.0, 100.0, 6.0))
       .toDF("dataset", "time", "lat", "lon", "value")
-    NetcdfSource.writeGrid(static, tmp, varName = "orog", hdf5 = true)
-    val back = NetcdfSource.readGrid(spark, s"$tmp/oro.h5", "orog")
-    assert(back.count() == 2 && back.filter(col("time").isNotNull).count() == 0)
-    assert(back.orderBy("lat").select("value").collect().map(_.getDouble(0))
-      .toSeq == Seq(5.0, 6.0))
+    for (h5 <- Seq(false, true)) {
+      val dir = s"$tmp/${if (h5) "h5" else "nc"}"
+      NetcdfSource.writeGrid(static, dir, varName = "orog", hdf5 = h5)
+      val back = NetcdfSource.readGrid(spark, s"$dir/*", "orog")
+      assert(back.count() == 2 && back.filter(col("time").isNotNull).count() == 0)
+      assert(back.orderBy("lat").select("value").collect().map(_.getDouble(0))
+        .toSeq == Seq(5.0, 6.0), s"hdf5=$h5")
+    }
     // one member mixing null and real times is a caller error, by name
     val mixed = Seq(
       ("m", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0, 100.0, 1.0),
