@@ -27,11 +27,15 @@ import NetcdfClassic.{NcAttr, NcDim}
   *     (global-heap resolved — netCDF-4's DIMENSION_LIST and
   *     NC_STRING attributes);
   *   - dataspaces v1 and v2 (scalar and simple);
-  *   - data layout v3: contiguous, compact, AND uncompressed chunked
-  *     (v1 raw-data-chunk B-tree walk with edge-chunk clipping —
-  *     netCDF-4 chunks any variable with an unlimited time dimension
-  *     even when uncompressed, so contiguous-only would miss common
-  *     record-variable climate files);
+  *   - data layout v3: contiguous, compact, AND chunked (v1
+  *     raw-data-chunk B-tree walk with edge-chunk clipping — netCDF-4
+  *     chunks any variable with an unlimited time dimension), with
+  *     the standard filter pipeline: DEFLATE (zlib turns out to need
+  *     no external library — `java.util.zip.Inflater` ships in the
+  *     JDK), byte SHUFFLE, and fletcher32 (checksum dropped,
+  *     unverified like every checksum here), honoring per-chunk
+  *     filter masks — i.e. ordinary compressed netCDF-4 archives read
+  *     end-to-end;
   *   - attributes v1 (padded) and v2/v3 (packed);
   *   - netCDF-4 dimension scales: DIMENSION_LIST object references
   *     resolve each data variable's axes to the dim-scale datasets,
@@ -46,10 +50,9 @@ import NetcdfClassic.{NcAttr, NcDim}
   *
   * Out of scope, rejected with NAMED errors (never a silent wrong
   * read): superblock v1, DENSE fractal-heap storage (group links past
-  * the compact limit, attribute counts past 8), FILTERED chunks
-  * (deflate/shuffle need zlib; a re-export with `nccopy -k classic` or
-  * compression off is the documented workaround), and shared datatype
-  * messages.
+  * the compact limit, attribute counts past 8), non-standard filters
+  * (szip/nbit/scaleoffset need their native codecs), and shared
+  * datatype messages.
   *
   * WRITE scope: a minimal but spec-valid netCDF-4-style grid file —
   * superblock v0, one root group (single SNOD; enough for the ≤2·K
@@ -78,8 +81,11 @@ object Hdf5Classic {
   sealed trait H5Data
   final case class H5Contiguous(at: Long, size: Long) extends H5Data
   final case class H5Compact(raw: Array[Byte]) extends H5Data
-  /** chunkDims excludes the trailing element-size pseudo-dimension. */
-  final case class H5Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends H5Data
+  /** chunkDims excludes the trailing element-size pseudo-dimension;
+    * filters = (filter id, client data) in PIPELINE (write) order —
+    * applied in reverse on read. */
+  final case class H5Chunked(btreeAddr: Long, chunkDims: Seq[Int],
+                             filters: Seq[(Int, Seq[Int])] = Nil) extends H5Data
   case object H5NoData extends H5Data
 
   final case class H5Var(name: String, addr: Long, shape: Seq[Long],
@@ -163,11 +169,56 @@ object Hdf5Classic {
       out
     }
 
+    /** Inverse of the zlib DEFLATE filter — `java.util.zip.Inflater`
+      * ships in the JDK, so compressed netCDF-4 needs no external
+      * library after all. */
+    private def inflate(in: Array[Byte], outSize: Int,
+                        name: String): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(in)
+        val out = new Array[Byte](outSize)
+        var off = 0
+        while (off < outSize && !inf.finished()) {
+          val k = inf.inflate(out, off, outSize - off)
+          if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+            throw new IllegalArgumentException(
+              s"'$name': truncated or non-zlib deflate chunk")
+          off += k
+        }
+        require(off == outSize,
+          s"'$name': deflate chunk inflated to $off of $outSize bytes")
+        out
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(
+            s"'$name': corrupt deflate chunk (${e.getMessage})")
+      } finally inf.end()
+    }
+
+    /** Inverse of the byte-SHUFFLE filter: on disk all 0th bytes come
+      * first, then all 1st bytes, …; re-interleave per element. A
+      * trailing remainder (length % elemSize) is stored unshuffled. */
+    private def unshuffle(in: Array[Byte], elemSize: Int): Array[Byte] = {
+      if (elemSize <= 1) return in
+      val n = in.length / elemSize
+      val out = new Array[Byte](in.length)
+      var b = 0
+      while (b < elemSize) {
+        var i = 0
+        while (i < n) { out(i * elemSize + b) = in(b * n + i); i += 1 }
+        b += 1
+      }
+      System.arraycopy(in, n * elemSize, out, n * elemSize, in.length - n * elemSize)
+      out
+    }
+
     /** Raw-data chunk B-tree (v1, node type 1): every (chunk offsets,
-      * data address) pair, recursing through internal levels. Keys are
-      * (chunk byte size, filter mask, rank+1 offsets). */
+      * data address, stored byte size, filter mask) tuple, recursing
+      * through internal levels. Keys are (chunk byte size, filter
+      * mask, rank+1 offsets). */
     private def chunkEntries(btAddr: Long, rank: Int, name: String,
-                             depth: Int = 0): Seq[(Seq[Long], Long)] = {
+                             depth: Int = 0): Seq[(Seq[Long], Long, Int, Int)] = {
       // cyclic-pointer guard, mirroring the group-tree walk: a corrupt
       // file must throw, never hang or overflow the stack
       require(depth < 64, s"'$name': chunk B-tree deeper than 64 at " +
@@ -185,8 +236,10 @@ object Hdf5Classic {
         val child = bb.getLong(keyAt + keySize)
         if (level > 0) chunkEntries(child, rank, name, depth + 1)
         else {
+          val storedSize = bb.getInt(keyAt)
+          val mask = bb.getInt(keyAt + 4)
           val offs = (0 until rank).map(d => bb.getLong(keyAt + 8 + d * 8))
-          Seq((offs, child))
+          Seq((offs, child, storedSize, mask))
         }
       }
     }
@@ -202,7 +255,7 @@ object Hdf5Classic {
             s"'$name': contiguous data address undefined (never allocated)")
           decodeSlab(ByteBuffer.wrap(bytes, at.toInt, size.toInt), v.dtype, n, name)
         case H5Compact(r) => decodeSlab(ByteBuffer.wrap(r), v.dtype, n, name)
-        case H5Chunked(bt, cdims) =>
+        case H5Chunked(bt, cdims, filters) =>
           require(bt != UNDEF,
             s"'$name': chunk B-tree address undefined (never allocated)")
           require(cdims.length == v.shape.length,
@@ -226,10 +279,25 @@ object Hdf5Classic {
           val cstride = new Array[Int](rank)
           var acc = 1
           for (d <- (rank - 1) to 0 by -1) { cstride(d) = acc; acc *= cdims(d) }
-          chunkEntries(bt, rank, name).foreach { case (offs, addr) =>
-            val slab = decodeSlab(
-              ByteBuffer.wrap(bytes, addr.toInt, perChunk * v.dtype.size),
-              v.dtype, perChunk, name)
+          chunkEntries(bt, rank, name).foreach { case (offs, addr, stored, mask) =>
+            // undo the filter pipeline in reverse write order; a set
+            // bit in the per-chunk mask means that filter was SKIPPED
+            // for this chunk (partial-edge-chunk optimization)
+            var raw = java.util.Arrays.copyOfRange(
+              bytes, addr.toInt, addr.toInt + stored)
+            filters.zipWithIndex.reverse.foreach { case ((id, cdv), fi) =>
+              if ((mask & (1 << fi)) == 0) raw = id match {
+                case 1 => inflate(raw, perChunk * v.dtype.size, name)
+                case 2 => unshuffle(raw, cdv.headOption.getOrElse(v.dtype.size))
+                case 3 => // fletcher32: 4-byte checksum appended (unverified,
+                          // like every other checksum this parser skips)
+                  java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
+                case other => throw new IllegalArgumentException(
+                  s"'$name': filter id $other not supported (only deflate, " +
+                    "shuffle, fletcher32)")
+              }
+            }
+            val slab = decodeSlab(ByteBuffer.wrap(raw), v.dtype, perChunk, name)
             var e = 0
             while (e < perChunk) {
               // unflatten e over cdims; add chunk offsets; bound-check
@@ -664,19 +732,42 @@ object Hdf5Classic {
                 m.body, b.position(), b.position() + sz))
             case 1 => H5Contiguous(b.getLong(), b.getLong())
             case 2 =>
-              // chunked is readable UNCOMPRESSED (r12; netCDF-4 chunks
-              // any variable with an unlimited time dim even without
-              // compression) — only a filter pipeline (deflate etc.,
-              // needs zlib) stays out, rejected by name
-              if (msgs.exists(_.typ == 0x000B))
-                throw new IllegalArgumentException(
-                  s"'$name': filtered (compressed) chunks not supported — " +
-                    "deflate needs zlib; re-export uncompressed or as " +
-                    "NetCDF-3 classic")
+              // chunked + filtered both readable (r12): the filter
+              // pipeline (0x000B) supports deflate (JDK Inflater —
+              // zlib needed no external library after all), byte
+              // shuffle, and fletcher32 (checksum dropped unverified);
+              // anything else (szip/nbit/scaleoffset) rejects by name
+              val filters: Seq[(Int, Seq[Int])] =
+                msgs.find(_.typ == 0x000B).map { fm =>
+                  val fb = lbb(fm.body)
+                  val fver = fb.get() & 0xff
+                  require(fver == 1 || fver == 2,
+                    s"'$name': filter pipeline version $fver")
+                  val nf = fb.get() & 0xff
+                  if (fver == 1) fb.position(fb.position() + 6)
+                  (0 until nf).map { _ =>
+                    val id = fb.getShort() & 0xffff
+                    val nameLen =
+                      if (fver == 1 || id >= 256) fb.getShort() & 0xffff else 0
+                    fb.getShort() // flags (bit 0 = optional filter)
+                    val ncdv = fb.getShort() & 0xffff
+                    if (nameLen > 0) {
+                      val skip = if (fver == 1) (nameLen + 7) & ~7 else nameLen
+                      fb.position(fb.position() + skip)
+                    }
+                    val cdv = Seq.fill(ncdv)(fb.getInt())
+                    if (fver == 1 && ncdv % 2 == 1) fb.getInt() // pad to 8
+                    require(id == 1 || id == 2 || id == 3,
+                      s"'$name': filter id $id not supported (deflate=1, " +
+                        "shuffle=2, fletcher32=3 only — szip/nbit/" +
+                        "scaleoffset need their native codecs)")
+                    (id, cdv)
+                  }
+                }.getOrElse(Nil)
               val dimensionality = b.get() & 0xff // rank + 1 (elem size)
               val bt = b.getLong()
               val dims = Seq.fill(dimensionality)(b.getInt())
-              H5Chunked(bt, dims.dropRight(1)) // last entry = element size
+              H5Chunked(bt, dims.dropRight(1), filters) // last = elem size
             case c => throw new IllegalArgumentException(s"layout class $c")
           }
         }.getOrElse(H5NoData)

@@ -342,7 +342,8 @@ class Hdf5Spec extends AnyFunSuite {
   // behind a level-0 raw-data-chunk B-tree — the layout netCDF-4 gives
   // any record (unlimited-time) variable. withFilter adds a filter-
   // pipeline message, which must be rejected by name (deflate ⇒ zlib).
-  private def chunkedFile(withFilter: Boolean): Array[Byte] = {
+  private def chunkedFile(filterId: Option[Int]): Array[Byte] = {
+    val withFilter = filterId.isDefined
     val nMsgs = if (withFilter) 4 else 3
     val msgBytes = 32 + 32 + 32 + (if (withFilter) 24 else 0)
     val btAt = 280 + 16 + msgBytes
@@ -363,10 +364,13 @@ class Hdf5Spec extends AnyFunSuite {
       b.put(new Array[Byte](5)); b.putLong(3L); b.putLong(3L); b.array()
     })
     msg(0x0003, f64Dt)
-    if (withFilter) msg(0x000B, { // filter pipeline: 1 filter (deflate)
-      val b = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(1.toByte); b.put(1.toByte); b.array()
-    })
+    filterId.foreach(id => msg(0x000B, { // filter pipeline v1: 1 filter
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.put(new Array[Byte](6))
+      b.putShort(id.toShort); b.putShort(0) // id, name length
+      b.putShort(0); b.putShort(0)          // flags, n client data
+      b.array()
+    }))
     msg(0x0008, { // layout v3 class 2: dimensionality 3 = rank+1
       val b = ByteBuffer.allocate(23).order(ByteOrder.LITTLE_ENDIAN)
       b.put(3.toByte); b.put(2.toByte); b.put(3.toByte)
@@ -397,16 +401,127 @@ class Hdf5Spec extends AnyFunSuite {
   }
 
   test("uncompressed chunked layout reads through the chunk B-tree") {
-    val h5 = Hdf5Classic.parse(chunkedFile(withFilter = false))
+    val h5 = Hdf5Classic.parse(chunkedFile(filterId = None))
     assert(h5.variable("v").shape == Seq(3L, 3L))
     assert(h5.read("v").toSeq == (1 to 9).map(_.toDouble),
       "edge-padded chunks must scatter-clip into the dense row-major array")
   }
 
-  test("filtered (compressed) chunks are rejected by name") {
+  test("non-standard filters (szip) are rejected by name") {
     val ex = intercept[IllegalArgumentException](
-      Hdf5Classic.parse(chunkedFile(withFilter = true)))
-    assert(ex.getMessage.contains("filtered") && ex.getMessage.contains("zlib"))
+      Hdf5Classic.parse(chunkedFile(filterId = Some(4))))
+    assert(ex.getMessage.contains("filter id 4"))
+  }
+
+  // 1-D [4] f64 in chunks of [2] behind the given filter pipeline; the
+  // test supplies each chunk's STORED bytes (already filtered), so the
+  // reader's inverse pipeline is checked against independently-built
+  // payloads. Chunk 1 carries `mask1` (set bit i = filter i skipped).
+  private def filteredFile(pipeline: Seq[(Int, Seq[Int])],
+                           chunk0: Array[Byte], chunk1: Array[Byte],
+                           mask1: Int): Array[Byte] = {
+    def pad8(x: Int) = (x + 7) & ~7
+    val filterBody = {
+      val cdvLen = pipeline.map(f => f._2.length * 4 + (f._2.length % 2) * 4).sum
+      val b = ByteBuffer.allocate(8 + pipeline.length * 8 + cdvLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(pipeline.length.toByte); b.put(new Array[Byte](6))
+      pipeline.foreach { case (id, cdv) =>
+        b.putShort(id.toShort); b.putShort(0); b.putShort(0)
+        b.putShort(cdv.length.toShort)
+        cdv.foreach(b.putInt)
+        if (cdv.length % 2 == 1) b.putInt(0)
+      }
+      b.array()
+    }
+    val msgBytes = 24 + 32 + (8 + pad8(filterBody.length)) + 32
+    val btAt = 280 + 16 + msgBytes
+    val c0At = btAt + 24 + 3 * 24 + 2 * 8 // hdr + 3 keys + 2 children
+    val c1At = c0At + chunk0.length
+    val eof = c1At + chunk1.length
+    val out = ByteBuffer.allocate(eof).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(commonPrefix(eof))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(4)
+    out.putInt(1); out.putInt(msgBytes); out.putInt(0)
+    def msg(typ: Int, body: Array[Byte]): Unit = {
+      val pad = pad8(body.length)
+      out.putShort(typ.toShort); out.putShort(pad.toShort); out.putInt(0)
+      val at = out.position(); out.put(body); out.position(at + pad)
+    }
+    msg(0x0001, {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
+      b.put(new Array[Byte](5)); b.putLong(4L); b.array()
+    })
+    msg(0x0003, f64Dt)
+    msg(0x000B, filterBody)
+    msg(0x0008, {
+      val b = ByteBuffer.allocate(19).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(2.toByte); b.put(2.toByte)
+      b.putLong(btAt.toLong)
+      b.putInt(2); b.putInt(8)
+      b.array()
+    })
+    assert(out.position() == btAt)
+    out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(2)
+    out.putLong(-1L); out.putLong(-1L)
+    out.putInt(chunk0.length); out.putInt(0)       // key0: stored size, mask
+    out.putLong(0L); out.putLong(0L)
+    out.putLong(c0At.toLong)
+    out.putInt(chunk1.length); out.putInt(mask1)   // key1
+    out.putLong(2L); out.putLong(0L)
+    out.putLong(c1At.toLong)
+    out.putInt(0); out.putInt(0)                   // keyN (past-the-end)
+    out.putLong(4L); out.putLong(0L)
+    assert(out.position() == c0At)
+    out.put(chunk0); out.put(chunk1)
+    out.array()
+  }
+
+  private def le64(ds: Double*): Array[Byte] = {
+    val b = ByteBuffer.allocate(ds.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    ds.foreach(b.putDouble); b.array()
+  }
+  private def deflate(in: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(in); d.finish()
+    val buf = new Array[Byte](in.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    java.util.Arrays.copyOfRange(buf, 0, n)
+  }
+  private def shuffle(in: Array[Byte], elemSize: Int): Array[Byte] = {
+    val n = in.length / elemSize
+    val out = new Array[Byte](in.length)
+    for (i <- 0 until n; b <- 0 until elemSize)
+      out(b * n + i) = in(i * elemSize + b)
+    out
+  }
+
+  test("DEFLATE chunks inflate via the JDK; per-chunk filter masks honored") {
+    // pipeline [deflate]; chunk 0 stored compressed, chunk 1 carries
+    // mask bit 0 (deflate SKIPPED for that chunk) and is stored raw
+    val bytes = filteredFile(Seq((1, Seq(6))),
+      chunk0 = deflate(le64(1.0, 2.0)),
+      chunk1 = le64(3.0, 4.0), mask1 = 1)
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("SHUFFLE+DEFLATE pipeline (the netCDF-4 default) inverts in order") {
+    // write order [shuffle(8), deflate] → stored = deflate(shuffle(raw));
+    // the reader must inflate FIRST, then unshuffle
+    val bytes = filteredFile(Seq((2, Seq(8)), (1, Seq(6))),
+      chunk0 = deflate(shuffle(le64(1.5, -2.5), 8)),
+      chunk1 = deflate(shuffle(le64(3.5, 4.5), 8)), mask1 = 0)
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq == Seq(1.5, -2.5, 3.5, 4.5))
+  }
+
+  test("FLETCHER32 checksum filter: the 4 trailing bytes are dropped") {
+    // pipeline [fletcher32]: stored = raw ++ 4 checksum bytes
+    val bytes = filteredFile(Seq((3, Nil)),
+      chunk0 = le64(7.0, 8.0) ++ Array[Byte](1, 2, 3, 4),
+      chunk1 = le64(9.0, 10.0) ++ Array[Byte](5, 6, 7, 8), mask1 = 0)
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq == Seq(7.0, 8.0, 9.0, 10.0))
   }
 
   test("libver=latest: superblock v3, OHDR headers, compact link group") {
