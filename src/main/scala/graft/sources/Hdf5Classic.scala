@@ -535,11 +535,11 @@ object Hdf5Classic {
             (cnt, globalHeapObject(addr, idx))
           }
           t.vlenKind match {
-            case 1 => // vlen string(s): scalar → String, else first
+            case 1 => // vlen string(s): scalar → String, rank>0 → array
               val ss = elems.map { case (cnt, raw) =>
                 new String(raw, 0, cnt, StandardCharsets.UTF_8)
               }
-              if (ss.length == 1) ss.head else ss.mkString(" ")
+              if (ss.length == 1) ss.head else ss.toArray
             case 0 => t.base match {
               case Some(bt) if bt.clazz == 7 => // DIMENSION_LIST shape
                 H5Refs(elems.flatMap { case (cnt, raw) =>
@@ -550,7 +550,10 @@ object Hdf5Classic {
                   decodeValues(bt, Seq(cnt.toLong), raw) match {
                     case a: Array[Double] => a.toSeq
                     case a: Array[Long] => a.map(_.toDouble).toSeq
-                    case other => Seq[Double]() // non-numeric vlen: drop
+                    case other => throw new IllegalArgumentException(
+                      s"vlen sequence with unsupported base class " +
+                        s"${bt.clazz} (decoded ${other.getClass.getName}) " +
+                        "— only numeric vlen sequences are in scope")
                   }
                 }.toArray
               case None => throw new IllegalArgumentException("vlen w/o base")

@@ -23,7 +23,7 @@ import java.nio.charset.StandardCharsets
 object NetcdfClassic {
 
   final case class NcDim(name: String, length: Int) // length 0 = record dim
-  final case class NcAttr(name: String, values: Any) // String | Array[Double] | Array[Long]
+  final case class NcAttr(name: String, values: Any) // String | Array[String] (HDF5 rank>0 vlen-string) | Array[Double] | Array[Long] | Hdf5Classic.H5Refs
   final case class NcVar(name: String, dimIds: Seq[Int], attrs: Seq[NcAttr],
                          ncType: Int, vsize: Int, begin: Long)
   final case class NcFile(numRecs: Int, dims: Seq[NcDim], gattrs: Seq[NcAttr],

@@ -19,14 +19,15 @@ import org.apache.spark.sql.types._
   * regrid, climatology) is ordinary engine code.
   *
   * NetCDF-4/HDF5 files (magic `\x89HDF`) load through the same
-  * pipeline via [[Hdf5Classic]] (r12): the contiguous, uncompressed
-  * netCDF-4 subset — superblock v0, v1 object headers, dimension
-  * scales via DIMENSION_LIST — parses dependency-free; chunked/
-  * compressed files are rejected with a NAMED error (deflate needs
-  * zlib) and the DataSourceV2 upgrade path (hyperslab pushdown via
-  * `SupportsPushDownFilters`, one InputPartition per (file, variable,
-  * time-chunk)) remains documented for when a full netcdf jar is
-  * available. [[readGrid]] auto-detects the format per file.
+  * pipeline via [[Hdf5Classic]] (r12): superblocks v0/v2/v3, v1 and
+  * v2/OHDR object headers, symbol-table and compact-link groups,
+  * contiguous/compact/chunked layouts (v1 raw-data-chunk B-tree), and
+  * the standard compression pipeline — deflate via the JDK's built-in
+  * `java.util.zip.Inflater`, byte shuffle, fletcher32, per-chunk
+  * filter masks — all dependency-free, so ordinary compressed
+  * netCDF-4 archives load. Only szip/nbit/scaleoffset (native codecs)
+  * reject with NAMED errors. [[readGrid]] auto-detects the format per
+  * file.
   */
 object NetcdfSource {
 
@@ -40,7 +41,7 @@ object NetcdfSource {
     * fractional seconds, and UTC offsets ("... 15:15:42.5 -6:00", the
     * conventions' own canonical example). */
   private[graft] def cfTimeBase(units: String): (Long, Long) = {
-    val re = ("(seconds|minutes|hours|days) since " +
+    val re = ("(microseconds|milliseconds|seconds|minutes|hours|days) since " +
       "(\\d{1,4})-(\\d{1,2})-(\\d{1,2})" +
       "(?:[ T](\\d{1,2}):(\\d{2}):(\\d{2})(\\.\\d+)?)?" +
       "(?: ?(Z|UTC|[+-]\\d{1,2}(?::?\\d{2})?))?\\s*").r
@@ -68,6 +69,8 @@ object NetcdfSource {
         val base = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           fracUs - offsetUs
         val step = u match {
+          case "microseconds" => 1L
+          case "milliseconds" => 1000L
           case "seconds" => 1000000L
           case "minutes" => 60L * 1000000
           case "hours" => 3600L * 1000000
@@ -236,9 +239,9 @@ object NetcdfSource {
       .toDF()
   }
 
-  /** Distributed NetCDF-4/HDF5 (contiguous, uncompressed subset — see
-    * [[Hdf5Classic]] for the precise scope and the named rejections)
-    * → long-form DataFrame. */
+  /** Distributed NetCDF-4/HDF5 (contiguous, compact, and chunked incl.
+    * deflate/shuffle/fletcher32 — see [[Hdf5Classic]] for the precise
+    * scope and the remaining named rejections) → long-form DataFrame. */
   def readHdf5(spark: SparkSession, pathGlob: String, varName: String,
                latVar: String = "lat", lonVar: String = "lon",
                timeVar: String = "time"): DataFrame = {
@@ -275,8 +278,11 @@ object NetcdfSource {
     *
     * Grid semantics: axes are the member's distinct sorted lat/lon/
     * time values; cells absent from the input are filled NaN; times
-    * are written CF "seconds since 1970-01-01" (microsecond fractions
-    * preserved as decimals — exact for whole-second data). A member
+    * are written CF "microseconds since 1970-01-01" (a CF-legal unit;
+    * every epoch-µs value below 2^53 ≈ year 2255 is an integral double,
+    * so the write→read round-trip is exact at full µs precision — r13,
+    * replacing the seconds-with-fraction encoding whose sub-second
+    * values drifted ±1 µs past ~2041). A member
     * whose rows ALL have a null time (the (lat, lon) static-grid form
     * emitRows produces) writes a 2-D file; mixing null and non-null
     * times in one member is a caller error, rejected by name, as is a
@@ -333,8 +339,8 @@ object NetcdfSource {
                 NetcdfClassic.NcDim("lon", lons.length)),
                 Seq(
                   ("time", Seq(0),
-                    Seq(NetcdfClassic.NcAttr("units", "seconds since 1970-01-01")),
-                    times.map(_ / 1e6).toArray),
+                    Seq(NetcdfClassic.NcAttr("units", "microseconds since 1970-01-01")),
+                    times.map(_.toDouble).toArray),
                   ("lat", Seq(1),
                     Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
                   ("lon", Seq(2),

@@ -341,7 +341,8 @@ class Hdf5Spec extends AnyFunSuite {
   // 3×3 f64 dataset "v" in 2×2 chunks (4 chunks, edge-padded on disk)
   // behind a level-0 raw-data-chunk B-tree — the layout netCDF-4 gives
   // any record (unlimited-time) variable. withFilter adds a filter-
-  // pipeline message, which must be rejected by name (deflate ⇒ zlib).
+  // pipeline message; an unsupported filter id (szip here) must be
+  // rejected by name (deflate/shuffle/fletcher32 read fine since r12).
   private def chunkedFile(filterId: Option[Int]): Array[Byte] = {
     val withFilter = filterId.isDefined
     val nMsgs = if (withFilter) 4 else 3
