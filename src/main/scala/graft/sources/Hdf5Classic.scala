@@ -42,15 +42,19 @@ import NetcdfClassic.{NcAttr, NcDim}
   *     with shape-matching against CLASS="DIMENSION_SCALE" coordinate
   *     variables as the fallback for plain-HDF5 grids.
   *
-  * Also readable (r12): the libver=latest on-disk form for SMALL
-  * groups — superblock v2/v3, version-2 'OHDR' object headers (packed
-  * messages, OCHK continuations; checksums skipped, not verified), and
-  * compact new-style groups whose links live as link messages in the
-  * header.
+  * Also readable (r12): the libver=latest on-disk form — superblock
+  * v2/v3, version-2 'OHDR' object headers (packed messages, OCHK
+  * continuations; checksums skipped, not verified), compact new-style
+  * groups whose links live as link messages in the header, and (r13)
+  * DENSE storage: group links past the compact limit and attribute
+  * counts past 8 move into a fractal heap enumerated through the
+  * name-index v2 B-tree (managed objects, root direct block or the
+  * direct rows of a root indirect block, B-tree depth ≤ 1 — every
+  * realistic dense group; see the scope notes at the readers).
   *
   * Out of scope, rejected with NAMED errors (never a silent wrong
-  * read): superblock v1, DENSE fractal-heap storage (group links past
-  * the compact limit, attribute counts past 8), non-standard filters
+  * read): superblock v1, huge/tiny fractal-heap objects and filtered
+  * heaps, v2 B-trees deeper than 1, non-standard filters
   * (szip/nbit/scaleoffset need their native codecs), and shared
   * datatype messages.
   *
@@ -658,6 +662,202 @@ object Hdf5Classic {
       if (ltype == 0) Some((nm, b.getLong())) else None
     }
 
+    // -- fractal heap + v2 B-tree (r13): DENSE link/attribute storage.
+    //    libver=latest files move group links past the compact limit
+    //    (8 by default) and attributes past 8 into a fractal heap
+    //    indexed by a v2 B-tree of name hashes. Reading everything (not
+    //    point lookups) still needs the B-tree: the heap does not
+    //    delimit its objects — the (offset, length) pairs live only in
+    //    the B-tree records' heap IDs. Scope: managed objects in
+    //    unfiltered heaps, root direct block or root indirect block
+    //    with direct-block rows (≈2·width·maxDirectSize of link/attr
+    //    bytes — far past any realistic group), B-tree depth ≤ 1
+    //    (thousands of records); huge/tiny heap IDs, filtered heaps,
+    //    and deeper trees reject by name like every out-of-scope path.
+    def asciiSig(at: Long): String =
+      new String(bytes, at.toInt, 4, StandardCharsets.US_ASCII)
+    def readVarLong(b: ByteBuffer, n: Int): Long = {
+      var v = 0L
+      for (i <- 0 until n) v |= (b.get() & 0xffL) << (8 * i)
+      v
+    }
+    // minimum bytes needed to encode values up to max (libhdf5's
+    // H5VM_limit_enc_size: floor(log2(max))/8 + 1)
+    def bytesFor(max: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(max, 1L))) / 8 + 1
+
+    final case class FHeap(idLen: Int, checksumBlocks: Boolean, offBytes: Int,
+                           lenBytes: Int, width: Int, startSize: Long,
+                           maxDirectSize: Long, rootAddr: Long, curRows: Int)
+    def fractalHeap(addr: Long): FHeap = {
+      require(asciiSig(addr) == "FRHP", s"no fractal heap header at $addr")
+      val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      b.position(addr.toInt + 4)
+      val ver = b.get() & 0xff
+      require(ver == 0, s"fractal heap version $ver")
+      val idLen = b.getShort() & 0xffff
+      val ioFilterLen = b.getShort() & 0xffff
+      require(ioFilterLen == 0, "filtered fractal heap not supported")
+      val flags = b.get() & 0xff
+      b.getInt()                           // max size of managed objects
+      b.position(b.position() + 8 + 8 + 8 + 8 + 8 + 8 + 8) // huge id/btree,
+        // free space + mgr, managed space, allocated, iterator offset
+      b.getLong()                          // number of managed objects
+      val hugeSize = b.getLong(); val nHuge = b.getLong()
+      val tinySize = b.getLong(); val nTiny = b.getLong()
+      require(nHuge == 0 && nTiny == 0,
+        s"fractal heap stores huge/tiny objects ($nHuge huge " +
+          s"[$hugeSize B], $nTiny tiny [$tinySize B]) — only managed " +
+          "objects are supported")
+      val width = b.getShort() & 0xffff
+      val startSize = b.getLong()
+      val maxDirect = b.getLong()
+      val maxHeapBits = b.getShort() & 0xffff
+      b.getShort()                         // starting rows in root indirect
+      val rootAddr = b.getLong()
+      val curRows = b.getShort() & 0xffff
+      val offBytes = (maxHeapBits + 7) / 8
+      // heap ID = 1 flag byte + offset + length; the header stores the
+      // total, so the length width needs no second formula
+      FHeap(idLen, (flags & 2) != 0, offBytes, idLen - 1 - offBytes,
+        width, startSize, maxDirect, rootAddr, curRows)
+    }
+
+    /** Managed-object bytes for one heap ID (offset into the heap's
+      * linear space, which INCLUDES block headers — the direct block's
+      * stored Block Offset subtracts back out). */
+    def fheapObject(h: FHeap, id: Array[Byte]): Array[Byte] = {
+      val ib = lbb(id)
+      val first = ib.get() & 0xff
+      require((first >> 6) == 0, s"heap ID version ${first >> 6}")
+      val typ = (first >> 4) & 3
+      require(typ == 0,
+        s"fractal-heap object type $typ (1=huge, 2=tiny) not supported")
+      val off = readVarLong(ib, h.offBytes)
+      val len = readVarLong(ib, h.lenBytes).toInt
+      val (blockAddr, blockOff) =
+        if (h.curRows == 0) (h.rootAddr, 0L) // root IS one direct block
+        else {
+          // doubling table: rows 0,1 of startSize blocks, row i≥2 of
+          // startSize·2^(i-1); width blocks per row, direct rows first
+          val maxDirectRows =
+            bitsOf(h.maxDirectSize) - bitsOf(h.startSize) + 2
+          var row = 0; var cum = 0L
+          def rowSize(i: Int): Long =
+            if (i < 2) h.startSize else h.startSize << (i - 1)
+          while (off >= cum + h.width * rowSize(row)) {
+            cum += h.width * rowSize(row); row += 1
+          }
+          require(row < maxDirectRows,
+            s"fractal-heap offset $off lands in an indirect-block row — " +
+              "heaps past the direct rows of the root indirect block " +
+              "are not supported")
+          val col = ((off - cum) / rowSize(row)).toInt
+          require(asciiSig(h.rootAddr) == "FHIB",
+            s"no fractal heap indirect block at ${h.rootAddr}")
+          require(row * h.width + col < h.curRows * h.width,
+            s"fractal-heap offset $off beyond the root block's " +
+              s"${h.curRows} rows")
+          val entriesAt = h.rootAddr.toInt + 4 + 1 + 8 + h.offBytes
+          val child = bb.getLong(entriesAt + (row * h.width + col) * 8)
+          require(child != UNDEF,
+            s"fractal-heap offset $off points into an unallocated block")
+          (child, cum + col.toLong * rowSize(row))
+        }
+      require(asciiSig(blockAddr) == "FHDB",
+        s"no fractal heap direct block at $blockAddr")
+      val at = (blockAddr + (off - blockOff)).toInt
+      java.util.Arrays.copyOfRange(bytes, at, at + len)
+    }
+    def bitsOf(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+
+    /** All records of a v2 B-tree of the given record type, leaf order
+      * (depth 0 or 1; the name-hash order is not meaningful — callers
+      * sort by decoded name). */
+    def v2BtreeRecords(btAddr: Long, wantType: Int): Seq[Array[Byte]] = {
+      require(asciiSig(btAddr) == "BTHD", s"no v2 B-tree header at $btAddr")
+      val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      b.position(btAddr.toInt + 4)
+      val ver = b.get() & 0xff
+      require(ver == 0, s"v2 B-tree version $ver")
+      val btType = b.get() & 0xff
+      require(btType == wantType,
+        s"v2 B-tree at $btAddr has record type $btType, expected $wantType")
+      val nodeSize = b.getInt()
+      val recSize = b.getShort() & 0xffff
+      val depth = b.getShort() & 0xffff
+      b.get(); b.get()                      // split / merge percent
+      val rootAddr = b.getLong()
+      val rootNrec = b.getShort() & 0xffff
+      b.getLong()                           // total records
+      def leaf(addr: Long, nrec: Int): Seq[Array[Byte]] = {
+        require(asciiSig(addr) == "BTLF", s"no v2 B-tree leaf at $addr")
+        val at = addr.toInt + 6             // sig + version + type
+        (0 until nrec).map(i => java.util.Arrays.copyOfRange(
+          bytes, at + i * recSize, at + (i + 1) * recSize))
+      }
+      if (rootNrec == 0) Nil
+      else if (depth == 0) leaf(rootAddr, rootNrec)
+      else {
+        require(depth == 1,
+          s"v2 B-tree depth $depth not supported (deepest realistic " +
+            "dense group fits depth 1)")
+        require(asciiSig(rootAddr) == "BTIN",
+          s"no v2 B-tree internal node at $rootAddr")
+        // internal node: records first, then nrec+1 child pointers of
+        // (address, child-nrec) — the nrec field is sized to the max
+        // record count a leaf can hold
+        val maxLeafRec = (nodeSize - 10) / recSize
+        val nrecBytes = bytesFor(maxLeafRec)
+        val base = rootAddr.toInt + 6
+        val recs = (0 until rootNrec).map(i => java.util.Arrays.copyOfRange(
+          bytes, base + i * recSize, base + (i + 1) * recSize))
+        val pb = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        pb.position(base + rootNrec * recSize)
+        val kids = (0 to rootNrec).map { _ =>
+          val a = pb.getLong(); val n = readVarLong(pb, nrecBytes).toInt
+          (a, n)
+        }
+        // in-tree order: child0, rec0, child1, rec1, ... (callers sort)
+        kids.flatMap { case (a, n) => leaf(a, n) } ++ recs
+      }
+    }
+
+    /** Dense group links: Link Info's fractal heap enumerated via the
+      * name-index v2 B-tree (type 5: hash(4) + heap ID), each heap
+      * object a standard link message. Sorted by name — B-tree hash
+      * order is not a meaningful traversal order. */
+    def denseLinks(fheapAddr: Long, nameBtAddr: Long): Seq[(String, Long)] = {
+      require(nameBtAddr != UNDEF,
+        "dense link storage without a name-index v2 B-tree")
+      val h = fractalHeap(fheapAddr)
+      v2BtreeRecords(nameBtAddr, wantType = 5).flatMap { r =>
+        parseLink(fheapObject(h, java.util.Arrays.copyOfRange(r, 4, r.length)))
+      }.sortBy(_._1)
+    }
+
+    /** Dense attributes: Attribute Info's fractal heap via the type-8
+      * name-index B-tree (heap ID padded to 8 bytes + message flags(1)
+      * + creation order(4) + hash(4)), each heap object a standard
+      * attribute message. Sorted by name for determinism. */
+    def denseAttrs(fheapAddr: Long, nameBtAddr: Long,
+                   owner: String): Seq[NcAttr] = {
+      require(nameBtAddr != UNDEF,
+        s"object '$owner': dense attribute storage without a " +
+          "name-index v2 B-tree")
+      val h = fractalHeap(fheapAddr)
+      require(h.idLen <= 8,
+        s"object '$owner': attribute fractal-heap ID length ${h.idLen} " +
+          "exceeds the type-8 record's 8-byte heap ID slot")
+      v2BtreeRecords(nameBtAddr, wantType = 8).map { r =>
+        val mflags = r(8) & 0xff
+        require((mflags & 2) == 0,
+          s"object '$owner' has a SHARED dense attribute — shared " +
+            "message storage is not supported")
+        parseAttribute(fheapObject(h, java.util.Arrays.copyOf(r, h.idLen)))
+      }.sortBy(_.name)
+    }
+
     def visit(name: String, ohAddr: Long, isRoot: Boolean,
               depth: Int = 0): Unit = {
       // group-cycle guard (group A linking group B linking A in a
@@ -678,19 +878,20 @@ object Hdf5Classic {
       }
       val symTab = msgs.find(_.typ == 0x0011)
       val linkInfo = msgs.find(_.typ == 0x0002)
-      val attrs = msgs.filter(_.typ == 0x000C).map(m => parseAttribute(m.body))
-      // dense attribute storage (attribute-info with a defined fractal
-      // heap) cannot be read — netCDF-4 only goes dense past 8 attrs
-      msgs.find(_.typ == 0x0015).foreach { ai =>
-        val b = lbb(ai.body)
-        b.get() // version
-        val fl = b.get() & 0xff
-        if ((fl & 1) != 0) b.position(b.position() + 2) // max creation idx
-        if (b.getLong() != UNDEF)
-          throw new IllegalArgumentException(
-            s"object '$name' stores attributes densely (fractal heap) — " +
-              "not supported; keep attribute counts in the compact range")
-      }
+      // dense attribute storage (r13): attribute-info with a defined
+      // fractal heap — netCDF-4 goes dense past 8 attrs — reads via
+      // the type-8 name-index B-tree; compact 0x000C messages first
+      val attrs = msgs.filter(_.typ == 0x000C).map(m => parseAttribute(m.body)) ++
+        msgs.find(_.typ == 0x0015).toSeq.flatMap { ai =>
+          val b = lbb(ai.body)
+          b.get() // version
+          val fl = b.get() & 0xff
+          if ((fl & 1) != 0) b.position(b.position() + 2) // max creation idx
+          val fheapAddr = b.getLong()
+          val nameBt = b.getLong()
+          if (fheapAddr == UNDEF) Nil
+          else denseAttrs(fheapAddr, nameBt, name)
+        }
       if (symTab.isDefined) { // an old-style (symbol table) GROUP
         if (isRoot) gattrsB ++= attrs
         val st = lbb(symTab.get.body)
@@ -701,21 +902,21 @@ object Hdf5Classic {
         }
       } else if (linkInfo.isDefined || msgs.exists(_.typ == 0x0006)) {
         // a new-style GROUP (libver=latest): compact links live as
-        // messages right in the header; dense (fractal-heap) storage
-        // is rejected by name
-        linkInfo.foreach { li =>
+        // messages right in the header; past the compact limit they
+        // move to DENSE storage — a fractal heap of link messages
+        // indexed by a name-hash v2 B-tree (r13, read via denseLinks)
+        val dense = linkInfo.toSeq.flatMap { li =>
           val b = lbb(li.body)
           b.get() // version
           val fl = b.get() & 0xff
           if ((fl & 1) != 0) b.position(b.position() + 8) // max creation idx
-          if (b.getLong() != UNDEF)
-            throw new IllegalArgumentException(
-              s"group '$name' uses dense (fractal-heap) link storage — " +
-                "only compact link messages are supported (small groups)")
+          val fheapAddr = b.getLong()
+          val nameBt = b.getLong()
+          if (fheapAddr == UNDEF) Nil else denseLinks(fheapAddr, nameBt)
         }
         if (isRoot) gattrsB ++= attrs
         val prefix = if (isRoot) "" else name + "/"
-        msgs.filter(_.typ == 0x0006).flatMap(m => parseLink(m.body))
+        (msgs.filter(_.typ == 0x0006).flatMap(m => parseLink(m.body)) ++ dense)
           .foreach { case (child, a) =>
             visit(prefix + child, a, isRoot = false, depth + 1)
           }

@@ -810,6 +810,300 @@ class Hdf5Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("cyclic"))
   }
 
+  // ---- dense (fractal-heap) link/attribute storage (r13) -------------
+
+  /** 146-byte fractal heap header at the buffer's current position:
+    * width 4, starting block 512, max direct 64 KiB, 32-bit heap
+    * space (offBytes=4), unfiltered, no huge/tiny objects. */
+  private def putFrhp(out: ByteBuffer, idLen: Int, rootAddr: Long,
+                      curRows: Int, nHuge: Long = 0L): Unit = {
+    out.put("FRHP".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte)                       // version
+    out.putShort(idLen.toShort); out.putShort(0)  // id len, filter len
+    out.put(0.toByte)                       // flags: no block checksums
+    out.putInt(4096)                        // max managed object size
+    out.putLong(0L); out.putLong(-1L)       // next huge id, huge btree
+    out.putLong(0L); out.putLong(-1L)       // free space, fs manager
+    out.putLong(0L); out.putLong(0L); out.putLong(0L) // managed/alloc/iter
+    out.putLong(2L)                         // number of managed objects
+    out.putLong(0L); out.putLong(nHuge)     // huge size / count
+    out.putLong(0L); out.putLong(0L)        // tiny size / count
+    out.putShort(4); out.putLong(512L); out.putLong(65536L)
+    out.putShort(32)                        // max heap size (bits)
+    out.putShort(1)                         // starting rows
+    out.putLong(rootAddr); out.putShort(curRows.toShort)
+    out.putInt(0)                           // checksum (unverified)
+  }
+
+  /** 17-byte unfiltered direct-block header (flags=0: no checksum). */
+  private def putFhdb(out: ByteBuffer, heapHdrAddr: Long, blockOff: Int): Unit = {
+    out.put("FHDB".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.putLong(heapHdrAddr)
+    out.putInt(blockOff)                    // block offset (offBytes=4)
+  }
+
+  /** Managed heap ID for the 32-bit-offset heaps above: flag byte +
+    * 4-byte offset + 2-byte length (idLen 7). */
+  private def heapId7(off: Int, len: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(7).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0.toByte); b.putInt(off); b.putShort(len.toShort); b.array()
+  }
+
+  /** Hard-link message body (version 1, 1-byte name length). */
+  private def linkMsg(name: String, ohAddr: Long): Array[Byte] = {
+    val nm = name.getBytes(StandardCharsets.UTF_8)
+    val b = ByteBuffer.allocate(3 + nm.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.put(0.toByte); b.put(nm.length.toByte)
+    b.put(nm); b.putLong(ohAddr); b.array()
+  }
+
+  /** 73-byte dataset OHDR (v2): dataspace v2 rank-1 + f64 + contiguous. */
+  private def putDatasetOhdr(out: ByteBuffer, n: Long, dataAt: Long): Unit = {
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(62.toByte)
+    out.put(0x01.toByte); out.putShort(12); out.put(0.toByte)
+    out.put(2.toByte); out.put(1.toByte); out.put(0.toByte); out.put(1.toByte)
+    out.putLong(n)
+    out.put(0x03.toByte); out.putShort(20); out.put(0.toByte)
+    out.put(f64Dt)
+    out.put(0x08.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(contiguousLayout(dataAt, n * 8))
+    out.putInt(0)
+  }
+
+  /** Dense-LINK group file: root OHDR carries ONLY a Link Info message
+    * (no link messages) whose fractal heap holds two hard-link
+    * messages, enumerated via a depth-0 type-5 name-index v2 B-tree —
+    * the shape h5py/libver=latest produces past the compact limit.
+    * Datasets "a" (3 doubles) and "b" (2 doubles) hang off the links.
+    * Returns the file bytes; `hugeCount`/`idType` poison the heap for
+    * the named-rejection tests. */
+  private def denseLinkFile(hugeCount: Long = 0L, idType: Int = 0): Array[Byte] = {
+    val out = ByteBuffer.allocate(560).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+    out.putLong(0L); out.putLong(-1L)
+    out.putLong(560L); out.putLong(48L); out.putInt(0)
+    assert(out.position() == 48)
+    // root OHDR: one Link Info message (ver 0, flags 0, fheap, name bt)
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(22.toByte)
+    out.put(0x02.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(0.toByte); out.put(0.toByte)
+    out.putLong(81L)                        // fractal heap header
+    out.putLong(268L)                       // type-5 name-index B-tree
+    out.putInt(0)
+    assert(out.position() == 81)
+    putFrhp(out, idLen = 7, rootAddr = 227L, curRows = 0, nHuge = hugeCount)
+    assert(out.position() == 227)
+    putFhdb(out, 81L, 0)                    // root IS the direct block
+    assert(out.position() == 244)           // heap offset 17
+    out.put(linkMsg("a", 338L))             // 12 bytes → offset 17
+    out.put(linkMsg("b", 435L))             // 12 bytes → offset 29
+    assert(out.position() == 268)
+    out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)    // version, type 5 (link name)
+    out.putInt(512); out.putShort(11)       // node size, record size 4+7
+    out.putShort(0)                         // depth 0: root is a leaf
+    out.put(100.toByte); out.put(40.toByte) // split/merge percent
+    out.putLong(306L); out.putShort(2)      // root leaf, 2 records
+    out.putLong(2L); out.putInt(0)
+    assert(out.position() == 306)
+    out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0)                           // hash of "a" (unverified)
+    val id1 = heapId7(17, 12); id1(0) = (idType << 4).toByte; out.put(id1)
+    out.putInt(0)                           // hash of "b"
+    out.put(heapId7(29, 12))
+    out.putInt(0)                           // leaf checksum
+    assert(out.position() == 338)
+    putDatasetOhdr(out, 3L, 411L)
+    assert(out.position() == 411)
+    out.putDouble(1.5); out.putDouble(2.5); out.putDouble(3.5)
+    assert(out.position() == 435)
+    putDatasetOhdr(out, 2L, 508L)
+    assert(out.position() == 508)
+    out.putDouble(9.0); out.putDouble(8.0)
+    assert(out.position() == 524)
+    out.array()
+  }
+
+  test("dense link storage: fractal heap + type-5 v2 B-tree enumerate") {
+    val h5 = Hdf5Classic.parse(denseLinkFile())
+    assert(h5.vars.map(_.name).sorted == Seq("a", "b"))
+    assert(h5.read("a").toSeq == Seq(1.5, 2.5, 3.5))
+    assert(h5.read("b").toSeq == Seq(9.0, 8.0))
+  }
+
+  test("fractal heap with huge/tiny objects or huge heap IDs rejects by name") {
+    val exH = intercept[IllegalArgumentException](
+      Hdf5Classic.parse(denseLinkFile(hugeCount = 1L)))
+    assert(exH.getMessage.contains("huge"))
+    val exT = intercept[IllegalArgumentException](
+      Hdf5Classic.parse(denseLinkFile(idType = 1)))
+    assert(exT.getMessage.contains("not supported"))
+  }
+
+  test("root-indirect heap + depth-1 type-5 B-tree: both recursions walked") {
+    // two direct blocks behind a root INDIRECT block (the doubling
+    // table's row-0 columns) and a depth-1 B-tree (internal BTIN root,
+    // two BTLF leaves) — the paths a dense group grows into; link "c"
+    // lives in the SECOND block, so its heap offset (529) exercises
+    // the block-offset subtraction
+    val out = ByteBuffer.allocate(712).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+    out.putLong(0L); out.putLong(-1L)
+    out.putLong(712L); out.putLong(48L); out.putInt(0)
+    assert(out.position() == 48)
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(22.toByte)
+    out.put(0x02.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(0.toByte); out.put(0.toByte)
+    out.putLong(81L); out.putLong(350L)
+    out.putInt(0)
+    assert(out.position() == 81)
+    putFrhp(out, idLen = 7, rootAddr = 227L, curRows = 1)
+    assert(out.position() == 227)
+    // root indirect block: 1 row × width 4 entries (2 used)
+    out.put("FHIB".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.putLong(81L); out.putInt(0) // block offset 0
+    out.putLong(280L); out.putLong(321L)
+    out.putLong(-1L); out.putLong(-1L)
+    out.putInt(0)
+    assert(out.position() == 280)
+    putFhdb(out, 81L, 0)                    // block 0: heap [0, 512)
+    out.put(linkMsg("a", 469L))             // heap offset 17
+    out.put(linkMsg("b", 550L))             // heap offset 29
+    assert(out.position() == 321)
+    putFhdb(out, 81L, 512)                  // block 1: heap [512, 1024)
+    out.put(linkMsg("c", 631L))             // heap offset 512+17 = 529
+    assert(out.position() == 350)
+    out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(512); out.putShort(11)
+    out.putShort(1)                         // depth 1: internal root
+    out.put(100.toByte); out.put(40.toByte)
+    out.putLong(388L); out.putShort(1)      // root BTIN, 1 record
+    out.putLong(3L); out.putInt(0)
+    assert(out.position() == 388)
+    // BTIN: 1 record, then 2 child pointers (addr + 1-byte nrec —
+    // max 45 records per 512-byte leaf fits one byte)
+    out.put("BTIN".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0); out.put(heapId7(29, 12)) // record: "b"
+    out.putLong(427L); out.put(1.toByte)    // child 0 → leaf("a")
+    out.putLong(448L); out.put(1.toByte)    // child 1 → leaf("c")
+    out.putInt(0)
+    assert(out.position() == 427)
+    out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0); out.put(heapId7(17, 12))
+    out.putInt(0)
+    assert(out.position() == 448)
+    out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0); out.put(heapId7(529, 12))
+    out.putInt(0)
+    assert(out.position() == 469)
+    putDatasetOhdr(out, 1L, 542L)
+    assert(out.position() == 542)
+    out.putDouble(1.0)
+    putDatasetOhdr(out, 1L, 623L)
+    assert(out.position() == 623)
+    out.putDouble(2.0)
+    putDatasetOhdr(out, 1L, 704L)
+    assert(out.position() == 704)
+    out.putDouble(3.0)
+    assert(out.position() == 712)
+    val h5 = Hdf5Classic.parse(out.array())
+    assert(h5.vars.map(_.name) == Seq("a", "b", "c")) // denseLinks sorts
+    assert(h5.read("a").toSeq == Seq(1.0))
+    assert(h5.read("b").toSeq == Seq(2.0))
+    assert(h5.read("c").toSeq == Seq(3.0))
+  }
+
+  /** Attribute message body, version 3 (no 8-byte padding). */
+  private def attrMsgV3(name: String, value: Double): Array[Byte] = {
+    val nm = (name + "\u0000").getBytes(StandardCharsets.UTF_8)
+    val b = ByteBuffer.allocate(9 + nm.length + 20 + 4 + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(3.toByte); b.put(0.toByte)
+    b.putShort(nm.length.toShort); b.putShort(20); b.putShort(4)
+    b.put(0.toByte)                         // name charset
+    b.put(nm); b.put(f64Dt)
+    b.put(2.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte) // scalar
+    b.putDouble(value); b.array()
+  }
+
+  test("dense attribute storage: type-8 B-tree records resolve heap objects") {
+    // dataset with an Attribute Info message (no compact 0x000C attrs);
+    // the heap holds two v3 scalar f64 attribute messages. Type-8
+    // records pad the 7-byte heap ID to the fixed 8-byte slot.
+    val a1 = attrMsgV3("alpha", 1.5)        // 47 bytes → heap offset 17
+    val a2 = attrMsgV3("beta", 2.5)         // 46 bytes → heap offset 64
+    assert(a1.length == 47 && a2.length == 46)
+    val out = ByteBuffer.allocate(524).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+    out.putLong(0L); out.putLong(-1L)
+    out.putLong(524L); out.putLong(48L); out.putInt(0)
+    assert(out.position() == 48)
+    // root OHDR: one compact hard link "v" → dataset at 75
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(16.toByte)
+    out.put(0x06.toByte); out.putShort(12); out.put(0.toByte)
+    out.put(linkMsg("v", 75L))
+    out.putInt(0)
+    assert(out.position() == 75)
+    // dataset OHDR: dataspace + datatype + layout + ATTRIBUTE INFO
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(84.toByte)
+    out.put(0x01.toByte); out.putShort(12); out.put(0.toByte)
+    out.put(2.toByte); out.put(1.toByte); out.put(0.toByte); out.put(1.toByte)
+    out.putLong(2L)
+    out.put(0x03.toByte); out.putShort(20); out.put(0.toByte)
+    out.put(f64Dt)
+    out.put(0x08.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(contiguousLayout(508L, 16L))
+    out.put(0x15.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(0.toByte); out.put(0.toByte)    // version, flags
+    out.putLong(170L)                       // fractal heap
+    out.putLong(426L)                       // type-8 name-index B-tree
+    out.putInt(0)
+    assert(out.position() == 170)
+    putFrhp(out, idLen = 7, rootAddr = 316L, curRows = 0)
+    assert(out.position() == 316)
+    putFhdb(out, 170L, 0)
+    assert(out.position() == 333)           // heap offset 17
+    out.put(a1); out.put(a2)                // offsets 17 and 64
+    assert(out.position() == 426)
+    out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(8.toByte)    // version, type 8 (attr name)
+    out.putInt(512); out.putShort(17)       // node size, record size
+    out.putShort(0)                         // depth 0
+    out.put(100.toByte); out.put(40.toByte)
+    out.putLong(464L); out.putShort(2)
+    out.putLong(2L); out.putInt(0)
+    assert(out.position() == 464)
+    out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(8.toByte)
+    // record: heap ID (8-byte slot: 7 used + 1 pad), flags, corder, hash
+    out.put(heapId7(17, 47)); out.put(0.toByte)
+    out.put(0.toByte); out.putInt(0); out.putInt(0)
+    out.put(heapId7(64, 46)); out.put(0.toByte)
+    out.put(0.toByte); out.putInt(1); out.putInt(0)
+    out.putInt(0)                           // leaf checksum
+    assert(out.position() == 508)
+    out.putDouble(5.0); out.putDouble(6.0)
+    assert(out.position() == 524)
+    val h5 = Hdf5Classic.parse(out.array())
+    assert(h5.read("v").toSeq == Seq(5.0, 6.0))
+    val attrs = h5.variable("v").attrs
+    assert(attrs.map(_.name) == Seq("alpha", "beta"))
+    assert(attrs.map(_.values.asInstanceOf[Array[Double]].head) == Seq(1.5, 2.5))
+  }
+
   // ---- writer ↔ parser round-trips ----------------------------------
   private def writeGridFile(path: String, nt: Int, bias: Double): Unit = {
     val lats = Array(0.0, 10.0)

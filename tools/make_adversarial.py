@@ -263,6 +263,100 @@ def make_sparse(outdir, seed):
     assert n[0] == 500 and n[1] == 500 and n[2] == 0
 
 
+def make_scale(outdir, seed):
+    """SCALE-DECADE tier (--scale, round 13): a 5-10x sf0.1-equivalent
+    built by invariant-preserving replication of /root/testdata/sf0.1 —
+    the next decade of the r11 scaling audit (sf0.01 -> sf0.1 -> this).
+
+    Row counts: lineitem 5.4M (9x), orders 900k (6x), events 1M (10x),
+    documents 50k (10x), embeddings 20k (10x); dims (region/nation/
+    customer/supplier/part) stay at sf0.1 size like real star schemas.
+
+    Replication preserves every declared contract:
+      - orders: o_orderkey + r*150000 for 6 replicas -> max 899,999,
+        UNDER the o_orderkey < 1e6 argmax-encoding bound; FKs intact.
+      - lineitem: 9 replicas, replica r joins order replica r%6 (so
+        three order replicas carry doubled lineitems — (orderkey,
+        linenumber) is declared NON-unique, and §2.8 total-ordering
+        discipline already covers tie clusters).
+      - events: event_id + r*100000 stays unique; ts shifts r*97 hours
+        (not a day/week multiple — no calendar aliasing) so sessions/
+        windows GROW with data instead of piling onto one month.
+      - documents: doc_id + r*5000 keeps doc_id%10 bench-split ratios;
+        replica r>0 suffixes EVERY token with 'z{r}' so cross-replica
+        shingle/line/term spaces are DISJOINT — dedup/decontam pair
+        volume scales LINEARLY (replicating texts verbatim would make
+        every doc a 10-way exact dup and square the pair work, which is
+        the degenerate --hot shape, not the scale shape). n_chars
+        recomputed = length(text) in code points.
+      - embeddings: replica 0 verbatim (keeps the vec_id<10 query set
+        and every planted structure); replicas r>0 are FRESH seeded
+        uniform vectors with labels +r*10, so the label-blocked
+        brute-force families keep ~200 vectors/block (pair work scales
+        linearly — more data means more categories, and past that scale
+        the LSH/IVF family is the production path anyway).
+    """
+    src = "/root/testdata/sf0.1"
+    os.makedirs(outdir, exist_ok=True)
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        shutil.copy(os.path.join(src, f"{t}.parquet"),
+                    os.path.join(outdir, f"{t}.parquet"))
+    con = duckdb.connect()
+    con.execute(f"""COPY (
+        SELECT b.o_orderkey + r.r * 150000 AS o_orderkey,
+               b.* EXCLUDE (o_orderkey)
+        FROM read_parquet('{src}/orders.parquet') b, range(6) r(r)
+      ) TO '{outdir}/orders.parquet' (FORMAT parquet)""")
+    con.execute(f"""COPY (
+        SELECT b.l_orderkey + (r.r % 6) * 150000 AS l_orderkey,
+               b.* EXCLUDE (l_orderkey)
+        FROM read_parquet('{src}/lineitem.parquet') b, range(9) r(r)
+      ) TO '{outdir}/lineitem.parquet' (FORMAT parquet)""")
+    con.execute(f"""COPY (
+        SELECT b.event_id + r.r * 100000 AS event_id,
+               b.ts + r.r * INTERVAL 97 HOUR AS ts,
+               b.* EXCLUDE (event_id, ts)
+        FROM read_parquet('{src}/events.parquet') b, range(10) r(r)
+      ) TO '{outdir}/events.parquet' (FORMAT parquet)""")
+    con.execute(f"""COPY (
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM (
+          SELECT b.doc_id + r.r * 5000 AS doc_id,
+                 CASE WHEN r.r = 0 THEN b.text
+                      ELSE array_to_string(list_transform(
+                        string_split(b.text, ' '),
+                        x -> x || 'z' || CAST(r.r AS VARCHAR)), ' ')
+                 END AS text,
+                 b.lang, b.source
+          FROM read_parquet('{src}/documents.parquet') b, range(10) r(r))
+      ) TO '{outdir}/documents.parquet' (FORMAT parquet)""")
+    rng = random.Random(20260818 + seed)
+    erows = [(r * 2000 + i,
+              [rng.uniform(-1, 1) for _ in range(64)],
+              (i % 10) + r * 10)
+             for r in range(1, 10) for i in range(2000)]
+    con.execute(f"CREATE TABLE emb AS SELECT * FROM "
+                f"read_parquet('{src}/embeddings.parquet')")
+    con.executemany("INSERT INTO emb VALUES (?, ?, ?)", erows)
+    con.execute(f"COPY emb TO '{outdir}/embeddings.parquet' (FORMAT parquet)")
+    chk = con.execute(f"""SELECT
+        (SELECT count(*) FROM read_parquet('{outdir}/lineitem.parquet')),
+        (SELECT count(*) - count(DISTINCT o_orderkey) FROM read_parquet('{outdir}/orders.parquet')),
+        (SELECT max(o_orderkey) FROM read_parquet('{outdir}/orders.parquet')),
+        (SELECT count(*) - count(DISTINCT event_id) FROM read_parquet('{outdir}/events.parquet')),
+        (SELECT count(*) FILTER (n_chars <> length(text)) FROM read_parquet('{outdir}/documents.parquet')),
+        (SELECT count(*) - count(DISTINCT doc_id) FROM read_parquet('{outdir}/documents.parquet')),
+        (SELECT count(*) - count(DISTINCT vec_id) FROM read_parquet('{outdir}/embeddings.parquet')),
+        (SELECT count(DISTINCT label) FROM read_parquet('{outdir}/embeddings.parquet'))
+        """).fetchone()
+    print(f"wrote SCALE tier {outdir}: lineitem={chk[0]} "
+          f"max_orderkey={chk[2]} labels={chk[7]}")
+    assert chk[0] == 5400000 and chk[1] == 0 and chk[2] < 1000000
+    assert chk[3] == 0 and chk[4] == 0 and chk[5] == 0 and chk[6] == 0
+    assert chk[7] == 100
+
+
 def make_empty(outdir):
     """EMPTY tier (--empty, round 11): zero-row documents, events AND
     embeddings (schemas preserved), TPC-H copied unmodified — the
@@ -380,7 +474,7 @@ def main(outdir, seed=0, hot=False, nulls=False):
     assert (n[4] > 0) == nulls  # the tier does (and only does) what it says
 
 
-FLAGS = ("--hot", "--sparse", "--nulls", "--empty", "--one")
+FLAGS = ("--hot", "--sparse", "--nulls", "--empty", "--one", "--scale")
 
 if __name__ == "__main__":
     # reject any unrecognized -flag up front: a misspelled one used to
@@ -398,7 +492,7 @@ if __name__ == "__main__":
     if bad:
         sys.exit(f"unrecognized flag(s): {' '.join(bad)}\n"
                  f"usage: make_adversarial.py <outDir> [seed] "
-                 f"[--hot | --sparse | --nulls | --empty | --one]")
+                 f"[--hot | --sparse | --nulls | --empty | --one | --scale]")
     flags = [a for a in sys.argv[1:] if a in FLAGS]
     if len(flags) > 1:
         sys.exit(f"{' and '.join(flags)} are mutually exclusive tiers "
@@ -408,7 +502,7 @@ if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if a not in FLAGS]
     if not args:
         sys.exit("usage: make_adversarial.py <outDir> [seed] "
-                 "[--hot | --sparse | --nulls | --empty | --one]")
+                 "[--hot | --sparse | --nulls | --empty | --one | --scale]")
     if len(args) > 1 and ("--empty" in flags or "--one" in flags):
         # r11 advice: these tiers are fully deterministic (no RNG), so a
         # seed positional would silently have no effect and corrupt
@@ -422,5 +516,7 @@ if __name__ == "__main__":
         make_empty(args[0])
     elif "--one" in flags:
         make_one(args[0])
+    elif "--scale" in flags:
+        make_scale(args[0], seed)
     else:
         main(args[0], seed, hot="--hot" in flags, nulls="--nulls" in flags)
