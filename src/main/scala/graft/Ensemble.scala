@@ -187,14 +187,19 @@ object Ensemble {
 
   /** bcdp `load_local` for MIXED archives (r12): format auto-detected
     * per file from the magic bytes — NetCDF-3 classic and NetCDF-4/
-    * HDF5 (contiguous, uncompressed subset; see
-    * [[graft.sources.Hdf5Classic]]) members load side by side, the
-    * mid-migration state every real CMIP mirror is in. */
+    * HDF5 (incl. chunked/compressed; see [[graft.sources.Hdf5Classic]])
+    * members load side by side, the mid-migration state every real
+    * CMIP mirror is in. `bounds` (r13) pushes a coordinate hyperslab
+    * into the scan — the load-time form of [[Ensemble.subset]]: rows
+    * outside never materialize, and compressed HDF5 chunks that don't
+    * intersect are never inflated. */
   def loadGrid(spark: SparkSession, pathGlob: String, varName: String,
                latVar: String = "lat", lonVar: String = "lon",
-               timeVar: String = "time"): Ensemble =
+               timeVar: String = "time",
+               bounds: Option[graft.sources.NetcdfSource.GridBounds] = None)
+      : Ensemble =
     Ensemble(graft.sources.NetcdfSource
-      .readGrid(spark, pathGlob, varName, latVar, lonVar, timeVar)
+      .readGrid(spark, pathGlob, varName, latVar, lonVar, timeVar, bounds)
       .select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")))
 
   def of(df: DataFrame): Ensemble = Ensemble(df)

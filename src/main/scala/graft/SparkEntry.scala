@@ -42,5 +42,5 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Joins.oracle ++ ops.Windows.oracle ++
       ops.Functions.oracle ++ ops.Streaming.oracle ++ ops.Climate.oracle ++
       ops.Text.oracle ++ ops.Vectors.oracle ++ ops.TextAnalysis.oracle ++
-      ops.Profiling.oracle ++ sources.Sources.oracle
+      ops.Profiling.oracle ++ ops.Multimodal.oracle ++ sources.Sources.oracle
 }

@@ -187,10 +187,59 @@ object Multimodal {
     })
   }
 
-  /** Rows-only queries: media schema → partitioned decode / frame
-    * sampling / feature resize. (Oracle-less: the binary/mapPartitions
-    * path has no DuckDB analog.) */
+  /** Media queries. decode/frames are rows-only (DuckDB cannot decode
+    * media bytes); q_multimodal_encode (r13) grades the ENCODE path by
+    * full hash — the oracle rebuilds the exact BMP/WAV byte streams
+    * from the public specs as hex literals (DuckDB 1.0 has no
+    * md5-over-BLOB, so both engines hash the lowercase hex image of
+    * the bytes — hex is injective, so this is byte-exact grading). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Encode-path grading (r12 verdict item 5): deterministic pixel /
+    // sample content = md5(doc_id) digest BYTES, laid out so the
+    // encoded pixel/sample area is the digest verbatim:
+    //  - bmp : 4x1 24-bit BMP — pixel i carries digest[3i..3i+2] as
+    //    (B,G,R), so the single row (no padding, 12 % 4 == 0) writes
+    //    digest[0..11] byte-for-byte.
+    //  - bmp2: 3x2 BMP over digest||digest[0..1] (18 bytes) — rowSize
+    //    12 = 9 pixel bytes + 3 pad; bottom-up order writes row y=1
+    //    first. Pins the TWO behaviors the 4x1 case cannot see:
+    //    4-byte row padding and bottom-up row order.
+    //  - wav : 8-sample mono PCM-16 — sample i is the little-endian
+    //    short at digest[2i], so the data chunk is the digest verbatim.
+    //  - wav2: same samples as 4 stereo frames (header-only change:
+    //    channels/byte-rate/block-align).
+    "q_multimodal_encode" -> { (s, dir) =>
+      import s.implicits._
+      import graft.sources.MediaCodec
+      val enc = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          unhex(md5(col("doc_id").cast("string"))).as("digest"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            def px(off: Int, b: Array[Byte]) =
+              ((b(off + 2) & 0xff) << 16) | ((b(off + 1) & 0xff) << 8) |
+                (b(off) & 0xff)
+            val bmp = MediaCodec.encodeBmp(4, 1,
+              Array.tabulate(4)(i => px(3 * i, p)))
+            val p2 = p ++ p.take(2)
+            val bmp2 = MediaCodec.encodeBmp(3, 2,
+              Array.tabulate(6)(i => px(9 * (i / 3) + 3 * (i % 3), p2)))
+            val samples = Array.tabulate(8)(i =>
+              ((p(2 * i) & 0xff) | (p(2 * i + 1) << 8)).toShort)
+            (id, bmp, bmp2,
+              MediaCodec.encodeWav(8000, 1, samples),
+              MediaCodec.encodeWav(8000, 2, samples))
+          }
+        }.toDF("doc_id", "bmp", "bmp2", "wav", "wav2")
+      enc.select(col("doc_id"),
+          md5(lower(hex(col("bmp")))).as("bmp_md5"),
+          md5(lower(hex(col("bmp2")))).as("bmp2_md5"),
+          md5(lower(hex(col("wav")))).as("wav_md5"),
+          md5(lower(hex(col("wav2")))).as("wav2_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_multimodal_decode" -> { (s, dir) =>
       val media = mediaTable(s, dir)
       val feats = decodeFeatures(s, media).toDF()
@@ -214,5 +263,41 @@ object Multimodal {
               i => (i % 256).cast("float")), 4), 1), 4).as("pooled0"))
         .orderBy(col("media_id"), col("frame_idx"))
     }
+  )
+
+  /** Spec-literal oracle for the encode key. The header hex constants
+    * are hand-assembled little-endian from the PUBLIC specs
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER for BMP; RIFF/WAVE `fmt `+
+    * `data` for PCM-16 WAV) — NOT read back from [[graft.sources
+    * .MediaCodec]] — so the compare grades the encoder against an
+    * independent reconstruction of the byte stream:
+    *   bmp : 54-byte header for 4x1x24bpp (file 66 = 0x42 bytes,
+    *         data 12, 72 dpi = 2835 px/m), pixels = digest[0..11].
+    *   bmp2: header for 3x2 (file 78 = 0x4e, data 24 = 2 rows of
+    *         9 + 3 pad), rows bottom-up: p[9..17] pad3 p[0..8] pad3
+    *         where p = digest || digest[0..1].
+    *   wav : RIFF size 52 = 0x34, fmt(16, tag 1, ch 1, 8000 Hz =
+    *         0x1f40, byte rate 16000 = 0x3e80, align 2, 16 bit),
+    *         data 16 = the digest.
+    *   wav2: same but ch 2, byte rate 32000 = 0x7d00, align 4. */
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_encode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         md5(CAST(doc_id AS VARCHAR)) AS dh,
+        |         md5(CAST(doc_id AS VARCHAR))
+        |           || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS ph
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5('424d42000000000000003600000028000000040000000100000001001800000000000c000000130b0000130b00000000000000000000'
+        |      || substr(dh, 1, 24)) AS bmp_md5,
+        |  md5('424d4e0000000000000036000000280000000300000002000000010018000000000018000000130b0000130b00000000000000000000'
+        |      || substr(ph, 19, 18) || '000000'
+        |      || substr(ph, 1, 18) || '000000') AS bmp2_md5,
+        |  md5('524946463400000057415645666d74201000000001000100401f0000803e0000020010006461746110000000'
+        |      || dh) AS wav_md5,
+        |  md5('524946463400000057415645666d74201000000001000200401f0000007d0000040010006461746110000000'
+        |      || dh) AS wav2_md5
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -323,6 +323,126 @@ object Hdf5Classic {
           s"'$name' has no data layout message")
       }
     }
+
+    /** Hyperslab read (r13, the 100-TB scan-efficiency path): the
+      * elements with `starts(d) <= i_d < starts(d)+counts(d)` per
+      * dimension, dense row-major, `counts.product` values. For
+      * CHUNKED storage only the chunks whose index box intersects the
+      * slab are defiltered/decoded — a bounds subset of a compressed
+      * archive skips the ENTIRE filter pipeline (inflate + unshuffle +
+      * checksum strip) for every non-intersecting chunk, which is
+      * where the time goes on a deflated file. Contiguous/compact
+      * layouts decode whole then gather (nothing to skip — no
+      * decompression). Absent (never-allocated) chunks inside the slab
+      * read as the dataset fill value, exactly like [[read]]. */
+    def readSlab(name: String, starts: Seq[Long], counts: Seq[Long]): Array[Double] =
+      readSlabCounted(name, starts, counts)._1
+
+    /** [[readSlab]] plus (chunks defiltered, chunks allocated) — the
+      * observable for the pruning law in Hdf5Spec: a proper subset
+      * slab must touch strictly fewer chunks than the full read while
+      * producing the identical values. Non-chunked layouts report
+      * (0, 0). */
+    private[graft] def readSlabCounted(name: String, starts: Seq[Long],
+        counts: Seq[Long]): (Array[Double], Int, Int) = {
+      val v = variable(name)
+      val rank = v.shape.length
+      require(starts.length == rank && counts.length == rank,
+        s"'$name': slab rank ${starts.length}/${counts.length} != " +
+          s"dataspace rank $rank")
+      (0 until rank).foreach { d =>
+        require(starts(d) >= 0 && counts(d) >= 0 &&
+          starts(d) + counts(d) <= v.shape(d),
+          s"'$name': slab [${starts(d)}, ${starts(d) + counts(d)}) out of " +
+            s"bounds for dim $d of length ${v.shape(d)}")
+      }
+      val nOut = counts.product.toInt
+      v.data match {
+        case H5Chunked(bt, cdims, filters) =>
+          require(bt != UNDEF,
+            s"'$name': chunk B-tree address undefined (never allocated)")
+          require(cdims.length == rank,
+            s"'$name': chunk rank ${cdims.length} != dataspace rank $rank")
+          val out = new Array[Double](nOut)
+          v.fillRaw.filter(_.length == v.dtype.size).foreach { fr =>
+            val fill = decodeSlab(ByteBuffer.wrap(fr), v.dtype, 1, name)(0)
+            java.util.Arrays.fill(out, fill)
+          }
+          val perChunk = cdims.product
+          val shape = v.shape.toArray
+          val cstride = new Array[Int](rank)
+          var acc = 1
+          for (d <- (rank - 1) to 0 by -1) { cstride(d) = acc; acc *= cdims(d) }
+          // row-major strides of the OUTPUT slab
+          val ostride = new Array[Long](rank)
+          var oacc = 1L
+          for (d <- (rank - 1) to 0 by -1) { ostride(d) = oacc; oacc *= counts(d) }
+          val entries = chunkEntries(bt, rank, name)
+          var touched = 0
+          entries.foreach { case (offs, addr, stored, mask) =>
+            // chunk box [offs, offs+cdims) ∩ slab box — skip BEFORE any
+            // defiltering when empty in any dimension
+            val intersects = (0 until rank).forall(d =>
+              offs(d) < starts(d) + counts(d) && offs(d) + cdims(d) > starts(d))
+            if (intersects) {
+              touched += 1
+              var raw = java.util.Arrays.copyOfRange(
+                bytes, addr.toInt, addr.toInt + stored)
+              filters.zipWithIndex.reverse.foreach { case ((id, cdv), fi) =>
+                if ((mask & (1 << fi)) == 0) raw = id match {
+                  case 1 => inflate(raw, perChunk * v.dtype.size, name)
+                  case 2 => unshuffle(raw, cdv.headOption.getOrElse(v.dtype.size))
+                  case 3 =>
+                    java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
+                  case other => throw new IllegalArgumentException(
+                    s"'$name': filter id $other not supported (only deflate, " +
+                      "shuffle, fletcher32)")
+                }
+              }
+              val slab = decodeSlab(ByteBuffer.wrap(raw), v.dtype, perChunk, name)
+              var e = 0
+              while (e < perChunk) {
+                var rem = e; var flat = 0L; var inSlab = true
+                var d = 0
+                while (d < rank) {
+                  val coord = offs(d) + rem / cstride(d)
+                  rem = rem % cstride(d)
+                  if (coord < starts(d) || coord >= starts(d) + counts(d))
+                    inSlab = false // also excludes edge overhang ≥ shape(d)
+                  else flat += (coord - starts(d)) * ostride(d)
+                  d += 1
+                }
+                if (inSlab) out(flat.toInt) = slab(e)
+                e += 1
+              }
+            }
+          }
+          (out, touched, entries.length)
+        case _ =>
+          // contiguous/compact: one full decode, gather the slab out
+          val full = read(name)
+          val out = new Array[Double](nOut)
+          val fstride = new Array[Long](rank)
+          var facc = 1L
+          for (d <- (rank - 1) to 0 by -1) { fstride(d) = facc; facc *= v.shape(d) }
+          val ostride = new Array[Long](rank)
+          var oacc = 1L
+          for (d <- (rank - 1) to 0 by -1) { ostride(d) = oacc; oacc *= counts(d) }
+          var o = 0
+          while (o < nOut) {
+            var rem = o.toLong; var src = 0L
+            var d = 0
+            while (d < rank) {
+              src += (starts(d) + rem / ostride(d)) * fstride(d)
+              rem = rem % ostride(d)
+              d += 1
+            }
+            out(o) = full(src.toInt)
+            o += 1
+          }
+          (out, 0, 0)
+      }
+    }
   }
 
   // ---------------------------------------------------------- parse

@@ -95,9 +95,31 @@ object NetcdfSource {
     * axis names of a variable, raw values, and an attribute lookup.
     * NetCDF-3 names axes via dim ids; NetCDF-4/HDF5 via DIMENSION_LIST
     * dimension scales (see [[Hdf5Classic]]). */
+  /** Coordinate-space hyperslab bounds for [[readGrid]] (r13): closed
+    * intervals on lat/lon and optional closed time endpoints. The
+    * bounded read produces EXACTLY the rows `readGrid(...).filter`
+    * would with the same predicates (time bounds drop null-time
+    * static-grid rows, matching SQL comparison-with-NULL semantics) —
+    * but on chunked/compressed HDF5 the non-intersecting chunks are
+    * pruned BEFORE decompression ([[Hdf5Classic.H5File.readSlab]]),
+    * the scan-level pushdown a 100-TB `subset(bounds)` needs. */
+  final case class GridBounds(
+      latMin: Double = Double.NegativeInfinity,
+      latMax: Double = Double.PositiveInfinity,
+      lonMin: Double = Double.NegativeInfinity,
+      lonMax: Double = Double.PositiveInfinity,
+      timeMin: Option[java.sql.Timestamp] = None,
+      timeMax: Option[java.sql.Timestamp] = None)
+
   private sealed trait GridView {
     def dimsOf(v: String): Seq[String]
     def read(v: String): Array[Double]
+    /** Dense row-major hyperslab; `shape` is the variable's full shape
+      * (axis lengths the caller already holds). Chunk-pruned for HDF5;
+      * decode-then-gather for classic (NetCDF-3 stores uncompressed, so
+      * there is no filter work to skip). */
+    def readSlab(v: String, starts: Seq[Long], counts: Seq[Long],
+                 shape: Seq[Long]): Array[Double]
     def attrs(v: String): Seq[NetcdfClassic.NcAttr]
     final def unitsOf(v: String): Option[String] =
       attrs(v).collectFirst {
@@ -114,11 +136,47 @@ object NetcdfSource {
     def dimsOf(v: String): Seq[String] =
       nc.variable(v).dimIds.map(nc.dim(_).name)
     def read(v: String): Array[Double] = nc.read(v)
+    def readSlab(v: String, starts: Seq[Long], counts: Seq[Long],
+                 shape: Seq[Long]): Array[Double] = {
+      val full = read(v)
+      require(shape.product == full.length,
+        s"'$v': declared shape ${shape.mkString("x")} != ${full.length} values")
+      val rank = shape.length
+      (0 until rank).foreach(d => require(starts(d) >= 0 && counts(d) >= 0 &&
+        starts(d) + counts(d) <= shape(d),
+        s"'$v': slab out of bounds on dim $d"))
+      val out = new Array[Double](counts.product.toInt)
+      val fstride = new Array[Long](rank)
+      var facc = 1L
+      for (d <- (rank - 1) to 0 by -1) { fstride(d) = facc; facc *= shape(d) }
+      val ostride = new Array[Long](rank)
+      var oacc = 1L
+      for (d <- (rank - 1) to 0 by -1) { ostride(d) = oacc; oacc *= counts(d) }
+      var o = 0
+      while (o < out.length) {
+        var rem = o.toLong; var src = 0L; var d = 0
+        while (d < rank) {
+          src += (starts(d) + rem / ostride(d)) * fstride(d)
+          rem = rem % ostride(d)
+          d += 1
+        }
+        out(o) = full(src.toInt)
+        o += 1
+      }
+      out
+    }
     def attrs(v: String): Seq[NetcdfClassic.NcAttr] = nc.variable(v).attrs
   }
   private final class Hdf5View(h5: Hdf5Classic.H5File) extends GridView {
     def dimsOf(v: String): Seq[String] = h5.dimNames(v)
     def read(v: String): Array[Double] = h5.read(v)
+    def readSlab(v: String, starts: Seq[Long], counts: Seq[Long],
+                 shape: Seq[Long]): Array[Double] = {
+      require(h5.variable(v).shape == shape,
+        s"'$v': caller shape ${shape.mkString("x")} != file shape " +
+          h5.variable(v).shape.mkString("x"))
+      h5.readSlab(v, starts, counts)
+    }
     def attrs(v: String): Seq[NetcdfClassic.NcAttr] = h5.variable(v).attrs
   }
 
@@ -139,12 +197,11 @@ object NetcdfSource {
     * `raw * scale_factor + add_offset` (CMIP obs archives short-pack
     * routinely). */
   private def emitRows(g: GridView, path: String, varName: String,
-                       latVar: String, lonVar: String,
-                       timeVar: String): Iterator[GridRow] = {
+                       latVar: String, lonVar: String, timeVar: String,
+                       bounds: Option[GridBounds] = None): Iterator[GridRow] = {
     val dimNames = g.dimsOf(varName)
     val lats = g.read(latVar)
     val lons = g.read(lonVar)
-    val data = g.read(varName)
     val ds = path.substring(path.lastIndexOf('/') + 1)
     val scale = g.numAttr(varName, "scale_factor").getOrElse(1.0)
     val offset = g.numAttr(varName, "add_offset").getOrElse(0.0)
@@ -152,6 +209,15 @@ object NetcdfSource {
       .orElse(g.numAttr(varName, "missing_value"))
     def present(raw: Double): Boolean =
       fill.forall(f => !(raw == f || (f.isNaN && raw.isNaN)))
+    val b = bounds.getOrElse(GridBounds())
+    // in-bounds index set per axis, and its covering contiguous range:
+    // the slab read fetches the cover (exact for the monotonic axes
+    // every real grid has), the per-row predicate below re-filters
+    // exactly, so non-monotonic axes stay CORRECT, just less pruned
+    def inLat(i: Int) = lats(i) >= b.latMin && lats(i) <= b.latMax
+    def inLon(i: Int) = lons(i) >= b.lonMin && lons(i) <= b.lonMax
+    val laIdx = lats.indices.filter(inLat)
+    val loIdx = lons.indices.filter(inLon)
     dimNames match {
       case Seq(`timeVar`, `latVar`, `lonVar`) =>
         val units = g.unitsOf(timeVar)
@@ -160,19 +226,42 @@ object NetcdfSource {
         val (base, step) = cfTimeBase(units)
         val times = g.read(timeVar).map(t =>
           microsToTimestamp(base + math.round(t * step)))
+        def inT(i: Int) =
+          b.timeMin.forall(t => !times(i).before(t)) &&
+            b.timeMax.forall(t => !times(i).after(t))
+        val tIdx = times.indices.filter(inT)
+        if (tIdx.isEmpty || laIdx.isEmpty || loIdx.isEmpty)
+          return Iterator.empty
+        val (t0, t1) = (tIdx.min, tIdx.max)
+        val (a0, a1) = (laIdx.min, laIdx.max)
+        val (o0, o1) = (loIdx.min, loIdx.max)
+        val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
+        val data = g.readSlab(varName,
+          Seq(t0, a0, o0), Seq(t1 - t0 + 1, nLa, nLo),
+          Seq(times.length, lats.length, lons.length))
         for {
-          ti <- times.indices.iterator
-          li <- lats.indices
-          oi <- lons.indices
-          raw = data((ti * lats.length + li) * lons.length + oi)
+          ti <- (t0 to t1).iterator if inT(ti)
+          li <- a0 to a1 if inLat(li)
+          oi <- o0 to o1 if inLon(oi)
+          raw = data(((ti - t0) * nLa + (li - a0)) * nLo + (oi - o0))
           if present(raw)
         } yield GridRow(ds, varName, times(ti), lats(li), lons(oi),
           raw * scale + offset)
       case Seq(`latVar`, `lonVar`) =>
+        // a static (lat, lon) field has NULL time: a time bound drops
+        // every row, exactly like a SQL comparison with NULL would
+        if (b.timeMin.nonEmpty || b.timeMax.nonEmpty ||
+            laIdx.isEmpty || loIdx.isEmpty)
+          return Iterator.empty
+        val (a0, a1) = (laIdx.min, laIdx.max)
+        val (o0, o1) = (loIdx.min, loIdx.max)
+        val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
+        val data = g.readSlab(varName, Seq(a0, o0), Seq(nLa, nLo),
+          Seq(lats.length, lons.length))
         for {
-          li <- lats.indices.iterator
-          oi <- lons.indices
-          raw = data(li * lons.length + oi)
+          li <- (a0 to a1).iterator if inLat(li)
+          oi <- o0 to o1 if inLon(oi)
+          raw = data((li - a0) * nLo + (oi - o0))
           if present(raw)
         } yield GridRow(ds, varName, null, lats(li), lons(oi),
           raw * scale + offset)
@@ -188,15 +277,24 @@ object NetcdfSource {
     * Supports (time, lat, lon) and (lat, lon) variables; `dataset` is
     * the file basename (compose with [[withPathFields]] for template
     * fields). Parallelism comes from the file count, exactly like
-    * dask's per-file chunks in the reference. */
+    * dask's per-file chunks in the reference.
+    *
+    * `bounds` (r13) pushes a coordinate hyperslab INTO the scan: rows
+    * outside it never materialize, and on chunked/compressed HDF5 the
+    * non-intersecting chunks are never even decompressed
+    * ([[Hdf5Classic.H5File.readSlab]]) — identical rows to
+    * `readGrid(...).filter(...)`, pinned by the NetcdfSpec pruning
+    * law, at a fraction of the scan work. */
   def readGrid(spark: SparkSession, pathGlob: String, varName: String,
                latVar: String = "lat", lonVar: String = "lon",
-               timeVar: String = "time"): DataFrame = {
+               timeVar: String = "time",
+               bounds: Option[GridBounds] = None): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        emitRows(openGrid(bytes), path, varName, latVar, lonVar, timeVar)
+        emitRows(openGrid(bytes), path, varName, latVar, lonVar, timeVar,
+          bounds)
       }
       .toDF()
   }
@@ -210,7 +308,8 @@ object NetcdfSource {
   def readGridVars(spark: SparkSession, pathGlob: String,
                    varNames: Seq[String],
                    latVar: String = "lat", lonVar: String = "lon",
-                   timeVar: String = "time"): DataFrame = {
+                   timeVar: String = "time",
+                   bounds: Option[GridBounds] = None): DataFrame = {
     require(varNames.nonEmpty, "readGridVars needs at least one variable")
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
@@ -218,7 +317,7 @@ object NetcdfSource {
       .flatMap { case (path, bytes) =>
         val g = openGrid(bytes)
         varNames.iterator.flatMap(v =>
-          emitRows(g, path, v, latVar, lonVar, timeVar))
+          emitRows(g, path, v, latVar, lonVar, timeVar, bounds))
       }
       .toDF()
   }

@@ -525,6 +525,64 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5Classic.parse(bytes).read("v").toSeq == Seq(7.0, 8.0, 9.0, 10.0))
   }
 
+  test("hyperslab readSlab prunes non-intersecting chunks (r13)") {
+    val h5 = Hdf5Classic.parse(chunkedFile(filterId = None))
+    // 3×3 in 2×2 chunks at (0,0),(0,2),(2,0),(2,2); values 1..9
+    // corner slab [0,2)×[0,2) intersects ONLY chunk (0,0)
+    val (corner, t1, n1) = h5.readSlabCounted("v", Seq(0L, 0L), Seq(2L, 2L))
+    assert(corner.toSeq == Seq(1.0, 2.0, 4.0, 5.0))
+    assert(t1 == 1 && n1 == 4, s"corner slab must defilter 1 of 4 chunks, got $t1/$n1")
+    // center slab [1,3)×[1,3) intersects all four
+    val (center, t4, _) = h5.readSlabCounted("v", Seq(1L, 1L), Seq(2L, 2L))
+    assert(center.toSeq == Seq(5.0, 6.0, 8.0, 9.0))
+    assert(t4 == 4)
+    // exhaustive law: EVERY rectangle equals the full read's slice
+    val full = h5.read("v")
+    for {
+      r0 <- 0 to 2; c0 <- 0 to 2
+      nr <- 0 to (3 - r0); nc <- 0 to (3 - c0)
+    } {
+      val slab = h5.readSlab("v", Seq(r0.toLong, c0.toLong),
+        Seq(nr.toLong, nc.toLong))
+      val expect = for (r <- r0 until r0 + nr; c <- c0 until c0 + nc)
+        yield full(r * 3 + c)
+      assert(slab.toSeq == expect,
+        s"slab ($r0,$c0)+($nr,$nc) diverged from read-then-slice")
+    }
+    // out-of-bounds slabs reject by name
+    val e = intercept[IllegalArgumentException](
+      h5.readSlab("v", Seq(2L, 0L), Seq(2L, 1L)))
+    assert(e.getMessage.contains("out of bounds"))
+  }
+
+  test("pruned chunks are never defiltered: corrupt deflate outside the slab is invisible") {
+    // chunk 0 stores GARBAGE that fails to inflate; chunk 1 is valid.
+    // The full read must throw — and a slab covering only chunk 1 must
+    // succeed, proving the filter pipeline genuinely never ran on the
+    // pruned chunk (the 100-TB win is skipping that inflate).
+    val bytes = filteredFile(Seq((1, Seq(6))),
+      chunk0 = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8),
+      chunk1 = deflate(le64(3.0, 4.0)), mask1 = 0)
+    val h5 = Hdf5Classic.parse(bytes)
+    intercept[Exception](h5.read("v"))
+    val (slab, touched, total) = h5.readSlabCounted("v", Seq(2L), Seq(2L))
+    assert(slab.toSeq == Seq(3.0, 4.0))
+    assert(touched == 1 && total == 2)
+  }
+
+  test("readSlab on contiguous layout gathers the exact sub-grid (no chunks to count)") {
+    val bytes = Hdf5Classic.write(
+      dims = Seq(NetcdfClassic.NcDim("lat", 2), NetcdfClassic.NcDim("lon", 3)),
+      vars = Seq(
+        ("lat", Seq(0), Nil, Array(0.0, 10.0)),
+        ("lon", Seq(1), Nil, Array(100.0, 110.0, 120.0)),
+        ("v", Seq(0, 1), Nil, Array(1.0, 2, 3, 4, 5, 6))))
+    val h5 = Hdf5Classic.parse(bytes)
+    val (slab, touched, total) = h5.readSlabCounted("v", Seq(0L, 1L), Seq(2L, 2L))
+    assert(slab.toSeq == Seq(2.0, 3.0, 5.0, 6.0))
+    assert(touched == 0 && total == 0)
+  }
+
   test("libver=latest: superblock v3, OHDR headers, compact link group") {
     // the 'latest' on-disk form by hand: 48-byte v3 superblock → root
     // OHDR whose single hard-link MESSAGE names dataset "v" → dataset

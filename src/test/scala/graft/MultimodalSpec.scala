@@ -139,6 +139,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.samples.toSeq == Seq[Short](1000, -1000, 32767, -32768))
   }
 
+  test("q_multimodal_encode golden literals: doc_id=5 md5s pin the exact byte streams") {
+    // The four expected md5s were derived OUTSIDE this codebase (a
+    // spec-literal python reconstruction: struct.pack'd BMP/WAV headers
+    // + md5(b"5") digest content, hashed over the lowercase hex image)
+    // — so this pins both the encoder's byte stream and the key's
+    // digest-to-pixel/sample layout against an independent build. A
+    // drift in encoder bytes, header fields, row order, padding, or the
+    // digest mapping fails here with a named literal.
+    val row = graft.SparkEntry.queries("q_multimodal_encode")(spark, dir)
+      .filter(col("doc_id") === 5L).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[String]("bmp_md5") == "09e2a81f0446cca7c4edb62d696a18ff")
+    assert(row(0).getAs[String]("bmp2_md5") == "d9f60e0f6f379ba50aac62afc1f316ae")
+    assert(row(0).getAs[String]("wav_md5") == "7d822f2a28c1e7ddb81f269dd69a9b14")
+    assert(row(0).getAs[String]("wav2_md5") == "dc7eee3b642ced249785eb73250f39df")
+  }
+
   test("WAV round-trip: encode → decode is identity") {
     import graft.sources.MediaCodec
     val s = Array.tabulate(17)(i => ((i * 4093 + 7) % 65536 - 32768).toShort)

@@ -97,6 +97,38 @@ class NetcdfSpec extends AnyFunSuite {
     assert(binned.count() > 0)
   }
 
+  test("bounded readGrid == read-then-filter, both formats (r13 hyperslab pushdown)") {
+    import graft.sources.NetcdfSource.GridBounds
+    val tmp = Files.createTempDirectory("ncbounds").toString
+    val dims = Seq(NcDim("time", 4), NcDim("lat", 2), NcDim("lon", 3))
+    val vars = Seq(
+      ("time", Seq(0), Seq(NcAttr("units", "days since 2000-01-01")),
+        Array.tabulate(4)(_.toDouble)),
+      ("lat", Seq(1), Seq(NcAttr("units", "degrees_north")), Array(0.0, 10.0)),
+      ("lon", Seq(2), Seq(NcAttr("units", "degrees_east")),
+        Array(100.0, 110.0, 120.0)),
+      ("tas", Seq(0, 1, 2), Seq(NcAttr("units", "K")),
+        Array.tabulate(24)(i => 7.0 + i)))
+    Files.write(Paths.get(s"$tmp/c.nc"), NetcdfClassic.write(dims, vars))
+    Files.write(Paths.get(s"$tmp/h.h5"), graft.sources.Hdf5Classic.write(dims, vars))
+    val b = GridBounds(latMin = 5.0, lonMax = 115.0,
+      timeMin = Some(java.sql.Timestamp.valueOf("2000-01-02 00:00:00")))
+    for (glob <- Seq(s"$tmp/c.nc", s"$tmp/h.h5", s"$tmp/*")) {
+      val full = NetcdfSource.readGrid(spark, glob, "tas")
+      val filtered = full.filter(col("lat") >= 5.0 && col("lon") <= 115.0 &&
+          col("time") >= lit("2000-01-02 00:00:00").cast("timestamp"))
+        .collect().map(_.toSeq).toSet
+      val bounded = NetcdfSource.readGrid(spark, glob, "tas", bounds = Some(b))
+        .collect().map(_.toSeq).toSet
+      assert(bounded == filtered, s"bounded read diverged for $glob")
+      assert(bounded.nonEmpty && bounded.size < full.count(),
+        "bounds must keep a proper non-empty subset for this fixture")
+    }
+    // degenerate bounds: empty coordinate intersection → zero rows
+    assert(NetcdfSource.readGrid(spark, s"$tmp/c.nc", "tas",
+      bounds = Some(GridBounds(latMin = 99.0))).count() == 0)
+  }
+
   test("record variables read across records (hand-assembled, unlimited dim)") {
     // dims: time(UNLIMITED), x(2); one record var v(time, x) — the
     // single-record-variable no-padding case; numrecs = 2
