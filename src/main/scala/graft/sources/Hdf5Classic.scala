@@ -248,6 +248,33 @@ object Hdf5Classic {
       }
     }
 
+    /** Defilter and decode ONE stored chunk: copy the stored bytes,
+      * run the filter pipeline in reverse write order (a set bit in
+      * the per-chunk mask means that filter was SKIPPED for this chunk
+      * — the partial-edge-chunk optimization), decode `perChunk`
+      * values. The single implementation behind both [[read]] and
+      * [[readSlabCounted]], so a filter fix can never reach one path
+      * and miss the other. */
+    private def defilterChunk(addr: Long, stored: Int, mask: Int,
+        filters: Seq[(Int, Seq[Int])], perChunk: Int, dtype: H5Type,
+        name: String): Array[Double] = {
+      var raw = java.util.Arrays.copyOfRange(
+        bytes, addr.toInt, addr.toInt + stored)
+      filters.zipWithIndex.reverse.foreach { case ((id, cdv), fi) =>
+        if ((mask & (1 << fi)) == 0) raw = id match {
+          case 1 => inflate(raw, perChunk * dtype.size, name)
+          case 2 => unshuffle(raw, cdv.headOption.getOrElse(dtype.size))
+          case 3 => // fletcher32: 4-byte checksum appended (unverified,
+                    // like every other checksum this parser skips)
+            java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
+          case other => throw new IllegalArgumentException(
+            s"'$name': filter id $other not supported (only deflate, " +
+              "shuffle, fletcher32)")
+        }
+      }
+      decodeSlab(ByteBuffer.wrap(raw), dtype, perChunk, name)
+    }
+
     /** All values of a numeric dataset as doubles (row-major). */
     def read(name: String): Array[Double] = {
       val v = variable(name)
@@ -284,24 +311,8 @@ object Hdf5Classic {
           var acc = 1
           for (d <- (rank - 1) to 0 by -1) { cstride(d) = acc; acc *= cdims(d) }
           chunkEntries(bt, rank, name).foreach { case (offs, addr, stored, mask) =>
-            // undo the filter pipeline in reverse write order; a set
-            // bit in the per-chunk mask means that filter was SKIPPED
-            // for this chunk (partial-edge-chunk optimization)
-            var raw = java.util.Arrays.copyOfRange(
-              bytes, addr.toInt, addr.toInt + stored)
-            filters.zipWithIndex.reverse.foreach { case ((id, cdv), fi) =>
-              if ((mask & (1 << fi)) == 0) raw = id match {
-                case 1 => inflate(raw, perChunk * v.dtype.size, name)
-                case 2 => unshuffle(raw, cdv.headOption.getOrElse(v.dtype.size))
-                case 3 => // fletcher32: 4-byte checksum appended (unverified,
-                          // like every other checksum this parser skips)
-                  java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
-                case other => throw new IllegalArgumentException(
-                  s"'$name': filter id $other not supported (only deflate, " +
-                    "shuffle, fletcher32)")
-              }
-            }
-            val slab = decodeSlab(ByteBuffer.wrap(raw), v.dtype, perChunk, name)
+            val slab = defilterChunk(addr, stored, mask, filters,
+              perChunk, v.dtype, name)
             var e = 0
             while (e < perChunk) {
               // unflatten e over cdims; add chunk offsets; bound-check
@@ -369,7 +380,6 @@ object Hdf5Classic {
             java.util.Arrays.fill(out, fill)
           }
           val perChunk = cdims.product
-          val shape = v.shape.toArray
           val cstride = new Array[Int](rank)
           var acc = 1
           for (d <- (rank - 1) to 0 by -1) { cstride(d) = acc; acc *= cdims(d) }
@@ -386,20 +396,8 @@ object Hdf5Classic {
               offs(d) < starts(d) + counts(d) && offs(d) + cdims(d) > starts(d))
             if (intersects) {
               touched += 1
-              var raw = java.util.Arrays.copyOfRange(
-                bytes, addr.toInt, addr.toInt + stored)
-              filters.zipWithIndex.reverse.foreach { case ((id, cdv), fi) =>
-                if ((mask & (1 << fi)) == 0) raw = id match {
-                  case 1 => inflate(raw, perChunk * v.dtype.size, name)
-                  case 2 => unshuffle(raw, cdv.headOption.getOrElse(v.dtype.size))
-                  case 3 =>
-                    java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
-                  case other => throw new IllegalArgumentException(
-                    s"'$name': filter id $other not supported (only deflate, " +
-                      "shuffle, fletcher32)")
-                }
-              }
-              val slab = decodeSlab(ByteBuffer.wrap(raw), v.dtype, perChunk, name)
+              val slab = defilterChunk(addr, stored, mask, filters,
+                perChunk, v.dtype, name)
               var e = 0
               while (e < perChunk) {
                 var rem = e; var flat = 0L; var inSlab = true
@@ -806,7 +804,7 @@ object Hdf5Classic {
     def bytesFor(max: Long): Int =
       (63 - java.lang.Long.numberOfLeadingZeros(math.max(max, 1L))) / 8 + 1
 
-    final case class FHeap(idLen: Int, checksumBlocks: Boolean, offBytes: Int,
+    final case class FHeap(idLen: Int, offBytes: Int,
                            lenBytes: Int, width: Int, startSize: Long,
                            maxDirectSize: Long, rootAddr: Long, curRows: Int)
     def fractalHeap(addr: Long): FHeap = {
@@ -818,7 +816,8 @@ object Hdf5Classic {
       val idLen = b.getShort() & 0xffff
       val ioFilterLen = b.getShort() & 0xffff
       require(ioFilterLen == 0, "filtered fractal heap not supported")
-      val flags = b.get() & 0xff
+      b.get() // flags (bit 1: direct blocks checksummed — skipped here
+              // like every other checksum this parser does not verify)
       b.getInt()                           // max size of managed objects
       b.position(b.position() + 8 + 8 + 8 + 8 + 8 + 8 + 8) // huge id/btree,
         // free space + mgr, managed space, allocated, iterator offset
@@ -839,7 +838,7 @@ object Hdf5Classic {
       val offBytes = (maxHeapBits + 7) / 8
       // heap ID = 1 flag byte + offset + length; the header stores the
       // total, so the length width needs no second formula
-      FHeap(idLen, (flags & 2) != 0, offBytes, idLen - 1 - offBytes,
+      FHeap(idLen, offBytes, idLen - 1 - offBytes,
         width, startSize, maxDirect, rootAddr, curRows)
     }
 
@@ -1242,6 +1241,10 @@ object Hdf5Classic {
             b.putInt(0)    // gheap object index — patched
           }
           (dtVlenRef, dsSimple(Seq(refs.length.toLong)), b.array())
+        case _: Array[String] => throw new IllegalArgumentException(
+          s"attr '${a.name}': multi-valued vlen-string attributes are " +
+            "readable but outside the writer's scope (scalar String, " +
+            "Array[Double], Array[Long], DIMENSION_LIST refs only)")
         case other => throw new IllegalArgumentException(
           s"attr '${a.name}': unsupported value ${other.getClass.getName}")
       }

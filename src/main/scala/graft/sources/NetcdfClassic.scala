@@ -207,6 +207,11 @@ object NetcdfClassic {
               ls.foreach(l => require(l >= Int.MinValue && l <= Int.MaxValue,
                 s"attr '${a.name}' value $l exceeds NC_INT range"))
               out.writeInt(4); out.writeInt(ls.length); ls.foreach(l => out.writeInt(l.toInt))
+            case other => throw new IllegalArgumentException(
+              s"attr '${a.name}': ${other.getClass.getSimpleName} is not " +
+                "writable as a classic attribute (classic text attrs are " +
+                "ONE char array — a multi-valued string attribute from an " +
+                "HDF5 source has no classic representation)")
           }
         }
       }
@@ -219,6 +224,10 @@ object NetcdfClassic {
         case s: String => pad4(s.getBytes(StandardCharsets.UTF_8).length)
         case ds: Array[Double] => ds.length * 8
         case ls: Array[Long] => ls.length * 4
+        case other => throw new IllegalArgumentException(
+          s"attr '${a.name}': ${other.getClass.getSimpleName} is not " +
+            "writable as a classic attribute (String, Array[Double], " +
+            "Array[Long] only)")
       })
     }.sum
     val headerSize = 4 + 4 + // magic + numrecs

@@ -209,15 +209,17 @@ object NetcdfSource {
       .orElse(g.numAttr(varName, "missing_value"))
     def present(raw: Double): Boolean =
       fill.forall(f => !(raw == f || (f.isNaN && raw.isNaN)))
-    val b = bounds.getOrElse(GridBounds())
-    // in-bounds index set per axis, and its covering contiguous range:
-    // the slab read fetches the cover (exact for the monotonic axes
-    // every real grid has), the per-row predicate below re-filters
-    // exactly, so non-monotonic axes stay CORRECT, just less pruned
-    def inLat(i: Int) = lats(i) >= b.latMin && lats(i) <= b.latMax
-    def inLon(i: Int) = lons(i) >= b.lonMin && lons(i) <= b.lonMax
-    val laIdx = lats.indices.filter(inLat)
-    val loIdx = lons.indices.filter(inLon)
+    // bounds=None keeps the ORIGINAL whole-variable path verbatim: no
+    // per-axis predicates (a NaN coordinate still emits — Java's
+    // NaN >= -Inf is false, so routing the default through the bounded
+    // predicates would silently drop it; r13 review find) and no
+    // full-cover gather copy on the hot default scan.
+    // With bounds SET, the per-row predicates below match what
+    // `readGrid(...).filter` computes on every input including NaN
+    // coordinates: Java `NaN >= lo && NaN <= hi` is false, and in
+    // Spark's NaN-greatest total order a NaN coordinate passes `>= lo`
+    // but fails `<= hi` for every non-NaN hi (+Infinity included) —
+    // both drop the row, so the equivalence law holds.
     dimNames match {
       case Seq(`timeVar`, `latVar`, `lonVar`) =>
         val units = g.unitsOf(timeVar)
@@ -226,45 +228,83 @@ object NetcdfSource {
         val (base, step) = cfTimeBase(units)
         val times = g.read(timeVar).map(t =>
           microsToTimestamp(base + math.round(t * step)))
-        def inT(i: Int) =
-          b.timeMin.forall(t => !times(i).before(t)) &&
-            b.timeMax.forall(t => !times(i).after(t))
-        val tIdx = times.indices.filter(inT)
-        if (tIdx.isEmpty || laIdx.isEmpty || loIdx.isEmpty)
-          return Iterator.empty
-        val (t0, t1) = (tIdx.min, tIdx.max)
-        val (a0, a1) = (laIdx.min, laIdx.max)
-        val (o0, o1) = (loIdx.min, loIdx.max)
-        val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
-        val data = g.readSlab(varName,
-          Seq(t0, a0, o0), Seq(t1 - t0 + 1, nLa, nLo),
-          Seq(times.length, lats.length, lons.length))
-        for {
-          ti <- (t0 to t1).iterator if inT(ti)
-          li <- a0 to a1 if inLat(li)
-          oi <- o0 to o1 if inLon(oi)
-          raw = data(((ti - t0) * nLa + (li - a0)) * nLo + (oi - o0))
-          if present(raw)
-        } yield GridRow(ds, varName, times(ti), lats(li), lons(oi),
-          raw * scale + offset)
+        bounds match {
+          case None =>
+            val data = g.read(varName)
+            for {
+              ti <- times.indices.iterator
+              li <- lats.indices
+              oi <- lons.indices
+              raw = data((ti * lats.length + li) * lons.length + oi)
+              if present(raw)
+            } yield GridRow(ds, varName, times(ti), lats(li), lons(oi),
+              raw * scale + offset)
+          case Some(b) =>
+            // in-bounds index set per axis, and its covering contiguous
+            // range: the slab read fetches the cover (exact for the
+            // monotonic axes every real grid has), the per-row
+            // predicate re-filters exactly, so non-monotonic axes stay
+            // CORRECT, just less pruned
+            def inLat(i: Int) = lats(i) >= b.latMin && lats(i) <= b.latMax
+            def inLon(i: Int) = lons(i) >= b.lonMin && lons(i) <= b.lonMax
+            def inT(i: Int) =
+              b.timeMin.forall(t => !times(i).before(t)) &&
+                b.timeMax.forall(t => !times(i).after(t))
+            val laIdx = lats.indices.filter(inLat)
+            val loIdx = lons.indices.filter(inLon)
+            val tIdx = times.indices.filter(inT)
+            if (tIdx.isEmpty || laIdx.isEmpty || loIdx.isEmpty)
+              return Iterator.empty
+            val (t0, t1) = (tIdx.min, tIdx.max)
+            val (a0, a1) = (laIdx.min, laIdx.max)
+            val (o0, o1) = (loIdx.min, loIdx.max)
+            val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
+            val data = g.readSlab(varName,
+              Seq(t0, a0, o0), Seq(t1 - t0 + 1, nLa, nLo),
+              Seq(times.length, lats.length, lons.length))
+            for {
+              ti <- (t0 to t1).iterator if inT(ti)
+              li <- a0 to a1 if inLat(li)
+              oi <- o0 to o1 if inLon(oi)
+              raw = data(((ti - t0) * nLa + (li - a0)) * nLo + (oi - o0))
+              if present(raw)
+            } yield GridRow(ds, varName, times(ti), lats(li), lons(oi),
+              raw * scale + offset)
+        }
       case Seq(`latVar`, `lonVar`) =>
-        // a static (lat, lon) field has NULL time: a time bound drops
-        // every row, exactly like a SQL comparison with NULL would
-        if (b.timeMin.nonEmpty || b.timeMax.nonEmpty ||
-            laIdx.isEmpty || loIdx.isEmpty)
-          return Iterator.empty
-        val (a0, a1) = (laIdx.min, laIdx.max)
-        val (o0, o1) = (loIdx.min, loIdx.max)
-        val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
-        val data = g.readSlab(varName, Seq(a0, o0), Seq(nLa, nLo),
-          Seq(lats.length, lons.length))
-        for {
-          li <- (a0 to a1).iterator if inLat(li)
-          oi <- o0 to o1 if inLon(oi)
-          raw = data((li - a0) * nLo + (oi - o0))
-          if present(raw)
-        } yield GridRow(ds, varName, null, lats(li), lons(oi),
-          raw * scale + offset)
+        bounds match {
+          case None =>
+            val data = g.read(varName)
+            for {
+              li <- lats.indices.iterator
+              oi <- lons.indices
+              raw = data(li * lons.length + oi)
+              if present(raw)
+            } yield GridRow(ds, varName, null, lats(li), lons(oi),
+              raw * scale + offset)
+          case Some(b) =>
+            def inLat(i: Int) = lats(i) >= b.latMin && lats(i) <= b.latMax
+            def inLon(i: Int) = lons(i) >= b.lonMin && lons(i) <= b.lonMax
+            val laIdx = lats.indices.filter(inLat)
+            val loIdx = lons.indices.filter(inLon)
+            // a static (lat, lon) field has NULL time: a time bound
+            // drops every row, exactly like a SQL comparison with NULL
+            if (b.timeMin.nonEmpty || b.timeMax.nonEmpty ||
+                laIdx.isEmpty || loIdx.isEmpty)
+              return Iterator.empty
+            val (a0, a1) = (laIdx.min, laIdx.max)
+            val (o0, o1) = (loIdx.min, loIdx.max)
+            val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
+            val data = g.readSlab(varName, Seq(a0, o0), Seq(nLa, nLo),
+              Seq(lats.length, lons.length))
+            for {
+              li <- (a0 to a1).iterator if inLat(li)
+              oi <- o0 to o1 if inLon(oi)
+              raw = data((li - a0) * nLo + (oi - o0))
+              if present(raw)
+            } yield GridRow(ds, varName, null, lats(li), lons(oi),
+              raw * scale + offset)
+        }
       case other => throw new IllegalArgumentException(
         s"unsupported dim layout $other for '$varName' " +
           s"(expected ($timeVar, $latVar, $lonVar) or ($latVar, $lonVar))")

@@ -129,6 +129,42 @@ class NetcdfSpec extends AnyFunSuite {
       bounds = Some(GridBounds(latMin = 99.0))).count() == 0)
   }
 
+  test("NaN coordinate: default read emits it, bounded read matches filter (r13 review pin)") {
+    // bounds=None must stay the ORIGINAL no-predicate path: a NaN lat
+    // row still emits. With bounds set (even fully infinite), the row
+    // drops on BOTH sides of the equivalence law — Java NaN>=lo is
+    // false, and Spark's NaN-greatest order fails NaN <= +Infinity.
+    val tmp = Files.createTempDirectory("ncnan").toString
+    Files.write(Paths.get(s"$tmp/n.nc"), NetcdfClassic.write(
+      dims = Seq(NcDim("lat", 2), NcDim("lon", 2)),
+      vars = Seq(
+        ("lat", Seq(0), Nil, Array(0.0, Double.NaN)),
+        ("lon", Seq(1), Nil, Array(1.0, 2.0)),
+        ("v", Seq(0, 1), Nil, Array(1.0, 2, 3, 4)))))
+    val full = NetcdfSource.readGrid(spark, s"$tmp/n.nc", "v")
+    assert(full.count() == 4, "default read must emit NaN-coordinate rows")
+    val inf = graft.sources.NetcdfSource.GridBounds()
+    val bounded = NetcdfSource.readGrid(spark, s"$tmp/n.nc", "v",
+      bounds = Some(inf))
+    val filtered = full.filter(
+      col("lat") >= inf.latMin && col("lat") <= inf.latMax &&
+        col("lon") >= inf.lonMin && col("lon") <= inf.lonMax)
+    assert(bounded.collect().map(_.toSeq).toSet ==
+      filtered.collect().map(_.toSeq).toSet)
+    assert(bounded.count() == 2)
+  }
+
+  test("multi-valued string attribute rejects by NAME in both writers (r13 review pin)") {
+    val attr = NcAttr("flag_meanings", Array("a", "b"))
+    val dims = Seq(NcDim("x", 1))
+    val vars = Seq(("x", Seq(0), Seq(attr), Array(1.0)))
+    val e1 = intercept[IllegalArgumentException](NetcdfClassic.write(dims, vars))
+    assert(e1.getMessage.contains("flag_meanings"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.sources.Hdf5Classic.write(dims, vars))
+    assert(e2.getMessage.contains("flag_meanings"))
+  }
+
   test("record variables read across records (hand-assembled, unlimited dim)") {
     // dims: time(UNLIMITED), x(2); one record var v(time, x) — the
     // single-record-variable no-padding case; numrecs = 2
