@@ -284,13 +284,26 @@ object Sources {
     // All grid values are exact-integer counts and epoch-day/second
     // numbers, so double arithmetic is exact on both engines.
     "q_source_netcdf_roundtrip" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = false)),
-    "q_source_hdf5_roundtrip" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true)))
+    "q_source_hdf5_roundtrip" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true)),
+    // r13: the HYPERSLAB-PUSHDOWN read graded end-to-end — same grid
+    // build, but the read-back pushes GridBounds(latMin=5, lonMax=125)
+    // INTO the scan (keeps lat rows 10/20 and lon columns 100/110/120);
+    // the oracle mirrors the bounds as predicates over the dense cell
+    // space. Chunk pruning itself is law-pinned in Hdf5Spec; this key
+    // grades the bounds SEMANTICS through the full write→read→aggregate
+    // pipeline against DuckDB.
+    "q_source_grid_subset" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
+      bounds = Some(NetcdfSource.GridBounds(latMin = 5.0, lonMax = 125.0)))))
 
-  private def gridRoundtrip(s: SparkSession, dir: String,
-                            hdf5: Boolean): DataFrame = {
+  private def gridRoundtrip(s: SparkSession, dir: String, hdf5: Boolean,
+                            bounds: Option[NetcdfSource.GridBounds] = None)
+      : DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.DoubleType
-    val out = s"$roundtripRoot/${if (hdf5) "hdf5" else "netcdf"}"
+    // bounded variant writes to its own dir: each key's artifact stays
+    // independent of the others' (runnable standalone, no ordering)
+    val out = s"$roundtripRoot/${if (bounds.isDefined) "gridsub"
+      else if (hdf5) "hdf5" else "netcdf"}"
     val cells = graft.Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"),
         (col("user_id") % 3).cast("int").as("latb"),
@@ -330,7 +343,8 @@ object Sources {
           coalesce(col("v"), lit(0.0)).as("value"))
       NetcdfSource.writeGrid(dense, out, varName = "events", hdf5 = hdf5)
       cells.unpersist()
-      NetcdfSource.readGrid(s, s"$out/grid.${if (hdf5) "h5" else "nc"}", "events")
+      NetcdfSource.readGrid(s, s"$out/grid.${if (hdf5) "h5" else "nc"}",
+          "events", bounds = bounds)
         .groupBy(col("lat"))
         .agg(count(lit(1)).cast("long").as("n_cells"),
           sum(col("value")).cast("long").as("sum_val"),
@@ -418,5 +432,33 @@ object Sources {
         |  CAST(SUM(v) AS BIGINT) AS sum_val,
         |  CAST(SUM(v * datediff('day', DATE '1970-01-01', day)) AS BIGINT) AS t_sig
         |FROM cells, shape
+        |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin,
+    // Bounds mirror: latMin=5 keeps latb>=1 (lat = latb*10); lonMax=125
+    // keeps lonb<=2 (lon = 100+lonb*10). The dense zero-filled cells
+    // contribute 0 to the sums, so the bounded sums are plain filtered
+    // sums; n_cells is nt x the IN-BOUND observed-lon count. nlon=0
+    // (no in-bound lon column at all) means the bounded read emits NO
+    // rows — the WHERE nlon > 0 guard mirrors that empty axis
+    // intersection exactly (degenerate one-event tiers hit this).
+    "q_source_grid_subset" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 3 AS INT) AS latb,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS lonb,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |shape AS (
+        |  SELECT COUNT(DISTINCT day) AS nt,
+        |    COUNT(DISTINCT CASE WHEN lonb <= 2 THEN lonb END) AS nlon
+        |  FROM cells)
+        |SELECT CAST(latb * 10 AS DOUBLE) AS lat,
+        |  CAST(nt * nlon AS BIGINT) AS n_cells,
+        |  CAST(SUM(CASE WHEN lonb <= 2 THEN v ELSE 0 END) AS BIGINT) AS sum_val,
+        |  CAST(SUM(CASE WHEN lonb <= 2
+        |    THEN v * datediff('day', DATE '1970-01-01', day) ELSE 0 END)
+        |    AS BIGINT) AS t_sig
+        |FROM cells, shape
+        |WHERE latb >= 1 AND nlon > 0
         |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin)
 }
