@@ -48,6 +48,43 @@ object Hdf5Properties extends Properties("Hdf5Classic") {
         h5.read("lat").toSeq == Seq.tabulate(nlat)(_ * 10.0)
     }
 
+  private val slabGen = for {
+    g <- gridGen
+    (nt, nlat, nlon, _, _, _, _) = g
+    t0 <- Gen.choose(0, nt - 1)
+    ct <- Gen.choose(0, nt - t0)
+    a0 <- Gen.choose(0, nlat - 1)
+    ca <- Gen.choose(0, nlat - a0)
+    o0 <- Gen.choose(0, nlon - 1)
+    co <- Gen.choose(0, nlon - o0)
+  } yield (g, (t0, ct, a0, ca, o0, co))
+
+  property("readSlab == read-then-slice over random 3-D grids and rectangles (r13)") =
+    forAll(slabGen) { case ((nt, nlat, nlon, v, an, av, data), (t0, ct, a0, ca, o0, co)) =>
+      val bytes = Hdf5Classic.write(
+        dims = Seq(NcDim("time", nt), NcDim("lat", nlat), NcDim("lon", nlon)),
+        vars = Seq(
+          ("time", Seq(0), Seq(NcAttr(an, av)), Array.tabulate(nt)(_.toDouble)),
+          ("lat", Seq(1), Nil, Array.tabulate(nlat)(_ * 10.0)),
+          ("lon", Seq(2), Nil, Array.tabulate(nlon)(_ * 10.0)),
+          (v, Seq(0, 1, 2), Seq(NcAttr("units", "K")), data)))
+      val h5 = Hdf5Classic.parse(bytes)
+      val slab = h5.readSlab(v, Seq(t0.toLong, a0.toLong, o0.toLong),
+        Seq(ct.toLong, ca.toLong, co.toLong))
+      val expect = for {
+        t <- t0 until t0 + ct
+        a <- a0 until a0 + ca
+        o <- o0 until o0 + co
+      } yield data((t * nlat + a) * nlon + o)
+      // toSeq comparison of boxed doubles: use java equality on bits so
+      // -0.0 vs 0.0 and NaN slots compare the way the reader emits them
+      slab.length == expect.length &&
+        slab.toSeq.zip(expect).forall { case (x, y) =>
+          java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y)
+        }
+    }
+
   private val corruptionGen = for {
     pos <- Gen.choose(0, 700)   // the whole structural region of the
     v <- Gen.choose(0, 255)     // fixed grid file written below
