@@ -53,7 +53,8 @@ import NetcdfClassic.{NcAttr, NcDim}
   * realistic dense group; see the scope notes at the readers).
   *
   * Out of scope, rejected with NAMED errors (never a silent wrong
-  * read): superblock v1, huge/tiny fractal-heap objects and filtered
+  * read): superblock v1, huge fractal-heap objects, extended tiny
+  * heap IDs (heap ID length > 18), and filtered
   * heaps, v2 B-trees deeper than 1, non-standard filters
   * (szip/nbit/scaleoffset need their native codecs), and shared
   * datatype messages.
@@ -790,7 +791,8 @@ object Hdf5Classic {
     //    unfiltered heaps, root direct block or root indirect block
     //    with direct-block rows (≈2·width·maxDirectSize of link/attr
     //    bytes — far past any realistic group), B-tree depth ≤ 1
-    //    (thousands of records); huge/tiny heap IDs, filtered heaps,
+    //    (thousands of records); tiny heap IDs read (data in the ID
+    //    itself); huge IDs, extended tiny IDs, filtered heaps,
     //    and deeper trees reject by name like every out-of-scope path.
     def asciiSig(at: Long): String =
       new String(bytes, at.toInt, 4, StandardCharsets.US_ASCII)
@@ -823,11 +825,11 @@ object Hdf5Classic {
         // free space + mgr, managed space, allocated, iterator offset
       b.getLong()                          // number of managed objects
       val hugeSize = b.getLong(); val nHuge = b.getLong()
-      val tinySize = b.getLong(); val nTiny = b.getLong()
-      require(nHuge == 0 && nTiny == 0,
-        s"fractal heap stores huge/tiny objects ($nHuge huge " +
-          s"[$hugeSize B], $nTiny tiny [$tinySize B]) — only managed " +
-          "objects are supported")
+      b.getLong(); b.getLong()               // tiny size / count (tiny
+        // objects read fine — their data lives in the heap ID itself)
+      require(nHuge == 0,
+        s"fractal heap stores huge objects ($nHuge huge [$hugeSize B]) " +
+          "— only managed and tiny objects are supported")
       val width = b.getShort() & 0xffff
       val startSize = b.getLong()
       val maxDirect = b.getLong()
@@ -850,8 +852,21 @@ object Hdf5Classic {
       val first = ib.get() & 0xff
       require((first >> 6) == 0, s"heap ID version ${first >> 6}")
       val typ = (first >> 4) & 3
+      if (typ == 2) {
+        // TINY object (r13): the bytes live IN the heap ID itself —
+        // normal sub-variant, length-1 in the flag byte's low 4 bits.
+        // The extended sub-variant only exists for heap IDs > 18 bytes
+        // (an extra length byte), which no standard dense group uses —
+        // rejected by name like the other out-of-scope paths.
+        require(h.idLen <= 18,
+          "extended tiny fractal-heap IDs (heap ID length > 18) not supported")
+        val len = (first & 0xf) + 1
+        require(1 + len <= id.length,
+          s"tiny heap object length $len overruns the ${id.length}-byte heap ID")
+        return java.util.Arrays.copyOfRange(id, 1, 1 + len)
+      }
       require(typ == 0,
-        s"fractal-heap object type $typ (1=huge, 2=tiny) not supported")
+        s"fractal-heap object type $typ (1=huge) not supported")
       val off = readVarLong(ib, h.offBytes)
       val len = readVarLong(ib, h.lenBytes).toInt
       val (blockAddr, blockOff) =

@@ -60,6 +60,84 @@ object NetcdfClassic {
       }
     }
 
+    /** Hyperslab read (r13): decode ONLY the requested elements — the
+      * slab is a set of contiguous innermost-dimension runs, each
+      * decoded straight from its byte range, so a bounds subset of a
+      * large classic file never pays the per-element decode of
+      * out-of-slab cells (the classic-format analog of the HDF5
+      * reader's chunk pruning; there is no compression here, decode IS
+      * the scan cost). Row-major, records outermost, identical values
+      * to read-then-slice. */
+    def readHyperslab(name: String, starts: Seq[Long],
+                      counts: Seq[Long]): Array[Double] = {
+      val v = variable(name)
+      val isRecord = v.dimIds.headOption.exists(d => dims(d).length == 0)
+      val shape: Seq[Long] = v.dimIds.map(d =>
+        if (dims(d).length == 0) numRecs.toLong else dims(d).length.toLong)
+      val rank = shape.length
+      require(starts.length == rank && counts.length == rank,
+        s"'$name': slab rank ${starts.length}/${counts.length} != $rank")
+      (0 until rank).foreach(d => require(starts(d) >= 0 && counts(d) >= 0 &&
+        starts(d) + counts(d) <= shape(d),
+        s"'$name': slab [${starts(d)}, ${starts(d) + counts(d)}) out of " +
+          s"bounds for dim $d of length ${shape(d)}"))
+      if (rank == 0) return readSlab(v.begin, v.ncType, 1)
+      val nOut = counts.product.toInt
+      val out = new Array[Double](nOut)
+      if (nOut == 0) return out
+      val ts = typeSize(v.ncType)
+      // element strides WITHIN one record block (dims 1..rank-1 for a
+      // record var; all dims otherwise)
+      val innerFrom = if (isRecord) 1 else 0
+      val estride = new Array[Long](rank)
+      var acc = 1L
+      for (d <- (rank - 1) to innerFrom by -1) { estride(d) = acc; acc *= shape(d) }
+      val recSize: Long = if (!isRecord) 0L else {
+        val recVars = vars.filter(_.dimIds.headOption.exists(d => dims(d).length == 0))
+        val perSlab = (innerFrom until rank).foldLeft(1L)((a, d) => a * shape(d))
+        if (recVars.length == 1) ts * perSlab else recVars.map(_.vsize.toLong).sum
+      }
+      // a rank-1 RECORD variable's elements are NOT contiguous when
+      // other record variables interleave (stride = recSize between
+      // consecutive records) — one element per record, never a run
+      if (isRecord && rank == 1) {
+        var i = 0
+        while (i < nOut) {
+          out(i) = readSlab(v.begin + (starts(0) + i) * recSize, v.ncType, 1)(0)
+          i += 1
+        }
+        return out
+      }
+      val runLen = counts(rank - 1).toInt
+      if (runLen == 0) return out
+      val nRuns = nOut / runLen
+      // row-major strides over the OUTER slab dims (0..rank-2), for
+      // unflattening a run index into absolute coordinates
+      val outerStride = new Array[Long](math.max(rank - 1, 1))
+      var oa = 1L
+      for (i <- (rank - 2) to 0 by -1) { outerStride(i) = oa; oa *= counts(i) }
+      val coord = new Array[Long](rank)
+      coord(rank - 1) = starts(rank - 1)
+      var run = 0
+      var o = 0
+      while (run < nRuns) {
+        var rem = run.toLong
+        for (i <- 0 until rank - 1) {
+          coord(i) = starts(i) + rem / outerStride(i)
+          rem = rem % outerStride(i)
+        }
+        var within = 0L
+        (innerFrom until rank).foreach(i => within += coord(i) * estride(i))
+        val rec = if (isRecord) coord(0) else 0L
+        val slab = readSlab(v.begin + rec * recSize + within * ts,
+          v.ncType, runLen)
+        System.arraycopy(slab, 0, out, o, runLen)
+        o += runLen
+        run += 1
+      }
+      out
+    }
+
     private def readSlab(at: Long, ncType: Int, n: Int): Array[Double] = {
       val bb = ByteBuffer.wrap(bytes, at.toInt, n * typeSize(ncType))
       val out = new Array[Double](n)

@@ -138,32 +138,15 @@ object NetcdfSource {
     def read(v: String): Array[Double] = nc.read(v)
     def readSlab(v: String, starts: Seq[Long], counts: Seq[Long],
                  shape: Seq[Long]): Array[Double] = {
-      val full = read(v)
-      require(shape.product == full.length,
-        s"'$v': declared shape ${shape.mkString("x")} != ${full.length} values")
-      val rank = shape.length
-      (0 until rank).foreach(d => require(starts(d) >= 0 && counts(d) >= 0 &&
-        starts(d) + counts(d) <= shape(d),
-        s"'$v': slab out of bounds on dim $d"))
-      val out = new Array[Double](counts.product.toInt)
-      val fstride = new Array[Long](rank)
-      var facc = 1L
-      for (d <- (rank - 1) to 0 by -1) { fstride(d) = facc; facc *= shape(d) }
-      val ostride = new Array[Long](rank)
-      var oacc = 1L
-      for (d <- (rank - 1) to 0 by -1) { ostride(d) = oacc; oacc *= counts(d) }
-      var o = 0
-      while (o < out.length) {
-        var rem = o.toLong; var src = 0L; var d = 0
-        while (d < rank) {
-          src += (starts(d) + rem / ostride(d)) * fstride(d)
-          rem = rem % ostride(d)
-          d += 1
-        }
-        out(o) = full(src.toInt)
-        o += 1
-      }
-      out
+      // r13: true byte-range slab — only the requested elements are
+      // decoded (per-run, see NcFile.readHyperslab), the classic-format
+      // analog of the HDF5 chunk pruning
+      val declared = nc.variable(v).dimIds.map(d =>
+        if (nc.dim(d).length == 0) nc.numRecs.toLong else nc.dim(d).length.toLong)
+      require(declared == shape,
+        s"'$v': caller shape ${shape.mkString("x")} != file shape " +
+          declared.mkString("x"))
+      nc.readHyperslab(v, starts, counts)
     }
     def attrs(v: String): Seq[NetcdfClassic.NcAttr] = nc.variable(v).attrs
   }

@@ -874,7 +874,8 @@ class Hdf5Spec extends AnyFunSuite {
     * width 4, starting block 512, max direct 64 KiB, 32-bit heap
     * space (offBytes=4), unfiltered, no huge/tiny objects. */
   private def putFrhp(out: ByteBuffer, idLen: Int, rootAddr: Long,
-                      curRows: Int, nHuge: Long = 0L): Unit = {
+                      curRows: Int, nHuge: Long = 0L,
+                      nManaged: Long = 2L, nTiny: Long = 0L): Unit = {
     out.put("FRHP".getBytes(StandardCharsets.US_ASCII))
     out.put(0.toByte)                       // version
     out.putShort(idLen.toShort); out.putShort(0)  // id len, filter len
@@ -883,9 +884,9 @@ class Hdf5Spec extends AnyFunSuite {
     out.putLong(0L); out.putLong(-1L)       // next huge id, huge btree
     out.putLong(0L); out.putLong(-1L)       // free space, fs manager
     out.putLong(0L); out.putLong(0L); out.putLong(0L) // managed/alloc/iter
-    out.putLong(2L)                         // number of managed objects
+    out.putLong(nManaged)                   // number of managed objects
     out.putLong(0L); out.putLong(nHuge)     // huge size / count
-    out.putLong(0L); out.putLong(0L)        // tiny size / count
+    out.putLong(if (nTiny > 0) 12L else 0L); out.putLong(nTiny) // tiny size / count
     out.putShort(4); out.putLong(512L); out.putLong(65536L)
     out.putShort(32)                        // max heap size (bits)
     out.putShort(1)                         // starting rows
@@ -986,6 +987,70 @@ class Hdf5Spec extends AnyFunSuite {
     out.array()
   }
 
+  /** Dense-link group where link "a" is a MANAGED heap object and link
+    * "b" is a TINY heap ID (the 12-byte link message packed into the
+    * 13-byte ID itself, normal sub-variant: type 2, length-1 in the
+    * flag byte's low nibble). The managed ID is zero-padded to the
+    * 13-byte slot like libhdf5 pads type-8 attribute IDs. */
+  private def denseTinyLinkFile(): Array[Byte] = {
+    val out = ByteBuffer.allocate(524).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+    out.putLong(0L); out.putLong(-1L)
+    out.putLong(524L); out.putLong(48L); out.putInt(0)
+    assert(out.position() == 48)
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(22.toByte)
+    out.put(0x02.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(0.toByte); out.put(0.toByte)
+    out.putLong(81L)                        // fractal heap header
+    out.putLong(256L)                       // type-5 name-index B-tree
+    out.putInt(0)
+    assert(out.position() == 81)
+    putFrhp(out, idLen = 13, rootAddr = 227L, curRows = 0,
+      nManaged = 1L, nTiny = 1L)
+    assert(out.position() == 227)
+    putFhdb(out, 81L, 0)                    // root IS the direct block
+    assert(out.position() == 244)           // heap offset 17
+    out.put(linkMsg("a", 338L))             // managed object at offset 17
+    assert(out.position() == 256)
+    out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)    // version, type 5 (link name)
+    out.putInt(512); out.putShort(17)       // node size, record 4+13
+    out.putShort(0)                         // depth 0: root is a leaf
+    out.put(100.toByte); out.put(40.toByte)
+    out.putLong(294L); out.putShort(2)      // root leaf, 2 records
+    out.putLong(2L); out.putInt(0)
+    assert(out.position() == 294)
+    out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0)                           // hash of "a" (unverified)
+    out.put(0.toByte); out.putInt(17); out.putShort(12)  // managed id
+    out.put(new Array[Byte](6))             // zero pad to the 13-byte slot
+    out.putInt(0)                           // hash of "b"
+    out.put(((2 << 4) | 11).toByte)         // TINY, length-1 = 11
+    out.put(linkMsg("b", 435L))             // the 12 message bytes ARE the ID
+    out.putInt(0)                           // leaf checksum
+    assert(out.position() == 338)
+    putDatasetOhdr(out, 3L, 411L)
+    assert(out.position() == 411)
+    out.putDouble(1.5); out.putDouble(2.5); out.putDouble(3.5)
+    assert(out.position() == 435)
+    putDatasetOhdr(out, 2L, 508L)
+    assert(out.position() == 508)
+    out.putDouble(9.0); out.putDouble(8.0)
+    assert(out.position() == 524)
+    out.array()
+  }
+
+  test("TINY fractal-heap IDs read: the link message lives in the ID itself (r13)") {
+    val h5 = Hdf5Classic.parse(denseTinyLinkFile())
+    assert(h5.vars.map(_.name).sorted == Seq("a", "b"))
+    assert(h5.read("a").toSeq == Seq(1.5, 2.5, 3.5))
+    assert(h5.read("b").toSeq == Seq(9.0, 8.0),
+      "the tiny-ID link must resolve to dataset b")
+  }
+
   test("dense link storage: fractal heap + type-5 v2 B-tree enumerate") {
     val h5 = Hdf5Classic.parse(denseLinkFile())
     assert(h5.vars.map(_.name).sorted == Seq("a", "b"))
@@ -993,7 +1058,7 @@ class Hdf5Spec extends AnyFunSuite {
     assert(h5.read("b").toSeq == Seq(9.0, 8.0))
   }
 
-  test("fractal heap with huge/tiny objects or huge heap IDs rejects by name") {
+  test("fractal heap with huge objects (header count or heap-ID type) rejects by name") {
     val exH = intercept[IllegalArgumentException](
       Hdf5Classic.parse(denseLinkFile(hugeCount = 1L)))
     assert(exH.getMessage.contains("huge"))

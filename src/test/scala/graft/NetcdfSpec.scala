@@ -188,6 +188,41 @@ class NetcdfSpec extends AnyFunSuite {
     val nc = NetcdfClassic.parse(bos.toByteArray)
     assert(nc.numRecs == 2 && nc.dims.head == NcDim("time", 0))
     assert(nc.read("v").toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    // r13 hyperslab on the RECORD layout: every rectangle == slice
+    for (t0 <- 0 to 1; ct <- 0 to (2 - t0); x0 <- 0 to 1; cx <- 0 to (2 - x0)) {
+      val slab = nc.readHyperslab("v",
+        Seq(t0.toLong, x0.toLong), Seq(ct.toLong, cx.toLong))
+      val expect = for (t <- t0 until t0 + ct; x <- x0 until x0 + cx)
+        yield nc.read("v")(t * 2 + x)
+      assert(slab.toSeq == expect, s"record slab ($t0,$x0)+($ct,$cx)")
+    }
+  }
+
+  test("classic readHyperslab decodes only the slab: every rectangle == slice (r13)") {
+    val tmp = Files.createTempDirectory("ncslab").toString
+    writeGridFile(s"$tmp/m1.nc", "m1", nt = 2, bias = 5.0)
+    val nc = NetcdfClassic.parse(Files.readAllBytes(Paths.get(s"$tmp/m1.nc")))
+    val full = nc.read("tas") // shape (2, 2, 3)
+    for {
+      t0 <- 0 to 1; ct <- 0 to (2 - t0)
+      a0 <- 0 to 1; ca <- 0 to (2 - a0)
+      o0 <- 0 to 2; co <- 0 to (3 - o0)
+    } {
+      val slab = nc.readHyperslab("tas",
+        Seq(t0.toLong, a0.toLong, o0.toLong),
+        Seq(ct.toLong, ca.toLong, co.toLong))
+      val expect = for {
+        t <- t0 until t0 + ct; a <- a0 until a0 + ca; o <- o0 until o0 + co
+      } yield full((t * 2 + a) * 3 + o)
+      assert(slab.toSeq == expect, s"slab ($t0,$a0,$o0)+($ct,$ca,$co)")
+    }
+    // out-of-bounds rejects by name
+    val e = intercept[IllegalArgumentException](
+      nc.readHyperslab("tas", Seq(1L, 0L, 0L), Seq(2L, 1L, 1L)))
+    assert(e.getMessage.contains("out of bounds"))
+    // 1-D coordinate variable slab
+    assert(nc.readHyperslab("lon", Seq(1L), Seq(2L)).toSeq ==
+      nc.read("lon").toSeq.slice(1, 3))
   }
 
   test("Ensemble.loadNetcdf: the bcdp load_local entry point end-to-end") {
