@@ -16,7 +16,9 @@ import NetcdfClassic.{NcAttr, NcDim}
   *
   * READ scope (the netCDF-4 "earliest" on-disk form, what the netCDF-4
   * library writes by default):
-  *   - superblock version 0 (8-byte offsets/lengths), base address 0;
+  *   - superblock versions 0 and 1 (v1 = v0 plus a 4-byte
+  *     indexed-storage-K insert; 8-byte offsets/lengths), base
+  *     address 0;
   *   - version-1 object headers incl. continuation blocks;
   *   - old-style groups (symbol-table message → v1 B-tree → SNOD
   *     nodes + local heap), recursively (netCDF-4 groups become
@@ -53,7 +55,7 @@ import NetcdfClassic.{NcAttr, NcDim}
   * realistic dense group; see the scope notes at the readers).
   *
   * Out of scope, rejected with NAMED errors (never a silent wrong
-  * read): superblock v1, huge fractal-heap objects, extended tiny
+  * read): superblock v4+, huge fractal-heap objects, extended tiny
   * heap IDs (heap ID length > 18), and filtered
   * heaps, v2 B-trees deeper than 1, non-standard filters
   * (szip/nbit/scaleoffset need their native codecs), and shared
@@ -451,13 +453,18 @@ object Hdf5Classic {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
     val sbVersion = bb.get(8) & 0xff
-    require(sbVersion == 0 || sbVersion == 2 || sbVersion == 3,
-      s"superblock version $sbVersion not supported (0 = netCDF-4 " +
-        "default, 2/3 = libver latest)")
+    require(sbVersion <= 3,
+      s"superblock version $sbVersion not supported (0/1 = netCDF-4 " +
+        "era, 2/3 = libver latest)")
     val (offSize, lenSize, baseAddr, rootOh) =
-      if (sbVersion == 0)
-        (bb.get(13) & 0xff, bb.get(14) & 0xff, bb.getLong(24), bb.getLong(64))
-      else // v2/v3: sig, ver, offSize, lenSize, flags, base, ext, eof, rootOH, cksum
+      if (sbVersion <= 1) {
+        // v1 == v0 plus a 2-byte Indexed Storage Internal Node K and 2
+        // reserved bytes inserted before the base address — everything
+        // after shifts by 4 (the K value itself only matters to writers)
+        val s = if (sbVersion == 1) 4 else 0
+        (bb.get(13) & 0xff, bb.get(14) & 0xff,
+          bb.getLong(24 + s), bb.getLong(64 + s))
+      } else // v2/v3: sig, ver, offSize, lenSize, flags, base, ext, eof, rootOH, cksum
         (bb.get(9) & 0xff, bb.get(10) & 0xff, bb.getLong(12), bb.getLong(36))
     require(offSize == 8 && lenSize == 8,
       s"only 8-byte offsets/lengths supported (file has $offSize/$lenSize)")

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * regrid, climatology) is ordinary engine code.
   *
   * NetCDF-4/HDF5 files (magic `\x89HDF`) load through the same
-  * pipeline via [[Hdf5Classic]] (r12): superblocks v0/v2/v3, v1 and
+  * pipeline via [[Hdf5Classic]] (r12): superblocks v0–v3, v1 and
   * v2/OHDR object headers, symbol-table and compact-link groups,
   * contiguous/compact/chunked layouts (v1 raw-data-chunk B-tree), and
   * the standard compression pipeline — deflate via the JDK's built-in

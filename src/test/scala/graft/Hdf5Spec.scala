@@ -34,45 +34,48 @@ class Hdf5Spec extends AnyFunSuite {
   // B-tree leaf (48 B) → local heap (32 B hdr + 16 B data) → SNOD
   // (48 B) → dataset OH → raw data.
   /** Superblock v0 (96 B), root object header @96. */
-  private def superblock(eof: Int): Array[Byte] = {
-    val out = ByteBuffer.allocate(96).order(ByteOrder.LITTLE_ENDIAN)
+  private def superblock(eof: Int, sbVer: Int = 0): Array[Byte] = {
+    val s = if (sbVer == 1) 4 else 0 // v1: indexed-K + reserved after flags
+    val out = ByteBuffer.allocate(96 + s).order(ByteOrder.LITTLE_ENDIAN)
     out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
-    out.put(Array[Byte](0, 0, 0, 0, 0, 8, 8, 0)) // versions + offset/length sizes
+    out.put(Array[Byte](sbVer.toByte, 0, 0, 0, 0, 8, 8, 0)) // versions + offset/length sizes
     out.putShort(4); out.putShort(16); out.putInt(0) // K's + flags
+    if (sbVer == 1) out.putInt(0) // indexed storage internal K + reserved
     out.putLong(0L); out.putLong(-1L); out.putLong(eof.toLong); out.putLong(-1L)
-    out.putLong(0L); out.putLong(96L) // root STE: name offset, OH addr
+    out.putLong(0L); out.putLong(96L + s) // root STE: name offset, OH addr
     out.putInt(0); out.putInt(0); out.put(new Array[Byte](16))
     out.array()
   }
 
   /** Superblock + root-group machinery for ONE root dataset named "v"
-    * whose object header starts at 280: root OH (symtab) @96 → B-tree
-    * @136 → local heap @184 (data @216) → SNOD @232. 280 bytes. */
-  private def commonPrefix(eof: Int): Array[Byte] = {
-    val out = ByteBuffer.allocate(280).order(ByteOrder.LITTLE_ENDIAN)
-    out.put(superblock(eof))
+    * whose object header starts at 280(+4 for sb v1): root OH (symtab)
+    * @96 → B-tree @136 → local heap @184 (data @216) → SNOD @232. */
+  private def commonPrefix(eof: Int, sbVer: Int = 0): Array[Byte] = {
+    val s = if (sbVer == 1) 4 else 0
+    val out = ByteBuffer.allocate(280 + s).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(superblock(eof, sbVer))
     // root OH: one symbol-table message
     out.put(1.toByte); out.put(0.toByte); out.putShort(1)
     out.putInt(1); out.putInt(24); out.putInt(0)
     out.putShort(0x0011); out.putShort(16); out.putInt(0)
-    out.putLong(136L); out.putLong(184L) // btree, heap
-    assert(out.position() == 136)
+    out.putLong(136L + s); out.putLong(184L + s) // btree, heap
+    assert(out.position() == 136 + s)
     // B-tree v1 leaf: 1 child SNOD
     out.put("TREE".getBytes(StandardCharsets.US_ASCII))
     out.put(0.toByte); out.put(0.toByte); out.putShort(1)
     out.putLong(-1L); out.putLong(-1L)
-    out.putLong(0L); out.putLong(232L); out.putLong(8L)
-    assert(out.position() == 184)
+    out.putLong(0L); out.putLong(232L + s); out.putLong(8L)
+    assert(out.position() == 184 + s)
     // local heap: data @216 = 8 reserved zeros + "v" NUL-padded
     out.put("HEAP".getBytes(StandardCharsets.US_ASCII))
     out.put(0.toByte); out.put(new Array[Byte](3))
-    out.putLong(16L); out.putLong(-1L); out.putLong(216L)
+    out.putLong(16L); out.putLong(-1L); out.putLong(216L + s)
     out.put(new Array[Byte](8)); out.put('v'.toByte); out.put(new Array[Byte](7))
-    assert(out.position() == 232)
+    assert(out.position() == 232 + s)
     // SNOD: one symbol ("v" @ heap offset 8 → OH 280)
     out.put("SNOD".getBytes(StandardCharsets.US_ASCII))
     out.put(1.toByte); out.put(0.toByte); out.putShort(1)
-    out.putLong(8L); out.putLong(280L)
+    out.putLong(8L); out.putLong(280L + s)
     out.putInt(0); out.putInt(0); out.put(new Array[Byte](16))
     out.array()
   }
@@ -92,7 +95,8 @@ class Hdf5Spec extends AnyFunSuite {
   }
 
   private def handFile(dtBody: Array[Byte], layoutBody: Array[Byte],
-                       data: Array[Byte], rank1Len: Long): Array[Byte] = {
+                       data: Array[Byte], rank1Len: Long,
+                       sbVer: Int = 0): Array[Byte] = {
     def pad8(n: Int) = (n + 7) & ~7
     // dataset OH messages: dataspace(16) + datatype + layout + units attr
     val dsBody = {
@@ -103,12 +107,12 @@ class Hdf5Spec extends AnyFunSuite {
     val msgs = Seq((0x0001, dsBody), (0x0003, dtBody),
       (0x0008, layoutBody), (0x000C, unitsAttrBody))
     val msgBytes = msgs.map(m => 8 + pad8(m._2.length)).sum
-    val dsOhAt = 280
+    val dsOhAt = 280 + (if (sbVer == 1) 4 else 0)
     val dataAt = dsOhAt + 16 + msgBytes
     val eof = dataAt + data.length
 
     val out = ByteBuffer.allocate(eof).order(ByteOrder.LITTLE_ENDIAN)
-    out.put(commonPrefix(eof))
+    out.put(commonPrefix(eof, sbVer))
     assert(out.position() == dsOhAt)
     // dataset OH
     out.put(1.toByte); out.put(0.toByte); out.putShort(msgs.length.toShort)
@@ -165,6 +169,20 @@ class Hdf5Spec extends AnyFunSuite {
     assert(h5.read("v").toSeq == Seq(7.0, -2.0, 300.0))
   }
 
+  test("superblock v1 (indexed-K variant, +4 B header) reads end-to-end") {
+    // identical skeleton to the v0 contiguous test, every address +4:
+    // dataset OH at 284, data at 436 (16 + 24+32+32+48 message bytes)
+    val data = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    data.putDouble(1.5); data.putDouble(2.5); data.putDouble(-3.0)
+    val bytes =
+      handFile(f64Dt, contiguousLayout(436L, 24L), data.array(), 3L, sbVer = 1)
+    val h5 = Hdf5Classic.parse(bytes)
+    val v = h5.variable("v")
+    assert(v.shape == Seq(3L))
+    assert(v.attrs == Seq(NcAttr("units", "m")))
+    assert(h5.read("v").toSeq == Seq(1.5, 2.5, -3.0))
+  }
+
   test("every out-of-scope feature is rejected by NAME, never read wrong") {
     val data = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
     (1 to 3).foreach(i => data.putDouble(i))
@@ -172,9 +190,9 @@ class Hdf5Spec extends AnyFunSuite {
     def mutated(f: Array[Byte] => Unit): Array[Byte] = {
       val b = good.clone(); f(b); b
     }
-    val sbV1 = intercept[IllegalArgumentException](Hdf5Classic.parse(
-      mutated(_(8) = 1)))
-    assert(sbV1.getMessage.contains("superblock version 1"))
+    val sbV4 = intercept[IllegalArgumentException](Hdf5Classic.parse(
+      mutated(_(8) = 4)))
+    assert(sbV4.getMessage.contains("superblock version 4"))
     val ohdr = intercept[IllegalArgumentException](Hdf5Classic.parse(
       mutated { b => b(96) = 'O'; b(97) = 'H'; b(98) = 'D'; b(99) = 'R' }))
     assert(ohdr.getMessage.contains("OHDR")) // garbage version byte named
