@@ -111,7 +111,10 @@ object NetcdfSource {
       timeMin: Option[java.sql.Timestamp] = None,
       timeMax: Option[java.sql.Timestamp] = None)
 
-  private sealed trait GridView {
+  private[sources] sealed trait GridView {
+    /** Every dataset/variable name in the file (coordinates included) —
+      * the DSv2 source's variable discovery walks this. */
+    def varNames: Seq[String]
     def dimsOf(v: String): Seq[String]
     def read(v: String): Array[Double]
     /** Dense row-major hyperslab; `shape` is the variable's full shape
@@ -133,6 +136,7 @@ object NetcdfSource {
       }
   }
   private final class ClassicView(nc: NetcdfClassic.NcFile) extends GridView {
+    def varNames: Seq[String] = nc.vars.map(_.name)
     def dimsOf(v: String): Seq[String] =
       nc.variable(v).dimIds.map(nc.dim(_).name)
     def read(v: String): Array[Double] = nc.read(v)
@@ -151,6 +155,7 @@ object NetcdfSource {
     def attrs(v: String): Seq[NetcdfClassic.NcAttr] = nc.variable(v).attrs
   }
   private final class Hdf5View(h5: Hdf5Classic.H5File) extends GridView {
+    def varNames: Seq[String] = h5.vars.map(_.name)
     def dimsOf(v: String): Seq[String] = h5.dimNames(v)
     def read(v: String): Array[Double] = h5.read(v)
     def readSlab(v: String, starts: Seq[Long], counts: Seq[Long],
@@ -163,7 +168,7 @@ object NetcdfSource {
     def attrs(v: String): Seq[NetcdfClassic.NcAttr] = h5.variable(v).attrs
   }
 
-  private def openGrid(bytes: Array[Byte]): GridView =
+  private[sources] def openGrid(bytes: Array[Byte]): GridView =
     if (bytes.length >= 4 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F')
       new ClassicView(NetcdfClassic.parse(bytes))
     else new Hdf5View(Hdf5Classic.parse(bytes)) // parse names bad magic

@@ -1,0 +1,473 @@
+package graft.sources
+
+import java.util
+import java.util.OptionalLong
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** NetCDF-3 / NetCDF-4(HDF5) grid archives as a REAL DataSourceV2
+  * format — the Spark-idiomatic form of [[NetcdfSource.readGrid]]
+  * where Catalyst, not the caller, drives the scan pruning:
+  *
+  * {{{
+  * spark.read.format("netcdf")          // registered short name
+  *   .option("vars", "tas,pr")          // optional: inferred when absent
+  *   .load("/archive/&#42;.nc")           // mixed-format glob, magic per file
+  *   .filter($"lat" >= 5 && $"lon" <= 125 && $"variable" === "tas")
+  * }}}
+  *
+  * The filters land in the scan through `SupportsPushDownFilters`:
+  *  - `lat`/`lon`/`time` range predicates become the hyperslab bounds
+  *    of the r13 chunk-pruned read ([[Hdf5Classic.H5File.readSlab]]) —
+  *    on chunked/compressed HDF5 the non-intersecting chunks are never
+  *    inflated, on NetCDF-3 only the covering byte runs are decoded;
+  *  - `variable` equality/IN prunes whole datasets — an un-asked-for
+  *    variable's data bytes are never touched;
+  *  - `dataset` equality/IN prunes whole FILES at planning time — an
+  *    out-of-range member of a 100 TB ensemble is never even opened;
+  *  - `SupportsPushDownRequiredColumns` drops unprojected columns at
+  *    the source (`ReadSchema` in explain shows the pruned width).
+  *
+  * Pushed predicates are evaluated with SPARK's exact comparison
+  * semantics, not Java's (`SQLOrderingUtil.compareDoubles`: NaN
+  * greatest, NaN == NaN, -0.0 == 0.0 — a NaN coordinate behaves
+  * bit-for-bit as if the filter ran post-scan), so every accepted
+  * filter is FULLY handled: Spark re-evaluates nothing, and the
+  * DSv2 read with filters is row-identical to
+  * `readGrid(...).filter(...)` (law-pinned in NetcdfV2Spec, including
+  * NaN-coordinate and corrupt-pruned-chunk fixtures). Comparisons the
+  * scan cannot prove exact (`value` predicates, OR trees, null-safe
+  * forms) are declined and stay residual — declining only ever costs
+  * pruning, never correctness.
+  *
+  * Parallelism is one partition per file, exactly like the
+  * `binaryFile`-based [[NetcdfSource.readGrid]] (per-file granularity
+  * is what the container formats force; a multi-TB archive is
+  * thousands of members). `estimateStatistics` reports the pruned
+  * byte total so AQE and join planning see the post-pushdown size.
+  *
+  * Readers re-open files with a fresh Hadoop `Configuration` — correct
+  * for any fs the default config reaches (file://, hdfs:// with
+  * cluster-side core-site). Exotic per-session fs credentials would
+  * need the driver conf shipped; documented trade-off, not a
+  * correctness gap on the supported paths.
+  */
+class NetcdfV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "netcdf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NetcdfV2.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NcTable(new CaseInsensitiveStringMap(properties))
+}
+
+object NetcdfV2 {
+  /** Long-form grid schema — field-for-field [[NetcdfSource.GridRow]]
+    * (the equality law DSv2 == readGrid needs identical schemas). */
+  val schema: StructType = StructType(Seq(
+    StructField("dataset", StringType),
+    StructField("variable", StringType),
+    StructField("time", TimestampType),
+    StructField("lat", DoubleType, nullable = false),
+    StructField("lon", DoubleType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  // ---- Spark-exact pushed-predicate model ---------------------------
+  // op codes for serializable comparison atoms
+  private[graft] val GE = 0
+  private[graft] val GT = 1
+  private[graft] val LE = 2
+  private[graft] val LT = 3
+  private[graft] val EQ = 4
+
+  private[graft] final case class DCmp(op: Int, v: Double)
+  private[graft] final case class TCmp(op: Int, us: Long)
+
+  /** Spark's double comparison (SQLOrderingUtil.compareDoubles): ±0.0
+    * equal, NaN greatest, NaN == NaN. Matching it exactly is what lets
+    * the scan claim pushed filters as FULLY handled. */
+  private[graft] def cmpD(x: Double, v: Double): Int =
+    if (x == v) 0 else java.lang.Double.compare(x, v)
+
+  private[graft] def holdsD(x: Double, c: DCmp): Boolean = {
+    val k = cmpD(x, c.v)
+    c.op match {
+      case GE => k >= 0
+      case GT => k > 0
+      case LE => k <= 0
+      case LT => k < 0
+      case EQ => k == 0
+    }
+  }
+  private[graft] def holdsT(us: Long, c: TCmp): Boolean = c.op match {
+    case GE => us >= c.us
+    case GT => us > c.us
+    case LE => us <= c.us
+    case LT => us < c.us
+    case EQ => us == c.us
+  }
+
+  /** Everything the scan accepted, in executor-serializable form.
+    * `varIn`/`dsIn` None = unconstrained; Some(set) = must be in set. */
+  private[graft] final case class NcPushed(
+      lat: Seq[DCmp] = Nil, lon: Seq[DCmp] = Nil, time: Seq[TCmp] = Nil,
+      timeNotNull: Boolean = false, timeIsNull: Boolean = false,
+      varIn: Option[Set[String]] = None, dsIn: Option[Set[String]] = None) {
+    def latOk(x: Double): Boolean = lat.forall(holdsD(x, _))
+    def lonOk(x: Double): Boolean = lon.forall(holdsD(x, _))
+    /** SQL three-valued logic collapsed: a NULL time fails every
+      * comparison and IsNotNull; a non-null time fails IsNull. */
+    def timeOkNull: Boolean = !timeNotNull && time.isEmpty
+    def timeOk(us: Long): Boolean = !timeIsNull && time.forall(holdsT(us, _))
+    def varOk(v: String): Boolean = varIn.forall(_.contains(v))
+    def dsOk(d: String): Boolean = dsIn.forall(_.contains(d))
+    def hasAxisPreds: Boolean =
+      lat.nonEmpty || lon.nonEmpty || time.nonEmpty || timeNotNull || timeIsNull
+  }
+
+  private[graft] def micros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
+  /** Whole-file fetch (per-member granularity is what the container
+    * formats force — parallelism comes from the file count). */
+  private[graft] def readFileBytes(path: String): Array[Byte] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"$path: $len B exceeds the 2 GiB " +
+      "single-member limit (grid archives shard into many files)")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+}
+
+private class NcTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"netcdf ${options.getOrDefault("path", "")}"
+  override def schema(): StructType = NetcdfV2.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(o)
+    new NcScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private class NcScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  import NetcdfV2._
+
+  private var acc = NcPushed()
+  private var accepted: Array[sources.Filter] = Array.empty
+  private var required: StructType = NetcdfV2.schema
+
+  /** Accept a conjunct fully or not at all: None = residual (Spark
+    * re-evaluates; the scan must then emit a superset, so no pruning
+    * may key off a declined filter — which is exactly how `acc` works:
+    * only accepted atoms enter it). */
+  private def accept(f: sources.Filter): Boolean = f match {
+    case sources.GreaterThanOrEqual(a, v) => num(a, v, GE)
+    case sources.GreaterThan(a, v) => num(a, v, GT)
+    case sources.LessThanOrEqual(a, v) => num(a, v, LE)
+    case sources.LessThan(a, v) => num(a, v, LT)
+    case sources.EqualTo(a, v) => eq(a, v)
+    case sources.EqualNullSafe(a, v) if v != null => eq(a, v) // col values never null
+    case sources.In(a, vs) if a.equalsIgnoreCase("variable") =>
+      inSet(vs) { s => acc = acc.copy(varIn = inter(acc.varIn, s)) }
+    case sources.In(a, vs) if a.equalsIgnoreCase("dataset") =>
+      inSet(vs) { s => acc = acc.copy(dsIn = inter(acc.dsIn, s)) }
+    case sources.IsNotNull(a) if a.equalsIgnoreCase("time") =>
+      acc = acc.copy(timeNotNull = true); true
+    case sources.IsNotNull(a) => // the other five columns are never null
+      Seq("dataset", "variable", "lat", "lon", "value")
+        .exists(a.equalsIgnoreCase)
+    case sources.IsNull(a) if a.equalsIgnoreCase("time") =>
+      acc = acc.copy(timeIsNull = true); true
+    case _ => false // OR trees, value preds, string patterns → residual
+  }
+
+  private def inter(cur: Option[Set[String]], s: Set[String]) =
+    Some(cur.fold(s)(_ intersect s))
+
+  private def inSet(vs: Array[Any])(apply: Set[String] => Unit): Boolean = {
+    // a NULL element of an IN list matches nothing in SQL — dropping it
+    // from the accepted set is exact
+    val strs = vs.iterator.filter(_ != null).collect {
+      case s: String => s
+    }.toSet
+    if (vs.count(_ != null) == strs.size) { apply(strs); true } else false
+  }
+
+  private def eq(a: String, v: Any): Boolean = (a.toLowerCase, v) match {
+    case ("lat", n: Number) =>
+      acc = acc.copy(lat = acc.lat :+ DCmp(EQ, n.doubleValue())); true
+    case ("lon", n: Number) =>
+      acc = acc.copy(lon = acc.lon :+ DCmp(EQ, n.doubleValue())); true
+    case ("time", t) => micros(t) match {
+      case Some(us) => acc = acc.copy(time = acc.time :+ TCmp(EQ, us)); true
+      case None => false
+    }
+    case ("variable", s: String) =>
+      acc = acc.copy(varIn = inter(acc.varIn, Set(s))); true
+    case ("dataset", s: String) =>
+      acc = acc.copy(dsIn = inter(acc.dsIn, Set(s))); true
+    case _ => false
+  }
+
+  private def num(a: String, v: Any, op: Int): Boolean = (a.toLowerCase, v) match {
+    case ("lat", n: Number) =>
+      acc = acc.copy(lat = acc.lat :+ DCmp(op, n.doubleValue())); true
+    case ("lon", n: Number) =>
+      acc = acc.copy(lon = acc.lon :+ DCmp(op, n.doubleValue())); true
+    case ("time", t) => micros(t) match {
+      case Some(us) => acc = acc.copy(time = acc.time :+ TCmp(op, us)); true
+      case None => false
+    }
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val residual = ArrayBuffer.empty[sources.Filter]
+    val ok = ArrayBuffer.empty[sources.Filter]
+    filters.foreach(f => if (accept(f)) ok += f else residual += f)
+    accepted = ok.toArray
+    residual.toArray
+  }
+  override def pushedFilters(): Array[sources.Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new NcScan(
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("netcdf source needs a load(path)")),
+    Option(options.get("vars")).map(_.split(",").map(_.trim).toSeq
+      .filter(_.nonEmpty)),
+    options.getOrDefault("latVar", "lat"),
+    options.getOrDefault("lonVar", "lon"),
+    options.getOrDefault("timeVar", "time"),
+    acc, required, accepted.map(_.toString).toSeq)
+}
+
+private class NcScan(pathGlob: String, varsOpt: Option[Seq[String]],
+                     latVar: String, lonVar: String, timeVar: String,
+                     pushed: NetcdfV2.NcPushed, required: StructType,
+                     pushedDesc: Seq[String])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** Driver-side file listing, `dataset` pushdown applied: an
+    * out-of-set member is pruned HERE and never opened. Sorted for
+    * deterministic partition numbering. */
+  private lazy val files: Seq[(String, Long)] = {
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(new Configuration())
+    val all = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile)
+    require(all.nonEmpty, s"netcdf source: no files match '$pathGlob'")
+    all.map(st => (st.getPath.toString, st.getLen))
+      .filter { case (path, _) => pushed.dsOk(new Path(path).getName) }
+      .sortBy(_._1)
+  }
+
+  /** Variable list: the explicit `vars` option, else discovered from
+    * the FIRST file's self-describing header (data variables on
+    * (time,lat,lon) or (lat,lon) axes); `variable` pushdown applied. */
+  private lazy val vars: Seq[String] = {
+    val base = varsOpt.getOrElse {
+      files.headOption.map { case (path, _) =>
+        val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(path))
+        val axes = Set(latVar, lonVar, timeVar)
+        g.varNames.filterNot(axes).filter { v =>
+          Try(g.dimsOf(v)).toOption.exists(d =>
+            d == Seq(timeVar, latVar, lonVar) || d == Seq(latVar, lonVar))
+        }.sorted
+      }.getOrElse(Nil)
+    }
+    base.filter(pushed.varOk)
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"netcdf $pathGlob, PushedFilters: [${pushedDesc.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    // post-pruning on-disk bytes: the honest upper bound a planner can
+    // have before decoding (decoded long-form rows can be larger, but
+    // masked cells and unprojected variables make it smaller — parity
+    // with what FileScan reports for parquet)
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(files.map(_._2).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (path, _) =>
+      NcPartition(path, vars, latVar, lonVar, timeVar): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val req = required.fieldNames.toSeq
+    val push = pushed
+    (partition: InputPartition) =>
+      new NcReader(partition.asInstanceOf[NcPartition], push, req)
+  }
+}
+
+private case class NcPartition(path: String, vars: Seq[String],
+                               latVar: String, lonVar: String,
+                               timeVar: String) extends InputPartition
+
+/** One file → pruned long-form rows. Mirrors
+  * [[NetcdfSource.emitRows]]' bounded path, with the pushed atoms
+  * evaluated Spark-exactly per coordinate: in-predicate index sets per
+  * axis, their contiguous cover fetched through the chunk-pruned
+  * [[NetcdfSource.GridView.readSlab]], per-cell re-check (exact on
+  * non-monotonic axes too — the cover only ever over-fetches). */
+private class NcReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
+                       required: Seq[String])
+    extends PartitionReader[InternalRow] {
+  import NetcdfV2._
+
+  private val it: Iterator[InternalRow] = {
+    val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(p.path))
+    val ds = new Path(p.path).getName
+    if (!pushed.dsOk(ds)) Iterator.empty
+    else p.vars.iterator.filter(pushed.varOk).flatMap(v => rowsFor(g, ds, v))
+  }
+
+  // required-column projection: ordinal codes per output slot
+  private val DS = 0; private val VR = 1; private val TM = 2
+  private val LA = 3; private val LO = 4; private val VA = 5
+  private val slots: Array[Int] = required.map {
+    case "dataset" => DS
+    case "variable" => VR
+    case "time" => TM
+    case "lat" => LA
+    case "lon" => LO
+    case "value" => VA
+    case other => throw new IllegalArgumentException(
+      s"netcdf source: unknown required column '$other'")
+  }.toArray
+
+  private def rowsFor(g: NetcdfSource.GridView, ds: String,
+                      v: String): Iterator[InternalRow] = {
+    val dims = g.dimsOf(v)
+    val lats = g.read(p.latVar)
+    val lons = g.read(p.lonVar)
+    val scale = g.numAttr(v, "scale_factor").getOrElse(1.0)
+    val offset = g.numAttr(v, "add_offset").getOrElse(0.0)
+    val fill = g.numAttr(v, "_FillValue").orElse(g.numAttr(v, "missing_value"))
+    def present(raw: Double): Boolean =
+      fill.forall(f => !(raw == f || (f.isNaN && raw.isNaN)))
+    val dsU = UTF8String.fromString(ds)
+    val vU = UTF8String.fromString(v)
+
+    def emit(tUs: java.lang.Long, lat: Double, lon: Double,
+             raw: Double): Option[InternalRow] =
+      if (!present(raw)) None
+      else {
+        // a FRESH row per cell: Spark's row-based DSv2 path buffers
+        // reader output without copying, so a reused row would turn
+        // every earlier row into the last one (caught by the spec's
+        // very first equality law)
+        val row = new GenericInternalRow(slots.length)
+        var k = 0
+        while (k < slots.length) {
+          slots(k) match {
+            case DS => row.update(k, dsU)
+            case VR => row.update(k, vU)
+            case TM => row.update(k, tUs) // null for static grids
+            case LA => row.update(k, lat)
+            case LO => row.update(k, lon)
+            case VA => row.update(k, raw * scale + offset)
+          }
+          k += 1
+        }
+        Some(row)
+      }
+
+    val laIdx = lats.indices.filter(i => pushed.latOk(lats(i)))
+    val loIdx = lons.indices.filter(i => pushed.lonOk(lons(i)))
+
+    dims match {
+      case Seq(p.timeVar, p.latVar, p.lonVar) =>
+        val units = g.unitsOf(p.timeVar).getOrElse(
+          throw new IllegalArgumentException(
+            s"time variable '${p.timeVar}' has no units attribute"))
+        val (base, step) = NetcdfSource.cfTimeBase(units)
+        val times = g.read(p.timeVar).map(t => base + math.round(t * step))
+        val tIdx = times.indices.filter(i => pushed.timeOk(times(i)))
+        if (tIdx.isEmpty || laIdx.isEmpty || loIdx.isEmpty) Iterator.empty
+        else {
+          val (t0, t1) = (tIdx.min, tIdx.max)
+          val (a0, a1) = (laIdx.min, laIdx.max)
+          val (o0, o1) = (loIdx.min, loIdx.max)
+          val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
+          val data = g.readSlab(v,
+            Seq(t0, a0, o0), Seq(t1 - t0 + 1, nLa, nLo),
+            Seq(times.length, lats.length, lons.length))
+          for {
+            ti <- (t0 to t1).iterator if pushed.timeOk(times(ti))
+            li <- a0 to a1 if pushed.latOk(lats(li))
+            oi <- o0 to o1 if pushed.lonOk(lons(oi))
+            r <- emit(times(ti),
+              lats(li), lons(oi),
+              data(((ti - t0) * nLa + (li - a0)) * nLo + (oi - o0)))
+          } yield r
+        }
+      case Seq(p.latVar, p.lonVar) =>
+        // static grid: time is NULL — any time comparison or IsNotNull
+        // drops every row (SQL null semantics), so skip the data read
+        if (!pushed.timeOkNull || laIdx.isEmpty || loIdx.isEmpty)
+          Iterator.empty
+        else {
+          val (a0, a1) = (laIdx.min, laIdx.max)
+          val (o0, o1) = (loIdx.min, loIdx.max)
+          val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
+          val data = g.readSlab(v, Seq(a0, o0), Seq(nLa, nLo),
+            Seq(lats.length, lons.length))
+          for {
+            li <- (a0 to a1).iterator if pushed.latOk(lats(li))
+            oi <- o0 to o1 if pushed.lonOk(lons(oi))
+            r <- emit(null, lats(li), lons(oi),
+              data((li - a0) * nLo + (oi - o0)))
+          } yield r
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported dim layout $other for '$v' " +
+          s"(expected (${p.timeVar}, ${p.latVar}, ${p.lonVar}) or " +
+          s"(${p.latVar}, ${p.lonVar}))")
+    }
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    if (it.hasNext) { cur = it.next(); true } else false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

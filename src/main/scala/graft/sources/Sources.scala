@@ -293,16 +293,28 @@ object Sources {
     // grades the bounds SEMANTICS through the full write→read→aggregate
     // pipeline against DuckDB.
     "q_source_grid_subset" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
-      bounds = Some(NetcdfSource.GridBounds(latMin = 5.0, lonMax = 125.0)))))
+      bounds = Some(NetcdfSource.GridBounds(latMin = 5.0, lonMax = 125.0)))),
+    // r13 late: the SAME subset through the DataSourceV2 `netcdf`
+    // format — the bounds arrive as ordinary Catalyst predicates
+    // (`.filter(lat >= 5 && lon <= 125)`) that SupportsPushDownFilters
+    // turns into the chunk-pruned hyperslab read; grades the full
+    // Catalyst pushdown path: filter translation, Spark-exact predicate
+    // evaluation, per-file partitioning, InternalRow emission. Same
+    // oracle shape as q_source_grid_subset.
+    "q_source_dsv2_pushdown" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
+      bounds = Some(NetcdfSource.GridBounds(latMin = 5.0, lonMax = 125.0)),
+      dsv2 = true)))
 
   private def gridRoundtrip(s: SparkSession, dir: String, hdf5: Boolean,
-                            bounds: Option[NetcdfSource.GridBounds] = None)
+                            bounds: Option[NetcdfSource.GridBounds] = None,
+                            dsv2: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.DoubleType
     // bounded variant writes to its own dir: each key's artifact stays
     // independent of the others' (runnable standalone, no ordering)
-    val out = s"$roundtripRoot/${if (bounds.isDefined) "gridsub"
+    val out = s"$roundtripRoot/${if (dsv2) "dsv2"
+      else if (bounds.isDefined) "gridsub"
       else if (hdf5) "hdf5" else "netcdf"}"
     val cells = graft.Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"),
@@ -343,8 +355,18 @@ object Sources {
           coalesce(col("v"), lit(0.0)).as("value"))
       NetcdfSource.writeGrid(dense, out, varName = "events", hdf5 = hdf5)
       cells.unpersist()
-      NetcdfSource.readGrid(s, s"$out/grid.${if (hdf5) "h5" else "nc"}",
-          "events", bounds = bounds)
+      val gridFile = s"$out/grid.${if (hdf5) "h5" else "nc"}"
+      val readBack =
+        if (dsv2)
+          // Catalyst drives the pruning: the filter below is accepted
+          // by SupportsPushDownFilters (Spark-exact, fully handled —
+          // no residual Filter in the plan) and becomes the same
+          // hyperslab cover GridBounds encodes by hand
+          s.read.format("netcdf").option("vars", "events").load(gridFile)
+            .where(col("lat") >= bounds.get.latMin &&
+              col("lon") <= bounds.get.lonMax)
+        else NetcdfSource.readGrid(s, gridFile, "events", bounds = bounds)
+      readBack
         .groupBy(col("lat"))
         .agg(count(lit(1)).cast("long").as("n_cells"),
           sum(col("value")).cast("long").as("sum_val"),
@@ -440,6 +462,31 @@ object Sources {
     // (no in-bound lon column at all) means the bounded read emits NO
     // rows — the WHERE nlon > 0 guard mirrors that empty axis
     // intersection exactly (degenerate one-event tiers hit this).
+    // the DSv2 twin's predicates are the SAME bounds (lat >= 5,
+    // lon <= 125), so the oracle is the grid_subset SQL verbatim —
+    // DSv2 read + Catalyst-pushed filters must equal the manual
+    // GridBounds read cell-for-cell
+    "q_source_dsv2_pushdown" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 3 AS INT) AS latb,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS lonb,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |shape AS (
+        |  SELECT COUNT(DISTINCT day) AS nt,
+        |    COUNT(DISTINCT CASE WHEN lonb <= 2 THEN lonb END) AS nlon
+        |  FROM cells)
+        |SELECT CAST(latb * 10 AS DOUBLE) AS lat,
+        |  CAST(nt * nlon AS BIGINT) AS n_cells,
+        |  CAST(SUM(CASE WHEN lonb <= 2 THEN v ELSE 0 END) AS BIGINT) AS sum_val,
+        |  CAST(SUM(CASE WHEN lonb <= 2
+        |    THEN v * datediff('day', DATE '1970-01-01', day) ELSE 0 END)
+        |    AS BIGINT) AS t_sig
+        |FROM cells, shape
+        |WHERE latb >= 1 AND nlon > 0
+        |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin,
     "q_source_grid_subset" ->
       """WITH cells AS (
         |  SELECT CAST(ts AS DATE) AS day,
