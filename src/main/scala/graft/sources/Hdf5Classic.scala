@@ -50,14 +50,16 @@ import NetcdfClassic.{NcAttr, NcDim}
   * groups whose links live as link messages in the header, and (r13)
   * DENSE storage: group links past the compact limit and attribute
   * counts past 8 move into a fractal heap enumerated through the
-  * name-index v2 B-tree (managed objects, root direct block or the
-  * direct rows of a root indirect block, B-tree depth ≤ 1 — every
-  * realistic dense group; see the scope notes at the readers).
+  * name-index v2 B-tree (managed, tiny AND huge objects — huge IDs
+  * resolve through the heap's type-1 huge-object B-tree; root direct
+  * block or the direct rows of a root indirect block; v2 B-trees of
+  * ANY depth via the recursive walk with libhdf5's per-level pointer
+  * sizing; see the scope notes at the readers).
   *
   * Out of scope, rejected with NAMED errors (never a silent wrong
-  * read): superblock v4+, huge fractal-heap objects, extended tiny
-  * heap IDs (heap ID length > 18), and filtered
-  * heaps, v2 B-trees deeper than 1, non-standard filters
+  * read): superblock v4+, direct/filtered huge heap IDs, extended
+  * tiny heap IDs (heap ID length > 18), filtered heaps, heap offsets
+  * past the root indirect block's direct rows, non-standard filters
   * (szip/nbit/scaleoffset need their native codecs), and shared
   * datatype messages.
   *
@@ -797,10 +799,13 @@ object Hdf5Classic {
     //    the B-tree records' heap IDs. Scope: managed objects in
     //    unfiltered heaps, root direct block or root indirect block
     //    with direct-block rows (≈2·width·maxDirectSize of link/attr
-    //    bytes — far past any realistic group), B-tree depth ≤ 1
-    //    (thousands of records); tiny heap IDs read (data in the ID
-    //    itself); huge IDs, extended tiny IDs, filtered heaps,
-    //    and deeper trees reject by name like every out-of-scope path.
+    //    bytes — far past any realistic group), v2 B-trees of ANY
+    //    depth (recursive walk, per-level pointer widths from the
+    //    cumulative-maximum math); tiny heap IDs read (data in the ID
+    //    itself); huge IDs resolve via the heap's type-1 huge-object
+    //    B-tree (the >max-managed-size attribute case); direct or
+    //    filtered huge IDs, extended tiny IDs, and filtered heaps
+    //    reject by name like every out-of-scope path.
     def asciiSig(at: Long): String =
       new String(bytes, at.toInt, 4, StandardCharsets.US_ASCII)
     def readVarLong(b: ByteBuffer, n: Int): Long = {
@@ -815,7 +820,8 @@ object Hdf5Classic {
 
     final case class FHeap(idLen: Int, offBytes: Int,
                            lenBytes: Int, width: Int, startSize: Long,
-                           maxDirectSize: Long, rootAddr: Long, curRows: Int)
+                           maxDirectSize: Long, rootAddr: Long, curRows: Int,
+                           hugeBtAddr: Long)
     def fractalHeap(addr: Long): FHeap = {
       require(asciiSig(addr) == "FRHP", s"no fractal heap header at $addr")
       val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
@@ -828,15 +834,15 @@ object Hdf5Classic {
       b.get() // flags (bit 1: direct blocks checksummed — skipped here
               // like every other checksum this parser does not verify)
       b.getInt()                           // max size of managed objects
-      b.position(b.position() + 8 + 8 + 8 + 8 + 8 + 8 + 8) // huge id/btree,
-        // free space + mgr, managed space, allocated, iterator offset
+      b.getLong()                          // next huge object id
+      val hugeBtAddr = b.getLong()         // v2 B-tree of huge objects
+      b.position(b.position() + 8 + 8 + 8 + 8 + 8) // free space + mgr,
+        // managed space, allocated, iterator offset
       b.getLong()                          // number of managed objects
-      val hugeSize = b.getLong(); val nHuge = b.getLong()
+      b.getLong(); b.getLong()             // huge size / count (huge
+        // objects resolve through the type-1 B-tree, see fheapObject)
       b.getLong(); b.getLong()               // tiny size / count (tiny
         // objects read fine — their data lives in the heap ID itself)
-      require(nHuge == 0,
-        s"fractal heap stores huge objects ($nHuge huge [$hugeSize B]) " +
-          "— only managed and tiny objects are supported")
       val width = b.getShort() & 0xffff
       val startSize = b.getLong()
       val maxDirect = b.getLong()
@@ -848,7 +854,7 @@ object Hdf5Classic {
       // heap ID = 1 flag byte + offset + length; the header stores the
       // total, so the length width needs no second formula
       FHeap(idLen, offBytes, idLen - 1 - offBytes,
-        width, startSize, maxDirect, rootAddr, curRows)
+        width, startSize, maxDirect, rootAddr, curRows, hugeBtAddr)
     }
 
     /** Managed-object bytes for one heap ID (offset into the heap's
@@ -872,8 +878,35 @@ object Hdf5Classic {
           s"tiny heap object length $len overruns the ${id.length}-byte heap ID")
         return java.util.Arrays.copyOfRange(id, 1, 1 + len)
       }
+      if (typ == 1) {
+        // HUGE object (> max managed size — a long attribute value in
+        // dense storage is the realistic producer). The default dense
+        // heaps use 8-byte IDs, too small to embed (address, length)
+        // directly, so the ID carries a huge-object NUMBER resolved
+        // through the heap's own v2 B-tree of huge objects (record
+        // type 1: address, length, ID — the unfiltered indirect form).
+        // Direct huge IDs (idLen ≥ 17 embeds addr+len in the ID) and
+        // filtered huge objects reject by name: no standard dense
+        // group produces either.
+        require(h.idLen < 1 + 8 + 8,
+          s"direct huge fractal-heap IDs (id length ${h.idLen} ≥ 17) " +
+            "not supported")
+        require(h.hugeBtAddr != UNDEF,
+          "huge heap object without a huge-object v2 B-tree")
+        val hugeId = readVarLong(ib, h.idLen - 1)
+        val rec = v2BtreeRecords(h.hugeBtAddr, wantType = 1).collectFirst {
+          case r if lbb(r).getLong(16) == hugeId => r
+        }.getOrElse(throw new IllegalArgumentException(
+          s"huge object id $hugeId not in the huge-object B-tree"))
+        val rb = lbb(rec)
+        val at = rb.getLong(0); val len = rb.getLong(8)
+        require(at != UNDEF && len > 0 && at + len <= bytes.length,
+          s"huge object id $hugeId has corrupt extent ($at + $len B)")
+        return java.util.Arrays.copyOfRange(
+          bytes, at.toInt, (at + len).toInt)
+      }
       require(typ == 0,
-        s"fractal-heap object type $typ (1=huge) not supported")
+        s"fractal-heap object type $typ not supported")
       val off = readVarLong(ib, h.offBytes)
       val len = readVarLong(ib, h.lenBytes).toInt
       val (blockAddr, blockOff) =
@@ -912,9 +945,18 @@ object Hdf5Classic {
     }
     def bitsOf(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
 
-    /** All records of a v2 B-tree of the given record type, leaf order
-      * (depth 0 or 1; the name-hash order is not meaningful — callers
-      * sort by decoded name). */
+    /** All records of a v2 B-tree of the given record type, in-tree
+      * order, ANY depth (the name-hash order is not meaningful —
+      * callers sort by decoded name).
+      *
+      * Child-pointer field widths follow libhdf5's header math (the
+      * spec leaves them implicit): every node's record count fits the
+      * LEAF maximum (a leaf holds the most records per node size), so
+      * the child-nrec field is `bytesFor(leafMax)` at every level; a
+      * depth-d internal node additionally stores each child subtree's
+      * TOTAL record count, sized to the depth-(d−1) cumulative maximum
+      * — cum(d) = (int(d)+1)·cum(d−1) + int(d) with int(d) shrinking
+      * as the pointer overhead grows. */
     def v2BtreeRecords(btAddr: Long, wantType: Int): Seq[Array[Byte]] = {
       require(asciiSig(btAddr) == "BTHD", s"no v2 B-tree header at $btAddr")
       val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
@@ -931,37 +973,51 @@ object Hdf5Classic {
       val rootAddr = b.getLong()
       val rootNrec = b.getShort() & 0xffff
       b.getLong()                           // total records
+      require(depth <= 16,
+        s"v2 B-tree depth $depth — corrupt header (a depth-16 tree " +
+          "would hold >10^20 records)")
+      // prefix 6 (sig+ver+type) + checksum 4 = 10 overhead per node
+      val maxLeafRec = (nodeSize - 10) / recSize
+      val nrecBytes = bytesFor(maxLeafRec)
+      // cumTotSize(d) = width of the all-records-in-subtree field for a
+      // child at depth d (0 for leaves: the field is absent)
+      val cumTotSize = new Array[Int](depth + 1)
+      var cum = maxLeafRec.toLong
+      for (d <- 1 to depth) {
+        val ptr = 8 + nrecBytes + cumTotSize(d - 1)
+        val intMax = (nodeSize - (10 + ptr)) / (recSize + ptr)
+        cum = (intMax + 1L) * cum + intMax
+        if (d <= depth) cumTotSize(d) = bytesFor(cum)
+      }
       def leaf(addr: Long, nrec: Int): Seq[Array[Byte]] = {
         require(asciiSig(addr) == "BTLF", s"no v2 B-tree leaf at $addr")
         val at = addr.toInt + 6             // sig + version + type
         (0 until nrec).map(i => java.util.Arrays.copyOfRange(
           bytes, at + i * recSize, at + (i + 1) * recSize))
       }
-      if (rootNrec == 0) Nil
-      else if (depth == 0) leaf(rootAddr, rootNrec)
-      else {
-        require(depth == 1,
-          s"v2 B-tree depth $depth not supported (deepest realistic " +
-            "dense group fits depth 1)")
-        require(asciiSig(rootAddr) == "BTIN",
-          s"no v2 B-tree internal node at $rootAddr")
-        // internal node: records first, then nrec+1 child pointers of
-        // (address, child-nrec) — the nrec field is sized to the max
-        // record count a leaf can hold
-        val maxLeafRec = (nodeSize - 10) / recSize
-        val nrecBytes = bytesFor(maxLeafRec)
-        val base = rootAddr.toInt + 6
-        val recs = (0 until rootNrec).map(i => java.util.Arrays.copyOfRange(
-          bytes, base + i * recSize, base + (i + 1) * recSize))
-        val pb = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-        pb.position(base + rootNrec * recSize)
-        val kids = (0 to rootNrec).map { _ =>
-          val a = pb.getLong(); val n = readVarLong(pb, nrecBytes).toInt
-          (a, n)
+      def walk(addr: Long, nrec: Int, d: Int): Seq[Array[Byte]] = {
+        if (d == 0) leaf(addr, nrec)
+        else {
+          require(asciiSig(addr) == "BTIN",
+            s"no v2 B-tree internal node at $addr")
+          // internal node: records first, then nrec+1 child pointers of
+          // (address, child-nrec[, child-total-nrec when the child is
+          // itself internal])
+          val base = addr.toInt + 6
+          val recs = (0 until nrec).map(i => java.util.Arrays.copyOfRange(
+            bytes, base + i * recSize, base + (i + 1) * recSize))
+          val pb = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+          pb.position(base + nrec * recSize)
+          val kids = (0 to nrec).map { _ =>
+            val a = pb.getLong(); val n = readVarLong(pb, nrecBytes).toInt
+            if (d > 1) readVarLong(pb, cumTotSize(d - 1)) // subtree total
+            (a, n)
+          }
+          // in-tree order: child0, rec0, child1, rec1, ... (callers sort)
+          kids.flatMap { case (a, n) => walk(a, n, d - 1) } ++ recs
         }
-        // in-tree order: child0, rec0, child1, rec1, ... (callers sort)
-        kids.flatMap { case (a, n) => leaf(a, n) } ++ recs
       }
+      if (rootNrec == 0) Nil else walk(rootAddr, rootNrec, depth)
     }
 
     /** Dense group links: Link Info's fractal heap enumerated via the

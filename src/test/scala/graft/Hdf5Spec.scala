@@ -893,13 +893,14 @@ class Hdf5Spec extends AnyFunSuite {
     * space (offBytes=4), unfiltered, no huge/tiny objects. */
   private def putFrhp(out: ByteBuffer, idLen: Int, rootAddr: Long,
                       curRows: Int, nHuge: Long = 0L,
-                      nManaged: Long = 2L, nTiny: Long = 0L): Unit = {
+                      nManaged: Long = 2L, nTiny: Long = 0L,
+                      hugeBt: Long = -1L): Unit = {
     out.put("FRHP".getBytes(StandardCharsets.US_ASCII))
     out.put(0.toByte)                       // version
     out.putShort(idLen.toShort); out.putShort(0)  // id len, filter len
     out.put(0.toByte)                       // flags: no block checksums
     out.putInt(4096)                        // max managed object size
-    out.putLong(0L); out.putLong(-1L)       // next huge id, huge btree
+    out.putLong(nHuge); out.putLong(hugeBt) // next huge id, huge btree
     out.putLong(0L); out.putLong(-1L)       // free space, fs manager
     out.putLong(0L); out.putLong(0L); out.putLong(0L) // managed/alloc/iter
     out.putLong(nManaged)                   // number of managed objects
@@ -1076,13 +1077,108 @@ class Hdf5Spec extends AnyFunSuite {
     assert(h5.read("b").toSeq == Seq(9.0, 8.0))
   }
 
-  test("fractal heap with huge objects (header count or heap-ID type) rejects by name") {
-    val exH = intercept[IllegalArgumentException](
-      Hdf5Classic.parse(denseLinkFile(hugeCount = 1L)))
-    assert(exH.getMessage.contains("huge"))
+  test("fractal-heap poisons reject by name: huge ID sans B-tree, filtered heap") {
+    // a HUGE heap ID in a heap whose header has no huge-object B-tree
+    // (address undefined) is corrupt — named error, never a wrong read
     val exT = intercept[IllegalArgumentException](
       Hdf5Classic.parse(denseLinkFile(idType = 1)))
-    assert(exT.getMessage.contains("not supported"))
+    assert(exT.getMessage.contains("huge"))
+    // filtered heaps (compressed direct blocks) stay out of scope: no
+    // standard dense group writes one — poison the FRHP filter length
+    val filtered = denseLinkFile()
+    filtered(81 + 7) = 4 // FRHP: sig(4)+ver(1)+idLen(2) → I/O filter len
+    val exF = intercept[IllegalArgumentException](
+      Hdf5Classic.parse(filtered))
+    assert(exF.getMessage.contains("filtered fractal heap"))
+    // a header that merely COUNTS huge objects parses fine when every
+    // referenced ID is managed/tiny (the count is bookkeeping; reads
+    // only fail on an actual unresolvable huge ID)
+    assert(Hdf5Classic.parse(denseLinkFile(hugeCount = 1L))
+      .vars.map(_.name).sorted == Seq("a", "b"))
+  }
+
+  test("HUGE heap objects resolve through the type-1 huge-object v2 B-tree") {
+    // link "a" is an ordinary managed object; link "b" is HUGE: its
+    // heap ID carries huge-object number 1, resolved via the heap's
+    // own v2 B-tree (record: address 8, length 8, id 8) to a
+    // standalone extent holding the link message — the shape libhdf5
+    // produces for a dense object past the max-managed size (most
+    // realistically a >4 KiB attribute value)
+    val out = ByteBuffer.allocate(620).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+    out.putLong(0L); out.putLong(-1L)
+    out.putLong(620L); out.putLong(48L); out.putInt(0)
+    assert(out.position() == 48)
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(22.toByte)
+    out.put(0x02.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(0.toByte); out.put(0.toByte)
+    out.putLong(81L)                        // fractal heap header
+    out.putLong(256L)                       // type-5 name-index B-tree
+    out.putInt(0)
+    assert(out.position() == 81)
+    putFrhp(out, idLen = 7, rootAddr = 227L, curRows = 0,
+      nManaged = 1L, nHuge = 1L, hugeBt = 326L)
+    assert(out.position() == 227)
+    putFhdb(out, 81L, 0)                    // root direct block
+    out.put(linkMsg("a", 398L))             // managed, heap offset 17
+    assert(out.position() == 256)
+    out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)    // name index, type 5
+    out.putInt(512); out.putShort(11)       // record = hash 4 + id 7
+    out.putShort(0)
+    out.put(100.toByte); out.put(40.toByte)
+    out.putLong(294L); out.putShort(2)
+    out.putLong(2L); out.putInt(0)
+    assert(out.position() == 294)
+    out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0); out.put(heapId7(17, 12)) // "a": managed
+    out.putInt(0)                           // hash of "b"
+    out.put(0x10.toByte)                    // HUGE heap ID, number 1
+    out.put(1.toByte); out.put(new Array[Byte](5))
+    out.putInt(0)                           // leaf checksum
+    assert(out.position() == 326)
+    out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(1.toByte)    // HUGE index: type 1
+    out.putInt(512); out.putShort(24)       // record = addr 8+len 8+id 8
+    out.putShort(0)
+    out.put(100.toByte); out.put(40.toByte)
+    out.putLong(364L); out.putShort(1)
+    out.putLong(1L); out.putInt(0)
+    assert(out.position() == 364)
+    out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(1.toByte)
+    out.putLong(608L); out.putLong(12L); out.putLong(1L) // extent + id
+    out.putInt(0)
+    assert(out.position() == 398)
+    putDatasetOhdr(out, 3L, 471L)
+    assert(out.position() == 471)
+    out.putDouble(1.5); out.putDouble(2.5); out.putDouble(3.5)
+    assert(out.position() == 495)
+    putDatasetOhdr(out, 2L, 568L)
+    assert(out.position() == 568)
+    out.putDouble(9.0); out.putDouble(8.0)
+    assert(out.position() == 584)
+    // huge object extent at 608: the 12-byte link message for "b",
+    // padded to land PAST every heap block (proving the read comes
+    // from the B-tree extent, not heap-offset arithmetic)
+    out.put(new Array[Byte](24))
+    assert(out.position() == 608)
+    out.put(linkMsg("b", 495L))
+    assert(out.position() == 620)
+    val h5 = Hdf5Classic.parse(out.array())
+    assert(h5.vars.map(_.name).sorted == Seq("a", "b"))
+    assert(h5.read("a").toSeq == Seq(1.5, 2.5, 3.5))
+    assert(h5.read("b").toSeq == Seq(9.0, 8.0),
+      "the huge-ID link must resolve through the type-1 B-tree")
+    // an ID the huge B-tree does not hold is a named error
+    val poison = out.array().clone()
+    poison(294 + 6 + 11 + 4 + 1) = 9 // leaf: "b" record's huge number → 9
+    val ex = intercept[IllegalArgumentException](
+      Hdf5Classic.parse(poison))
+    assert(ex.getMessage.contains("huge object id 9"))
   }
 
   test("root-indirect heap + depth-1 type-5 B-tree: both recursions walked") {
@@ -1162,6 +1258,89 @@ class Hdf5Spec extends AnyFunSuite {
     assert(h5.read("a").toSeq == Seq(1.0))
     assert(h5.read("b").toSeq == Seq(2.0))
     assert(h5.read("c").toSeq == Seq(3.0))
+  }
+
+  test("depth-2 type-5 v2 B-tree: the recursive walk sizes per-level pointers") {
+    // root BTIN (depth 2, pointers carry addr + nrec(1B) + subtree
+    // total(2B — bytesFor(cum(1)=1149))) → two depth-1 BTINs (pointers
+    // addr + nrec only) → four BTLFs; 7 links total, alternating
+    // between two shared dataset targets (hard links may alias)
+    val out = ByteBuffer.allocate(757).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+    out.putLong(0L); out.putLong(-1L)
+    out.putLong(757L); out.putLong(48L); out.putInt(0)
+    assert(out.position() == 48)
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(22.toByte)
+    out.put(0x02.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(0.toByte); out.put(0.toByte)
+    out.putLong(81L)                        // fractal heap header
+    out.putLong(328L)                       // type-5 name-index B-tree
+    out.putInt(0)
+    assert(out.position() == 81)
+    putFrhp(out, idLen = 7, rootAddr = 227L, curRows = 0, nManaged = 7L)
+    assert(out.position() == 227)
+    putFhdb(out, 81L, 0)
+    assert(out.position() == 244)           // heap offsets 17,29,…,89
+    val X = 571L; val Y = 668L
+    for ((n, t) <- Seq("a" -> X, "b" -> Y, "c" -> X, "d" -> Y,
+                       "e" -> X, "f" -> Y, "g" -> X))
+      out.put(linkMsg(n, t))
+    assert(out.position() == 328)
+    out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(512); out.putShort(11)
+    out.putShort(2)                         // depth 2
+    out.put(100.toByte); out.put(40.toByte)
+    out.putLong(366L); out.putShort(1)      // root BTIN, 1 record
+    out.putLong(7L); out.putInt(0)
+    assert(out.position() == 366)
+    // root BTIN (depth 2): record "d", children = the two depth-1 BTINs
+    out.put("BTIN".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0); out.put(heapId7(53, 12)) // record: "d"
+    out.putLong(409L); out.put(1.toByte); out.putShort(3) // nrec, subtree total
+    out.putLong(448L); out.put(1.toByte); out.putShort(3)
+    out.putInt(0)
+    assert(out.position() == 409)
+    // depth-1 BTIN #1: record "b", leaf children "a" / "c"
+    out.put("BTIN".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0); out.put(heapId7(29, 12))
+    out.putLong(487L); out.put(1.toByte)
+    out.putLong(508L); out.put(1.toByte)
+    out.putInt(0)
+    assert(out.position() == 448)
+    // depth-1 BTIN #2: record "f", leaf children "e" / "g"
+    out.put("BTIN".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0); out.put(heapId7(77, 12))
+    out.putLong(529L); out.put(1.toByte)
+    out.putLong(550L); out.put(1.toByte)
+    out.putInt(0)
+    assert(out.position() == 487)
+    for (off <- Seq(17, 41, 65, 89)) {      // leaves: a, c, e, g
+      out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+      out.put(0.toByte); out.put(5.toByte)
+      out.putInt(0); out.put(heapId7(off, 12))
+      out.putInt(0)
+    }
+    assert(out.position() == 571)
+    putDatasetOhdr(out, 3L, 644L)
+    assert(out.position() == 644)
+    out.putDouble(1.5); out.putDouble(2.5); out.putDouble(3.5)
+    assert(out.position() == 668)
+    putDatasetOhdr(out, 2L, 741L)
+    assert(out.position() == 741)
+    out.putDouble(9.0); out.putDouble(8.0)
+    assert(out.position() == 757)
+    val h5 = Hdf5Classic.parse(out.array())
+    assert(h5.vars.map(_.name) == Seq("a", "b", "c", "d", "e", "f", "g"))
+    for (n <- Seq("a", "c", "e", "g"))
+      assert(h5.read(n).toSeq == Seq(1.5, 2.5, 3.5), s"link $n")
+    for (n <- Seq("b", "d", "f"))
+      assert(h5.read(n).toSeq == Seq(9.0, 8.0), s"link $n")
   }
 
   /** Attribute message body, version 3 (no 8-byte padding). */
