@@ -417,71 +417,103 @@ object NetcdfSource {
     * readGridVars frame must be filtered or pivoted first; silent
     * last-write-wins would lose data). Member tags become file
     * basenames and must be path-safe. */
+  /** Sentinel for a null timestamp (2-D static-grid member). */
+  private[sources] val NoTime = Long.MinValue
+
+  /** ONE member's on-disk bytes from its long-form cells — the single
+    * implementation behind [[writeGrid]] and the DSv2 writer
+    * ([[NetcdfV2]]), so a grid-encoding fix can never reach one sink
+    * and miss the other. Cells are (epoch-µs | NoTime, lat, lon, value);
+    * axes are the distinct sorted coordinates, absent cells NaN-filled
+    * and declared `_FillValue` so both mask-and-scale readers drop
+    * them (write→read is the identity on sparse grids). */
+  private[sources] def buildMemberBytes(
+      ds: String, buf: Seq[(Long, Double, Double, Double)],
+      varName: String, hdf5: Boolean): Array[Byte] =
+    buildMemberBytesMulti(ds,
+      buf.map { case (t, la, lo, v) => (varName, t, la, lo, v) }, hdf5)
+
+  /** Multi-variable member (xarray `Dataset` fidelity — the DSv2
+    * writer's input is the full long form incl. `variable`): ALL the
+    * member's variables share the UNION of the observed axes; cells a
+    * variable does not cover stay NaN (= declared fill, masked on
+    * read), so write→read is the identity on the long form. */
+  private[sources] def buildMemberBytesMulti(
+      ds: String, cells: Seq[(String, Long, Double, Double, Double)],
+      hdf5: Boolean): Array[Byte] = {
+    require(!ds.contains('/') && !ds.contains(java.io.File.separatorChar),
+      s"member tag '$ds' is not a path-safe file basename")
+    val varNames = cells.map(_._1).distinct.sorted
+    varNames.foreach { v =>
+      require(v != null && v.nonEmpty && !v.contains('/') &&
+        !Seq("time", "lat", "lon").contains(v),
+        s"member '$ds': variable name '$v' collides with an axis, is " +
+          "empty, or contains '/' (the reader's group separator)")
+    }
+    val times = cells.map(_._2).distinct.sorted
+    val is2d = times == Seq(NoTime)
+    require(is2d || !times.contains(NoTime),
+      s"member '$ds' mixes null and non-null times — a grid file is " +
+        "either a (time, lat, lon) series or a static (lat, lon) field")
+    val lats = cells.map(_._3).distinct.sorted
+    val lons = cells.map(_._4).distinct.sorted
+    val tIx = times.zipWithIndex.toMap
+    val laIx = lats.zipWithIndex.toMap
+    val loIx = lons.zipWithIndex.toMap
+    val nCell = times.length * lats.length * lons.length
+    val grids = varNames.map(_ -> Array.fill(nCell)(Double.NaN)).toMap
+    val seen = new java.util.HashSet[(String, Integer)](cells.length * 2)
+    cells.foreach { case (vn, t, la, lo, v) =>
+      val i = (tIx(t) * lats.length + laIx(la)) * lons.length + loIx(lo)
+      require(seen.add((vn, i)),
+        s"member '$ds' has duplicate rows for one (variable, time, lat, " +
+          "lon) cell — last-write-wins would lose data")
+      grids(vn)(i) = v
+    }
+    val (dims, coordVars) =
+      if (is2d)
+        (Seq(NetcdfClassic.NcDim("lat", lats.length),
+          NetcdfClassic.NcDim("lon", lons.length)),
+          Seq(
+            ("lat", Seq(0),
+              Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
+            ("lon", Seq(1),
+              Seq(NetcdfClassic.NcAttr("units", "degrees_east")), lons.toArray)))
+      else
+        (Seq(NetcdfClassic.NcDim("time", times.length),
+          NetcdfClassic.NcDim("lat", lats.length),
+          NetcdfClassic.NcDim("lon", lons.length)),
+          Seq(
+            ("time", Seq(0),
+              Seq(NetcdfClassic.NcAttr("units", "microseconds since 1970-01-01")),
+              times.map(_.toDouble).toArray),
+            ("lat", Seq(1),
+              Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
+            ("lon", Seq(2),
+              Seq(NetcdfClassic.NcAttr("units", "degrees_east")), lons.toArray)))
+    // declare the NaN fill so readers (ours via mask-and-scale,
+    // xarray via mask_and_scale=True) drop absent cells — the
+    // write→read pair is then the identity on SPARSE grids too
+    val vars = coordVars ++ varNames.map(vn => (vn, dims.indices.toSeq,
+      Seq(NetcdfClassic.NcAttr("_FillValue", Array(Double.NaN))), grids(vn)))
+    if (hdf5) Hdf5Classic.write(dims, vars)
+    else NetcdfClassic.write(dims, vars)
+  }
+
   def writeGrid(df: DataFrame, destDir: String, varName: String = "value",
                 hdf5: Boolean = false): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions.col
     new java.io.File(destDir).mkdirs()
     val ext = if (hdf5) "h5" else "nc"
-    val NoTime = Long.MinValue // sentinel: null ts (2-D static grid)
     df.select(col("dataset"), col("time"), col("lat"), col("lon"), col("value"))
       .repartition(col("dataset"))
       .sortWithinPartitions(col("dataset"))
       .foreachPartition { (rows: Iterator[Row]) =>
-        def flush(ds: String, buf: Seq[(Long, Double, Double, Double)]): Unit = {
-          require(!ds.contains('/') && !ds.contains(java.io.File.separatorChar),
-            s"member tag '$ds' is not a path-safe file basename")
-          val times = buf.map(_._1).distinct.sorted
-          val is2d = times == Seq(NoTime)
-          require(is2d || !times.contains(NoTime),
-            s"member '$ds' mixes null and non-null times — a grid file is " +
-              "either a (time, lat, lon) series or a static (lat, lon) field")
-          val lats = buf.map(_._2).distinct.sorted
-          val lons = buf.map(_._3).distinct.sorted
-          val tIx = times.zipWithIndex.toMap
-          val laIx = lats.zipWithIndex.toMap
-          val loIx = lons.zipWithIndex.toMap
-          val grid = Array.fill(times.length * lats.length * lons.length)(Double.NaN)
-          val seen = new java.util.HashSet[Integer](buf.length * 2)
-          buf.foreach { case (t, la, lo, v) =>
-            val i = (tIx(t) * lats.length + laIx(la)) * lons.length + loIx(lo)
-            require(seen.add(i),
-              s"member '$ds' has duplicate rows for one (time, lat, lon) " +
-                "cell — write ONE variable per call (filter or pivot a " +
-                "readGridVars frame first); last-write-wins would lose data")
-            grid(i) = v
-          }
-          val (dims, coordVars) =
-            if (is2d)
-              (Seq(NetcdfClassic.NcDim("lat", lats.length),
-                NetcdfClassic.NcDim("lon", lons.length)),
-                Seq(
-                  ("lat", Seq(0),
-                    Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
-                  ("lon", Seq(1),
-                    Seq(NetcdfClassic.NcAttr("units", "degrees_east")), lons.toArray)))
-            else
-              (Seq(NetcdfClassic.NcDim("time", times.length),
-                NetcdfClassic.NcDim("lat", lats.length),
-                NetcdfClassic.NcDim("lon", lons.length)),
-                Seq(
-                  ("time", Seq(0),
-                    Seq(NetcdfClassic.NcAttr("units", "microseconds since 1970-01-01")),
-                    times.map(_.toDouble).toArray),
-                  ("lat", Seq(1),
-                    Seq(NetcdfClassic.NcAttr("units", "degrees_north")), lats.toArray),
-                  ("lon", Seq(2),
-                    Seq(NetcdfClassic.NcAttr("units", "degrees_east")), lons.toArray)))
-          // declare the NaN fill so readers (ours via mask-and-scale,
-          // xarray via mask_and_scale=True) drop absent cells — the
-          // write→read pair is then the identity on SPARSE grids too
-          val vars = coordVars :+ ((varName, dims.indices.toSeq,
-            Seq(NetcdfClassic.NcAttr("_FillValue", Array(Double.NaN))), grid))
-          val bytes = if (hdf5) Hdf5Classic.write(dims, vars)
-                      else NetcdfClassic.write(dims, vars)
+        def flush(ds: String, buf: Seq[(Long, Double, Double, Double)]): Unit =
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$destDir/$ds.$ext"), bytes)
-        }
+            java.nio.file.Paths.get(s"$destDir/$ds.$ext"),
+            buildMemberBytes(ds, buf, varName, hdf5))
         var cur: String = null
         val buf = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Double, Double, Double)]

@@ -11,9 +11,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -162,16 +163,22 @@ object NetcdfV2 {
 }
 
 private class NcTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"netcdf ${options.getOrDefault("path", "")}"
   override def schema(): StructType = NetcdfV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
     merged.putAll(o)
     new NcScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opts = new util.HashMap[String, String](options)
+    opts.putAll(info.options())
+    new NcWriteBuilder(new CaseInsensitiveStringMap(opts), info.schema())
   }
 }
 
@@ -469,5 +476,184 @@ private class NcReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
     if (it.hasNext) { cur = it.next(); true } else false
   }
   override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
+// ======================================================================
+// WRITE side: `df.write.format("netcdf").mode("append"|"overwrite")
+//   .option("container", "hdf5"|"classic").save(dir)`
+//
+// Input is the table's OWN long form (dataset, variable, time, lat,
+// lon, value) — exactly what the read side emits, so
+// read(a).write(b) is an archive copy and writeGrid callers migrate by
+// adding a `variable` literal. One member FILE per `dataset`, holding
+// every variable of that member on the UNION of its observed axes
+// (NaN-filled where a variable lacks a cell — declared _FillValue, so
+// the long-form round-trip is the identity; the xarray Dataset model).
+//
+// Two properties the foreachPartition sink (NetcdfSource.writeGrid)
+// cannot give:
+//  - TASK-COMMIT SAFETY: writers emit to a per-attempt staging dir and
+//    the files reach the destination only in the driver's
+//    BatchWrite.commit — a retried/speculated attempt can never leave
+//    a torn or duplicate member behind (writeGrid documents its
+//    direct-write caveat instead);
+//  - PLANNED CLUSTERING: the Write declares
+//    RequiresDistributionAndOrdering (cluster + sort by `dataset`), so
+//    Spark inserts the exchange/sort — callers cannot forget the
+//    repartition that writeGrid must do internally.
+// ======================================================================
+
+private class NcWriteBuilder(options: CaseInsensitiveStringMap,
+                             inputSchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val dest = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("netcdf sink needs a save(path)"))
+    val hdf5 = options.getOrDefault("container", "hdf5") match {
+      case "hdf5" => true
+      case "classic" => false
+      case other => throw new IllegalArgumentException(
+        s"netcdf sink: container '$other' (use 'hdf5' or 'classic')")
+    }
+    // ordinals by name: AppendData resolves columns by name against the
+    // table schema, but be defensive about order
+    def ord(n: String, t: DataType): Int = {
+      val i = inputSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+      require(i >= 0 && inputSchema(i).dataType == t,
+        s"netcdf sink needs column $n: ${t.simpleString} " +
+          s"(got schema ${inputSchema.simpleString})")
+      i
+    }
+    val ords = NcWriteOrds(ord("dataset", StringType),
+      ord("variable", StringType), ord("time", TimestampType),
+      ord("lat", DoubleType), ord("lon", DoubleType),
+      ord("value", DoubleType))
+    new NcWrite(dest, hdf5, doTruncate, ords)
+  }
+}
+
+private case class NcWriteOrds(ds: Int, vr: Int, tm: Int,
+                               la: Int, lo: Int, va: Int)
+
+private case class NcCommit(tempToFinal: Seq[(String, String)])
+    extends WriterCommitMessage
+
+private class NcWrite(dest: String, hdf5: Boolean, truncate: Boolean,
+                      ords: NcWriteOrds)
+    extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+
+  // one member file per dataset ⇒ a dataset must live in ONE task, and
+  // arriving sorted lets the writer stream member-by-member with one
+  // member's cells in memory at a time (the file granularity netCDF
+  // forces anyway)
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column("dataset")))
+  override def requiredOrdering(): Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column("dataset"),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+
+  override def toBatch: BatchWrite = new NcBatchWrite(dest, hdf5, truncate, ords)
+}
+
+private class NcBatchWrite(dest: String, hdf5: Boolean, truncate: Boolean,
+                           ords: NcWriteOrds) extends BatchWrite {
+  private val stagingDir =
+    s"$dest/.graft-staging-${java.util.UUID.randomUUID().toString}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new NcWriterFactory(stagingDir, if (hdf5) "h5" else "nc", ords)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val destP = new Path(dest)
+    val fs = destP.getFileSystem(new Configuration())
+    fs.mkdirs(destP)
+    val moves = messages.collect { case NcCommit(ps) => ps }.flatten
+    val dups = moves.groupBy(_._2).filter(_._2.length > 1).keys
+    require(dups.isEmpty, // clustered distribution makes this unreachable
+      s"netcdf sink: member(s) ${dups.mkString(", ")} written by more " +
+        "than one task — dataset clustering violated")
+    if (truncate) {
+      val ext = if (hdf5) ".h5" else ".nc"
+      Option(fs.listStatus(destP)).getOrElse(Array.empty)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(ext))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    moves.foreach { case (tmp, fin) =>
+      val to = new Path(destP, fin)
+      fs.delete(to, false) // append mode: same member name = replace
+      require(fs.rename(new Path(tmp), to),
+        s"netcdf sink: could not move $tmp to $to")
+    }
+    fs.delete(new Path(stagingDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(stagingDir).getFileSystem(new Configuration())
+    fs.delete(new Path(stagingDir), true) // nothing reached dest
+  }
+}
+
+private class NcWriterFactory(stagingDir: String, ext: String,
+                              ords: NcWriteOrds) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new NcDataWriter(stagingDir, ext, ords, partitionId, taskId)
+}
+
+/** Streams the dataset-sorted partition: one member's cells buffered,
+  * flushed to a per-attempt staging file on dataset change. Files move
+  * to the destination only at driver commit. */
+private class NcDataWriter(stagingDir: String, ext: String,
+                           ords: NcWriteOrds, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val fs = new Path(stagingDir).getFileSystem(new Configuration())
+  // the member bytes carry their own (unverified) checksums where the
+  // format defines them; Hadoop's .crc sidecars would just pollute the
+  // archive listing and break glob reads
+  fs.setWriteChecksum(false)
+  private var cur: String = _
+  private val buf =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Double, Double)]
+  private val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  private def flush(): Unit = if (cur != null) {
+    // a member tag that came from a read is a file BASENAME — strip its
+    // container extension so read(a) → write(b) copies m1.nc to m1.nc,
+    // not m1.nc.nc (the container option picks the new extension)
+    val base = cur.replaceAll("\\.(nc|h5)$", "")
+    val bytes = NetcdfSource.buildMemberBytesMulti(base, buf.toSeq,
+      hdf5 = ext == "h5")
+    // taskId-unique temp name: concurrent attempts of the same
+    // partition can never collide in staging
+    val tmp = new Path(stagingDir, s"$taskId-$base.$ext")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    moves += ((tmp.toString, s"$base.$ext"))
+    buf.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(ords.ds) && !row.isNullAt(ords.vr) &&
+      !row.isNullAt(ords.la) && !row.isNullAt(ords.lo) &&
+      !row.isNullAt(ords.va),
+      "netcdf sink: dataset/variable/lat/lon/value must be non-null")
+    val ds = row.getUTF8String(ords.ds).toString
+    if (ds != cur) { flush(); cur = ds }
+    val t = if (row.isNullAt(ords.tm)) NetcdfSource.NoTime
+            else row.getLong(ords.tm)
+    buf += ((row.getUTF8String(ords.vr).toString, t,
+      row.getDouble(ords.la), row.getDouble(ords.lo),
+      row.getDouble(ords.va)))
+  }
+
+  override def commit(): WriterCommitMessage = { flush(); NcCommit(moves.toSeq) }
+  override def abort(): Unit =
+    moves.foreach { case (tmp, _) => fs.delete(new Path(tmp), false) }
   override def close(): Unit = ()
 }

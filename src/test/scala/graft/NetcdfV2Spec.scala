@@ -58,6 +58,11 @@ class NetcdfV2Spec extends AnyFunSuite {
     assert(sortedRows(a) == sortedRows(b))
   }
 
+  /** Strip the container extension off `dataset` (a read emits file
+    * basenames; the sink writes extension-less member tags). */
+  private def tagged(df: DataFrame): DataFrame = df.withColumn("dataset",
+    regexp_replace(col("dataset"), "\\.(nc|h5)$", ""))
+
   test("short name 'netcdf' registers through ServiceLoader") {
     val tmp = tmpDir("reg")
     writeClassic(s"$tmp/m1.nc", nt = 1, bias = 0.0)
@@ -234,6 +239,108 @@ class NetcdfV2Spec extends AnyFunSuite {
     writeClassic(s"$tmp/m1.nc", nt = 1, bias = 0.0)
     assert(dsv2(s"$tmp/*.nc", Some("tas"))
       .filter(col("dataset") === "absent.nc").count() == 0)
+  }
+
+  // ---- write side -----------------------------------------------------
+
+  private def longForm(rows: Seq[(String, String, java.sql.Timestamp,
+      Double, Double, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("dataset", "variable", "time", "lat", "lon", "value")
+  }
+
+  private def ts(day: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(day * 86400000L)
+
+  test("write → read round-trip: one member file per dataset, multi-variable") {
+    val tmp = tmpDir("wrt")
+    val rows = for {
+      ds <- Seq("m1", "m2"); v <- Seq("pr", "tas")
+      t <- 0 to 1; la <- Seq(0.0, 10.0); lo <- Seq(100.0, 110.0)
+    } yield (ds, v, ts(t),
+      la, lo, (if (v == "pr") 1000.0 else 0.0) +
+        (if (ds == "m2") 500.0 else 0.0) + t * 8 + la / 10 * 2 + (lo - 100) / 10)
+    val df = longForm(rows)
+    // deliberately mis-partitioned input: RequiresDistributionAndOrdering
+    // must make Spark re-cluster by dataset before the writers run
+    df.repartition(5).write.format("netcdf").mode("append").save(tmp)
+    val files = new java.io.File(tmp).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("m1.h5", "m2.h5"),
+      s"expected one member per dataset and NO staging residue: ${files.toSeq}")
+    assertSame(tagged(dsv2(s"$tmp/*")), df)
+    // and the non-DSv2 reader agrees (format symmetry)
+    assertSame(tagged(NetcdfSource.readGridVars(spark, s"$tmp/*",
+      Seq("pr", "tas"))), df)
+  }
+
+  test("read → write is an archive COPY (mixed-format input, classic output)") {
+    val src = tmpDir("copysrc"); val dst = tmpDir("copydst")
+    writeClassic(s"$src/m1.nc", nt = 2, bias = 100.0)
+    writeClassic(s"$src/m2.nc", nt = 2, bias = 0.0)
+    val a = dsv2(s"$src/*", Some("tas"))
+    a.write.format("netcdf").option("container", "classic")
+      .mode("append").save(dst)
+    val files = new java.io.File(dst).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("m1.nc", "m2.nc"))
+    // copied archive reads identically (dataset basenames match because
+    // the sink names members <dataset>.<ext> and dataset was the
+    // source basename... minus the extension difference — compare on
+    // the extension-stripped tag)
+    assertSame(tagged(dsv2(s"$dst/*", Some("tas"))), tagged(a))
+  }
+
+  test("overwrite truncates prior members; append replaces same-name only") {
+    val tmp = tmpDir("modes")
+    longForm(Seq(("m1", "tas", ts(0), 0.0, 100.0, 1.0)))
+      .write.format("netcdf").mode("append").save(tmp)
+    longForm(Seq(("m2", "tas", ts(0), 0.0, 100.0, 2.0)))
+      .write.format("netcdf").mode("append").save(tmp)
+    assert(new java.io.File(tmp).listFiles().map(_.getName).sorted.toSeq ==
+      Seq("m1.h5", "m2.h5"))
+    // append with an existing member name REPLACES that member
+    longForm(Seq(("m2", "tas", ts(0), 0.0, 100.0, 7.0)))
+      .write.format("netcdf").mode("append").save(tmp)
+    assert(dsv2(s"$tmp/*").filter(col("dataset") === "m2.h5")
+      .select("value").head.getDouble(0) == 7.0)
+    // overwrite drops every prior member
+    longForm(Seq(("m3", "tas", ts(0), 0.0, 100.0, 3.0)))
+      .write.format("netcdf").mode("overwrite").save(tmp)
+    assert(new java.io.File(tmp).listFiles().map(_.getName).toSeq ==
+      Seq("m3.h5"))
+  }
+
+  test("sink rejections are named: null dataset, mixed times, duplicate cells") {
+    val tmp = tmpDir("wrej")
+    val exN = intercept[Exception](longForm(
+      Seq((null, "tas", ts(0), 0.0, 100.0, 1.0)))
+      .write.format("netcdf").mode("append").save(tmp))
+    assert(exN.getMessage.contains("non-null"))
+    val exM = intercept[Exception](longForm(
+      Seq(("m", "tas", ts(0), 0.0, 100.0, 1.0),
+          ("m", "tas", null, 0.0, 100.0, 2.0)))
+      .write.format("netcdf").mode("append").save(tmp))
+    assert(exM.getMessage.contains("mixes null and non-null times"))
+    val exD = intercept[Exception](longForm(
+      Seq(("m", "tas", ts(0), 0.0, 100.0, 1.0),
+          ("m", "tas", ts(0), 0.0, 100.0, 2.0)))
+      .write.format("netcdf").mode("append").save(tmp))
+    assert(exD.getMessage.contains("duplicate rows"))
+    // failed jobs leave NO destination members and NO staging residue
+    val left = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+    assert(left.forall(f => f.isDirectory && f.getName.startsWith(".graft-staging")) || left.isEmpty,
+      s"aborted write left residue: ${left.map(_.getName).toSeq}")
+  }
+
+  test("a variable absent from some cells writes NaN-filled and masks back on read") {
+    val tmp = tmpDir("sparse")
+    // tas covers 2×2 cells, pr covers only one: the shared-axes union
+    // NaN-fills pr's other cells and mask-and-scale drops them on read
+    val rows = Seq(
+      ("m", "tas", ts(0), 0.0, 100.0, 1.0), ("m", "tas", ts(0), 0.0, 110.0, 2.0),
+      ("m", "tas", ts(0), 10.0, 100.0, 3.0), ("m", "tas", ts(0), 10.0, 110.0, 4.0),
+      ("m", "pr", ts(0), 10.0, 110.0, 9.0))
+    longForm(rows).write.format("netcdf").mode("append").save(tmp)
+    assertSame(tagged(dsv2(s"$tmp/*")), longForm(rows))
   }
 
   test("Spark-exact comparison atoms: compareDoubles semantics unit-pinned") {
