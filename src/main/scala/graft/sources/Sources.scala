@@ -303,17 +303,26 @@ object Sources {
     // oracle shape as q_source_grid_subset.
     "q_source_dsv2_pushdown" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
       bounds = Some(NetcdfSource.GridBounds(latMin = 5.0, lonMax = 125.0)),
-      dsv2 = true)))
+      dsv2 = true)),
+    // r13 late: the DSv2 WRITE path graded end-to-end — the dense grid
+    // goes through `df.write.format("netcdf")` (staging + driver-commit
+    // protocol, RequiresDistributionAndOrdering clustering) instead of
+    // writeGrid, is re-read through the DSv2 reader, and must hit the
+    // SAME unbounded fingerprint the hdf5_roundtrip oracle computes
+    // from the base events table.
+    "q_source_dsv2_write" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
+      dsv2 = true, dsv2Write = true)))
 
   private def gridRoundtrip(s: SparkSession, dir: String, hdf5: Boolean,
                             bounds: Option[NetcdfSource.GridBounds] = None,
-                            dsv2: Boolean = false)
+                            dsv2: Boolean = false,
+                            dsv2Write: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.DoubleType
-    // bounded variant writes to its own dir: each key's artifact stays
-    // independent of the others' (runnable standalone, no ordering)
-    val out = s"$roundtripRoot/${if (dsv2) "dsv2"
+    // each key's artifact dir is its own: runnable standalone, no ordering
+    val out = s"$roundtripRoot/${if (dsv2Write) "dsv2w"
+      else if (dsv2) "dsv2"
       else if (bounds.isDefined) "gridsub"
       else if (hdf5) "hdf5" else "netcdf"}"
     val cells = graft.Tables.events(s, dir)
@@ -353,11 +362,16 @@ object Sources {
           (col("latb") * 10.0).as("lat"),
           (lit(100.0) + col("lonb") * 10.0).as("lon"),
           coalesce(col("v"), lit(0.0)).as("value"))
-      NetcdfSource.writeGrid(dense, out, varName = "events", hdf5 = hdf5)
+      if (dsv2Write)
+        // the DSv2 SINK: staging + driver-commit protocol; overwrite
+        // truncates a previous tier's member so staleness cannot pass
+        dense.withColumn("variable", lit("events"))
+          .write.format("netcdf").mode("overwrite").save(out)
+      else NetcdfSource.writeGrid(dense, out, varName = "events", hdf5 = hdf5)
       cells.unpersist()
       val gridFile = s"$out/grid.${if (hdf5) "h5" else "nc"}"
       val readBack =
-        if (dsv2)
+        if (dsv2 && bounds.isDefined)
           // Catalyst drives the pruning: the filter below is accepted
           // by SupportsPushDownFilters (Spark-exact, fully handled —
           // no residual Filter in the plan) and becomes the same
@@ -365,6 +379,8 @@ object Sources {
           s.read.format("netcdf").option("vars", "events").load(gridFile)
             .where(col("lat") >= bounds.get.latMin &&
               col("lon") <= bounds.get.lonMax)
+        else if (dsv2)
+          s.read.format("netcdf").option("vars", "events").load(gridFile)
         else NetcdfSource.readGrid(s, gridFile, "events", bounds = bounds)
       readBack
         .groupBy(col("lat"))
@@ -462,6 +478,26 @@ object Sources {
     // (no in-bound lon column at all) means the bounded read emits NO
     // rows — the WHERE nlon > 0 guard mirrors that empty axis
     // intersection exactly (degenerate one-event tiers hit this).
+    // the DSv2 WRITE twin re-derives the UNBOUNDED fingerprint (same
+    // SQL as the hdf5 roundtrip) — equality holds iff the staged
+    // commit-protocol sink wrote exactly what writeGrid would have
+    "q_source_dsv2_write" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 3 AS INT) AS latb,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS lonb,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |shape AS (
+        |  SELECT COUNT(DISTINCT day) AS nt, COUNT(DISTINCT lonb) AS nlon
+        |  FROM cells)
+        |SELECT CAST(latb * 10 AS DOUBLE) AS lat,
+        |  CAST(nt * nlon AS BIGINT) AS n_cells,
+        |  CAST(SUM(v) AS BIGINT) AS sum_val,
+        |  CAST(SUM(v * datediff('day', DATE '1970-01-01', day)) AS BIGINT) AS t_sig
+        |FROM cells, shape
+        |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin,
     // the DSv2 twin's predicates are the SAME bounds (lat >= 5,
     // lon <= 125), so the oracle is the grid_subset SQL verbatim —
     // DSv2 read + Catalyst-pushed filters must equal the manual
