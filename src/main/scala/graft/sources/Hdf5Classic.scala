@@ -818,6 +818,10 @@ object Hdf5Classic {
     def bytesFor(max: Long): Int =
       (63 - java.lang.Long.numberOfLeadingZeros(math.max(max, 1L))) / 8 + 1
 
+    // per-heap memo of the huge-object B-tree: id → (address, length)
+    val hugeMaps =
+      scala.collection.mutable.HashMap.empty[Long, Map[Long, (Long, Long)]]
+
     final case class FHeap(idLen: Int, offBytes: Int,
                            lenBytes: Int, width: Int, startSize: Long,
                            maxDirectSize: Long, rootAddr: Long, curRows: Int,
@@ -893,13 +897,20 @@ object Hdf5Classic {
             "not supported")
         require(h.hugeBtAddr != UNDEF,
           "huge heap object without a huge-object v2 B-tree")
-        val hugeId = readVarLong(ib, h.idLen - 1)
-        val rec = v2BtreeRecords(h.hugeBtAddr, wantType = 1).collectFirst {
-          case r if lbb(r).getLong(16) == hugeId => r
-        }.getOrElse(throw new IllegalArgumentException(
-          s"huge object id $hugeId not in the huge-object B-tree"))
-        val rb = lbb(rec)
-        val at = rb.getLong(0); val len = rb.getLong(8)
+        // libhdf5 caps the huge-object id at 8 encoded bytes even when
+        // the heap's id slots are wider (bytes past the id are
+        // undefined pad — reading them would corrupt the number)
+        val hugeId = readVarLong(ib, math.min(h.idLen - 1, 8))
+        // one B-tree walk per heap, memoized: N huge attributes must
+        // not mean N full-tree rescans
+        val hugeMap = hugeMaps.getOrElseUpdate(h.hugeBtAddr,
+          v2BtreeRecords(h.hugeBtAddr, wantType = 1).map { r =>
+            val rb = lbb(r)
+            rb.getLong(16) -> (rb.getLong(0), rb.getLong(8))
+          }.toMap)
+        val (at, len) = hugeMap.getOrElse(hugeId,
+          throw new IllegalArgumentException(
+            s"huge object id $hugeId not in the huge-object B-tree"))
         require(at != UNDEF && len > 0 && at + len <= bytes.length,
           s"huge object id $hugeId has corrupt extent ($at + $len B)")
         return java.util.Arrays.copyOfRange(
@@ -987,7 +998,7 @@ object Hdf5Classic {
         val ptr = 8 + nrecBytes + cumTotSize(d - 1)
         val intMax = (nodeSize - (10 + ptr)) / (recSize + ptr)
         cum = (intMax + 1L) * cum + intMax
-        if (d <= depth) cumTotSize(d) = bytesFor(cum)
+        cumTotSize(d) = bytesFor(cum)
       }
       def leaf(addr: Long, nrec: Int): Seq[Array[Byte]] = {
         require(asciiSig(addr) == "BTLF", s"no v2 B-tree leaf at $addr")

@@ -137,8 +137,6 @@ object NetcdfV2 {
     def timeOk(us: Long): Boolean = !timeIsNull && time.forall(holdsT(us, _))
     def varOk(v: String): Boolean = varIn.forall(_.contains(v))
     def dsOk(d: String): Boolean = dsIn.forall(_.contains(d))
-    def hasAxisPreds: Boolean =
-      lat.nonEmpty || lon.nonEmpty || time.nonEmpty || timeNotNull || timeIsNull
   }
 
   private[graft] def micros(v: Any): Option[Long] = v match {
@@ -298,22 +296,13 @@ private class NcScan(pathGlob: String, varsOpt: Option[Seq[String]],
       .sortBy(_._1)
   }
 
-  /** Variable list: the explicit `vars` option, else discovered from
-    * the FIRST file's self-describing header (data variables on
-    * (time,lat,lon) or (lat,lon) axes); `variable` pushdown applied. */
-  private lazy val vars: Seq[String] = {
-    val base = varsOpt.getOrElse {
-      files.headOption.map { case (path, _) =>
-        val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(path))
-        val axes = Set(latVar, lonVar, timeVar)
-        g.varNames.filterNot(axes).filter { v =>
-          Try(g.dimsOf(v)).toOption.exists(d =>
-            d == Seq(timeVar, latVar, lonVar) || d == Seq(latVar, lonVar))
-        }.sorted
-      }.getOrElse(Nil)
-    }
-    base.filter(pushed.varOk)
-  }
+  /** The explicit `vars` option with `variable` pushdown applied; None
+    * = PER-FILE discovery in each reader (a mixed archive where
+    * members carry different variable sets reads every one of them —
+    * driver-side first-file discovery would silently drop variables
+    * the first member happens to lack). */
+  private lazy val vars: Option[Seq[String]] =
+    varsOpt.map(_.filter(pushed.varOk))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -344,7 +333,7 @@ private class NcScan(pathGlob: String, varsOpt: Option[Seq[String]],
   }
 }
 
-private case class NcPartition(path: String, vars: Seq[String],
+private case class NcPartition(path: String, vars: Option[Seq[String]],
                                latVar: String, lonVar: String,
                                timeVar: String) extends InputPartition
 
@@ -362,8 +351,21 @@ private class NcReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
   private val it: Iterator[InternalRow] = {
     val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(p.path))
     val ds = new Path(p.path).getName
+    // explicit `vars` option: every named variable must exist in every
+    // member (rowsFor throws the reader's named error otherwise — loud,
+    // like readGridVars). Absent: THIS file's own data variables —
+    // (time,lat,lon)/(lat,lon) layouts, axes and dim scales excluded —
+    // so mixed archives contribute each member's full variable set.
+    val vars = p.vars.getOrElse {
+      val axes = Set(p.latVar, p.lonVar, p.timeVar)
+      g.varNames.filterNot(axes).filter { v =>
+        Try(g.dimsOf(v)).toOption.exists(d =>
+          d == Seq(p.timeVar, p.latVar, p.lonVar) ||
+            d == Seq(p.latVar, p.lonVar))
+      }.sorted
+    }
     if (!pushed.dsOk(ds)) Iterator.empty
-    else p.vars.iterator.filter(pushed.varOk).flatMap(v => rowsFor(g, ds, v))
+    else vars.iterator.filter(pushed.varOk).flatMap(v => rowsFor(g, ds, v))
   }
 
   // required-column projection: ordinal codes per output slot
@@ -538,7 +540,8 @@ private class NcWriteBuilder(options: CaseInsensitiveStringMap,
 private case class NcWriteOrds(ds: Int, vr: Int, tm: Int,
                                la: Int, lo: Int, va: Int)
 
-private case class NcCommit(tempToFinal: Seq[(String, String)])
+/** (staged temp path, final member name, source dataset tag). */
+private case class NcCommit(entries: Seq[(String, String, String)])
     extends WriterCommitMessage
 
 private class NcWrite(dest: String, hdf5: Boolean, truncate: Boolean,
@@ -574,17 +577,26 @@ private class NcBatchWrite(dest: String, hdf5: Boolean, truncate: Boolean,
     val fs = destP.getFileSystem(new Configuration())
     fs.mkdirs(destP)
     val moves = messages.collect { case NcCommit(ps) => ps }.flatten
-    val dups = moves.groupBy(_._2).filter(_._2.length > 1).keys
-    require(dups.isEmpty, // clustered distribution makes this unreachable
-      s"netcdf sink: member(s) ${dups.mkString(", ")} written by more " +
-        "than one task — dataset clustering violated")
+    moves.groupBy(_._2).filter(_._2.length > 1).foreach { case (fin, es) =>
+      val tags = es.map(_._3).distinct
+      if (tags.length > 1) throw new IllegalArgumentException(
+        s"netcdf sink: datasets ${tags.mkString("'", "', '", "'")} all " +
+          s"map to member file '$fin' — extension-stripped tags must be " +
+          "unique")
+      else throw new IllegalStateException(
+        s"netcdf sink: member '$fin' written by more than one task — " +
+          "dataset clustering violated")
+    }
     if (truncate) {
-      val ext = if (hdf5) ".h5" else ".nc"
+      // truncate means the DESTINATION's prior members are gone — both
+      // container extensions, or an overwrite that switched containers
+      // would leave the old-format member readable next to the new one
       Option(fs.listStatus(destP)).getOrElse(Array.empty)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(ext))
+        .filter(st => st.isFile && (st.getPath.getName.endsWith(".h5") ||
+          st.getPath.getName.endsWith(".nc")))
         .foreach(st => fs.delete(st.getPath, false))
     }
-    moves.foreach { case (tmp, fin) =>
+    moves.foreach { case (tmp, fin, _) =>
       val to = new Path(destP, fin)
       fs.delete(to, false) // append mode: same member name = replace
       require(fs.rename(new Path(tmp), to),
@@ -612,21 +624,35 @@ private class NcWriterFactory(stagingDir: String, ext: String,
 private class NcDataWriter(stagingDir: String, ext: String,
                            ords: NcWriteOrds, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val fs = new Path(stagingDir).getFileSystem(new Configuration())
+  // a PRIVATE fs instance (newInstance bypasses the JVM-wide cache):
   // the member bytes carry their own (unverified) checksums where the
-  // format defines them; Hadoop's .crc sidecars would just pollute the
-  // archive listing and break glob reads
+  // format defines them, so .crc sidecars are disabled for THIS
+  // writer's files — mutating the cached shared instance would turn
+  // checksums off for every other Hadoop write in the executor
+  private val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+    new Path(stagingDir).toUri, new Configuration())
   fs.setWriteChecksum(false)
   private var cur: String = _
   private val buf =
     scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Double, Double)]
-  private val moves = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private val moves =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+
+  // final member name → the source dataset tag that produced it: two
+  // DISTINCT tags stripping to one name ('m1' vs 'm1.nc') must be a
+  // named error, not a silent staged-file overwrite
+  private val named = scala.collection.mutable.HashMap.empty[String, String]
 
   private def flush(): Unit = if (cur != null) {
     // a member tag that came from a read is a file BASENAME — strip its
     // container extension so read(a) → write(b) copies m1.nc to m1.nc,
     // not m1.nc.nc (the container option picks the new extension)
     val base = cur.replaceAll("\\.(nc|h5)$", "")
+    named.put(s"$base.$ext", cur).filter(_ != cur).foreach { prev =>
+      throw new IllegalArgumentException(
+        s"netcdf sink: datasets '$prev' and '$cur' both map to member " +
+          s"file '$base.$ext' — extension-stripped tags must be unique")
+    }
     val bytes = NetcdfSource.buildMemberBytesMulti(base, buf.toSeq,
       hdf5 = ext == "h5")
     // taskId-unique temp name: concurrent attempts of the same
@@ -634,7 +660,7 @@ private class NcDataWriter(stagingDir: String, ext: String,
     val tmp = new Path(stagingDir, s"$taskId-$base.$ext")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    moves += ((tmp.toString, s"$base.$ext"))
+    moves += ((tmp.toString, s"$base.$ext", cur))
     buf.clear()
   }
 
@@ -654,6 +680,6 @@ private class NcDataWriter(stagingDir: String, ext: String,
 
   override def commit(): WriterCommitMessage = { flush(); NcCommit(moves.toSeq) }
   override def abort(): Unit =
-    moves.foreach { case (tmp, _) => fs.delete(new Path(tmp), false) }
-  override def close(): Unit = ()
+    moves.foreach { case (tmp, _, _) => fs.delete(new Path(tmp), false) }
+  override def close(): Unit = fs.close() // private instance — must close
 }

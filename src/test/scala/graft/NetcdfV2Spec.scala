@@ -343,6 +343,51 @@ class NetcdfV2Spec extends AnyFunSuite {
     assertSame(tagged(dsv2(s"$tmp/*")), longForm(rows))
   }
 
+  test("variable discovery is PER FILE: a variable only some members carry still reads") {
+    val tmp = tmpDir("perfile")
+    // member A: only tas. member B: tas AND pr. First-file discovery
+    // would drop pr (or crash, depending on listing order) — per-file
+    // discovery reads each member's own variable set.
+    writeClassic(s"$tmp/a.nc", nt = 1, bias = 0.0)
+    val bytes = Hdf5Classic.write(
+      dims = Seq(NcDim("lat", 2), NcDim("lon", 3)),
+      vars = Seq(
+        ("lat", Seq(0), Nil, Array(0.0, 10.0)),
+        ("lon", Seq(1), Nil, Array(100.0, 110.0, 120.0)),
+        ("pr", Seq(0, 1), Nil, Array(1.0, 2, 3, 4, 5, 6)),
+        ("tas", Seq(0, 1), Nil, Array(10.0, 20, 30, 40, 50, 60))))
+    Files.write(Paths.get(s"$tmp/b.h5"), bytes)
+    val all = dsv2(s"$tmp/*")
+    assert(all.count() == 6 + 12)
+    assert(all.filter(col("variable") === "pr").count() == 6)
+    // and pr rows come only from b.h5
+    assert(all.filter(col("variable") === "pr")
+      .select("dataset").distinct().head.getString(0) == "b.h5")
+  }
+
+  test("overwrite that switches containers truncates the other extension too") {
+    val tmp = tmpDir("xcont")
+    longForm(Seq(("m1", "tas", ts(0), 0.0, 100.0, 1.0)))
+      .write.format("netcdf").option("container", "classic")
+      .mode("append").save(tmp)
+    assert(new java.io.File(tmp).listFiles().map(_.getName).toSeq == Seq("m1.nc"))
+    longForm(Seq(("m1", "tas", ts(0), 0.0, 100.0, 2.0)))
+      .write.format("netcdf").option("container", "hdf5")
+      .mode("overwrite").save(tmp)
+    assert(new java.io.File(tmp).listFiles().map(_.getName).toSeq == Seq("m1.h5"),
+      "the stale classic member must not survive an overwrite")
+  }
+
+  test("dataset tags that collide after extension stripping reject by name") {
+    val tmp = tmpDir("collide")
+    val ex = intercept[Exception](longForm(Seq(
+      ("m1", "tas", ts(0), 0.0, 100.0, 1.0),
+      ("m1.nc", "tas", ts(0), 0.0, 100.0, 2.0)))
+      .coalesce(1) // force both tags into one task regardless of clustering
+      .write.format("netcdf").mode("append").save(tmp))
+    assert(ex.getMessage.contains("extension-stripped tags must be unique"))
+  }
+
   test("Spark-exact comparison atoms: compareDoubles semantics unit-pinned") {
     import NetcdfV2._
     assert(cmpD(Double.NaN, Double.NaN) == 0) // NaN = NaN

@@ -263,7 +263,7 @@ def make_sparse(outdir, seed):
     assert n[0] == 500 and n[1] == 500 and n[2] == 0
 
 
-def make_scale(outdir, seed):
+def make_scale(outdir, seed, decade=1):
     """SCALE-DECADE tier (--scale, round 13): a 5-10x sf0.1-equivalent
     built by invariant-preserving replication of /root/testdata/sf0.1 —
     the next decade of the r11 scaling audit (sf0.01 -> sf0.1 -> this).
@@ -296,6 +296,15 @@ def make_scale(outdir, seed):
         linearly — more data means more categories, and past that scale
         the LSH/IVF family is the production path anyway).
     """
+    # decade=2 (--scale2, r13 cont.): the THIRD decade of the audit —
+    # lineitem x81 (48.6M; joins order replica r%6, so (orderkey,
+    # linenumber) tie clusters grow ~13x — declared non-unique, total-
+    # ordering discipline already covers it), events/documents/
+    # embeddings x100 (10M / 500k / 200k). Orders stays at 6 replicas:
+    # the o_orderkey < 1e6 argmax-encoding bound is a hard contract, and
+    # real warehouses grow fact tables faster than header tables anyway.
+    lrep, orep, erep, drep, brep = (
+        (9, 6, 10, 10, 10) if decade == 1 else (81, 6, 100, 100, 100))
     src = "/root/testdata/sf0.1"
     os.makedirs(outdir, exist_ok=True)
     for t in ["region", "nation", "customer", "supplier", "part"]:
@@ -305,18 +314,18 @@ def make_scale(outdir, seed):
     con.execute(f"""COPY (
         SELECT b.o_orderkey + r.r * 150000 AS o_orderkey,
                b.* EXCLUDE (o_orderkey)
-        FROM read_parquet('{src}/orders.parquet') b, range(6) r(r)
+        FROM read_parquet('{src}/orders.parquet') b, range({orep}) r(r)
       ) TO '{outdir}/orders.parquet' (FORMAT parquet)""")
     con.execute(f"""COPY (
-        SELECT b.l_orderkey + (r.r % 6) * 150000 AS l_orderkey,
+        SELECT b.l_orderkey + (r.r % {orep}) * 150000 AS l_orderkey,
                b.* EXCLUDE (l_orderkey)
-        FROM read_parquet('{src}/lineitem.parquet') b, range(9) r(r)
+        FROM read_parquet('{src}/lineitem.parquet') b, range({lrep}) r(r)
       ) TO '{outdir}/lineitem.parquet' (FORMAT parquet)""")
     con.execute(f"""COPY (
         SELECT b.event_id + r.r * 100000 AS event_id,
                b.ts + r.r * INTERVAL 97 HOUR AS ts,
                b.* EXCLUDE (event_id, ts)
-        FROM read_parquet('{src}/events.parquet') b, range(10) r(r)
+        FROM read_parquet('{src}/events.parquet') b, range({erep}) r(r)
       ) TO '{outdir}/events.parquet' (FORMAT parquet)""")
     con.execute(f"""COPY (
         SELECT doc_id, text, lang, source,
@@ -329,13 +338,13 @@ def make_scale(outdir, seed):
                         x -> x || 'z' || CAST(r.r AS VARCHAR)), ' ')
                  END AS text,
                  b.lang, b.source
-          FROM read_parquet('{src}/documents.parquet') b, range(10) r(r))
+          FROM read_parquet('{src}/documents.parquet') b, range({drep}) r(r))
       ) TO '{outdir}/documents.parquet' (FORMAT parquet)""")
     rng = random.Random(20260818 + seed)
     erows = [(r * 2000 + i,
               [rng.uniform(-1, 1) for _ in range(64)],
               (i % 10) + r * 10)
-             for r in range(1, 10) for i in range(2000)]
+             for r in range(1, brep) for i in range(2000)]
     con.execute(f"CREATE TABLE emb AS SELECT * FROM "
                 f"read_parquet('{src}/embeddings.parquet')")
     con.executemany("INSERT INTO emb VALUES (?, ?, ?)", erows)
@@ -352,9 +361,9 @@ def make_scale(outdir, seed):
         """).fetchone()
     print(f"wrote SCALE tier {outdir}: lineitem={chk[0]} "
           f"max_orderkey={chk[2]} labels={chk[7]}")
-    assert chk[0] == 5400000 and chk[1] == 0 and chk[2] < 1000000
+    assert chk[0] == 600000 * lrep and chk[1] == 0 and chk[2] < 1000000
     assert chk[3] == 0 and chk[4] == 0 and chk[5] == 0 and chk[6] == 0
-    assert chk[7] == 100
+    assert chk[7] == brep * 10
 
 
 def make_empty(outdir):
@@ -474,7 +483,7 @@ def main(outdir, seed=0, hot=False, nulls=False):
     assert (n[4] > 0) == nulls  # the tier does (and only does) what it says
 
 
-FLAGS = ("--hot", "--sparse", "--nulls", "--empty", "--one", "--scale")
+FLAGS = ("--hot", "--sparse", "--nulls", "--empty", "--one", "--scale", "--scale2")
 
 if __name__ == "__main__":
     # reject any unrecognized -flag up front: a misspelled one used to
@@ -518,5 +527,7 @@ if __name__ == "__main__":
         make_one(args[0])
     elif "--scale" in flags:
         make_scale(args[0], seed)
+    elif "--scale2" in flags:
+        make_scale(args[0], seed, decade=2)
     else:
         main(args[0], seed, hot="--hot" in flags, nulls="--nulls" in flags)
