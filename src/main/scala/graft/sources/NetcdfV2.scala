@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -167,6 +168,7 @@ private class NcTable(options: CaseInsensitiveStringMap)
   override def schema(): StructType = NetcdfV2.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options)
@@ -306,6 +308,9 @@ private class NcScan(pathGlob: String, varsOpt: Option[Seq[String]],
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new NcMicroBatchStream(pathGlob, vars, latVar, lonVar, timeVar, pushed,
+      required)
   override def description(): String =
     s"netcdf $pathGlob, PushedFilters: [${pushedDesc.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
@@ -336,6 +341,80 @@ private class NcScan(pathGlob: String, varsOpt: Option[Seq[String]],
 private case class NcPartition(path: String, vars: Option[Seq[String]],
                                latVar: String, lonVar: String,
                                timeVar: String) extends InputPartition
+
+/** Stream offset = the set of member files already emitted, as a
+  * sorted JSON array. Linear in archive size — right for the
+  * thousands-of-members archives this source targets (the same
+  * trade-off Spark's own FileStreamSource makes with its seen-files
+  * map); a millions-of-tiny-files firehose wants a log-compacting
+  * source instead, documented out of scope. */
+private class NcOffset(val files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    compact(render(files.toList))
+  }
+}
+
+private object NcOffset {
+  def parse(json: String): NcOffset =
+    new NcOffset(org.json4s.jackson.JsonMethods.parse(json).values
+      .asInstanceOf[List[String]].toVector)
+}
+
+/** Micro-batch streaming over a growing grid archive: each trigger
+  * lists the glob and emits every member file not in the previous
+  * offset — `readStream.format("netcdf")` turns instrument drops into
+  * a Structured Streaming source with the SAME pruning and row
+  * semantics as the batch scan (one partition per new file, pushed
+  * predicates applied in the readers). Files are immutable once
+  * written (the grid formats are not appendable), so set-difference on
+  * names is exact; a REPLACED member (same name, new bytes) is out of
+  * scope like every mutable-file streaming source. */
+private class NcMicroBatchStream(pathGlob: String,
+                                 vars: Option[Seq[String]],
+                                 latVar: String, lonVar: String,
+                                 timeVar: String,
+                                 pushed: NetcdfV2.NcPushed,
+                                 required: StructType)
+    extends MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listing(): Seq[String] = {
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(new Configuration())
+    // an empty listing is NOT an error for a stream: the archive may
+    // simply have no members yet — the batch scan's named rejection
+    // stays on the batch path
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile)
+      .map(_.getPath.toString)
+      .filter(path => pushed.dsOk(new Path(path).getName))
+      .sorted
+  }
+
+  override def initialOffset(): Offset = new NcOffset(Vector.empty)
+  override def latestOffset(): Offset = new NcOffset(listing())
+  override def deserializeOffset(json: String): Offset = NcOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[NcOffset].files.toSet
+    end.asInstanceOf[NcOffset].files.filterNot(seen)
+      .map(p => NcPartition(p, vars, latVar, lonVar, timeVar): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val req = required.fieldNames.toSeq
+    val push = pushed
+    (partition: InputPartition) =>
+      new NcReader(partition.asInstanceOf[NcPartition], push, req)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** One file → pruned long-form rows. Mirrors
   * [[NetcdfSource.emitRows]]' bounded path, with the pushed atoms

@@ -388,6 +388,48 @@ class NetcdfV2Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("extension-stripped tags must be unique"))
   }
 
+  test("readStream: new members arrive as micro-batches; the checkpoint skips seen files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = tmpDir("stream"); val ckpt = tmpDir("streamckpt")
+    val sink = tmpDir("streamsink")
+    writeClassic(s"$tmp/m1.nc", nt = 1, bias = 0.0)
+    def runOnce(): Unit = {
+      // parquet sink: checkpoint-recoverable, so each runOnce RESUMES
+      // the same logical query and must only see unseen member files
+      val q = spark.readStream.format("netcdf").option("vars", "tas")
+        .load(s"$tmp/*.nc")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    def byDataset(): Map[String, Long] =
+      spark.read.parquet(sink).groupBy("dataset").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    runOnce()
+    assert(byDataset() == Map("m1.nc" -> 6L))
+    // a second member lands; the SAME checkpoint reads ONLY the new file
+    writeClassic(s"$tmp/m2.nc", nt = 1, bias = 100.0)
+    runOnce()
+    assert(byDataset() == Map("m1.nc" -> 6L, "m2.nc" -> 6L),
+      "resume must append exactly the new member, not re-read m1")
+    // nothing new → an empty batch, not an error and no duplicates
+    runOnce()
+    assert(byDataset() == Map("m1.nc" -> 6L, "m2.nc" -> 6L))
+  }
+
+  test("readStream on an empty-so-far archive waits instead of erroring") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = tmpDir("streamempty"); val ckpt = tmpDir("streamemptyck")
+    val q = spark.readStream.format("netcdf").option("vars", "tas")
+      .load(s"$tmp/*.nc")
+      .writeStream.format("memory").queryName("ncse")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q.awaitTermination()
+    assert(spark.table("ncse").count() == 0)
+  }
+
   test("Spark-exact comparison atoms: compareDoubles semantics unit-pinned") {
     import NetcdfV2._
     assert(cmpD(Double.NaN, Double.NaN) == 0) // NaN = NaN
