@@ -311,17 +311,27 @@ object Sources {
     // SAME unbounded fingerprint the hdf5_roundtrip oracle computes
     // from the base events table.
     "q_source_dsv2_write" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
-      dsv2 = true, dsv2Write = true)))
+      dsv2 = true, dsv2Write = true)),
+    // r13 late: the STREAMING read surface of the DSv2 format graded
+    // end-to-end — the grid member is ingested as a Trigger.Once
+    // micro-batch stream (fresh checkpoint per run, parquet sink),
+    // and the drained sink must carry the same unbounded fingerprint.
+    // Grades offset bookkeeping, per-file batch planning, and the
+    // stream→batch row-semantics equivalence against DuckDB.
+    "q_source_dsv2_stream" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
+      stream = true)))
 
   private def gridRoundtrip(s: SparkSession, dir: String, hdf5: Boolean,
                             bounds: Option[NetcdfSource.GridBounds] = None,
                             dsv2: Boolean = false,
-                            dsv2Write: Boolean = false)
+                            dsv2Write: Boolean = false,
+                            stream: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.DoubleType
     // each key's artifact dir is its own: runnable standalone, no ordering
-    val out = s"$roundtripRoot/${if (dsv2Write) "dsv2w"
+    val out = s"$roundtripRoot/${if (stream) "dsv2s"
+      else if (dsv2Write) "dsv2w"
       else if (dsv2) "dsv2"
       else if (bounds.isDefined) "gridsub"
       else if (hdf5) "hdf5" else "netcdf"}"
@@ -371,7 +381,28 @@ object Sources {
       cells.unpersist()
       val gridFile = s"$out/grid.${if (hdf5) "h5" else "nc"}"
       val readBack =
-        if (dsv2 && bounds.isDefined)
+        if (stream) {
+          // Trigger.Once micro-batch over the member file into a
+          // parquet sink; checkpoint and sink are wiped FIRST so every
+          // run (and every tier) is a fresh single-batch stream — a
+          // stale checkpoint would silently skip the new artifact
+          import org.apache.spark.sql.streaming.Trigger
+          val ckpt = new java.io.File(s"$out/_ckpt")
+          val sink = new java.io.File(s"$out/_sink")
+          def rmTree(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+            f.delete()
+          }
+          rmTree(ckpt); rmTree(sink)
+          val q = s.readStream.format("netcdf").option("vars", "events")
+            .load(gridFile)
+            .writeStream.format("parquet").option("path", sink.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.Once()).start()
+          q.awaitTermination()
+          s.read.schema(org.apache.spark.sql.Encoders
+            .product[NetcdfSource.GridRow].schema).parquet(sink.toString)
+        } else if (dsv2 && bounds.isDefined)
           // Catalyst drives the pruning: the filter below is accepted
           // by SupportsPushDownFilters (Spark-exact, fully handled —
           // no residual Filter in the plan) and becomes the same
@@ -478,6 +509,25 @@ object Sources {
     // (no in-bound lon column at all) means the bounded read emits NO
     // rows — the WHERE nlon > 0 guard mirrors that empty axis
     // intersection exactly (degenerate one-event tiers hit this).
+    // the STREAMING twin drains the member as one micro-batch and must
+    // hit the same unbounded fingerprint — stream rows ≡ batch rows
+    "q_source_dsv2_stream" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 3 AS INT) AS latb,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS lonb,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |shape AS (
+        |  SELECT COUNT(DISTINCT day) AS nt, COUNT(DISTINCT lonb) AS nlon
+        |  FROM cells)
+        |SELECT CAST(latb * 10 AS DOUBLE) AS lat,
+        |  CAST(nt * nlon AS BIGINT) AS n_cells,
+        |  CAST(SUM(v) AS BIGINT) AS sum_val,
+        |  CAST(SUM(v * datediff('day', DATE '1970-01-01', day)) AS BIGINT) AS t_sig
+        |FROM cells, shape
+        |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin,
     // the DSv2 WRITE twin re-derives the UNBOUNDED fingerprint (same
     // SQL as the hdf5 roundtrip) — equality holds iff the staged
     // commit-protocol sink wrote exactly what writeGrid would have
