@@ -395,20 +395,36 @@ object Text {
     tfIdfCache.clear()
   }
 
-  /** The distinct (doc_id, sh) shingle table behind ALL THREE md5
-    * dedup twins — memoized and CACHED per (session, dir) so the
-    * MinHash and SimHash md5 pipelines share ONE shingling pass
-    * instead of each re-deriving it (the r5 warm-bench heavy tail:
-    * q_dedup_simhash_md5 re-shingled what minHashCandidatesMd5 had
-    * already computed). */
+  /** The distinct per-doc shingle table behind ALL THREE md5 dedup
+    * twins, reduced to its 60-bit md5 digests `(doc_id, h)` — memoized
+    * and CACHED per (session, dir) so the MinHash and SimHash md5
+    * pipelines share ONE shingling-and-hashing pass instead of each
+    * re-deriving it (the r5 warm-bench heavy tail: q_dedup_simhash_md5
+    * re-shingled what minHashCandidatesMd5 had already computed).
+    * r14: the cache holds the 8-byte digest instead of the shingle
+    * STRING — every downstream consumer hashes immediately anyway
+    * (SimHash always did; MinHash now derives its 16 permutations from
+    * this one digest, see [[minHashCandidatesMd5From]]), so caching
+    * post-hash removes ~16 md5-of-string evaluations per shingle from
+    * the family's first touch and shrinks the cached rows to two
+    * longs. The digest is applied AFTER the distinct-on-string, so a
+    * (negligible) 60-bit collision yields the same duplicate-h rows
+    * on both engines — minima are multiset-min-invariant and the
+    * SimHash vote counts match because the oracle hashes the same
+    * distinct strings. */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** `(doc_id, sh)` strings → the md5-family digest rows `(doc_id, h)`
+    * (h = [[Profiling.rowDigest]] of the shingle — the engines' shared
+    * 60-bit digest). Exposed for specs that build variant corpora. */
+  private[graft] def hashShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), Profiling.rowDigest(col("sh")).as("h"))
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
-        Dedup.shingles(Tables.documents(s, dir))
-          .select(col("doc_id"), col("sh")).cache()
+        hashShingles(Dedup.shingles(Tables.documents(s, dir))).cache()
       })
 
   /** The md5-keyed MinHash-LSH candidate pairs `(a, b)` behind
@@ -452,28 +468,57 @@ object Text {
         minHashCandidatesMd5From(docShingles(s, dir)).cache()
       })
 
-  /** The md5 MinHash-LSH candidate pipeline over a `(doc_id, sh)`
-    * shingle table: 16 md5 permutation min-hashes, 4-band signature
-    * split, band-equality self-join — with the production hot-bucket
-    * cap (r6, VERDICT r5 #1): any (band, bval) bucket holding more
-    * than `maxBucket` docs is dropped from BOTH join sides via the
-    * count → [[Dedup.antiJoinHot]] pattern, so a degenerate corpus
-    * (thousands of near-identical docs collapsing to one band value)
-    * emits zero pairs from that bucket instead of O(n²). The oracle
-    * mirrors the cap with a HAVING-count semi-join, so both engines
-    * drop identical buckets; at every graded tier no bucket is near
-    * the cap (DedupScaleSpec pins both facts). */
+  /** The 16 fixed affine MinHash permutations shared with the DuckDB
+    * oracle: perm_p(h) = (A_p·(h mod P) + B_p) mod P over the prime
+    * P = 2³¹−1. Both factors stay below 2³¹, so A·h' < 2⁶² — exact in
+    * a 64-bit long on BOTH engines (Spark longs wrap silently only
+    * past 2⁶³; DuckDB BIGINT errors on overflow — neither is reached).
+    * Constants are fixed literals (seeded once, recorded here and in
+    * the oracle VALUES list) — NOT runtime randomness, so every run of
+    * either engine computes the identical family. */
+  private val permA = Array(752861590L, 848483509L, 1869606813L,
+    519507499L, 1423030150L, 2085455519L, 1335112619L, 1882492825L,
+    289602774L, 1878954221L, 1877353167L, 1810161869L, 504801935L,
+    224310864L, 1167279993L, 1848984516L)
+  private val permB = Array(1767823748L, 1367271934L, 2145151121L,
+    899448300L, 1976685138L, 1825101048L, 371356052L, 2074008370L,
+    1614373277L, 1027648708L, 203016478L, 614499557L, 391386581L,
+    1552932024L, 1909427119L, 754397042L)
+  private val permP = 2147483647L // 2³¹ − 1 (prime)
+
+  /** The md5 MinHash-LSH candidate pipeline over a `(doc_id, h)`
+    * hashed-shingle table ([[hashShingles]]): 16 permutation
+    * min-hashes, 4-band signature split, band-equality self-join —
+    * with the production hot-bucket cap (r6, VERDICT r5 #1): any
+    * (band, bval) bucket holding more than `maxBucket` docs is
+    * dropped from BOTH join sides via the count →
+    * [[Dedup.antiJoinHot]] pattern, so a degenerate corpus (thousands
+    * of near-identical docs collapsing to one band value) emits zero
+    * pairs from that bucket instead of O(n²). The oracle mirrors the
+    * cap with a HAVING-count semi-join, so both engines drop identical
+    * buckets; at every graded tier no bucket is near the cap
+    * (DedupScaleSpec pins both facts).
+    *
+    * r14: permutations are the textbook one-hash construction the
+    * PRODUCTION path already uses ([[Dedup.minHashSignatures]]: hash
+    * each shingle once, derive every permutation by integer re-mixing)
+    * — md5 runs ONCE per shingle for the cross-engine digest and the
+    * 16 permutations are exact affine maps over it ([[permA]]),
+    * mirrored literally in the oracle SQL. The r6-r13 form re-ran
+    * md5-of-concat 16× per shingle row, which was ~all of the
+    * family's first-touch cost at the bench tier. */
   private[graft] def minHashCandidatesMd5From(sh: DataFrame,
                                               maxBucket: Long = 1000L): DataFrame = {
     // ONE aggregation builds the whole signature: the 16 permutation
     // minima ride as 16 min-aggregate columns over the un-exploded
-    // shingle rows (r6 rewrite of the r5 explode-16×-then-groupBy-twice
-    // shape — same minima, same band strings, two shuffles fewer; the
-    // map-side partial combine reduces each doc to 16 longs before the
-    // shuffle either way, but the input side no longer materializes
-    // 16 rows per shingle)
+    // hashed-shingle rows (r6 rewrite of the r5
+    // explode-16×-then-groupBy-twice shape — same minima, same band
+    // strings, two shuffles fewer; the map-side partial combine
+    // reduces each doc to 16 longs before the shuffle either way, but
+    // the input side no longer materializes 16 rows per shingle)
+    val hp = col("h") % permP
     val mins = (0 until 16).map(p =>
-      min(Profiling.rowDigest(lit(p.toString), col("sh"))).as(s"mh$p"))
+      min((lit(permA(p)) * hp + permB(p)) % permP).as(s"mh$p"))
     val agg0 = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     // 4 band rows per doc, band value = the 4 minima in permutation
     // order (identical to the old array_sort(collect_list)-by-p build)
@@ -504,8 +549,9 @@ object Text {
       .distinct()
   }
 
-  /** The md5 SimHash Hamming ≤ 3 pipeline over a `(doc_id, sh)`
-    * shingle table: one-pass [[graft.expressions.SimHashAgg]] bit-vote
+  /** The md5 SimHash Hamming ≤ 3 pipeline over a `(doc_id, h)`
+    * hashed-shingle table ([[hashShingles]]): one-pass
+    * [[graft.expressions.SimHashAgg]] bit-vote
     * signatures on the shared md5 digest (bits 60–63 of the 60-bit
     * digest are always 0, so both engines' signatures agree on all 64
     * vote positions), 4×15-bit pigeonhole banding, and the production
@@ -519,8 +565,7 @@ object Text {
   private[graft] def simHashPairsMd5From(sh: DataFrame,
                                          maxBucket: Long = 1000L): DataFrame = {
     import graft.expressions.SimHashAgg.simhash_sig
-    val hv = sh.select(col("doc_id"), Profiling.rowDigest(col("sh")).as("h"))
-    val sigs = hv.groupBy(col("doc_id")).agg(simhash_sig(col("h")).as("sig"))
+    val sigs = sh.groupBy(col("doc_id")).agg(simhash_sig(col("h")).as("sig"))
     // cached pre-cap — same three-consumer rationale as the minhash
     // band table above (count + both join sides)
     val banded = trackPrecap(sigs
@@ -653,12 +698,21 @@ object Text {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
         |    WHERE len(t) >= 3) u),
         |hv AS (
-        |  SELECT doc_id, p,
-        |    CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || sh), 1, 15)
-        |         AS BIGINT) AS h
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) perms),
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hp
+        |  FROM sh),
+        |perms(p, a, b) AS (VALUES
+        |  (0,752861590,1767823748),(1,848483509,1367271934),
+        |  (2,1869606813,2145151121),(3,519507499,899448300),
+        |  (4,1423030150,1976685138),(5,2085455519,1825101048),
+        |  (6,1335112619,371356052),(7,1882492825,2074008370),
+        |  (8,289602774,1614373277),(9,1878954221,1027648708),
+        |  (10,1877353167,203016478),(11,1810161869,614499557),
+        |  (12,504801935,391386581),(13,224310864,1552932024),
+        |  (14,1167279993,1909427119),(15,1848984516,754397042)),
         |sig AS (
-        |  SELECT doc_id, p, MIN(h) AS mh FROM hv GROUP BY doc_id, p),
+        |  SELECT doc_id, p, MIN((CAST(a AS BIGINT) * hp + b) % 2147483647) AS mh
+        |  FROM hv CROSS JOIN perms GROUP BY doc_id, p),
         |band AS (
         |  SELECT doc_id, p // 4 AS b,
         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bval
@@ -681,12 +735,21 @@ object Text {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
         |    WHERE len(t) >= 3) u),
         |hv AS (
-        |  SELECT doc_id, p,
-        |    CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || sh), 1, 15)
-        |         AS BIGINT) AS h
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) perms),
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hp
+        |  FROM sh),
+        |perms(p, a, b) AS (VALUES
+        |  (0,752861590,1767823748),(1,848483509,1367271934),
+        |  (2,1869606813,2145151121),(3,519507499,899448300),
+        |  (4,1423030150,1976685138),(5,2085455519,1825101048),
+        |  (6,1335112619,371356052),(7,1882492825,2074008370),
+        |  (8,289602774,1614373277),(9,1878954221,1027648708),
+        |  (10,1877353167,203016478),(11,1810161869,614499557),
+        |  (12,504801935,391386581),(13,224310864,1552932024),
+        |  (14,1167279993,1909427119),(15,1848984516,754397042)),
         |sig AS (
-        |  SELECT doc_id, p, MIN(h) AS mh FROM hv GROUP BY doc_id, p),
+        |  SELECT doc_id, p, MIN((CAST(a AS BIGINT) * hp + b) % 2147483647) AS mh
+        |  FROM hv CROSS JOIN perms GROUP BY doc_id, p),
         |band AS (
         |  SELECT doc_id, p // 4 AS b,
         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bval

@@ -321,20 +321,40 @@ object Sources {
     "q_source_dsv2_stream" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
       stream = true)))
 
-  private def gridRoundtrip(s: SparkSession, dir: String, hdf5: Boolean,
-                            bounds: Option[NetcdfSource.GridBounds] = None,
-                            dsv2: Boolean = false,
-                            dsv2Write: Boolean = false,
-                            stream: Boolean = false)
-      : DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.DoubleType
-    // each key's artifact dir is its own: runnable standalone, no ordering
-    val out = s"$roundtripRoot/${if (stream) "dsv2s"
-      else if (dsv2Write) "dsv2w"
-      else if (dsv2) "dsv2"
-      else if (bounds.isDefined) "gridsub"
-      else if (hdf5) "hdf5" else "netcdf"}"
+  /** One SHARED writeGrid artifact per (session, tier, format): r13
+    * wrote a separate copy of the SAME dense grid for every reading
+    * grid key (hdf5/netcdf roundtrip, grid_subset, dsv2_pushdown,
+    * dsv2_stream — ~4 s of the bench's fixed cost); r14 builds it once
+    * and the readers share the member file. The value records whether
+    * the tier produced a member (false = empty events table). The
+    * artifact path embeds the tier, so a multi-tier session (specs run
+    * sf0.001 and sf0.01 back to back) never reads another tier's
+    * member; a re-run at the same tier overwrites with identical
+    * content (the standing staleness rule above). The graded DSv2
+    * WRITE key does NOT share — writing through the sink under test is
+    * the thing it grades. */
+  private val gridMemberCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Boolean), Boolean]
+
+  private def sharedGridMember(s: SparkSession, dir: String,
+                               hdf5: Boolean): Option[String] = {
+    val ext = if (hdf5) "h5" else "nc"
+    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"$roundtripRoot/grid_${tier}_$ext"
+    val wrote = gridMemberCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, hdf5),
+      writeDenseGrid(s, dir, out, hdf5, viaDsv2 = false))
+    if (wrote) Some(s"$out/grid.$ext") else None
+  }
+
+  /** Build the dense (day, lat-bucket, lon-bucket) COUNT grid from the
+    * tier's events table and write it as one grid member — DISTRIBUTED
+    * (distinct-axis cross join + left join, no driver collect) through
+    * either the real [[NetcdfSource.writeGrid]] sink or the DSv2
+    * `netcdf` format's staging + driver-commit write path. Returns
+    * false (nothing written) for an empty-events tier. */
+  private def writeDenseGrid(s: SparkSession, dir: String, out: String,
+                             hdf5: Boolean, viaDsv2: Boolean): Boolean = {
     val cells = graft.Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"),
         (col("user_id") % 3).cast("int").as("latb"),
@@ -350,15 +370,12 @@ object Sources {
       // the full events scan each time (r12 review find); unpersisted
       // before returning — the readback frame reads the FILE, not this
       .cache()
-    val outSchema = StructType(Seq(
-      StructField("lat", DoubleType), StructField("n_cells", LongType),
-      StructField("sum_val", LongType), StructField("t_sig", LongType)))
     if (cells.isEmpty) {
       // empty-events tier: no grid to write; the oracle's GROUP BY
       // over zero cells is empty too (a stale file from a previous
-      // tier is never read — the readback below is skipped entirely)
+      // tier is never read — the readback is skipped entirely)
       cells.unpersist()
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
+      false
     } else {
       // densify over the OBSERVED axes (zero-filled): broadcast-sized
       // distinct-axis frames cross-joined then left-joined back — the
@@ -372,55 +389,83 @@ object Sources {
           (col("latb") * 10.0).as("lat"),
           (lit(100.0) + col("lonb") * 10.0).as("lon"),
           coalesce(col("v"), lit(0.0)).as("value"))
-      if (dsv2Write)
+      if (viaDsv2)
         // the DSv2 SINK: staging + driver-commit protocol; overwrite
         // truncates a previous tier's member so staleness cannot pass
         dense.withColumn("variable", lit("events"))
           .write.format("netcdf").mode("overwrite").save(out)
       else NetcdfSource.writeGrid(dense, out, varName = "events", hdf5 = hdf5)
       cells.unpersist()
-      val gridFile = s"$out/grid.${if (hdf5) "h5" else "nc"}"
-      val readBack =
-        if (stream) {
-          // Trigger.Once micro-batch over the member file into a
-          // parquet sink; checkpoint and sink are wiped FIRST so every
-          // run (and every tier) is a fresh single-batch stream — a
-          // stale checkpoint would silently skip the new artifact
-          import org.apache.spark.sql.streaming.Trigger
-          val ckpt = new java.io.File(s"$out/_ckpt")
-          val sink = new java.io.File(s"$out/_sink")
-          def rmTree(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-            f.delete()
-          }
-          rmTree(ckpt); rmTree(sink)
-          val q = s.readStream.format("netcdf").option("vars", "events")
-            .load(gridFile)
-            .writeStream.format("parquet").option("path", sink.toString)
-            .option("checkpointLocation", ckpt.toString)
-            .trigger(Trigger.Once()).start()
-          q.awaitTermination()
-          s.read.schema(org.apache.spark.sql.Encoders
-            .product[NetcdfSource.GridRow].schema).parquet(sink.toString)
-        } else if (dsv2 && bounds.isDefined)
-          // Catalyst drives the pruning: the filter below is accepted
-          // by SupportsPushDownFilters (Spark-exact, fully handled —
-          // no residual Filter in the plan) and becomes the same
-          // hyperslab cover GridBounds encodes by hand
-          s.read.format("netcdf").option("vars", "events").load(gridFile)
-            .where(col("lat") >= bounds.get.latMin &&
-              col("lon") <= bounds.get.lonMax)
-        else if (dsv2)
-          s.read.format("netcdf").option("vars", "events").load(gridFile)
-        else NetcdfSource.readGrid(s, gridFile, "events", bounds = bounds)
-      readBack
-        .groupBy(col("lat"))
-        .agg(count(lit(1)).cast("long").as("n_cells"),
-          sum(col("value")).cast("long").as("sum_val"),
-          sum(col("value") *
-            datediff(to_date(col("time")), lit("1970-01-01")))
-            .cast("long").as("t_sig"))
-        .orderBy(col("lat"))
+      true
+    }
+  }
+
+  private def gridRoundtrip(s: SparkSession, dir: String, hdf5: Boolean,
+                            bounds: Option[NetcdfSource.GridBounds] = None,
+                            dsv2: Boolean = false,
+                            dsv2Write: Boolean = false,
+                            stream: Boolean = false)
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    val ext = if (hdf5) "h5" else "nc"
+    val member: Option[String] =
+      if (dsv2Write) {
+        // the write key keeps its own artifact dir: the WRITE is what
+        // it grades, so sharing would grade nothing
+        val out = s"$roundtripRoot/dsv2w"
+        if (writeDenseGrid(s, dir, out, hdf5, viaDsv2 = true))
+          Some(s"$out/grid.$ext")
+        else None
+      } else sharedGridMember(s, dir, hdf5)
+    val outSchema = StructType(Seq(
+      StructField("lat", DoubleType), StructField("n_cells", LongType),
+      StructField("sum_val", LongType), StructField("t_sig", LongType)))
+    member match {
+      case None =>
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
+      case Some(gridFile) =>
+        val readBack =
+          if (stream) {
+            // Trigger.Once micro-batch over the member file into a
+            // parquet sink; checkpoint and sink are wiped FIRST so every
+            // run (and every tier) is a fresh single-batch stream — a
+            // stale checkpoint would silently skip the new artifact
+            import org.apache.spark.sql.streaming.Trigger
+            val ckpt = new java.io.File(s"$roundtripRoot/dsv2s/_ckpt")
+            val sink = new java.io.File(s"$roundtripRoot/dsv2s/_sink")
+            def rmTree(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+              f.delete()
+            }
+            rmTree(ckpt); rmTree(sink)
+            val q = s.readStream.format("netcdf").option("vars", "events")
+              .load(gridFile)
+              .writeStream.format("parquet").option("path", sink.toString)
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(Trigger.Once()).start()
+            q.awaitTermination()
+            s.read.schema(org.apache.spark.sql.Encoders
+              .product[NetcdfSource.GridRow].schema).parquet(sink.toString)
+          } else if (dsv2 && bounds.isDefined)
+            // Catalyst drives the pruning: the filter below is accepted
+            // by SupportsPushDownFilters (Spark-exact, fully handled —
+            // no residual Filter in the plan) and becomes the same
+            // hyperslab cover GridBounds encodes by hand
+            s.read.format("netcdf").option("vars", "events").load(gridFile)
+              .where(col("lat") >= bounds.get.latMin &&
+                col("lon") <= bounds.get.lonMax)
+          else if (dsv2)
+            s.read.format("netcdf").option("vars", "events").load(gridFile)
+          else NetcdfSource.readGrid(s, gridFile, "events", bounds = bounds)
+        readBack
+          .groupBy(col("lat"))
+          .agg(count(lit(1)).cast("long").as("n_cells"),
+            sum(col("value")).cast("long").as("sum_val"),
+            sum(col("value") *
+              datediff(to_date(col("time")), lit("1970-01-01")))
+              .cast("long").as("t_sig"))
+          .orderBy(col("lat"))
     }
   }
 

@@ -18,7 +18,9 @@ object RetryKeys {
     val keys = keysCsv.split(",").toSeq
     keys.foreach { k =>
       val df = graft.SparkEntry.queries(k)(spark, sfDir)
-      df.write.mode("overwrite").parquet(s"$outDir/$k")
+      // coalesce(1) like Verify: diffcheck reads a SINGLE part file, so
+      // a multi-part dump silently compares a fraction of the rows
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$k")
       println(s"[retry] wrote $k")
     }
     val oracles = keys.flatMap(k =>

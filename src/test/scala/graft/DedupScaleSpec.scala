@@ -94,10 +94,10 @@ class DedupScaleSpec extends AnyFunSuite
     // ~499,500), while the clean equal-shingle-set pair (2001, 2002)
     // lives in size-2 buckets and must survive.
     val sh = ops.Dedup.shingles(boiler).select($"doc_id", $"sh")
-    val mh = ops.Text.minHashCandidatesMd5From(sh, maxBucket = 100)
+    val mh = ops.Text.minHashCandidatesMd5From(ops.Text.hashShingles(sh), maxBucket = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh == Set((2001L, 2002L)), s"minhash md5 pairs: $mh")
-    val sim = ops.Text.simHashPairsMd5From(sh, maxBucket = 100)
+    val sim = ops.Text.simHashPairsMd5From(ops.Text.hashShingles(sh), maxBucket = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sim.length < 10, s"simhash md5 pair explosion: ${sim.length}")
     assert(sim.contains((2001L, 2002L, 0L)), s"planted pair missing: ${sim.toSeq}")
@@ -117,15 +117,15 @@ class DedupScaleSpec extends AnyFunSuite
       val sh = ops.Dedup.shingles(docs).select($"doc_id", $"sh")
       def ps(df: org.apache.spark.sql.DataFrame) =
         df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val open = ps(ops.Text.minHashCandidatesMd5From(sh, maxBucket = Long.MaxValue))
-      val tight = ps(ops.Text.minHashCandidatesMd5From(sh, maxBucket = 5))
+      val open = ps(ops.Text.minHashCandidatesMd5From(ops.Text.hashShingles(sh), maxBucket = Long.MaxValue))
+      val tight = ps(ops.Text.minHashCandidatesMd5From(ops.Text.hashShingles(sh), maxBucket = 5))
       assert(tight.subsetOf(open), s"trial $trial: minhash cap invented a pair")
-      assert(ps(ops.Text.minHashCandidatesMd5From(sh, maxBucket = 40)) == open,
+      assert(ps(ops.Text.minHashCandidatesMd5From(ops.Text.hashShingles(sh), maxBucket = 40)) == open,
         s"trial $trial: un-reachable minhash cap changed the result")
-      val sOpen = ps(ops.Text.simHashPairsMd5From(sh, maxBucket = Long.MaxValue))
-      val sTight = ps(ops.Text.simHashPairsMd5From(sh, maxBucket = 5))
+      val sOpen = ps(ops.Text.simHashPairsMd5From(ops.Text.hashShingles(sh), maxBucket = Long.MaxValue))
+      val sTight = ps(ops.Text.simHashPairsMd5From(ops.Text.hashShingles(sh), maxBucket = 5))
       assert(sTight.subsetOf(sOpen), s"trial $trial: simhash cap invented a pair")
-      assert(ps(ops.Text.simHashPairsMd5From(sh, maxBucket = 40)) == sOpen,
+      assert(ps(ops.Text.simHashPairsMd5From(ops.Text.hashShingles(sh), maxBucket = 40)) == sOpen,
         s"trial $trial: un-reachable simhash cap changed the result")
     }
   }
@@ -139,10 +139,10 @@ class DedupScaleSpec extends AnyFunSuite
       .select($"doc_id", $"sh")
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairSet(ops.Text.minHashCandidatesMd5From(sh)) ==
-      pairSet(ops.Text.minHashCandidatesMd5From(sh, maxBucket = Long.MaxValue)))
-    assert(pairSet(ops.Text.simHashPairsMd5From(sh)) ==
-      pairSet(ops.Text.simHashPairsMd5From(sh, maxBucket = Long.MaxValue)))
+    assert(pairSet(ops.Text.minHashCandidatesMd5From(ops.Text.hashShingles(sh))) ==
+      pairSet(ops.Text.minHashCandidatesMd5From(ops.Text.hashShingles(sh), maxBucket = Long.MaxValue)))
+    assert(pairSet(ops.Text.simHashPairsMd5From(ops.Text.hashShingles(sh))) ==
+      pairSet(ops.Text.simHashPairsMd5From(ops.Text.hashShingles(sh), maxBucket = Long.MaxValue)))
   }
 
   test("SimHash star pairs stay linear on identical docs") {

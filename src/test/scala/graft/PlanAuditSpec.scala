@@ -242,10 +242,10 @@ class PlanAuditSpec extends AnyFunSuite
     // cached result whose plan is an InMemory scan
     val sh = ops.Dedup.shingles(Tables.documents(spark, dir))
       .select(col("doc_id"), col("sh"))
-    val pm = plan(ops.Text.minHashCandidatesMd5From(sh))
+    val pm = plan(ops.Text.minHashCandidatesMd5From(ops.Text.hashShingles(sh)))
     assert(pm.contains("LeftAnti"), s"minhash md5 cap anti-join missing:\n$pm")
     assert(!pm.contains("CartesianProduct"), s"minhash md5 went cartesian:\n$pm")
-    val ps = plan(ops.Text.simHashPairsMd5From(sh))
+    val ps = plan(ops.Text.simHashPairsMd5From(ops.Text.hashShingles(sh)))
     assert(ps.contains("LeftAnti"), s"simhash md5 cap anti-join missing:\n$ps")
     assert(!ps.contains("CartesianProduct"), s"simhash md5 went cartesian:\n$ps")
     // ANN twins: k-row centroid/plane structures ride broadcasts; the
