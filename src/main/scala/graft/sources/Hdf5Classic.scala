@@ -372,6 +372,13 @@ object Hdf5Classic {
           s"'$name': slab [${starts(d)}, ${starts(d) + counts(d)}) out of " +
             s"bounds for dim $d of length ${v.shape(d)}")
       }
+      // a highly-compressed chunked file under the 2 GiB byte limit can
+      // still describe a logical slab past 2^31 ELEMENTS — the silent
+      // Int truncation would alias indices instead of failing (r14,
+      // ADVICE r13)
+      require(counts.product <= Int.MaxValue,
+        s"'$name': slab of ${counts.product} elements exceeds the 2^31 " +
+          "in-memory limit (read a smaller hyperslab)")
       val nOut = counts.product.toInt
       v.data match {
         case H5Chunked(bt, cdims, filters) =>

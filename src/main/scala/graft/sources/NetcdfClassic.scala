@@ -82,6 +82,9 @@ object NetcdfClassic {
         s"'$name': slab [${starts(d)}, ${starts(d) + counts(d)}) out of " +
           s"bounds for dim $d of length ${shape(d)}"))
       if (rank == 0) return readSlab(v.begin, v.ncType, 1)
+      require(counts.product <= Int.MaxValue,
+        s"'$name': slab of ${counts.product} elements exceeds the 2^31 " +
+          "in-memory limit (read a smaller hyperslab)") // r14, ADVICE r13
       val nOut = counts.product.toInt
       val out = new Array[Double](nOut)
       if (nOut == 0) return out

@@ -63,11 +63,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * thousands of members). `estimateStatistics` reports the pruned
   * byte total so AQE and join planning see the post-pushdown size.
   *
-  * Readers re-open files with a fresh Hadoop `Configuration` — correct
-  * for any fs the default config reaches (file://, hdfs:// with
-  * cluster-side core-site). Exotic per-session fs credentials would
-  * need the driver conf shipped; documented trade-off, not a
-  * correctness gap on the supported paths.
+  * The SESSION's Hadoop configuration (`sessionState.newHadoopConf()`,
+  * spark.hadoop.* merged) is captured at plan/write-build time and
+  * shipped to every listing, reader, and committer through
+  * [[NetcdfV2.HadoopConfSer]] (r14, was `new Configuration()` — which
+  * dropped per-session fs settings such as s3a credentials on both the
+  * read and write paths).
+  *
+  * `load(p1, p2, ...)` multi-path form: the paths arrive as a JSON
+  * 'paths' option; every element is globbed and the file lists union
+  * (r14 — previously a misleading "needs a load(path)" error).
   */
 class NetcdfV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "netcdf"
@@ -146,11 +151,55 @@ object NetcdfV2 {
     case _ => None
   }
 
+  /** Java-serializable Hadoop `Configuration` carrier (the same shape
+    * as Spark's private[spark] SerializableConfiguration): captured
+    * driver-side from the session, shipped inside partitions and
+    * writer factories so executor-side fs access sees the session's
+    * settings. Hadoop's own `write`/`readFields` do the payload. */
+  private[graft] final class HadoopConfSer(@transient private var c: Configuration)
+      extends Serializable {
+    def value: Configuration = c
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      c.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      c = new Configuration(false)
+      c.readFields(in)
+    }
+  }
+
+  /** The active session's Hadoop conf, wrapped for shipping — the ONE
+    * capture point for both the scan and the write builder. */
+  private[graft] def captureConf(): HadoopConfSer =
+    new HadoopConfSer(org.apache.spark.sql.GraftBridge.sessionHadoopConf(
+      org.apache.spark.sql.SparkSession.active))
+
+  /** `load(p)` stores a 'path' option; `load(p1, p2, ...)` stores the
+    * list as a JSON 'paths' option — resolve BOTH (r14; the multi-path
+    * form previously failed with a misleading "needs a load(path)"). */
+  private[graft] def resolvePaths(options: CaseInsensitiveStringMap,
+                                  what: String): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap { js =>
+      Try(org.json4s.jackson.JsonMethods.parse(js).values
+        .asInstanceOf[List[String]]).getOrElse(
+        throw new IllegalArgumentException(
+          s"netcdf $what: could not parse the 'paths' option as a JSON " +
+            s"string array (got: $js)"))
+    }
+    val all = (single ++ multi).distinct
+    if (all.isEmpty) throw new IllegalArgumentException(
+      s"netcdf $what needs a ${if (what == "sink") "save" else "load"}(path)")
+    all
+  }
+
   /** Whole-file fetch (per-member granularity is what the container
     * formats force — parallelism comes from the file count). */
-  private[graft] def readFileBytes(path: String): Array[Byte] = {
+  private[graft] def readFileBytes(path: String, conf: Configuration): Array[Byte] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     require(len <= Int.MaxValue, s"$path: $len B exceeds the 2 GiB " +
       "single-member limit (grid archives shard into many files)")
@@ -268,32 +317,35 @@ private class NcScanBuilder(options: CaseInsensitiveStringMap)
     required = requiredSchema
 
   override def build(): Scan = new NcScan(
-    Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("netcdf source needs a load(path)")),
+    NetcdfV2.resolvePaths(options, "source"),
     Option(options.get("vars")).map(_.split(",").map(_.trim).toSeq
       .filter(_.nonEmpty)),
     options.getOrDefault("latVar", "lat"),
     options.getOrDefault("lonVar", "lon"),
     options.getOrDefault("timeVar", "time"),
-    acc, required, accepted.map(_.toString).toSeq)
+    acc, required, accepted.map(_.toString).toSeq,
+    NetcdfV2.captureConf())
 }
 
-private class NcScan(pathGlob: String, varsOpt: Option[Seq[String]],
+private class NcScan(pathGlobs: Seq[String], varsOpt: Option[Seq[String]],
                      latVar: String, lonVar: String, timeVar: String,
                      pushed: NetcdfV2.NcPushed, required: StructType,
-                     pushedDesc: Seq[String])
+                     pushedDesc: Seq[String],
+                     conf: NetcdfV2.HadoopConfSer)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Driver-side file listing, `dataset` pushdown applied: an
     * out-of-set member is pruned HERE and never opened. Sorted for
     * deterministic partition numbering. */
   private lazy val files: Seq[(String, Long)] = {
-    val p = new Path(pathGlob)
-    val fs = p.getFileSystem(new Configuration())
-    val all = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-      .filter(_.isFile)
-    require(all.nonEmpty, s"netcdf source: no files match '$pathGlob'")
-    all.map(st => (st.getPath.toString, st.getLen))
+    val all = pathGlobs.flatMap { glob =>
+      val p = new Path(glob)
+      val fs = p.getFileSystem(conf.value)
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    }.filter(_.isFile)
+    require(all.nonEmpty,
+      s"netcdf source: no files match '${pathGlobs.mkString(", ")}'")
+    all.map(st => (st.getPath.toString, st.getLen)).distinct
       .filter { case (path, _) => pushed.dsOk(new Path(path).getName) }
       .sortBy(_._1)
   }
@@ -309,10 +361,11 @@ private class NcScan(pathGlob: String, varsOpt: Option[Seq[String]],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new NcMicroBatchStream(pathGlob, vars, latVar, lonVar, timeVar, pushed,
-      required)
+    new NcMicroBatchStream(pathGlobs, vars, latVar, lonVar, timeVar, pushed,
+      required, conf)
   override def description(): String =
-    s"netcdf $pathGlob, PushedFilters: [${pushedDesc.mkString(", ")}], " +
+    s"netcdf ${pathGlobs.mkString(",")}, " +
+      s"PushedFilters: [${pushedDesc.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -327,7 +380,7 @@ private class NcScan(pathGlob: String, varsOpt: Option[Seq[String]],
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (path, _) =>
-      NcPartition(path, vars, latVar, lonVar, timeVar): InputPartition
+      NcPartition(path, vars, latVar, lonVar, timeVar, conf): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -340,7 +393,9 @@ private class NcScan(pathGlob: String, varsOpt: Option[Seq[String]],
 
 private case class NcPartition(path: String, vars: Option[Seq[String]],
                                latVar: String, lonVar: String,
-                               timeVar: String) extends InputPartition
+                               timeVar: String,
+                               conf: NetcdfV2.HadoopConfSer)
+    extends InputPartition
 
 /** Stream offset = the set of member files already emitted, as a
   * sorted JSON array. Linear in archive size — right for the
@@ -372,24 +427,27 @@ private object NcOffset {
   * written (the grid formats are not appendable), so set-difference on
   * names is exact; a REPLACED member (same name, new bytes) is out of
   * scope like every mutable-file streaming source. */
-private class NcMicroBatchStream(pathGlob: String,
+private class NcMicroBatchStream(pathGlobs: Seq[String],
                                  vars: Option[Seq[String]],
                                  latVar: String, lonVar: String,
                                  timeVar: String,
                                  pushed: NetcdfV2.NcPushed,
-                                 required: StructType)
+                                 required: StructType,
+                                 conf: NetcdfV2.HadoopConfSer)
     extends MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def listing(): Seq[String] = {
-    val p = new Path(pathGlob)
-    val fs = p.getFileSystem(new Configuration())
     // an empty listing is NOT an error for a stream: the archive may
     // simply have no members yet — the batch scan's named rejection
     // stays on the batch path
-    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-      .filter(_.isFile)
+    pathGlobs.flatMap { glob =>
+      val p = new Path(glob)
+      val fs = p.getFileSystem(conf.value)
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    }.filter(_.isFile)
       .map(_.getPath.toString)
+      .distinct
       .filter(path => pushed.dsOk(new Path(path).getName))
       .sorted
   }
@@ -401,7 +459,8 @@ private class NcMicroBatchStream(pathGlob: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[NcOffset].files.toSet
     end.asInstanceOf[NcOffset].files.filterNot(seen)
-      .map(p => NcPartition(p, vars, latVar, lonVar, timeVar): InputPartition)
+      .map(p => NcPartition(p, vars, latVar, lonVar, timeVar,
+        conf): InputPartition)
       .toArray
   }
 
@@ -428,7 +487,7 @@ private class NcReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
   import NetcdfV2._
 
   private val it: Iterator[InternalRow] = {
-    val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(p.path))
+    val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(p.path, p.conf.value))
     val ds = new Path(p.path).getName
     // explicit `vars` option: every named variable must exist in every
     // member (rowsFor throws the reader's named error otherwise — loud,
@@ -591,8 +650,11 @@ private class NcWriteBuilder(options: CaseInsensitiveStringMap,
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
-    val dest = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("netcdf sink needs a save(path)"))
+    val dest = NetcdfV2.resolvePaths(options, "sink") match {
+      case Seq(one) => one
+      case many => throw new IllegalArgumentException(
+        s"netcdf sink writes to ONE directory (got ${many.size} paths)")
+    }
     val hdf5 = options.getOrDefault("container", "hdf5") match {
       case "hdf5" => true
       case "classic" => false
@@ -612,7 +674,7 @@ private class NcWriteBuilder(options: CaseInsensitiveStringMap,
       ord("variable", StringType), ord("time", TimestampType),
       ord("lat", DoubleType), ord("lon", DoubleType),
       ord("value", DoubleType))
-    new NcWrite(dest, hdf5, doTruncate, ords)
+    new NcWrite(dest, hdf5, doTruncate, ords, NetcdfV2.captureConf())
   }
 }
 
@@ -624,7 +686,7 @@ private case class NcCommit(entries: Seq[(String, String, String)])
     extends WriterCommitMessage
 
 private class NcWrite(dest: String, hdf5: Boolean, truncate: Boolean,
-                      ords: NcWriteOrds)
+                      ords: NcWriteOrds, conf: NetcdfV2.HadoopConfSer)
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
@@ -639,21 +701,23 @@ private class NcWrite(dest: String, hdf5: Boolean, truncate: Boolean,
     Array(Expressions.sort(Expressions.column("dataset"),
       SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
 
-  override def toBatch: BatchWrite = new NcBatchWrite(dest, hdf5, truncate, ords)
+  override def toBatch: BatchWrite =
+    new NcBatchWrite(dest, hdf5, truncate, ords, conf)
 }
 
 private class NcBatchWrite(dest: String, hdf5: Boolean, truncate: Boolean,
-                           ords: NcWriteOrds) extends BatchWrite {
+                           ords: NcWriteOrds, conf: NetcdfV2.HadoopConfSer)
+    extends BatchWrite {
   private val stagingDir =
     s"$dest/.graft-staging-${java.util.UUID.randomUUID().toString}"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new NcWriterFactory(stagingDir, if (hdf5) "h5" else "nc", ords)
+    new NcWriterFactory(stagingDir, if (hdf5) "h5" else "nc", ords, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val destP = new Path(dest)
-    val fs = destP.getFileSystem(new Configuration())
+    val fs = destP.getFileSystem(conf.value)
     fs.mkdirs(destP)
     val moves = messages.collect { case NcCommit(ps) => ps }.flatten
     moves.groupBy(_._2).filter(_._2.length > 1).foreach { case (fin, es) =>
@@ -666,42 +730,53 @@ private class NcBatchWrite(dest: String, hdf5: Boolean, truncate: Boolean,
         s"netcdf sink: member '$fin' written by more than one task — " +
           "dataset clustering violated")
     }
+    // NEW members move in FIRST, stale members go after (r14, ADVICE
+    // r13): the old delete-then-rename order left a window where a
+    // driver crash between the loops destroyed the destination with
+    // neither old nor new members. Rename-first shrinks the non-atomic
+    // window to same-name replacement (inherent to a plain-fs multi-
+    // file commit — each member itself is atomic via rename).
+    moves.foreach { case (tmp, fin, _) =>
+      val to = new Path(destP, fin)
+      fs.delete(to, false) // same member name = replace
+      require(fs.rename(new Path(tmp), to),
+        s"netcdf sink: could not move $tmp to $to")
+    }
     if (truncate) {
       // truncate means the DESTINATION's prior members are gone — both
       // container extensions, or an overwrite that switched containers
       // would leave the old-format member readable next to the new one
+      val fresh = moves.map(_._2).toSet
       Option(fs.listStatus(destP)).getOrElse(Array.empty)
         .filter(st => st.isFile && (st.getPath.getName.endsWith(".h5") ||
-          st.getPath.getName.endsWith(".nc")))
+          st.getPath.getName.endsWith(".nc")) &&
+          !fresh.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, false))
-    }
-    moves.foreach { case (tmp, fin, _) =>
-      val to = new Path(destP, fin)
-      fs.delete(to, false) // append mode: same member name = replace
-      require(fs.rename(new Path(tmp), to),
-        s"netcdf sink: could not move $tmp to $to")
     }
     fs.delete(new Path(stagingDir), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(stagingDir).getFileSystem(new Configuration())
+    val fs = new Path(stagingDir).getFileSystem(conf.value)
     fs.delete(new Path(stagingDir), true) // nothing reached dest
   }
 }
 
 private class NcWriterFactory(stagingDir: String, ext: String,
-                              ords: NcWriteOrds) extends DataWriterFactory {
+                              ords: NcWriteOrds,
+                              conf: NetcdfV2.HadoopConfSer)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new NcDataWriter(stagingDir, ext, ords, partitionId, taskId)
+    new NcDataWriter(stagingDir, ext, ords, partitionId, taskId, conf)
 }
 
 /** Streams the dataset-sorted partition: one member's cells buffered,
   * flushed to a per-attempt staging file on dataset change. Files move
   * to the destination only at driver commit. */
 private class NcDataWriter(stagingDir: String, ext: String,
-                           ords: NcWriteOrds, partitionId: Int, taskId: Long)
+                           ords: NcWriteOrds, partitionId: Int, taskId: Long,
+                           conf: NetcdfV2.HadoopConfSer)
     extends DataWriter[InternalRow] {
   // a PRIVATE fs instance (newInstance bypasses the JVM-wide cache):
   // the member bytes carry their own (unverified) checksums where the
@@ -709,7 +784,7 @@ private class NcDataWriter(stagingDir: String, ext: String,
   // writer's files — mutating the cached shared instance would turn
   // checksums off for every other Hadoop write in the executor
   private val fs = org.apache.hadoop.fs.FileSystem.newInstance(
-    new Path(stagingDir).toUri, new Configuration())
+    new Path(stagingDir).toUri, conf.value)
   fs.setWriteChecksum(false)
   private var cur: String = _
   private val buf =

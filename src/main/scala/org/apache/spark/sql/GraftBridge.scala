@@ -26,4 +26,13 @@ object GraftBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** The session's effective Hadoop configuration
+    * (`sessionState.newHadoopConf()` — core-site/spark.hadoop.* merged;
+    * `sessionState` is private[sql] in Spark 4). The netcdf DSv2 source
+    * captures this at plan/write-build time instead of `new
+    * Configuration()`, so per-session fs settings (s3a credentials
+    * etc.) reach its listings, readers, and committers. */
+  def sessionHadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
 }

@@ -63,6 +63,22 @@ class NetcdfV2Spec extends AnyFunSuite {
   private def tagged(df: DataFrame): DataFrame = df.withColumn("dataset",
     regexp_replace(col("dataset"), "\\.(nc|h5)$", ""))
 
+  test("multi-path load(p1, p2) unions the file lists; overlap dedups") {
+    val tmp = tmpDir("multipath")
+    writeClassic(s"$tmp/m1.nc", nt = 2, bias = 0.0)
+    writeClassic(s"$tmp/m2.nc", nt = 3, bias = 100.0)
+    val both = spark.read.format("netcdf").load(s"$tmp/m1.nc", s"$tmp/m2.nc")
+    val glob = spark.read.format("netcdf").load(s"$tmp/*.nc")
+    assertSame(both, glob)
+    // the same file arriving through two paths is ONE partition's rows
+    val dup = spark.read.format("netcdf").load(s"$tmp/m1.nc", s"$tmp/m1.nc")
+    assertSame(dup, spark.read.format("netcdf").load(s"$tmp/m1.nc"))
+    // multi-path composes with planning-time dataset pruning
+    val pruned = both.where(col("dataset") === "m2.nc")
+    assertSame(pruned, spark.read.format("netcdf").load(s"$tmp/m2.nc")
+      .where(col("dataset") === "m2.nc"))
+  }
+
   test("short name 'netcdf' registers through ServiceLoader") {
     val tmp = tmpDir("reg")
     writeClassic(s"$tmp/m1.nc", nt = 1, bias = 0.0)
