@@ -60,7 +60,7 @@ import NetcdfClassic.{NcAttr, NcDim}
   * read): superblock v4+, direct/filtered huge heap IDs, extended
   * tiny heap IDs (heap ID length > 18), filtered heaps, heap offsets
   * past the root indirect block's direct rows, non-standard filters
-  * (szip/nbit/scaleoffset need their native codecs), and shared
+  * (szip needs its native codec; nbit/scaleoffset READ since r14), and shared
   * datatype messages.
   *
   * WRITE scope: a minimal but spec-valid netCDF-4-style grid file —
@@ -180,24 +180,31 @@ object Hdf5Classic {
 
     /** Inverse of the zlib DEFLATE filter — `java.util.zip.Inflater`
       * ships in the JDK, so compressed netCDF-4 needs no external
-      * library after all. */
-    private def inflate(in: Array[Byte], outSize: Int,
+      * library after all. `sizeHint` seeds the buffer (the raw chunk
+      * size for a plain pipeline); the buffer GROWS until the zlib
+      * stream finishes (r14 — a deflate layered over a size-changing
+      * filter like scaleoffset inflates to a stage size the chunk
+      * geometry cannot predict; the HDF5 library's own inverse is
+      * size-agnostic the same way). The final pipeline-output length
+      * is checked once in [[defilterChunk]]. */
+    private def inflate(in: Array[Byte], sizeHint: Int,
                         name: String): Array[Byte] = {
       val inf = new java.util.zip.Inflater()
       try {
         inf.setInput(in)
-        val out = new Array[Byte](outSize)
+        var out = new Array[Byte](math.max(sizeHint, 16))
         var off = 0
-        while (off < outSize && !inf.finished()) {
-          val k = inf.inflate(out, off, outSize - off)
-          if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+        while (!inf.finished()) {
+          if (off == out.length)
+            out = java.util.Arrays.copyOf(out, out.length * 2)
+          val k = inf.inflate(out, off, out.length - off)
+          if (k == 0 && !inf.finished() &&
+            (inf.needsInput() || inf.needsDictionary()))
             throw new IllegalArgumentException(
               s"'$name': truncated or non-zlib deflate chunk")
           off += k
         }
-        require(off == outSize,
-          s"'$name': deflate chunk inflated to $off of $outSize bytes")
-        out
+        if (off == out.length) out else java.util.Arrays.copyOf(out, off)
       } catch {
         case e: java.util.zip.DataFormatException =>
           throw new IllegalArgumentException(
@@ -272,12 +279,209 @@ object Hdf5Classic {
           case 3 => // fletcher32: 4-byte checksum appended (unverified,
                     // like every other checksum this parser skips)
             java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
+          case 5 => nbitDecode(raw, cdv, perChunk, dtype, name)
+          case 6 => scaleoffsetDecode(raw, cdv, perChunk, dtype, name)
           case other => throw new IllegalArgumentException(
             s"'$name': filter id $other not supported (only deflate, " +
-              "shuffle, fletcher32)")
+              "shuffle, fletcher32, nbit, scaleoffset)")
         }
       }
+      require(raw.length >= perChunk * dtype.size,
+        s"'$name': defiltered chunk carries ${raw.length} bytes for " +
+          s"$perChunk x ${dtype.size}-byte elements (corrupt or " +
+          "truncated chunk)")
       decodeSlab(ByteBuffer.wrap(raw), dtype, perChunk, name)
+    }
+
+    // ---- NBIT filter (id 5) — r14 -----------------------------------
+    // Layouts from the public HDF5 library implementation (H5Znbit.c):
+    // client data = [0]=total nparms, [1]=skip flag (datatype needs no
+    // compression → chunk stored raw), [2]=chunk nelmts, [3]=datatype
+    // class (1 atomic / 2 array / 3 compound / 4 no-op), then for
+    // atomic: [4]=size, [5]=byte order (0 LE / 1 BE), [6]=precision,
+    // [7]=bit offset. The stored stream packs each element's
+    // `precision` significant bits MSB-first, element bytes walked
+    // from the highest in-use byte down (little-endian case).
+    //
+    // The library restores the bits IN PLACE and leaves field
+    // interpretation to the type system; this parser has no H5T layer,
+    // so the decoder finishes the job for fixed-point data: extract
+    // bits [offset, offset+precision), sign-extend when the declared
+    // type is signed, and emit plain full-width LE integers that
+    // decodeSlab reads like any unfiltered chunk. Array/compound
+    // classes and big-endian order reject by NAME.
+
+    /** One MSB-first bit-stream reader shared by nbit and scaleoffset
+      * (both filters pack identically; H5Znbit.c `decompress_one_byte`
+      * without the uchar_offset shift — the shift is applied by the
+      * nbit caller when placing sub-byte fields). Returns the next
+      * `n` bits as a Long. */
+    private final class BitReader(buf: Array[Byte]) {
+      private var j = 0
+      private var bufLen = 8
+      def take(n: Int): Long = {
+        var need = n
+        var acc = 0L
+        while (need > 0) {
+          require(j < buf.length,
+            "bit stream exhausted mid-element (truncated chunk)")
+          val val0 = buf(j) & 0xff
+          val k = math.min(need, bufLen)
+          acc = (acc << k) | ((val0 >> (bufLen - k)) & ((1 << k) - 1))
+          bufLen -= k
+          need -= k
+          if (bufLen == 0) { j += 1; bufLen = 8 }
+        }
+        acc
+      }
+    }
+
+    private def cdvAt(cdv: Seq[Int], i: Int, what: String,
+                      name: String): Long = {
+      require(cdv.length > i,
+        s"'$name': $what filter pipeline entry carries ${cdv.length} " +
+          s"client values — need at least ${i + 1}")
+      cdv(i).toLong & 0xffffffffL
+    }
+
+    private def nbitDecode(raw: Array[Byte], cdv: Seq[Int], perChunk: Int,
+                           dtype: H5Type, name: String): Array[Byte] = {
+      if (cdvAt(cdv, 1, "nbit", name) != 0L) return raw // full precision: raw
+      val nelmts = cdvAt(cdv, 2, "nbit", name)
+      val cls = cdvAt(cdv, 3, "nbit", name)
+      require(cls == 1L, s"'$name': nbit datatype class $cls not " +
+        "supported (atomic integers/floats only — array/compound nbit " +
+        "needs the full H5T tree)")
+      val size = cdvAt(cdv, 4, "nbit", name).toInt
+      val order = cdvAt(cdv, 5, "nbit", name)
+      val prec = cdvAt(cdv, 6, "nbit", name).toInt
+      val off = cdvAt(cdv, 7, "nbit", name).toInt
+      require(order == 0L,
+        s"'$name': nbit over big-endian data not supported")
+      require(size == dtype.size,
+        s"'$name': nbit client size $size != datatype size ${dtype.size}")
+      require(prec > 0 && off >= 0 && prec + off <= size * 8,
+        s"'$name': nbit precision $prec / offset $off out of range for " +
+          s"$size-byte type")
+      require(nelmts == perChunk.toLong,
+        s"'$name': nbit chunk nelmts $nelmts != chunk elements $perChunk")
+      require(dtype.clazz == 0 || prec == size * 8,
+        s"'$name': nbit with reduced precision on datatype class " +
+          s"${dtype.clazz} not supported (fixed-point only)")
+      val in = new BitReader(raw)
+      val out = new Array[Byte](perChunk * size)
+      val mask = if (prec == 64) -1L else (1L << prec) - 1
+      var i = 0
+      while (i < perChunk) {
+        val field = in.take(prec)
+        // sign-extend signed fixed-point; the declared datatype's sign
+        // bit is field bit prec-1
+        val v0 = if (dtype.signed && prec < 64 &&
+          (field & (1L << (prec - 1))) != 0) field | ~mask
+        else field
+        val v = v0 << off
+        var k = 0
+        while (k < size) { out(i * size + k) = (v >>> (8 * k)).toByte; k += 1 }
+        i += 1
+      }
+      out
+    }
+
+    // ---- SCALEOFFSET filter (id 6) — r14 ----------------------------
+    // Layouts from the public HDF5 library implementation
+    // (H5Zscaleoffset.c): client data = [0]=scale type (0 float
+    // D-scaling / 1 float E-scaling / 2 integer), [1]=scale factor,
+    // [2]=chunk nelmts, [3]=datatype class, [4]=size, [5]=sign,
+    // [6]=byte order (0 LE), [7]=fill defined, [8..]=fill value bytes
+    // (4 LE bytes per client value). Stored chunk = 4-byte LE minbits,
+    // 1-byte minval size S, S bytes LE minval, then the packed stream:
+    // each element is `minbits` bits MSB-first (same packing as nbit,
+    // offset 0). Postprocess: integer → v + minval (fill sentinel
+    // 2^minbits-1); float D-scale → v / 10^scale + min where min is
+    // the IEEE bits in minval. minbits == size*8 means raw values;
+    // minbits == 0 means every element equals minval. E-scaling is
+    // unimplemented in the HDF5 library itself — rejected by name.
+    private def scaleoffsetDecode(raw: Array[Byte], cdv: Seq[Int],
+                                  perChunk: Int, dtype: H5Type,
+                                  name: String): Array[Byte] = {
+      val scaleType = cdvAt(cdv, 0, "scaleoffset", name)
+      val scaleFactor = cdvAt(cdv, 1, "scaleoffset", name).toInt
+      val nelmts = cdvAt(cdv, 2, "scaleoffset", name)
+      val size = cdvAt(cdv, 4, "scaleoffset", name).toInt
+      val order = cdvAt(cdv, 6, "scaleoffset", name)
+      val filavail = cdvAt(cdv, 7, "scaleoffset", name)
+      require(scaleType != 1L, s"'$name': scaleoffset E-scaling is " +
+        "unimplemented in the HDF5 library itself — no file can carry it")
+      require(scaleType == 0L || scaleType == 2L,
+        s"'$name': scaleoffset scale type $scaleType unknown")
+      require(order == 0L,
+        s"'$name': scaleoffset over big-endian data not supported")
+      require(size == dtype.size,
+        s"'$name': scaleoffset client size $size != datatype size ${dtype.size}")
+      require(nelmts == perChunk.toLong,
+        s"'$name': scaleoffset chunk nelmts $nelmts != chunk elements $perChunk")
+      require(raw.length >= 5, s"'$name': scaleoffset chunk header truncated")
+      val minbits = ((raw(0) & 0xffL)) | ((raw(1) & 0xffL) << 8) |
+        ((raw(2) & 0xffL) << 16) | ((raw(3) & 0xffL) << 24)
+      val mvStored = raw(4) & 0xff
+      var minval = 0L
+      var i = 0
+      while (i < math.min(8, mvStored)) {
+        minval |= (raw(5 + i) & 0xffL) << (8 * i); i += 1
+      }
+      val dataAt = 5 + mvStored
+      require(minbits <= size * 8,
+        s"'$name': scaleoffset minbits $minbits exceeds $size-byte type")
+      if (minbits == size * 8L) // full precision: raw LE values follow
+        return java.util.Arrays.copyOfRange(raw, dataAt,
+          dataAt + perChunk * size)
+      val packed = new Array[Long](perChunk)
+      if (minbits > 0L) {
+        val in = new BitReader(
+          java.util.Arrays.copyOfRange(raw, dataAt, raw.length))
+        var e = 0
+        while (e < perChunk) { packed(e) = in.take(minbits.toInt); e += 1 }
+      }
+      val fillSentinel = (1L << minbits) - 1
+      // fill value bytes: 4 LE bytes per client value from index 8
+      def fillBits: Long = {
+        val lo = cdvAt(cdv, 8, "scaleoffset", name)
+        if (size > 4) lo | (cdvAt(cdv, 9, "scaleoffset", name) << 32) else lo
+      }
+      val out = new Array[Byte](perChunk * size)
+      def put(e: Int, v: Long): Unit = {
+        var k = 0
+        while (k < size) { out(e * size + k) = (v >>> (8 * k)).toByte; k += 1 }
+      }
+      if (scaleType == 2L) { // integer: v + minval, two's complement
+        var e = 0
+        while (e < perChunk) {
+          val v = packed(e)
+          put(e, if (filavail == 1L && minbits > 0L && v == fillSentinel)
+            fillBits
+          else v + minval)
+          e += 1
+        }
+      } else { // float D-scaling: v / 10^scale + min (min = IEEE bits)
+        require(size == 4 || size == 8,
+          s"'$name': scaleoffset D-scaling on $size-byte floats not supported")
+        val minD = if (size == 8) java.lang.Double.longBitsToDouble(minval)
+        else java.lang.Float.intBitsToFloat(minval.toInt).toDouble
+        val e10 = math.pow(10.0, scaleFactor.toDouble)
+        var e = 0
+        while (e < perChunk) {
+          val v = packed(e)
+          val bits =
+            if (filavail == 1L && minbits > 0L && v == fillSentinel) fillBits
+            else if (size == 8)
+              java.lang.Double.doubleToRawLongBits(v.toDouble / e10 + minD)
+            else java.lang.Float.floatToRawIntBits(
+              (v.toDouble / e10 + minD).toFloat).toLong & 0xffffffffL
+          put(e, bits)
+          e += 1
+        }
+      }
+      out
     }
 
     /** All values of a numeric dataset as doubles (row-major). */
@@ -1154,8 +1358,10 @@ object Hdf5Classic {
               // chunked + filtered both readable (r12): the filter
               // pipeline (0x000B) supports deflate (JDK Inflater —
               // zlib needed no external library after all), byte
-              // shuffle, and fletcher32 (checksum dropped unverified);
-              // anything else (szip/nbit/scaleoffset) rejects by name
+              // shuffle, fletcher32 (checksum dropped unverified), and
+              // r14 the two bit-manipulation filters nbit and
+              // scaleoffset; szip (the one genuinely native codec)
+              // rejects by name
               val filters: Seq[(Int, Seq[Int])] =
                 msgs.find(_.typ == 0x000B).map { fm =>
                   val fb = lbb(fm.body)
@@ -1176,10 +1382,11 @@ object Hdf5Classic {
                     }
                     val cdv = Seq.fill(ncdv)(fb.getInt())
                     if (fver == 1 && ncdv % 2 == 1) fb.getInt() // pad to 8
-                    require(id == 1 || id == 2 || id == 3,
+                    require(id == 1 || id == 2 || id == 3 ||
+                      id == 5 || id == 6,
                       s"'$name': filter id $id not supported (deflate=1, " +
-                        "shuffle=2, fletcher32=3 only — szip/nbit/" +
-                        "scaleoffset need their native codecs)")
+                        "shuffle=2, fletcher32=3, nbit=5, scaleoffset=6 " +
+                        "— szip needs its native codec)")
                     (id, cdv)
                   }
                 }.getOrElse(Nil)

@@ -25,8 +25,10 @@ import org.apache.spark.sql.types._
   * the standard compression pipeline — deflate via the JDK's built-in
   * `java.util.zip.Inflater`, byte shuffle, fletcher32, per-chunk
   * filter masks — all dependency-free, so ordinary compressed
-  * netCDF-4 archives load. Only szip/nbit/scaleoffset (native codecs)
-  * reject with NAMED errors. [[readGrid]] auto-detects the format per
+  * netCDF-4 archives load, and (r14) the NBIT and SCALEOFFSET
+  * bit-manipulation filters decode too (packed-integer sensor data,
+  * D-scaled floats). Only szip (a genuinely native codec) rejects
+  * with a NAMED error. [[readGrid]] auto-detects the format per
   * file.
   */
 object NetcdfSource {

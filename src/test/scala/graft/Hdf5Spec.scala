@@ -514,6 +514,9 @@ class Hdf5Spec extends AnyFunSuite {
     val out = new Array[Byte](in.length)
     for (i <- 0 until n; b <- 0 until elemSize)
       out(b * n + i) = in(i * elemSize + b)
+    // trailing length % elemSize bytes stay in place (the real filter's
+    // remainder rule — matters for the size-changing r14 pipelines)
+    for (i <- n * elemSize until in.length) out(i) = in(i)
     out
   }
 
@@ -541,6 +544,263 @@ class Hdf5Spec extends AnyFunSuite {
       chunk0 = le64(7.0, 8.0) ++ Array[Byte](1, 2, 3, 4),
       chunk1 = le64(9.0, 10.0) ++ Array[Byte](5, 6, 7, 8), mask1 = 0)
     assert(Hdf5Classic.parse(bytes).read("v").toSeq == Seq(7.0, 8.0, 9.0, 10.0))
+  }
+
+  // ---- NBIT / SCALEOFFSET (r14) ------------------------------------
+  // Mirror ENCODERS for the two bit-manipulation filters, built from
+  // the same public H5Znbit.c / H5Zscaleoffset.c layouts the decoder
+  // cites — fixtures are hand-packed here and must invert exactly.
+
+  /** MSB-first bit stream packer (the shared nbit/scaleoffset layout):
+    * each value contributes its low `bits` bits, most significant
+    * first, packed contiguously across byte boundaries. */
+  private def packBits(values: Seq[Long], bits: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate((values.length * bits + 7) / 8)
+    var acc = 0L; var accBits = 0
+    values.foreach { v =>
+      var left = bits
+      while (left > 0) {
+        val k = math.min(left, 8 - accBits)
+        val chunk = (v >>> (left - k)) & ((1L << k) - 1)
+        acc = (acc << k) | chunk
+        accBits += k; left -= k
+        if (accBits == 8) { out.put(acc.toByte); acc = 0; accBits = 0 }
+      }
+    }
+    if (accBits > 0) out.put((acc << (8 - accBits)).toByte)
+    out.array()
+  }
+
+  /** nbit-encode: each element's field bits [off, off+prec) of its
+    * little-endian representation, MSB-first. */
+  private def nbitPack(raw: Seq[Long], prec: Int, off: Int): Array[Byte] =
+    packBits(raw.map(v => (v >>> off) & (if (prec == 64) -1L else (1L << prec) - 1)), prec)
+
+  /** scaleoffset-encode: 13-byte header (LE minbits, minval size 8,
+    * LE minval) + the packed (v - minval) stream. */
+  private def soPack(packed: Seq[Long], minbits: Int, minval: Long): Array[Byte] = {
+    val hdr = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(minbits); hdr.put(8.toByte); hdr.putLong(minval)
+    hdr.array() ++ (if (minbits == 0) Array.empty[Byte]
+                    else packBits(packed, minbits))
+  }
+
+  /** Fixed-point datatype message body: class 0, LE, optional sign,
+    * with the declared (bit offset, precision) the nbit data carries. */
+  private def fixedDt(size: Int, signed: Boolean, prec: Int, off: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(0x10.toByte)                                  // version 1, class 0
+    b.put((if (signed) 0x08 else 0x00).toByte)          // bf0: LE, sign bit 3
+    b.put(0.toByte); b.put(0.toByte)
+    b.putInt(size)
+    b.putShort(off.toShort); b.putShort(prec.toShort)
+    b.array()
+  }
+
+  /** filteredFile generalized over the datatype: 1-D [4] in chunks of
+    * [2] behind `pipeline`, element size from the dt. */
+  private def filteredFileDt(dtBody: Array[Byte], elemSize: Int,
+                             pipeline: Seq[(Int, Seq[Int])],
+                             chunk0: Array[Byte], chunk1: Array[Byte],
+                             mask1: Int = 0): Array[Byte] = {
+    def pad8(x: Int) = (x + 7) & ~7
+    val filterBody = {
+      val cdvLen = pipeline.map(f => f._2.length * 4 + (f._2.length % 2) * 4).sum
+      val b = java.nio.ByteBuffer.allocate(8 + pipeline.length * 8 + cdvLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(pipeline.length.toByte); b.put(new Array[Byte](6))
+      pipeline.foreach { case (id, cdv) =>
+        b.putShort(id.toShort); b.putShort(0); b.putShort(0)
+        b.putShort(cdv.length.toShort)
+        cdv.foreach(b.putInt)
+        if (cdv.length % 2 == 1) b.putInt(0)
+      }
+      b.array()
+    }
+    val msgBytes = 24 + (8 + pad8(dtBody.length)) +
+      (8 + pad8(filterBody.length)) + 32
+    val btAt = 280 + 16 + msgBytes
+    val c0At = btAt + 24 + 3 * 24 + 2 * 8
+    val c1At = c0At + chunk0.length
+    val eof = c1At + chunk1.length
+    val out = java.nio.ByteBuffer.allocate(eof)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(commonPrefix(eof))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(4)
+    out.putInt(1); out.putInt(msgBytes); out.putInt(0)
+    def msg(typ: Int, body: Array[Byte]): Unit = {
+      val pad = pad8(body.length)
+      out.putShort(typ.toShort); out.putShort(pad.toShort); out.putInt(0)
+      val at = out.position(); out.put(body); out.position(at + pad)
+    }
+    msg(0x0001, {
+      val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
+      b.put(new Array[Byte](5)); b.putLong(4L); b.array()
+    })
+    msg(0x0003, dtBody)
+    msg(0x000B, filterBody)
+    msg(0x0008, {
+      val b = java.nio.ByteBuffer.allocate(19).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(2.toByte); b.put(2.toByte)
+      b.putLong(btAt.toLong)
+      b.putInt(2); b.putInt(elemSize)
+      b.array()
+    })
+    assert(out.position() == btAt)
+    out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(2)
+    out.putLong(-1L); out.putLong(-1L)
+    out.putInt(chunk0.length); out.putInt(0)
+    out.putLong(0L); out.putLong(0L)
+    out.putLong(c0At.toLong)
+    out.putInt(chunk1.length); out.putInt(mask1)
+    out.putLong(2L); out.putLong(0L)
+    out.putLong(c1At.toLong)
+    out.putInt(0); out.putInt(0)
+    out.putLong(4L); out.putLong(0L)
+    assert(out.position() == c0At)
+    out.put(chunk0); out.put(chunk1)
+    out.array()
+  }
+
+  test("NBIT filter: signed bitfields unpack and sign-extend (r14)") {
+    // int16, precision 9, offset 3: values in [-256, 255]
+    val vals = Seq(-200L, 17L, 255L, -1L)
+    def enc(vs: Seq[Long]) = nbitPack(vs.map(_ << 3), prec = 9, off = 3)
+    // nbit atomic cd: [nparms, skipFlag, nelmts, class, size, order,
+    //                  precision, offset]
+    val cdv = Seq(8, 0, 2, 1, 2, 0, 9, 3)
+    val bytes = filteredFileDt(fixedDt(2, signed = true, 9, 3), 2,
+      Seq((5, cdv)), enc(vals.take(2)), enc(vals.drop(2)))
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq ==
+      vals.map(v => (v << 3).toDouble))
+  }
+
+  test("NBIT filter: unsigned field, byte-straddling precision (r14)") {
+    // uint32, precision 19, offset 0 — elements straddle stream bytes
+    val vals = Seq(0L, 524287L, 123456L, 1L)
+    def enc(vs: Seq[Long]) = nbitPack(vs, prec = 19, off = 0)
+    val cdv = Seq(8, 0, 2, 1, 4, 0, 19, 0)
+    val bytes = filteredFileDt(fixedDt(4, signed = false, 19, 0), 4,
+      Seq((5, cdv)), enc(vals.take(2)), enc(vals.drop(2)))
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq == vals.map(_.toDouble))
+  }
+
+  test("NBIT filter: skip flag passes raw chunks through; rejections are named (r14)") {
+    // cd[1] = 1 (datatype needs no compression) → chunk stored raw
+    val raw0 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(7).putInt(-9).array()
+    val raw1 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(100).putInt(0).array()
+    val bytes = filteredFileDt(fixedDt(4, signed = true, 32, 0), 4,
+      Seq((5, Seq(8, 1, 2, 1, 4, 0, 32, 0))), raw0, raw1)
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq == Seq(7.0, -9.0, 100.0, 0.0))
+    // big-endian order and compound class reject by NAME
+    val be = filteredFileDt(fixedDt(4, signed = true, 9, 0), 4,
+      Seq((5, Seq(8, 0, 2, 1, 4, 1, 9, 0))), raw0, raw1)
+    val e1 = intercept[IllegalArgumentException](Hdf5Classic.parse(be).read("v"))
+    assert(e1.getMessage.contains("big-endian"))
+    val comp = filteredFileDt(fixedDt(4, signed = true, 9, 0), 4,
+      Seq((5, Seq(8, 0, 2, 3, 4, 0, 9, 0))), raw0, raw1)
+    val e2 = intercept[IllegalArgumentException](Hdf5Classic.parse(comp).read("v"))
+    assert(e2.getMessage.contains("class"))
+  }
+
+  test("SCALEOFFSET integer: minval offsetting, fill sentinel, minbits boundaries (r14)") {
+    // int32, values min=-50: packed = v - (-50); minbits 7 holds span;
+    // fill value -999 rides cd[8] and the all-ones sentinel
+    val so = Seq[Long](2, 0, 2, 0, 4, 1, 0, 1, -999 & 0xffffffffL, 0)
+    def enc(vs: Seq[Long]) = soPack(vs.map(_ - (-50L)), 7, -50L)
+    val c0 = enc(Seq(-50L, 40L))
+    val c1 = soPack(Seq((1L << 7) - 1, 60L - (-50L)), 7, -50L) // elem0 = fill sentinel
+    val bytes = filteredFileDt(fixedDt(4, signed = true, 32, 0), 4,
+      Seq((6, so.map(_.toInt))), c0, c1)
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq ==
+      Seq(-50.0, 40.0, -999.0, 60.0))
+    // minbits == 0: every element is minval
+    val soNoFill = Seq[Long](2, 0, 2, 0, 4, 1, 0, 0)
+    val allEq = filteredFileDt(fixedDt(4, signed = true, 32, 0), 4,
+      Seq((6, soNoFill.map(_.toInt))), soPack(Nil, 0, 123L), soPack(Nil, 0, 123L))
+    assert(Hdf5Classic.parse(allEq).read("v").toSeq == Seq.fill(4)(123.0))
+    // minbits == size*8: raw LE values after the header
+    val rawVals0 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(-7).putInt(2000000000).array()
+    val rawVals1 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0).putInt(-2000000000).array()
+    val hdr = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(32).put(8.toByte).putLong(0L).array()
+    val full = filteredFileDt(fixedDt(4, signed = true, 32, 0), 4,
+      Seq((6, soNoFill.map(_.toInt))), hdr ++ rawVals0, hdr ++ rawVals1)
+    assert(Hdf5Classic.parse(full).read("v").toSeq ==
+      Seq(-7.0, 2.0e9, 0.0, -2.0e9))
+  }
+
+  test("SCALEOFFSET float D-scaling: v/10^s + min, IEEE-bits minval (r14)") {
+    // float64, scale 2 decimals: packed = llround(v*100 - min*100)
+    val vals = Seq(1.25, 4.5, -2.75, 0.0)
+    val min = vals.min
+    val e10 = 100.0
+    def packOne(v: Double): Long = math.round(v * e10 - min * e10)
+    val minbits = 11
+    val minvalBits = java.lang.Double.doubleToRawLongBits(min)
+    val so = Seq[Long](0, 2, 2, 1, 8, 0, 0, 0)
+    val c0 = soPack(vals.take(2).map(packOne), minbits, minvalBits)
+    val c1 = soPack(vals.drop(2).map(packOne), minbits, minvalBits)
+    val bytes = filteredFileDt(f64Dt, 8, Seq((6, so.map(_.toInt))), c0, c1)
+    // decode = packed/100 + min with the same double ops → exact
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq ==
+      vals.map(v => packOne(v).toDouble / e10 + min))
+    // E-scaling rejects by name (unimplemented in the HDF5 library itself)
+    val esc = filteredFileDt(f64Dt, 8,
+      Seq((6, Seq[Int](1, 2, 2, 1, 8, 0, 0, 0))), c0, c1)
+    val e = intercept[IllegalArgumentException](Hdf5Classic.parse(esc).read("v"))
+    assert(e.getMessage.contains("E-scaling"))
+  }
+
+  test("NBIT/SCALEOFFSET round-trip property: seeded random fields and spans (r14)") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 6) {
+      // nbit: random precision/offset inside int32
+      val prec = 1 + rnd.nextInt(24)
+      val off = rnd.nextInt(32 - prec)
+      val signed = rnd.nextBoolean()
+      val lo = if (signed) -(1L << (prec - 1)) else 0L
+      val hi = (if (signed) (1L << (prec - 1)) else (1L << prec)) - 1
+      val vals = Seq.fill(4)(lo + (math.abs(rnd.nextLong()) % (hi - lo + 1)))
+      val cdv = Seq(8, 0, 2, 1, 4, 0, prec, off)
+      def enc(vs: Seq[Long]) = nbitPack(vs.map(_ << off), prec, off)
+      val nb = filteredFileDt(fixedDt(4, signed, prec, off), 4,
+        Seq((5, cdv)), enc(vals.take(2)), enc(vals.drop(2)))
+      assert(Hdf5Classic.parse(nb).read("v").toSeq ==
+        vals.map(v => (v << off).toDouble),
+        s"nbit prec=$prec off=$off signed=$signed vals=$vals")
+      // scaleoffset: random span over int32
+      val minV = rnd.nextInt(2000) - 1000L
+      val span = 1 + rnd.nextInt(500)
+      val svals = Seq.fill(4)(minV + rnd.nextInt(span + 1).toLong)
+      val minbits = 64 - java.lang.Long.numberOfLeadingZeros(span.toLong + 1L)
+      val so = Seq[Int](2, 0, 2, 0, 4, 1, 0, 0)
+      def encS(vs: Seq[Long]) = soPack(vs.map(_ - minV), minbits, minV)
+      val sf = filteredFileDt(fixedDt(4, signed = true, 32, 0), 4,
+        Seq((6, so)), encS(svals.take(2)), encS(svals.drop(2)))
+      assert(Hdf5Classic.parse(sf).read("v").toSeq == svals.map(_.toDouble),
+        s"scaleoffset min=$minV span=$span minbits=$minbits vals=$svals")
+    }
+  }
+
+  test("SHUFFLE+DEFLATE over SCALEOFFSET composes (the pipeline runs in reverse) (r14)") {
+    // write order [scaleoffset, shuffle, deflate] — the reader must
+    // inflate, unshuffle, then scaleoffset-decode
+    val so = Seq[Int](2, 0, 2, 0, 4, 1, 0, 0)
+    def enc(vs: Seq[Long]) = soPack(vs.map(_ - 5L), 4, 5L)
+    val bytes = filteredFileDt(fixedDt(4, signed = true, 32, 0), 4,
+      Seq((6, so), (2, Seq(4)), (1, Seq(6))),
+      deflate(shuffle(enc(Seq(5L, 9L)), 4)),
+      deflate(shuffle(enc(Seq(12L, 7L)), 4)))
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq ==
+      Seq(5.0, 9.0, 12.0, 7.0))
   }
 
   test("hyperslab readSlab prunes non-intersecting chunks (r13)") {
