@@ -319,7 +319,29 @@ object Sources {
     // Grades offset bookkeeping, per-file batch planning, and the
     // stream→batch row-semantics equivalence against DuckDB.
     "q_source_dsv2_stream" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
-      stream = true)))
+      stream = true)),
+    // r14: the CATALOG/MANIFEST layer (the ESGF-style R2 slot's local
+    // half, NcCatalog) graded end-to-end — the shared grid member is
+    // indexed into a JSONL manifest by the distributed envelope sweep,
+    // then read back through a facet query (variable + lat/lon bounds):
+    // planning-time member pruning from the RECORDED envelopes, the
+    // surviving members loaded through the DSv2 multi-path form with
+    // the same predicates pushed into the scan. Same oracle shape as
+    // q_source_grid_subset — equality holds iff manifest-build →
+    // facet-prune → DSv2 load → pushdown yields exactly the bounded rows.
+    "q_source_catalog" -> { (s, dir) =>
+      val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      sharedGridMember(s, dir, hdf5 = true) match {
+        case None => emptyGridFingerprint(s)
+        case Some(gridFile) =>
+          val man = s"$roundtripRoot/catalog_$tier"
+          NcCatalog.buildManifest(s, gridFile, man)
+          gridFingerprint(NcCatalog.select(s, man,
+            variable = Some("events"),
+            bounds = Some(NetcdfSource.GridBounds(latMin = 5.0,
+              lonMax = 125.0))))
+      }
+    })
 
   /** One SHARED writeGrid artifact per (session, tier, format): r13
     * wrote a separate copy of the SAME dense grid for every reading
@@ -418,12 +440,8 @@ object Sources {
           Some(s"$out/grid.$ext")
         else None
       } else sharedGridMember(s, dir, hdf5)
-    val outSchema = StructType(Seq(
-      StructField("lat", DoubleType), StructField("n_cells", LongType),
-      StructField("sum_val", LongType), StructField("t_sig", LongType)))
     member match {
-      case None =>
-        s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
+      case None => emptyGridFingerprint(s)
       case Some(gridFile) =>
         val readBack =
           if (stream) {
@@ -458,15 +476,27 @@ object Sources {
           else if (dsv2)
             s.read.format("netcdf").option("vars", "events").load(gridFile)
           else NetcdfSource.readGrid(s, gridFile, "events", bounds = bounds)
-        readBack
-          .groupBy(col("lat"))
-          .agg(count(lit(1)).cast("long").as("n_cells"),
-            sum(col("value")).cast("long").as("sum_val"),
-            sum(col("value") *
-              datediff(to_date(col("time")), lit("1970-01-01")))
-              .cast("long").as("t_sig"))
-          .orderBy(col("lat"))
+        gridFingerprint(readBack)
     }
+  }
+
+  /** Per-latitude fingerprint every grid key grades through. */
+  private def gridFingerprint(readBack: DataFrame): DataFrame =
+    readBack
+      .groupBy(col("lat"))
+      .agg(count(lit(1)).cast("long").as("n_cells"),
+        sum(col("value")).cast("long").as("sum_val"),
+        sum(col("value") *
+          datediff(to_date(col("time")), lit("1970-01-01")))
+          .cast("long").as("t_sig"))
+      .orderBy(col("lat"))
+
+  private def emptyGridFingerprint(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("lat", DoubleType), StructField("n_cells", LongType),
+      StructField("sum_val", LongType), StructField("t_sig", LongType))))
   }
 
   val oracle: Map[String, String] = Map(
@@ -618,6 +648,28 @@ object Sources {
         |FROM cells, shape
         |WHERE latb >= 1 AND nlon > 0
         |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin,
+    "q_source_catalog" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 3 AS INT) AS latb,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS lonb,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |shape AS (
+        |  SELECT COUNT(DISTINCT day) AS nt,
+        |    COUNT(DISTINCT CASE WHEN lonb <= 2 THEN lonb END) AS nlon
+        |  FROM cells)
+        |SELECT CAST(latb * 10 AS DOUBLE) AS lat,
+        |  CAST(nt * nlon AS BIGINT) AS n_cells,
+        |  CAST(SUM(CASE WHEN lonb <= 2 THEN v ELSE 0 END) AS BIGINT) AS sum_val,
+        |  CAST(SUM(CASE WHEN lonb <= 2
+        |    THEN v * datediff('day', DATE '1970-01-01', day) ELSE 0 END)
+        |    AS BIGINT) AS t_sig
+        |FROM cells, shape
+        |WHERE latb >= 1 AND nlon > 0
+        |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin,
+
     "q_source_grid_subset" ->
       """WITH cells AS (
         |  SELECT CAST(ts AS DATE) AS day,

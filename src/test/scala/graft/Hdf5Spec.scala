@@ -1822,6 +1822,35 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("CF µs time units: sub-second timestamps past 2041 round-trip exactly (r14 law)") {
+    // the r13 move to CF "microseconds since 1970-01-01" made every
+    // epoch-µs below 2^53 an integral double — this pins the exact
+    // case the old seconds-with-fraction encoding lost (±1 µs drift
+    // past ~2041): far-future stamps with odd microsecond tails
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("cfmicros").toString
+    val stamps = Seq(
+      "2071-06-15 12:34:56.123456", // post-2041, sub-second
+      "2199-12-31 23:59:59.999999", // near the 2^53 horizon comment
+      "2041-01-01 00:00:00.000001", // the old drift boundary itself
+      "1969-12-31 23:59:59.987654") // negative epoch, sub-second
+      .map(java.sql.Timestamp.valueOf)
+    val df = stamps.zipWithIndex.map { case (ts, i) =>
+      ("m", ts, 0.0, 100.0 + i * 10.0, i.toDouble)
+    }.toDF("dataset", "time", "lat", "lon", "value")
+    for (h5 <- Seq(false, true)) {
+      val dir = s"$tmp/${if (h5) "h5" else "nc"}"
+      NetcdfSource.writeGrid(df, dir, varName = "tas", hdf5 = h5)
+      val back = NetcdfSource.readGrid(spark, s"$dir/*", "tas")
+        .select(col("time"), col("value")).collect()
+        .map(r => r.getDouble(1).toInt -> r.getTimestamp(0)).toMap
+      stamps.zipWithIndex.foreach { case (ts, i) =>
+        assert(back(i) == ts,
+          s"hdf5=$h5: stamp $ts came back as ${back(i)} — µs drift")
+      }
+    }
+  }
+
   test("mask-and-scale: _FillValue cells emit NO row; packed data unpacks") {
     // xarray open_dataset defaults (mask_and_scale=True): raw -999 is
     // missing, everything else unpacks as raw*scale + offset
