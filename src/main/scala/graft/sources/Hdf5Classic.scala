@@ -374,12 +374,15 @@ object Hdf5Classic {
       var i = 0
       while (i < perChunk) {
         val field = in.take(prec)
-        // sign-extend signed fixed-point; the declared datatype's sign
-        // bit is field bit prec-1
-        val v0 = if (dtype.signed && prec < 64 &&
+        // the LOGICAL value of a fixed-point datum is the bitfield
+        // itself — bits outside [offset, offset+precision) are padding
+        // (the library restores them as zeros and H5T extracts the
+        // field on conversion; this parser emits the converted value
+        // directly). Sign-extend signed fixed-point: the declared
+        // datatype's sign bit is field bit prec-1.
+        val v = if (dtype.signed && prec < 64 &&
           (field & (1L << (prec - 1))) != 0) field | ~mask
         else field
-        val v = v0 << off
         var k = 0
         while (k < size) { out(i * size + k) = (v >>> (8 * k)).toByte; k += 1 }
         i += 1

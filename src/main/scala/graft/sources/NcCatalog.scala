@@ -46,9 +46,11 @@ object NcCatalog {
                               bytes: Long)
 
   /** Distributed manifest build: glob → per-member envelope rows →
-    * JSONL under `manifestDir`. Re-running overwrites (rebuild = the
-    * refresh story; an incremental catalog would union a new glob's
-    * rows in — same shape). */
+    * JSONL under `manifestDir`. Re-running overwrites; see
+    * [[updateManifest]] for the incremental refresh. `manifestDir`
+    * must live OUTSIDE the member glob — inside it, the manifest's
+    * own JSON part files would match the glob and fail the header
+    * parse by name on the next build/update. */
   def buildManifest(spark: SparkSession, pathGlob: String,
                     manifestDir: String,
                     latVar: String = "lat", lonVar: String = "lon",
@@ -103,6 +105,37 @@ object NcCatalog {
   def catalog(spark: SparkSession, manifestDir: String): DataFrame =
     spark.read.schema(org.apache.spark.sql.Encoders
       .product[MemberMeta].schema).json(manifestDir)
+
+  /** Incremental refresh: index ONLY members the manifest does not
+    * know yet (path equality) and append their envelopes — the daily
+    * shape for a growing 100 TB archive, where a full [[buildManifest]]
+    * re-opens every member. The probe pass projects (path, length)
+    * only, so binaryFile's column pruning keeps known members' BYTES
+    * unread (law-pinned: a corrupted already-indexed member does not
+    * fail the update). A removed file keeps its row — catalogs
+    * tombstone externally; rebuild to compact. Returns the newly
+    * indexed paths. */
+  def updateManifest(spark: SparkSession, pathGlob: String,
+                     manifestDir: String,
+                     latVar: String = "lat", lonVar: String = "lon",
+                     timeVar: String = "time"): Seq[String] = {
+    import spark.implicits._
+    val known = catalog(spark, manifestDir).select("path")
+    // member-COUNT-bounded collect, like select's planning listing
+    val fresh = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"))
+      .join(known, Seq("path"), "left_anti")
+      .as[String].collect().sorted.toIndexedSeq
+    if (fresh.nonEmpty)
+      spark.read.format("binaryFile").load(fresh: _*)
+        .select(col("path"), col("content"), col("length"))
+        .as[(String, Array[Byte], Long)]
+        .map { case (path, bytes, len) =>
+          memberMeta(path, bytes, len, latVar, lonVar, timeVar)
+        }
+        .write.mode("append").json(manifestDir)
+    fresh
+  }
 
   /** Facet query → planning-time member pruning → DSv2 read with the
     * same predicates pushed into the scan. `variable` must be carried

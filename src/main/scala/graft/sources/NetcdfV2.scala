@@ -380,21 +380,24 @@ private class NcScan(pathGlobs: Seq[String], varsOpt: Option[Seq[String]],
 
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (path, _) =>
-      NcPartition(path, vars, latVar, lonVar, timeVar, conf): InputPartition
+      NcPartition(path, vars, latVar, lonVar, timeVar): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val req = required.fieldNames.toSeq
     val push = pushed
+    // the conf rides the FACTORY, not each partition: a
+    // thousands-of-members archive would otherwise hold one
+    // Configuration copy per partition in the driver's plan array
+    val c = conf
     (partition: InputPartition) =>
-      new NcReader(partition.asInstanceOf[NcPartition], push, req)
+      new NcReader(partition.asInstanceOf[NcPartition], push, req, c)
   }
 }
 
 private case class NcPartition(path: String, vars: Option[Seq[String]],
                                latVar: String, lonVar: String,
-                               timeVar: String,
-                               conf: NetcdfV2.HadoopConfSer)
+                               timeVar: String)
     extends InputPartition
 
 /** Stream offset = the set of member files already emitted, as a
@@ -459,16 +462,16 @@ private class NcMicroBatchStream(pathGlobs: Seq[String],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[NcOffset].files.toSet
     end.asInstanceOf[NcOffset].files.filterNot(seen)
-      .map(p => NcPartition(p, vars, latVar, lonVar, timeVar,
-        conf): InputPartition)
+      .map(p => NcPartition(p, vars, latVar, lonVar, timeVar): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val req = required.fieldNames.toSeq
     val push = pushed
+    val c = conf
     (partition: InputPartition) =>
-      new NcReader(partition.asInstanceOf[NcPartition], push, req)
+      new NcReader(partition.asInstanceOf[NcPartition], push, req, c)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -482,12 +485,12 @@ private class NcMicroBatchStream(pathGlobs: Seq[String],
   * [[NetcdfSource.GridView.readSlab]], per-cell re-check (exact on
   * non-monotonic axes too — the cover only ever over-fetches). */
 private class NcReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
-                       required: Seq[String])
+                       required: Seq[String], conf: NetcdfV2.HadoopConfSer)
     extends PartitionReader[InternalRow] {
   import NetcdfV2._
 
   private val it: Iterator[InternalRow] = {
-    val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(p.path, p.conf.value))
+    val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(p.path, conf.value))
     val ds = new Path(p.path).getName
     // explicit `vars` option: every named variable must exist in every
     // member (rowsFor throws the reader's named error otherwise — loud,

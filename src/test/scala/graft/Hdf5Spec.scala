@@ -571,10 +571,11 @@ class Hdf5Spec extends AnyFunSuite {
     out.array()
   }
 
-  /** nbit-encode: each element's field bits [off, off+prec) of its
-    * little-endian representation, MSB-first. */
-  private def nbitPack(raw: Seq[Long], prec: Int, off: Int): Array[Byte] =
-    packBits(raw.map(v => (v >>> off) & (if (prec == 64) -1L else (1L << prec) - 1)), prec)
+  /** nbit-encode: each element's `prec`-bit field, MSB-first — the
+    * stream layout is offset-independent (the offset only places the
+    * field within the element, which the stream never materializes). */
+  private def nbitPack(raw: Seq[Long], prec: Int): Array[Byte] =
+    packBits(raw.map(_ & (if (prec == 64) -1L else (1L << prec) - 1)), prec)
 
   /** scaleoffset-encode: 13-byte header (LE minbits, minval size 8,
     * LE minval) + the packed (v - minval) stream. */
@@ -668,20 +669,19 @@ class Hdf5Spec extends AnyFunSuite {
   test("NBIT filter: signed bitfields unpack and sign-extend (r14)") {
     // int16, precision 9, offset 3: values in [-256, 255]
     val vals = Seq(-200L, 17L, 255L, -1L)
-    def enc(vs: Seq[Long]) = nbitPack(vs.map(_ << 3), prec = 9, off = 3)
+    def enc(vs: Seq[Long]) = nbitPack(vs, prec = 9)
     // nbit atomic cd: [nparms, skipFlag, nelmts, class, size, order,
     //                  precision, offset]
     val cdv = Seq(8, 0, 2, 1, 2, 0, 9, 3)
     val bytes = filteredFileDt(fixedDt(2, signed = true, 9, 3), 2,
       Seq((5, cdv)), enc(vals.take(2)), enc(vals.drop(2)))
-    assert(Hdf5Classic.parse(bytes).read("v").toSeq ==
-      vals.map(v => (v << 3).toDouble))
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq == vals.map(_.toDouble))
   }
 
   test("NBIT filter: unsigned field, byte-straddling precision (r14)") {
     // uint32, precision 19, offset 0 — elements straddle stream bytes
     val vals = Seq(0L, 524287L, 123456L, 1L)
-    def enc(vs: Seq[Long]) = nbitPack(vs, prec = 19, off = 0)
+    def enc(vs: Seq[Long]) = nbitPack(vs, prec = 19)
     val cdv = Seq(8, 0, 2, 1, 4, 0, 19, 0)
     val bytes = filteredFileDt(fixedDt(4, signed = false, 19, 0), 4,
       Seq((5, cdv)), enc(vals.take(2)), enc(vals.drop(2)))
@@ -770,11 +770,10 @@ class Hdf5Spec extends AnyFunSuite {
       val hi = (if (signed) (1L << (prec - 1)) else (1L << prec)) - 1
       val vals = Seq.fill(4)(lo + (math.abs(rnd.nextLong()) % (hi - lo + 1)))
       val cdv = Seq(8, 0, 2, 1, 4, 0, prec, off)
-      def enc(vs: Seq[Long]) = nbitPack(vs.map(_ << off), prec, off)
+      def enc(vs: Seq[Long]) = nbitPack(vs, prec)
       val nb = filteredFileDt(fixedDt(4, signed, prec, off), 4,
         Seq((5, cdv)), enc(vals.take(2)), enc(vals.drop(2)))
-      assert(Hdf5Classic.parse(nb).read("v").toSeq ==
-        vals.map(v => (v << off).toDouble),
+      assert(Hdf5Classic.parse(nb).read("v").toSeq == vals.map(_.toDouble),
         s"nbit prec=$prec off=$off signed=$signed vals=$vals")
       // scaleoffset: random span over int32
       val minV = rnd.nextInt(2000) - 1000L

@@ -67,7 +67,9 @@ class NcCatalogSpec extends AnyFunSuite {
     writeClassic(s"$tmp/m1.nc", nt = 2, bias = 0.0)
     writeH5(s"$tmp/m2.h5")
     writeStatic(s"$tmp/m3.h5")
-    val man = s"$tmp/_manifest"
+    // the manifest lives OUTSIDE the archive glob — inside it, the
+    // manifest's own JSON part files would match the member glob
+    val man = tmpDir("man")
     NcCatalog.buildManifest(spark, s"$tmp/*", man)
     (tmp, man)
   }
@@ -138,6 +140,25 @@ class NcCatalogSpec extends AnyFunSuite {
     val none = NcCatalog.select(spark, man, variable = Some("nope"))
     assert(none.isEmpty &&
       none.schema == graft.sources.NetcdfV2.schema)
+  }
+
+  test("incremental update indexes only NEW members — known bytes stay unread") {
+    val (tmp, man) = archive()
+    // corrupt an already-indexed member: the update must not re-open it
+    Files.write(Paths.get(s"$tmp/m2.h5"), Array.fill[Byte](64)(0x11))
+    writeClassic(s"$tmp/m4.nc", nt = 1, bias = 500.0, day0 = 20)
+    val added = NcCatalog.updateManifest(spark, s"$tmp/*", man)
+    assert(added.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("m4.nc"))
+    val cat = NcCatalog.catalog(spark, man)
+    assert(cat.count() == 4)
+    // the new member is immediately facet-addressable
+    val got = NcCatalog.select(spark, man,
+      bounds = Some(NetcdfSource.GridBounds(
+        timeMin = Some(java.sql.Timestamp.valueOf("1970-01-20 00:00:00")))))
+    assert(got.select("dataset").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("m4.nc"))
+    // a second update is a no-op
+    assert(NcCatalog.updateManifest(spark, s"$tmp/*", man).isEmpty)
   }
 
   test("manifest rejects a non-grid member by name") {

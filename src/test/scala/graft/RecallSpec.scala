@@ -36,6 +36,18 @@ class RecallSpec extends AnyFunSuite {
     assert(found >= planted.size - 1, s"found only $found/${planted.size}")
   }
 
+  test("md5 twin's affine-permutation family keeps MinHash recall (r14)") {
+    // the r14 one-md5 + affine-permutation construction must stay a
+    // real MinHash family, not just hash-match its mirrored oracle —
+    // same planted J≥0.95 pairs and the same one-unlucky-pair slack
+    // as the production xxhash64 family above
+    val got = SparkEntry.queries("q_dedup_minhash_md5")(spark, dir)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = planted.count(got.contains)
+    assert(found >= planted.size - 1, s"found only $found/${planted.size}")
+  }
+
   test("SimHash pairs are true near-dups (precision via exact Jaccard)") {
     val pairs = SparkEntry.queries("q_dedup_simhash")(spark, dir)
       .select("a", "b").collect()
