@@ -107,7 +107,8 @@ object EventStreams {
     val r = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
       count(lit(1)), count(col("ts"))).head()
     val (nRows, nTs) = (r.getLong(2), r.getLong(3))
-    if (nRows != nTs)
+    if (nRows != nTs) {
+      e.unpersist() // rejection path must not leak the cached input
       // NULL ts cannot be placed chronologically: the chunk expression
       // below maps them to a NULL partition the pickup loop never reads
       // (silent row loss), and an ALL-NULL source used to take the
@@ -117,6 +118,7 @@ object EventStreams {
         s"writeChronologicalChunks: ${nRows - nTs} of $nRows rows have " +
           "NULL ts — a replay chunk is a time range, so every row needs " +
           "a timestamp; filter or repair NULL ts upstream")
+    }
     if (nRows == 0L) {
       // EMPTY source (r11 empty-tier find): min/max are NULL and the
       // getLong below threw ROW_VALUE_IS_NULL, killing the whole
