@@ -435,9 +435,14 @@ object Hdf5Classic {
       val dataAt = 5 + mvStored
       require(minbits <= size * 8,
         s"'$name': scaleoffset minbits $minbits exceeds $size-byte type")
-      if (minbits == size * 8L) // full precision: raw LE values follow
+      if (minbits == size * 8L) { // full precision: raw LE values follow
+        require(raw.length >= dataAt + perChunk * size,
+          s"'$name': scaleoffset full-precision chunk carries " +
+            s"${raw.length - dataAt} data bytes for $perChunk x $size " +
+            "(truncated chunk — copyOfRange would zero-pad silently)")
         return java.util.Arrays.copyOfRange(raw, dataAt,
           dataAt + perChunk * size)
+      }
       val packed = new Array[Long](perChunk)
       if (minbits > 0L) {
         val in = new BitReader(
