@@ -356,8 +356,13 @@ object Hdf5Classic {
       val order = cdvAt(cdv, 5, "nbit", name)
       val prec = cdvAt(cdv, 6, "nbit", name).toInt
       val off = cdvAt(cdv, 7, "nbit", name).toInt
-      require(order == 0L,
-        s"'$name': nbit over big-endian data not supported")
+      // the packed stream is byte-order independent (field bits,
+      // MSB-first); the order parm only dictates the emitted element
+      // layout — which must agree with the declared datatype's
+      require(order == 0L || order == 1L,
+        s"'$name': nbit byte order $order unknown (0 LE / 1 BE)")
+      require((order == 0L) == dtype.littleEndian,
+        s"'$name': nbit client byte order disagrees with the datatype's")
       require(size == dtype.size,
         s"'$name': nbit client size $size != datatype size ${dtype.size}")
       require(prec > 0 && off >= 0 && prec + off <= size * 8,
@@ -383,11 +388,23 @@ object Hdf5Classic {
         val v = if (dtype.signed && prec < 64 &&
           (field & (1L << (prec - 1))) != 0) field | ~mask
         else field
-        var k = 0
-        while (k < size) { out(i * size + k) = (v >>> (8 * k)).toByte; k += 1 }
+        putOrdered(out, i, size, v, dtype.littleEndian)
         i += 1
       }
       out
+    }
+
+    /** Write `v`'s low `size` bytes at element `e` in the given byte
+      * order — the filters emit elements in the DATATYPE's declared
+      * order so decodeSlab reads them like any unfiltered chunk. */
+    private def putOrdered(out: Array[Byte], e: Int, size: Int, v: Long,
+                           littleEndian: Boolean): Unit = {
+      var k = 0
+      while (k < size) {
+        val shift = if (littleEndian) 8 * k else 8 * (size - 1 - k)
+        out(e * size + k) = (v >>> shift).toByte
+        k += 1
+      }
     }
 
     // ---- SCALEOFFSET filter (id 6) — r14 ----------------------------
@@ -417,8 +434,10 @@ object Hdf5Classic {
         "unimplemented in the HDF5 library itself — no file can carry it")
       require(scaleType == 0L || scaleType == 2L,
         s"'$name': scaleoffset scale type $scaleType unknown")
-      require(order == 0L,
-        s"'$name': scaleoffset over big-endian data not supported")
+      require(order == 0L || order == 1L,
+        s"'$name': scaleoffset byte order $order unknown (0 LE / 1 BE)")
+      require((order == 0L) == dtype.littleEndian,
+        s"'$name': scaleoffset client byte order disagrees with the datatype's")
       require(size == dtype.size,
         s"'$name': scaleoffset client size $size != datatype size ${dtype.size}")
       require(nelmts == perChunk.toLong,
@@ -457,10 +476,8 @@ object Hdf5Classic {
         if (size > 4) lo | (cdvAt(cdv, 9, "scaleoffset", name) << 32) else lo
       }
       val out = new Array[Byte](perChunk * size)
-      def put(e: Int, v: Long): Unit = {
-        var k = 0
-        while (k < size) { out(e * size + k) = (v >>> (8 * k)).toByte; k += 1 }
-      }
+      def put(e: Int, v: Long): Unit =
+        putOrdered(out, e, size, v, dtype.littleEndian)
       if (scaleType == 2L) { // integer: v + minval, two's complement
         var e = 0
         while (e < perChunk) {

@@ -688,6 +688,32 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5Classic.parse(bytes).read("v").toSeq == vals.map(_.toDouble))
   }
 
+  test("NBIT + SCALEOFFSET over BIG-ENDIAN datatypes (r14): the stream is order-free") {
+    // the packed stream carries integer fields MSB-first regardless of
+    // element layout — only the emitted element byte order changes
+    val beDt = {
+      val b = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(0x10.toByte); b.put(0x09.toByte) // bf0: BE (bit0) + signed (bit3)
+      b.put(0.toByte); b.put(0.toByte)
+      b.putInt(4); b.putShort(0); b.putShort(13); b.array()
+    }
+    val vals = Seq(-4096L, 4095L, -1L, 777L)
+    def enc(vs: Seq[Long]) = nbitPack(vs, prec = 13)
+    val nb = filteredFileDt(beDt, 4,
+      Seq((5, Seq(8, 0, 2, 1, 4, 1, 13, 0))), enc(vals.take(2)), enc(vals.drop(2)))
+    assert(Hdf5Classic.parse(nb).read("v").toSeq == vals.map(_.toDouble))
+    val so = Seq[Int](2, 0, 2, 0, 4, 1, 1, 0) // scale type INT, order BE
+    def encS(vs: Seq[Long]) = soPack(vs.map(_ - -9L), 5, -9L)
+    val sf = filteredFileDt(beDt, 4,
+      Seq((6, so)), encS(Seq(-9L, 8L)), encS(Seq(0L, 20L)))
+    assert(Hdf5Classic.parse(sf).read("v").toSeq == Seq(-9.0, 8.0, 0.0, 20.0))
+    // a client/datatype order DISAGREEMENT rejects by name
+    val bad = filteredFileDt(beDt, 4,
+      Seq((5, Seq(8, 0, 2, 1, 4, 0, 13, 0))), enc(vals.take(2)), enc(vals.drop(2)))
+    val e = intercept[IllegalArgumentException](Hdf5Classic.parse(bad).read("v"))
+    assert(e.getMessage.contains("disagrees"))
+  }
+
   test("NBIT filter: skip flag passes raw chunks through; rejections are named (r14)") {
     // cd[1] = 1 (datatype needs no compression) → chunk stored raw
     val raw0 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -697,11 +723,11 @@ class Hdf5Spec extends AnyFunSuite {
     val bytes = filteredFileDt(fixedDt(4, signed = true, 32, 0), 4,
       Seq((5, Seq(8, 1, 2, 1, 4, 0, 32, 0))), raw0, raw1)
     assert(Hdf5Classic.parse(bytes).read("v").toSeq == Seq(7.0, -9.0, 100.0, 0.0))
-    // big-endian order and compound class reject by NAME
+    // an order disagreement and a compound class reject by NAME
     val be = filteredFileDt(fixedDt(4, signed = true, 9, 0), 4,
       Seq((5, Seq(8, 0, 2, 1, 4, 1, 9, 0))), raw0, raw1)
     val e1 = intercept[IllegalArgumentException](Hdf5Classic.parse(be).read("v"))
-    assert(e1.getMessage.contains("big-endian"))
+    assert(e1.getMessage.contains("disagrees"))
     val comp = filteredFileDt(fixedDt(4, signed = true, 9, 0), 4,
       Seq((5, Seq(8, 0, 2, 3, 4, 0, 9, 0))), raw0, raw1)
     val e2 = intercept[IllegalArgumentException](Hdf5Classic.parse(comp).read("v"))
