@@ -293,6 +293,106 @@ class Hdf5Spec extends AnyFunSuite {
     assert(h5.read("v").toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("multi-element vlen-string attribute decodes to Array[String]; non-numeric vlen base rejects by name (r14 pin)") {
+    // (a) rank-1 vlen-string attr with TWO elements — each element is a
+    // (len, GCOL addr, index) descriptor; the decode must return the
+    // array, never a joined/munged single string
+    val msgBytes = 24 + 32 + 32 + 88
+    val dataAt = 280 + 16 + msgBytes
+    val gheapAt = dataAt + 24
+    val out = ByteBuffer.allocate(gheapAt + 80).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(commonPrefix(eof = gheapAt + 80))
+    out.put(1.toByte); out.put(0.toByte); out.putShort(4)
+    out.putInt(1); out.putInt(msgBytes); out.putInt(0)
+    def msg(typ: Int, body: Array[Byte]): Unit = {
+      val pad = (body.length + 7) & ~7
+      out.putShort(typ.toShort); out.putShort(pad.toShort); out.putInt(0)
+      val at = out.position(); out.put(body); out.position(at + pad)
+    }
+    msg(0x0001, {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
+      b.put(new Array[Byte](5)); b.putLong(3L); b.array()
+    })
+    msg(0x0003, f64Dt)
+    msg(0x0008, contiguousLayout(dataAt.toLong, 24L))
+    msg(0x000C, { // v1 attr "names": vlen-string, rank-1 [2]
+      val b = ByteBuffer.allocate(80).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(0.toByte)
+      b.putShort(6); b.putShort(16); b.putShort(16)
+      b.put("names".getBytes); b.put(0.toByte); b.position(16)
+      b.put(0x19.toByte); b.put(0x01.toByte); b.putShort(0); b.putInt(16) // vlen str
+      b.put(0x13.toByte); b.put(0.toByte); b.putShort(0); b.putInt(1)     // base str
+      b.position(32)
+      b.put(1.toByte); b.put(1.toByte); b.put(0.toByte) // rank-1 dataspace
+      b.put(new Array[Byte](5)); b.putLong(2L)
+      b.putInt(5); b.putLong(gheapAt.toLong); b.putInt(1) // "alpha"
+      b.putInt(4); b.putLong(gheapAt.toLong); b.putInt(2) // "beta"
+      b.array()
+    })
+    assert(out.position() == dataAt)
+    out.putDouble(1.0); out.putDouble(2.0); out.putDouble(3.0)
+    out.put("GCOL".getBytes(StandardCharsets.US_ASCII))
+    out.put(1.toByte); out.put(new Array[Byte](3)); out.putLong(80L)
+    out.putShort(1); out.putShort(1); out.putInt(0); out.putLong(5L)
+    out.put("alpha".getBytes); out.position(gheapAt + 40)
+    out.putShort(2); out.putShort(1); out.putInt(0); out.putLong(4L)
+    out.put("beta".getBytes); out.position(gheapAt + 64)
+    out.putShort(0); out.putShort(0); out.putInt(0); out.putLong(16L)
+    val h5 = Hdf5Classic.parse(out.array())
+    val names = h5.variable("v").attrs
+      .collectFirst { case NcAttr("names", v) => v }.get
+    assert(names.isInstanceOf[Array[String]] &&
+      names.asInstanceOf[Array[String]].toSeq == Seq("alpha", "beta"),
+      s"multi-element vlen-string must decode to the ARRAY, got $names")
+    assert(h5.read("v").toSeq == Seq(1.0, 2.0, 3.0))
+
+    // (b) vlen SEQUENCE with a STRING base — non-numeric, must reject
+    // by NAME (a silent empty Double array was the hazard class)
+    val msgBytes2 = 24 + 32 + 32 + 64
+    val dataAt2 = 280 + 16 + msgBytes2
+    val gh2 = dataAt2 + 24
+    val o2 = ByteBuffer.allocate(gh2 + 56).order(ByteOrder.LITTLE_ENDIAN)
+    o2.put(commonPrefix(eof = gh2 + 56))
+    o2.put(1.toByte); o2.put(0.toByte); o2.putShort(4)
+    o2.putInt(1); o2.putInt(msgBytes2); o2.putInt(0)
+    def msg2(typ: Int, body: Array[Byte]): Unit = {
+      val pad = (body.length + 7) & ~7
+      o2.putShort(typ.toShort); o2.putShort(pad.toShort); o2.putInt(0)
+      val at = o2.position(); o2.put(body); o2.position(at + pad)
+    }
+    msg2(0x0001, {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
+      b.put(new Array[Byte](5)); b.putLong(3L); b.array()
+    })
+    msg2(0x0003, f64Dt)
+    msg2(0x0008, contiguousLayout(dataAt2.toLong, 24L))
+    msg2(0x000C, { // v1 attr "odd": vlen SEQUENCE of strings, scalar
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(0.toByte)
+      b.putShort(4); b.putShort(16); b.putShort(8)
+      b.put("odd".getBytes); b.put(0.toByte); b.position(16)
+      b.put(0x19.toByte); b.put(0x00.toByte); b.putShort(0); b.putInt(16) // vlen SEQ
+      b.put(0x13.toByte); b.put(0.toByte); b.putShort(0); b.putInt(1)     // base str
+      b.position(32)
+      b.put(1.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.put(new Array[Byte](5)); b.position(40)
+      b.putInt(2); b.putLong(gh2.toLong); b.putInt(1)
+      b.array()
+    })
+    assert(o2.position() == dataAt2)
+    o2.putDouble(1.0); o2.putDouble(2.0); o2.putDouble(3.0)
+    o2.put("GCOL".getBytes(StandardCharsets.US_ASCII))
+    o2.put(1.toByte); o2.put(new Array[Byte](3)); o2.putLong(56L)
+    o2.putShort(1); o2.putShort(1); o2.putInt(0); o2.putLong(2L)
+    o2.put("xy".getBytes); o2.position(gh2 + 40)
+    o2.putShort(0); o2.putShort(0); o2.putInt(0); o2.putLong(16L)
+    val e = intercept[IllegalArgumentException](Hdf5Classic.parse(o2.array()))
+    assert(e.getMessage.contains("vlen sequence with unsupported base class"),
+      s"named rejection expected, got: ${e.getMessage}")
+  }
+
   test("subgroup traversal: nested group datasets get '/'-joined names") {
     // root group holds subgroup "g"; "g" holds dataset "v" — the
     // netCDF-4 group layout. Two full symbol-table levels by hand.
