@@ -286,7 +286,16 @@ object Hdf5Classic {
               "shuffle, fletcher32, nbit, scaleoffset)")
         }
       }
-      require(raw.length >= perChunk * dtype.size,
+      // nbit/scaleoffset decoders emit exactly perChunk elements by
+      // construction; every other filter is size-preserving end-to-end
+      // (deflate restores the pre-filter length, shuffle permutes,
+      // fletcher32 strips its 4 checksum bytes) — so absent a
+      // size-changing filter the pipeline output must be EXACT, or a
+      // corrupt over-inflating deflate chunk would be silently
+      // truncated to the first perChunk elements (r15, was '>=')
+      val sizeChanging = filters.exists { case (id, _) => id == 5 || id == 6 }
+      require(if (sizeChanging) raw.length >= perChunk * dtype.size
+              else raw.length == perChunk * dtype.size,
         s"'$name': defiltered chunk carries ${raw.length} bytes for " +
           s"$perChunk x ${dtype.size}-byte elements (corrupt or " +
           "truncated chunk)")
@@ -459,8 +468,26 @@ object Hdf5Classic {
           s"'$name': scaleoffset full-precision chunk carries " +
             s"${raw.length - dataAt} data bytes for $perChunk x $size " +
             "(truncated chunk — copyOfRange would zero-pad silently)")
-        return java.util.Arrays.copyOfRange(raw, dataAt,
+        val copied = java.util.Arrays.copyOfRange(raw, dataAt,
           dataAt + perChunk * size)
+        // the stored stream is LITTLE-endian regardless of the datatype
+        // order (H5Zscaleoffset.c buffers in native/LE and byte-swaps to
+        // the datatype's order after the full-precision memcpy, exactly
+        // as the packed path below does via putOrdered) — so a BE
+        // datatype needs each size-byte element reversed (r15, was a
+        // silent byte-swap for BE full-precision chunks)
+        if (!dtype.littleEndian && size > 1) {
+          var e = 0
+          while (e < perChunk) {
+            var lo = e * size; var hi = lo + size - 1
+            while (lo < hi) {
+              val t = copied(lo); copied(lo) = copied(hi); copied(hi) = t
+              lo += 1; hi -= 1
+            }
+            e += 1
+          }
+        }
+        return copied
       }
       val packed = new Array[Long](perChunk)
       if (minbits > 0L) {

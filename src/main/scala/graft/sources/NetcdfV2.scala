@@ -183,8 +183,16 @@ object NetcdfV2 {
                                   what: String): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
-      Try(org.json4s.jackson.JsonMethods.parse(js).values
-        .asInstanceOf[List[String]]).getOrElse(
+      // pattern-match the AST rather than casting the erased values
+      // list — asInstanceOf[List[String]] let a non-string array
+      // (e.g. [1,2]) through the Try and surfaced later as an opaque
+      // ClassCastException in globbing instead of this named error (r15)
+      (Try(org.json4s.jackson.JsonMethods.parse(js)).toOption match {
+        case Some(org.json4s.JArray(elems))
+            if elems.forall(_.isInstanceOf[org.json4s.JString]) =>
+          Some(elems.collect { case org.json4s.JString(s) => s })
+        case _ => None
+      }).getOrElse(
         throw new IllegalArgumentException(
           s"netcdf $what: could not parse the 'paths' option as a JSON " +
             s"string array (got: $js)"))
@@ -417,8 +425,15 @@ private class NcOffset(val files: Seq[String])
 
 private object NcOffset {
   def parse(json: String): NcOffset =
-    new NcOffset(org.json4s.jackson.JsonMethods.parse(json).values
-      .asInstanceOf[List[String]].toVector)
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case org.json4s.JArray(elems)
+          if elems.forall(_.isInstanceOf[org.json4s.JString]) =>
+        new NcOffset(elems.collect {
+          case org.json4s.JString(s) => s }.toVector)
+      case other => throw new IllegalStateException(
+        "netcdf stream: checkpoint offset is not a JSON string array " +
+          s"(corrupt checkpoint?): $json")
+    }
 }
 
 /** Micro-batch streaming over a growing grid archive: each trigger

@@ -104,11 +104,14 @@ object EventStreams {
     // projection so the source parquet is scanned once (r14 — the
     // second scan was ~a third of q_stream_upsert's fixture cost)
     val e = events.cache()
+    // try/finally, not per-path unpersist calls: an exception in the
+    // bounds aggregate or the chunked write must not leak the cached
+    // DataFrame for the session's lifetime (r15 advice)
+    try {
     val r = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
       count(lit(1)), count(col("ts"))).head()
     val (nRows, nTs) = (r.getLong(2), r.getLong(3))
     if (nRows != nTs) {
-      e.unpersist() // rejection path must not leak the cached input
       // NULL ts cannot be placed chronologically: the chunk expression
       // below maps them to a NULL partition the pickup loop never reads
       // (silent row loss), and an ALL-NULL source used to take the
@@ -142,7 +145,6 @@ object EventStreams {
       java.nio.file.Files.move(part.toPath, dest.toPath)
       dest.setLastModified(1700000000000L)
       UpsertSink.deleteRecursively(java.nio.file.Paths.get(build))
-      e.unpersist()
       return
     }
     val (lo, hi) = (r.getLong(0), r.getLong(1))
@@ -164,7 +166,7 @@ object EventStreams {
         }
     }
     UpsertSink.deleteRecursively(java.nio.file.Paths.get(build))
-    e.unpersist()
+    } finally e.unpersist()
   }
 
   def tumbling(events: DataFrame): DataFrame =

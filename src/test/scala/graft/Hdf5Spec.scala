@@ -814,6 +814,31 @@ class Hdf5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("disagrees"))
   }
 
+  test("SCALEOFFSET full precision over a BIG-ENDIAN datatype (r15): stored stream is LE") {
+    // minbits == size*8: H5Zscaleoffset stores the raw values LITTLE-
+    // endian and byte-swaps to the datatype's order only after the
+    // decompress memcpy — so a BE int32 chunk's stored stream is LE,
+    // and the reader must emit BE elements (was a silent byte-swap)
+    val beDt = {
+      val b = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(0x10.toByte); b.put(0x09.toByte) // bf0: BE (bit0) + signed (bit3)
+      b.put(0.toByte); b.put(0.toByte)
+      b.putInt(4); b.putShort(0); b.putShort(32); b.array()
+    }
+    def encFP(vs: Seq[Long]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(13 + vs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(32); b.put(8.toByte); b.putLong(0L) // minbits=32: raw values
+      vs.foreach(v => b.putInt(v.toInt))
+      b.array()
+    }
+    val so = Seq[Int](2, 0, 2, 0, 4, 1, 1, 0) // scale type INT, order BE
+    val vals = Seq(-4096L, 4095L, -1L, 0x01020304L)
+    val sf = filteredFileDt(beDt, 4,
+      Seq((6, so)), encFP(vals.take(2)), encFP(vals.drop(2)))
+    assert(Hdf5Classic.parse(sf).read("v").toSeq == vals.map(_.toDouble))
+  }
+
   test("NBIT filter: skip flag passes raw chunks through; rejections are named (r14)") {
     // cd[1] = 1 (datatype needs no compression) → chunk stored raw
     val raw0 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
