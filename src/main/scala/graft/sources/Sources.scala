@@ -312,12 +312,14 @@ object Sources {
     // from the base events table.
     "q_source_dsv2_write" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
       dsv2 = true, dsv2Write = true)),
-    // r13 late: the STREAMING read surface of the DSv2 format graded
-    // end-to-end — the grid member is ingested as a Trigger.Once
-    // micro-batch stream (fresh checkpoint per run, parquet sink),
-    // and the drained sink must carry the same unbounded fingerprint.
-    // Grades offset bookkeeping, per-file batch planning, and the
-    // stream→batch row-semantics equivalence against DuckDB.
+    // r13 late, DEEPENED r15: the STREAMING read surface of the DSv2
+    // format graded as a true multi-batch replay under failure — the
+    // grid arrives as ≥3 member files landed one at a time (one
+    // checkpointed micro-batch each, each run a restart), with a
+    // deterministic crash injected in the exactly-once window after
+    // batch 0 (commits/0 deleted → WAL replay → sink-log dedup). The
+    // drained sink must carry the same unbounded fingerprint; see
+    // [[streamedGridFingerprint]].
     "q_source_dsv2_stream" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
       stream = true)),
     // r14: the CATALOG/MANIFEST layer (the ESGF-style R2 slot's local
@@ -369,14 +371,14 @@ object Sources {
     if (wrote) Some(s"$out/grid.$ext") else None
   }
 
-  /** Build the dense (day, lat-bucket, lon-bucket) COUNT grid from the
-    * tier's events table and write it as one grid member — DISTRIBUTED
-    * (distinct-axis cross join + left join, no driver collect) through
-    * either the real [[NetcdfSource.writeGrid]] sink or the DSv2
-    * `netcdf` format's staging + driver-commit write path. Returns
-    * false (nothing written) for an empty-events tier. */
-  private def writeDenseGrid(s: SparkSession, dir: String, out: String,
-                             hdf5: Boolean, viaDsv2: Boolean): Boolean = {
+  /** The dense (day, lat-bucket, lon-bucket) COUNT grid from the
+    * tier's events table — DISTRIBUTED (distinct-axis cross join +
+    * left join, no driver collect). Returns None for an empty-events
+    * tier; otherwise the cached cells handle (the CALLER unpersists
+    * after its write action runs) and the dense long-form frame with
+    * the `day` split key still attached. */
+  private def denseGrid(s: SparkSession, dir: String)
+      : Option[(DataFrame, DataFrame)] = {
     val cells = graft.Tables.events(s, dir)
       .select(to_date(col("ts")).as("day"),
         (col("user_id") % 3).cast("int").as("latb"),
@@ -390,14 +392,14 @@ object Sources {
       // read 5× below (isEmpty, three distinct-axis scans, the left
       // join): cache the one bounded aggregate instead of re-running
       // the full events scan each time (r12 review find); unpersisted
-      // before returning — the readback frame reads the FILE, not this
+      // by the caller — the readback frame reads the FILE, not this
       .cache()
     if (cells.isEmpty) {
       // empty-events tier: no grid to write; the oracle's GROUP BY
       // over zero cells is empty too (a stale file from a previous
       // tier is never read — the readback is skipped entirely)
       cells.unpersist()
-      false
+      None
     } else {
       // densify over the OBSERVED axes (zero-filled): broadcast-sized
       // distinct-axis frames cross-joined then left-joined back — the
@@ -406,21 +408,35 @@ object Sources {
         .crossJoin(cells.select("latb").distinct())
         .crossJoin(cells.select("lonb").distinct())
         .join(cells, Seq("day", "latb", "lonb"), "left")
-        .select(lit("grid").as("dataset"),
+        .select(col("day"),
           col("day").cast("timestamp").as("time"),
           (col("latb") * 10.0).as("lat"),
           (lit(100.0) + col("lonb") * 10.0).as("lon"),
           coalesce(col("v"), lit(0.0)).as("value"))
-      if (viaDsv2)
-        // the DSv2 SINK: staging + driver-commit protocol; overwrite
-        // truncates a previous tier's member so staleness cannot pass
-        dense.withColumn("variable", lit("events"))
-          .write.format("netcdf").mode("overwrite").save(out)
-      else NetcdfSource.writeGrid(dense, out, varName = "events", hdf5 = hdf5)
-      cells.unpersist()
-      true
+      Some((cells, dense))
     }
   }
+
+  /** Write the dense grid as ONE member through either the real
+    * [[NetcdfSource.writeGrid]] sink or the DSv2 `netcdf` format's
+    * staging + driver-commit write path. Returns false (nothing
+    * written) for an empty-events tier. */
+  private def writeDenseGrid(s: SparkSession, dir: String, out: String,
+                             hdf5: Boolean, viaDsv2: Boolean): Boolean =
+    denseGrid(s, dir) match {
+      case None => false
+      case Some((cells, dense0)) =>
+        val dense = dense0.select(lit("grid").as("dataset"), col("time"),
+          col("lat"), col("lon"), col("value"))
+        if (viaDsv2)
+          // the DSv2 SINK: staging + driver-commit protocol; overwrite
+          // truncates a previous tier's member so staleness cannot pass
+          dense.withColumn("variable", lit("events"))
+            .write.format("netcdf").mode("overwrite").save(out)
+        else NetcdfSource.writeGrid(dense, out, varName = "events", hdf5 = hdf5)
+        cells.unpersist()
+        true
+    }
 
   private def gridRoundtrip(s: SparkSession, dir: String, hdf5: Boolean,
                             bounds: Option[NetcdfSource.GridBounds] = None,
@@ -431,6 +447,7 @@ object Sources {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.DoubleType
     val ext = if (hdf5) "h5" else "nc"
+    if (stream) return streamedGridFingerprint(s, dir)
     val member: Option[String] =
       if (dsv2Write) {
         // the write key keeps its own artifact dir: the WRITE is what
@@ -444,28 +461,7 @@ object Sources {
       case None => emptyGridFingerprint(s)
       case Some(gridFile) =>
         val readBack =
-          if (stream) {
-            // Trigger.Once micro-batch over the member file into a
-            // parquet sink; checkpoint and sink are wiped FIRST so every
-            // run (and every tier) is a fresh single-batch stream — a
-            // stale checkpoint would silently skip the new artifact
-            import org.apache.spark.sql.streaming.Trigger
-            val ckpt = new java.io.File(s"$roundtripRoot/dsv2s/_ckpt")
-            val sink = new java.io.File(s"$roundtripRoot/dsv2s/_sink")
-            def rmTree(f: java.io.File): Unit = {
-              Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-              f.delete()
-            }
-            rmTree(ckpt); rmTree(sink)
-            val q = s.readStream.format("netcdf").option("vars", "events")
-              .load(gridFile)
-              .writeStream.format("parquet").option("path", sink.toString)
-              .option("checkpointLocation", ckpt.toString)
-              .trigger(Trigger.Once()).start()
-            q.awaitTermination()
-            s.read.schema(org.apache.spark.sql.Encoders
-              .product[NetcdfSource.GridRow].schema).parquet(sink.toString)
-          } else if (dsv2 && bounds.isDefined)
+          if (dsv2 && bounds.isDefined)
             // Catalyst drives the pruning: the filter below is accepted
             // by SupportsPushDownFilters (Spark-exact, fully handled —
             // no residual Filter in the plan) and becomes the same
@@ -477,6 +473,92 @@ object Sources {
             s.read.format("netcdf").option("vars", "events").load(gridFile)
           else NetcdfSource.readGrid(s, gridFile, "events", bounds = bounds)
         gridFingerprint(readBack)
+    }
+  }
+
+  /** The STREAMING read surface graded as a TRUE multi-batch replay
+    * under failure (r15; was one Trigger.Once micro-batch over one
+    * member). The dense grid is split into up-to-three self-contained
+    * members (deterministic day mod 3), staged, and landed ONE AT A
+    * TIME into the watched archive dir with a fresh Trigger.Once run
+    * per arrival — so the checkpointed stream crosses one micro-batch
+    * per member across restarts (≥3 at the standard tiers). After
+    * batch 0 commits, the exactly-once crash WINDOW is exercised
+    * deterministically: the checkpoint's commits/0 marker is deleted
+    * (a crash after the sink commit but before the checkpoint commit —
+    * the one window where at-least-once delivery happens) and the
+    * restart must replay batch 0 from the offset WAL with the SAME
+    * file set while the parquet sink's metadata log makes the
+    * duplicate delivery a no-op. The graded fingerprint equals the
+    * unbounded batch oracle iff no batch was lost, none doubled, and
+    * the replay deduplicated — the full offset-WAL / sink-log commit
+    * protocol end-to-end. */
+  private def streamedGridFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new java.io.File(s"$roundtripRoot/dsv2s_$tier")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    rmTree(root) // every run (and tier) starts from a clean replay dir
+    val stage = new java.io.File(root, "stage")
+    val land = new java.io.File(root, "land")
+    val ckpt = new java.io.File(root, "ckpt")
+    val sink = new java.io.File(root, "sink")
+    land.mkdirs()
+    denseGrid(s, dir) match {
+      case None => emptyGridFingerprint(s)
+      case Some((cells, dense)) =>
+        // one writeGrid pass emits every member (one file per distinct
+        // dataset name); tiers with <3 distinct days yield fewer members
+        val split = dense.select(
+          concat(lit("m"), pmod(datediff(col("day"), lit("1970-01-01")),
+            lit(3)).cast("string")).as("dataset"),
+          col("time"), col("lat"), col("lon"), col("value"))
+        NetcdfSource.writeGrid(split, stage.toString, varName = "events",
+          hdf5 = true)
+        cells.unpersist()
+        val members = Option(stage.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".h5")).sortBy(_.getName)
+        def runOnce(): Unit = {
+          val q = s.readStream.format("netcdf").option("vars", "events")
+            .load(s"$land/*.h5")
+            .writeStream.format("parquet").option("path", sink.toString)
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.Once()).start()
+          q.awaitTermination()
+        }
+        members.zipWithIndex.foreach { case (m, i) =>
+          java.nio.file.Files.move(m.toPath,
+            new java.io.File(land, m.getName).toPath)
+          runOnce()
+          if (i == 0) {
+            val c0 = new java.io.File(ckpt, "commits/0")
+            require(c0.isFile,
+              "netcdf stream replay: batch 0 never committed")
+            require(c0.delete(),
+              "netcdf stream replay: could not remove commits/0")
+            // the local ChecksumFs shadows every log file with a .crc
+            // sibling; a leftover one makes the replay's commit rename
+            // fail as a phantom "concurrent query" — a real crash
+            // loses both, so the simulation must too
+            new java.io.File(ckpt, "commits/.0.crc").delete()
+            runOnce() // restart: WAL replays batch 0, sink log dedups
+            require(new java.io.File(ckpt, "commits/0").isFile,
+              "netcdf stream replay: the restart did not recommit batch 0")
+          }
+        }
+        // the run provably crossed one committed batch per member —
+        // a silent skip or a phantom extra batch fails by name here
+        val committed = Option(new java.io.File(ckpt, "commits").list())
+          .getOrElse(Array.empty[String])
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+        require(committed.toSeq == (0L until members.length.toLong),
+          s"netcdf stream replay: committed batches ${committed.mkString(",")} " +
+            s"for ${members.length} members")
+        gridFingerprint(s.read.schema(org.apache.spark.sql.Encoders
+          .product[NetcdfSource.GridRow].schema).parquet(sink.toString))
     }
   }
 
