@@ -145,6 +145,25 @@ object NetcdfV2 {
     def dsOk(d: String): Boolean = dsIn.forall(_.contains(d))
   }
 
+  // ---- aggregate pushdown model (r15) -------------------------------
+  // Global (no GROUP BY) COUNT/MIN/MAX answered inside the scan. Two
+  // execution regimes, both exact:
+  //  - variable declares NO fill: every selected cell emits a row, so
+  //    COUNT is pure axis arithmetic and MIN/MAX(lat|lon|time) come
+  //    from the (tiny) coordinate axes — data chunks are NEVER
+  //    inflated (the "answer from chunk metadata" path);
+  //  - fill declared: presence is per-cell, so the pruned slab cover is
+  //    read like the row path, but aggregation happens in the reader —
+  //    no per-cell InternalRow, no row traffic to an Aggregate.
+  // MIN/MAX(value) is declined (needs scale/offset data semantics the
+  // final-merge planner can't verify cheaply); declining only costs
+  // pushdown, never correctness.
+  private[graft] sealed trait NcAgg extends Serializable
+  private[graft] case object NcCountStar extends NcAgg
+  private[graft] case object NcCountTime extends NcAgg // non-null time only
+  private[graft] final case class NcMinMax(col: String, isMin: Boolean)
+      extends NcAgg
+
   private[graft] def micros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
     case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
@@ -241,12 +260,13 @@ private class NcTable(options: CaseInsensitiveStringMap)
 
 private class NcScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   import NetcdfV2._
 
   private var acc = NcPushed()
   private var accepted: Array[sources.Filter] = Array.empty
   private var required: StructType = NetcdfV2.schema
+  private var aggPushed: Option[Seq[NcAgg]] = None
 
   /** Accept a conjunct fully or not at all: None = residual (Spark
     * re-evaluates; the scan must then emit a superset, so no pruning
@@ -324,15 +344,85 @@ private class NcScanBuilder(options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new NcScan(
-    NetcdfV2.resolvePaths(options, "source"),
-    Option(options.get("vars")).map(_.split(",").map(_.trim).toSeq
-      .filter(_.nonEmpty)),
-    options.getOrDefault("latVar", "lat"),
-    options.getOrDefault("lonVar", "lon"),
-    options.getOrDefault("timeVar", "time"),
-    acc, required, accepted.map(_.toString).toSeq,
-    NetcdfV2.captureConf())
+  // ---- aggregate pushdown (r15) ------------------------------------
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0).toLowerCase)
+    case _ => None
+  }
+
+  /** Whole-aggregation translation, all-or-nothing (a partially
+    * translated aggregation would be wrong, not slow). Every emitted
+    * column except `time` is non-null, so COUNT(col) on them is
+    * COUNT(*); COUNT(time) counts 3-D rows only. */
+  private def translate(agg: Aggregation): Option[Seq[NcAgg]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val out = Vector.newBuilder[NcAgg]
+    agg.aggregateExpressions.foreach { f: AggregateFunc =>
+      f match {
+        case _: CountStar => out += NcCountStar
+        case c: Count if !c.isDistinct => colOf(c.column) match {
+          case Some("time") => out += NcCountTime
+          case Some(n) if Set("dataset", "variable", "lat", "lon", "value")(n) =>
+            out += NcCountStar
+          case _ => return None
+        }
+        case m: Min => colOf(m.column) match {
+          case Some(n) if Set("lat", "lon", "time")(n) =>
+            out += NcMinMax(n, isMin = true)
+          case _ => return None
+        }
+        case m: Max => colOf(m.column) match {
+          case Some(n) if Set("lat", "lon", "time")(n) =>
+            out += NcMinMax(n, isMin = false)
+          case _ => return None
+        }
+        case _ => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** COMPLETE pushdown (no Aggregate left in the plan) needs exactly
+    * one reader emitting the final row — i.e. a single surviving file
+    * after `dataset` pruning. Multi-file archives get PARTIAL pushdown:
+    * one partial row per member, Spark merges (sum/min/max) on top. */
+  private lazy val survivingFiles: Int = Try {
+    NetcdfV2.resolvePaths(options, "source").flatMap { glob =>
+      val p = new Path(glob)
+      val fs = p.getFileSystem(NetcdfV2.captureConf().value)
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    }.filter(_.isFile).map(_.getPath.toString).distinct
+      .count(path => acc.dsOk(new Path(path).getName))
+  }.getOrElse(Int.MaxValue) // listing failure → never claim complete
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined && survivingFiles == 1
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(as) => aggPushed = Some(as); true
+      case None => false
+    }
+
+  override def build(): Scan = {
+    val paths = NetcdfV2.resolvePaths(options, "source")
+    val varsOpt = Option(options.get("vars")).map(
+      _.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+    val (latV, lonV, timeV) = (options.getOrDefault("latVar", "lat"),
+      options.getOrDefault("lonVar", "lon"),
+      options.getOrDefault("timeVar", "time"))
+    val conf = NetcdfV2.captureConf()
+    aggPushed match {
+      case Some(aggs) => new NcAggScan(paths, varsOpt, latV, lonV, timeV,
+        acc, aggs, accepted.map(_.toString).toSeq, conf)
+      case None => new NcScan(paths, varsOpt, latV, lonV, timeV,
+        acc, required, accepted.map(_.toString).toSeq, conf)
+    }
+  }
 }
 
 private class NcScan(pathGlobs: Seq[String], varsOpt: Option[Seq[String]],
@@ -407,6 +497,204 @@ private case class NcPartition(path: String, vars: Option[Seq[String]],
                                latVar: String, lonVar: String,
                                timeVar: String)
     extends InputPartition
+
+/** The aggregate-pushdown scan: same listing/partitioning as [[NcScan]]
+  * (one partition per surviving file), but each reader emits ONE row of
+  * aggregate values — final when Spark granted complete pushdown
+  * (single file), partial otherwise (Spark sums counts and re-mins /
+  * re-maxes across members). Output columns are positional per the
+  * pushed aggregate list, as V2ScanRelationPushDown requires. */
+private class NcAggScan(pathGlobs: Seq[String], varsOpt: Option[Seq[String]],
+                        latVar: String, lonVar: String, timeVar: String,
+                        pushed: NetcdfV2.NcPushed,
+                        aggs: Seq[NetcdfV2.NcAgg], pushedDesc: Seq[String],
+                        conf: NetcdfV2.HadoopConfSer)
+    extends NcScan(pathGlobs, varsOpt, latVar, lonVar, timeVar, pushed,
+      NcAggScan.schemaFor(aggs), pushedDesc, conf) {
+  import NetcdfV2._
+
+  override def description(): String =
+    super.description() + s", PushedAggregates: [${aggs.mkString(", ")}]"
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val push = pushed
+    val as = aggs
+    val c = conf
+    (partition: InputPartition) =>
+      new NcAggReader(partition.asInstanceOf[NcPartition], push, as, c)
+  }
+}
+
+private object NcAggScan {
+  import NetcdfV2._
+  def schemaFor(aggs: Seq[NcAgg]): StructType = StructType(aggs.map {
+    case NcCountStar => StructField("count(*)", LongType, nullable = false)
+    case NcCountTime => StructField("count(time)", LongType, nullable = false)
+    case NcMinMax(c, isMin) => StructField(
+      s"${if (isMin) "min" else "max"}($c)",
+      if (c == "time") TimestampType else DoubleType)
+  })
+}
+
+/** One file → one row of COUNT/MIN/MAX accumulators, mirroring
+  * [[NcReader.rowsFor]]'s pruning exactly (same axis index sets, same
+  * Spark-exact predicate atoms, same fill masking) so the pushed
+  * aggregate equals the aggregate over the row path by construction.
+  * When the variable declares no fill, COUNT is axis arithmetic and
+  * MIN/MAX come from the coordinate axes — the data chunks are never
+  * read, let alone inflated. */
+private class NcAggReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
+                          aggs: Seq[NetcdfV2.NcAgg],
+                          conf: NetcdfV2.HadoopConfSer)
+    extends PartitionReader[InternalRow] {
+  import NetcdfV2._
+
+  private var nRows = 0L
+  private var nTime = 0L
+  private var latMin, latMax, lonMin, lonMax: java.lang.Double = null
+  private var tMin, tMax: java.lang.Long = null
+
+  // Spark-exact double ordering (NaN greatest, -0.0 == 0.0) — the
+  // merged result must equal what Spark's own Min/Max would compute
+  private def updD(cur: java.lang.Double, x: Double,
+                   isMin: Boolean): java.lang.Double =
+    if (cur == null) x
+    else {
+      val k = cmpD(x, cur.doubleValue())
+      if (if (isMin) k < 0 else k > 0) x else cur
+    }
+  private def updL(cur: java.lang.Long, x: Long,
+                   isMin: Boolean): java.lang.Long =
+    if (cur == null) x
+    else if (if (isMin) x < cur.longValue() else x > cur.longValue()) x
+    else cur
+
+  private def seenAxes(lat: Double, lon: Double): Unit = {
+    latMin = updD(latMin, lat, isMin = true)
+    latMax = updD(latMax, lat, isMin = false)
+    lonMin = updD(lonMin, lon, isMin = true)
+    lonMax = updD(lonMax, lon, isMin = false)
+  }
+
+  locally {
+    val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(p.path, conf.value))
+    val ds = new Path(p.path).getName
+    if (pushed.dsOk(ds)) {
+      val vars = p.vars.getOrElse {
+        val axes = Set(p.latVar, p.lonVar, p.timeVar)
+        g.varNames.filterNot(axes).filter { v =>
+          Try(g.dimsOf(v)).toOption.exists(d =>
+            d == Seq(p.timeVar, p.latVar, p.lonVar) ||
+              d == Seq(p.latVar, p.lonVar))
+        }.sorted
+      }
+      vars.filter(pushed.varOk).foreach(v => aggFor(g, v))
+    }
+  }
+
+  private def aggFor(g: NetcdfSource.GridView, v: String): Unit = {
+    val dims = g.dimsOf(v)
+    val lats = g.read(p.latVar)
+    val lons = g.read(p.lonVar)
+    val fill = g.numAttr(v, "_FillValue").orElse(g.numAttr(v, "missing_value"))
+    def present(raw: Double): Boolean =
+      fill.forall(f => !(raw == f || (f.isNaN && raw.isNaN)))
+    val laIdx = lats.indices.filter(i => pushed.latOk(lats(i)))
+    val loIdx = lons.indices.filter(i => pushed.lonOk(lons(i)))
+
+    dims match {
+      case Seq(p.timeVar, p.latVar, p.lonVar) =>
+        val units = g.unitsOf(p.timeVar).getOrElse(
+          throw new IllegalArgumentException(
+            s"time variable '${p.timeVar}' has no units attribute"))
+        val (base, step) = NetcdfSource.cfTimeBase(units)
+        val times = g.read(p.timeVar).map(t => base + math.round(t * step))
+        val tIdx = times.indices.filter(i => pushed.timeOk(times(i)))
+        if (tIdx.nonEmpty && laIdx.nonEmpty && loIdx.nonEmpty) {
+          if (fill.isEmpty) {
+            // metadata-only: every selected cell emits — count the
+            // index-set product, fold the axis values
+            val n = tIdx.size.toLong * laIdx.size * loIdx.size
+            nRows += n; nTime += n
+            laIdx.foreach(i => { latMin = updD(latMin, lats(i), true)
+              latMax = updD(latMax, lats(i), false) })
+            loIdx.foreach(i => { lonMin = updD(lonMin, lons(i), true)
+              lonMax = updD(lonMax, lons(i), false) })
+            tIdx.foreach(i => { tMin = updL(tMin, times(i), true)
+              tMax = updL(tMax, times(i), false) })
+          } else {
+            val (t0, t1) = (tIdx.min, tIdx.max)
+            val (a0, a1) = (laIdx.min, laIdx.max)
+            val (o0, o1) = (loIdx.min, loIdx.max)
+            val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
+            val data = g.readSlab(v,
+              Seq(t0, a0, o0), Seq(t1 - t0 + 1, nLa, nLo),
+              Seq(times.length, lats.length, lons.length))
+            for {
+              ti <- t0 to t1 if pushed.timeOk(times(ti))
+              li <- a0 to a1 if pushed.latOk(lats(li))
+              oi <- o0 to o1 if pushed.lonOk(lons(oi))
+              if present(data(((ti - t0) * nLa + (li - a0)) * nLo + (oi - o0)))
+            } {
+              nRows += 1; nTime += 1
+              tMin = updL(tMin, times(ti), true)
+              tMax = updL(tMax, times(ti), false)
+              seenAxes(lats(li), lons(oi))
+            }
+          }
+        }
+      case Seq(p.latVar, p.lonVar) =>
+        // static grid: time NULL — counts toward count(*), never toward
+        // count(time) or min/max(time) (SQL null semantics)
+        if (pushed.timeOkNull && laIdx.nonEmpty && loIdx.nonEmpty) {
+          if (fill.isEmpty) {
+            nRows += laIdx.size.toLong * loIdx.size
+            laIdx.foreach(i => { latMin = updD(latMin, lats(i), true)
+              latMax = updD(latMax, lats(i), false) })
+            loIdx.foreach(i => { lonMin = updD(lonMin, lons(i), true)
+              lonMax = updD(lonMax, lons(i), false) })
+          } else {
+            val (a0, a1) = (laIdx.min, laIdx.max)
+            val (o0, o1) = (loIdx.min, loIdx.max)
+            val (nLa, nLo) = (a1 - a0 + 1, o1 - o0 + 1)
+            val data = g.readSlab(v, Seq(a0, o0), Seq(nLa, nLo),
+              Seq(lats.length, lons.length))
+            for {
+              li <- a0 to a1 if pushed.latOk(lats(li))
+              oi <- o0 to o1 if pushed.lonOk(lons(oi))
+              if present(data((li - a0) * nLo + (oi - o0)))
+            } {
+              nRows += 1
+              seenAxes(lats(li), lons(oi))
+            }
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported dim layout $other for '$v' " +
+          s"(expected (${p.timeVar}, ${p.latVar}, ${p.lonVar}) or " +
+          s"(${p.latVar}, ${p.lonVar}))")
+    }
+  }
+
+  private var emitted = false
+  override def next(): Boolean = !emitted && { emitted = true; true }
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(aggs.length)
+    aggs.zipWithIndex.foreach { case (a, k) =>
+      a match {
+        case NcCountStar => row.update(k, nRows)
+        case NcCountTime => row.update(k, nTime)
+        case NcMinMax("lat", m) => row.update(k, if (m) latMin else latMax)
+        case NcMinMax("lon", m) => row.update(k, if (m) lonMin else lonMax)
+        case NcMinMax("time", m) => row.update(k, if (m) tMin else tMax)
+        case NcMinMax(c, _) => throw new IllegalStateException(
+          s"netcdf aggregate pushdown: unexpected column '$c'")
+      }
+    }
+    row
+  }
+  override def close(): Unit = ()
+}
 
 /** Stream offset = the set of member files already emitted, as a
   * sorted JSON array. Linear in archive size — right for the

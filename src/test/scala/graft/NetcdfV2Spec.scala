@@ -446,6 +446,105 @@ class NetcdfV2Spec extends AnyFunSuite {
     assert(spark.table("ncse").count() == 0)
   }
 
+  // ---- aggregate pushdown (r15) ------------------------------------
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+
+  private def aggRow(df: DataFrame): Seq[Any] = df.collect() match {
+    case Array(r) => r.toSeq
+    case other => fail(s"expected one aggregate row, got ${other.length}")
+  }
+
+  test("agg pushdown COMPLETE: single file, no fill — no Aggregate node, no data decode needed") {
+    val tmp = tmpDir("aggc")
+    writeClassic(s"$tmp/m1.nc", nt = 3, bias = 0.0) // no _FillValue
+    def base = dsv2(s"$tmp/m1.nc", Some("tas"))
+      .filter(col("lat") >= 5.0 && col("lon") <= 115.0)
+    val pushed = base.agg(count(lit(1)).as("n"), min("lat").as("mla"),
+      max("lon").as("xlo"), min("time").as("mt"), max("time").as("xt"))
+    assert(!hasAggregate(pushed),
+      "single-file COUNT/MIN/MAX must push completely:\n" +
+        pushed.queryExecution.optimizedPlan)
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: ["))
+    // values equal the row-path aggregate (which has the Aggregate node)
+    val expect = aggRow(NetcdfSource.readGrid(spark, s"$tmp/m1.nc", "tas")
+      .filter(col("lat") >= 5.0 && col("lon") <= 115.0)
+      .agg(count(lit(1)), min("lat"), max("lon"), min("time"), max("time")))
+    assert(aggRow(pushed) == expect)
+  }
+
+  test("agg pushdown respects fill masking: NaN-filled cells count in neither path") {
+    val tmp = tmpDir("aggfill")
+    // sparse long form → the DSv2 writer NaN-fills the absent cells and
+    // DECLARES _FillValue, so a metadata-only count would overcount
+    longForm(Seq(
+      ("m", "tas", ts(0), 0.0, 100.0, 1.0), ("m", "tas", ts(0), 0.0, 110.0, 2.0),
+      ("m", "tas", ts(1), 10.0, 100.0, 3.0)))
+      .write.format("netcdf").mode("append").save(tmp)
+    val pushed = dsv2(s"$tmp/m.h5", Some("tas")).agg(count(lit(1)).as("n"),
+      min("lat").as("mla"), max("lat").as("xla"))
+    assert(!hasAggregate(pushed))
+    // 2 times × 2 lats × 2 lons = 8 cells, 3 present
+    assert(aggRow(pushed) == Seq(3L, 0.0, 10.0))
+    // filter keeps only time 0: lat 10 has NO present cell there — an
+    // axis-only max(lat) would wrongly say 10.0
+    val t0 = dsv2(s"$tmp/m.h5", Some("tas")).filter(col("time") === ts(0))
+      .agg(count(lit(1)).as("n"), max("lat").as("xla"))
+    assert(!hasAggregate(t0))
+    assert(aggRow(t0) == Seq(2L, 0.0))
+  }
+
+  test("agg pushdown PARTIAL over multi-file archives merges per-member rows") {
+    val tmp = tmpDir("aggp")
+    writeClassic(s"$tmp/m1.nc", nt = 2, bias = 0.0)
+    writeClassic(s"$tmp/m2.nc", nt = 3, bias = 100.0)
+    val pushed = dsv2(s"$tmp/*.nc", Some("tas"))
+      .agg(count(lit(1)).as("n"), min("time").as("mt"), max("time").as("xt"))
+    // two partitions → Spark keeps a merge Aggregate, but the SCAN
+    // already aggregated (its output is the agg schema, not rows)
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: ["))
+    assert(aggRow(pushed) == aggRow(
+      NetcdfSource.readGrid(spark, s"$tmp/*.nc", "tas")
+        .agg(count(lit(1)), min("time"), max("time"))))
+    // dataset pruning to ONE member upgrades the same query to complete
+    val one = dsv2(s"$tmp/*.nc", Some("tas"))
+      .filter(col("dataset") === "m2.nc").agg(count(lit(1)).as("n"))
+    assert(aggRow(one) == Seq(18L))
+  }
+
+  test("agg pushdown declines what it cannot prove: value aggs and GROUP BY stay on rows") {
+    val tmp = tmpDir("aggd")
+    writeClassic(s"$tmp/m1.nc", nt = 2, bias = 7.0)
+    val valueAgg = dsv2(s"$tmp/m1.nc", Some("tas")).agg(min("value").as("mv"))
+    assert(hasAggregate(valueAgg), "min(value) must stay a real Aggregate")
+    assert(aggRow(valueAgg) == Seq(7.0))
+    val grouped = dsv2(s"$tmp/m1.nc", Some("tas"))
+      .groupBy("lat").agg(count(lit(1)).as("n"))
+    assert(hasAggregate(grouped))
+    assert(grouped.collect().map(_.getLong(1)).toSeq == Seq(6L, 6L))
+  }
+
+  test("agg pushdown count(time) counts only 3-D rows; static grids contribute count(*) alone") {
+    val tmp = tmpDir("aggstatic")
+    val bytes = Hdf5Classic.write(
+      dims = Seq(NcDim("lat", 2), NcDim("lon", 3)),
+      vars = Seq(
+        ("lat", Seq(0), Nil, Array(0.0, 10.0)),
+        ("lon", Seq(1), Nil, Array(100.0, 110.0, 120.0)),
+        ("tas", Seq(0, 1), Nil, Array(1.0, 2, 3, 4, 5, 6))))
+    Files.write(Paths.get(s"$tmp/s.h5"), bytes)
+    val pushed = dsv2(s"$tmp/s.h5", Some("tas"))
+      .agg(count(lit(1)).as("n"), count(col("time")).as("nt"),
+        min("time").as("mt"))
+    assert(!hasAggregate(pushed))
+    assert(aggRow(pushed) == Seq(6L, 0L, null))
+  }
+
   test("Spark-exact comparison atoms: compareDoubles semantics unit-pinned") {
     import NetcdfV2._
     assert(cmpD(Double.NaN, Double.NaN) == 0) // NaN = NaN
