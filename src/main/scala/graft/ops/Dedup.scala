@@ -203,6 +203,41 @@ object Dedup {
     base.join(h, keys, "left_anti")
   }
 
+  /** Broadcast-Bloom join pre-filter (r15): drop `big` rows whose
+    * LongType `keyCol` is definitely absent from `keys(keyCol)` BEFORE
+    * the shuffle join — the runtime-filter shape Spark's own
+    * InjectRuntimeFilter builds, made explicit so the decontamination
+    * path carries it regardless of optimizer heuristics. At 100 TB the
+    * corpus-side shingle stream dominates the decontam join's shuffle;
+    * a ~1 MiB Bloom of the benchmark-side keys (benchmark suites are
+    * tiny relative to any training corpus) cuts that traffic by the
+    * miss rate — with ZERO semantic risk: a Bloom filter has no false
+    * negatives over the exact longs it was built from, so every
+    * dropped row could never have joined, and a false positive only
+    * travels to the join and falls out there (law-pinned in
+    * DedupScaleSpec). Build side: one distributed BloomFilterAggregate
+    * pass; the ONE-row binary result (bounded by `numBits`/8 bytes,
+    * default 1 MiB) is the only driver-side collect, embedded as a
+    * literal so every task probes it codegen-side via might_contain.
+    * An over-full filter (items > `estItems`) only raises the FP rate
+    * — traffic, never correctness. Empty build side → nothing can
+    * join; the filter collapses to false. */
+  private[graft] def bloomSemiFilter(big: DataFrame, keys: DataFrame,
+                                     keyCol: String,
+                                     estItems: Long = 1L << 20,
+                                     numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.GraftBridge
+    val agg = GraftBridge.column(new BloomFilterAggregate(
+      GraftBridge.expression(col(keyCol)), Literal(estItems), Literal(numBits))
+      .toAggregateExpression())
+    val bf = keys.select(agg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bf == null) big.filter(lit(false))
+    else big.filter(GraftBridge.column(
+      BloomFilterMightContain(Literal(bf), GraftBridge.expression(col(keyCol)))))
+  }
+
   /** Audit companion to [[minHashCandidates]]: the (band, bhash) buckets
     * the cap dropped, with their member counts — the "dropped mass" a
     * production run would log/alert on. Recomputes the signature

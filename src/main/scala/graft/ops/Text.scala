@@ -276,7 +276,8 @@ object Text {
     * (the oracle-graded configuration). */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     minOverlap: Long = 8, n: Int = 3,
-                    stopDfCap: Int = Int.MaxValue): DataFrame = {
+                    stopDfCap: Int = Int.MaxValue,
+                    benchBloom: Boolean = true): DataFrame = {
     // the guard must not itself be a skew funnel: df comes from a
     // partial+final groupBy (the hot key reduces map-side); the
     // anti-join side is broadcast-gated (Dedup.antiJoinHot) because the
@@ -288,9 +289,17 @@ object Text {
           .filter(col("_df") > stopDfCap).select(col("h0"))
         Dedup.antiJoinHot(sh, hot, Seq("h0"))
       }
-    val c = capped(Dedup.shingleHashes(corpus, n).select(col("doc_id"), col("h0")))
+    val cAll = capped(Dedup.shingleHashes(corpus, n).select(col("doc_id"), col("h0")))
     val b = capped(Dedup.shingleHashes(benchmark, n)
       .select(col("doc_id").as("bench_id"), col("h0")))
+    // Bloom pre-filter (r15): the benchmark side is tiny relative to
+    // any training corpus, so a broadcast Bloom of its distinct shingle
+    // hashes drops the non-matching corpus shingles BEFORE they travel
+    // to the shuffle — semantics-free (no false negatives; a false
+    // positive just reaches the join and falls out), law-pinned in
+    // DedupScaleSpec. benchBloom=false restores the plain join.
+    val c = if (benchBloom) Dedup.bloomSemiFilter(cAll, b.select(col("h0")), "h0")
+            else cAll
     c.join(b, "h0")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).cast("long").as("overlap"))
@@ -301,9 +310,10 @@ object Text {
     * one anti-join on the flagged id set. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     minOverlap: Long = 8, n: Int = 3,
-                    stopDfCap: Int = Int.MaxValue): DataFrame =
+                    stopDfCap: Int = Int.MaxValue,
+                    benchBloom: Boolean = true): DataFrame =
     applyDecontamination(corpus,
-      contamination(corpus, benchmark, minOverlap, n, stopDfCap))
+      contamination(corpus, benchmark, minOverlap, n, stopDfCap, benchBloom))
 
   /** [[decontaminate]]'s removal half, for callers holding an already-
     * computed (or memoized) pair set. */

@@ -364,6 +364,37 @@ class DedupScaleSpec extends AnyFunSuite
     assert(cleaned.filter($"doc_id" === 900L).count() == 0)
   }
 
+  test("contamination Bloom pre-filter is semantics-free and lands in the plan") {
+    // corpus docs that share nothing with the benchmark are the mass the
+    // Bloom exists to drop pre-shuffle; the planted overlaps must
+    // survive identically with and without the filter
+    val corpus = (1L to 200L).map(i => (i, s"unique corpus text $i with words", "en")) ++
+      Seq((500L, "shared alpha beta gamma delta", "en"),
+        (501L, "shared alpha beta gamma delta", "en"))
+    val bench = Seq((1001L, "shared alpha beta gamma delta", "en"),
+      (1002L, "totally different bench doc", "en"))
+    val cDf = corpus.toDF("doc_id", "text", "lang")
+    val bDf = bench.toDF("doc_id", "text", "lang")
+    val withBloom = ops.Text.contamination(cDf, bDf, minOverlap = 1)
+    val without = ops.Text.contamination(cDf, bDf, minOverlap = 1,
+      benchBloom = false)
+    assert(withBloom.count() == 2) // (500,1001) and (501,1001)
+    assert(withBloom.exceptAll(without).isEmpty &&
+      without.exceptAll(withBloom).isEmpty,
+      "the Bloom pre-filter changed the contamination pair set")
+    // the runtime filter is IN the plan (probe side carries
+    // might_contain) — and only when enabled
+    val plan = withBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!without.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+    // empty benchmark: the filter collapses to false, result stays empty
+    val emptyB = bDf.filter($"doc_id" < 0L)
+    assert(ops.Text.contamination(cDf, emptyB, minOverlap = 1).count() == 0)
+    assert(ops.Text.decontaminate(cDf, emptyB, minOverlap = 1).count() ==
+      cDf.count())
+  }
+
   test("stratifiedSample windows a bounded survivor set, result == full window") {
     import org.apache.spark.sql.expressions.Window
     // skewed fixture: one 20,000-row stratum + one 30-row stratum —
