@@ -343,6 +343,47 @@ object Sources {
             bounds = Some(NetcdfSource.GridBounds(latMin = 5.0,
               lonMax = 125.0))))
       }
+    },
+    // r15 (VERDICT r14 #6): the reference's real user journey —
+    // ARCHIVE FILES IN, ANOMALY OUT — hash-graded through the actual
+    // file format. Lineage starts at NetCDF-4/HDF5 bytes: the shared
+    // grid member is loaded via `spark.read.format("netcdf")` (not a
+    // parquet-derived frame), then run through the chained Ensemble
+    // API — subset → regridBin(sum) → resample(week, sum) → anomaly —
+    // and graded against a DuckDB CTE chain that recomputes the same
+    // pipeline from the BASE events table. Equality holds iff
+    // grid-build → HDF5 write → DSv2 parse/CF-decode → every chained
+    // stage is lossless THROUGH the file format. Determinism rides the
+    // q_climate_pipeline rules: every `value` is an exact integer count
+    // carried in doubles (regrid/resample use the mass-conserving sum
+    // form — order-free, zero ulps), and the only division is the
+    // terminal anomaly window's one correctly-rounded avg over exact
+    // sums, graded UNROUNDED. The subset bounds arrive as ordinary
+    // Catalyst predicates, so SupportsPushDownFilters turns them into
+    // the chunk-pruned hyperslab read — at 100 TB the archive chunks
+    // outside the region are never inflated (law-pinned in
+    // NetcdfV2Spec "climate pipeline over the DSv2 source").
+    "q_climate_pipeline_nc" -> { (s, dir) =>
+      sharedGridMember(s, dir, hdf5 = true) match {
+        case None => emptyPipelineNcResult(s)
+        case Some(gridFile) =>
+          val loaded = s.read.format("netcdf").option("vars", "events")
+            .load(gridFile)
+            .select(col("dataset"), col("time"), col("lat"), col("lon"),
+              col("value"))
+          graft.Ensemble.of(loaded)
+            .subset(5, 25, 90, 135,
+              "2024-01-03 00:00:00", "2024-01-28 00:00:00")
+            .regridBin(20.0, 20.0, agg = "sum")
+            .resample("week", agg = "sum")
+            .anomaly()
+            .select(col("dataset"),
+              date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time"),
+              col("lat"), col("lon"),
+              col("value").cast("long").as("value_ct"),
+              col("anomaly"))
+            .orderBy(col("dataset"), col("time"), col("lat"), col("lon"))
+      }
     })
 
   /** One SHARED writeGrid artifact per (session, tier, format): r13
@@ -581,6 +622,19 @@ object Sources {
       StructField("sum_val", LongType), StructField("t_sig", LongType))))
   }
 
+  /** Empty-events tier result for q_climate_pipeline_nc: no grid file
+    * is written, and the oracle's CTE chain over zero cells is empty
+    * too — schema must still match for the driver's column-sorted
+    * compare. */
+  private def emptyPipelineNcResult(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("dataset", StringType), StructField("time", StringType),
+      StructField("lat", DoubleType), StructField("lon", DoubleType),
+      StructField("value_ct", LongType), StructField("anomaly", DoubleType))))
+  }
+
   val oracle: Map[String, String] = Map(
     "q_source_csv_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
@@ -772,5 +826,57 @@ object Sources {
         |    AS BIGINT) AS t_sig
         |FROM cells, shape
         |WHERE latb >= 1 AND nlon > 0
-        |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin)
+        |GROUP BY latb, nt, nlon ORDER BY lat""".stripMargin,
+
+    // q_climate_pipeline_nc: the oracle recomputes the DENSE grid the
+    // HDF5 member carries (observed-axis cross join, zero-filled —
+    // unlike the fingerprint keys the zero cells here are load-bearing:
+    // they enter the anomaly window's denominator), then mirrors every
+    // chained stage. All sums are exact integer counts in doubles; the
+    // one division is the terminal window AVG over exact sums —
+    // correctly rounded identically in both engines, graded unrounded
+    // (the q_climate_pipeline precedent). Both engines truncate weeks
+    // to ISO Monday.
+    "q_climate_pipeline_nc" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 3 AS INT) AS latb,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS lonb,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |dense AS (
+        |  SELECT d.day, l.latb, b.lonb, COALESCE(c.v, 0) AS v
+        |  FROM (SELECT DISTINCT day FROM cells) d
+        |  CROSS JOIN (SELECT DISTINCT latb FROM cells) l
+        |  CROSS JOIN (SELECT DISTINCT lonb FROM cells) b
+        |  LEFT JOIN cells c
+        |    ON c.day = d.day AND c.latb = l.latb AND c.lonb = b.lonb),
+        |grid AS (
+        |  SELECT CAST(day AS TIMESTAMP) AS time,
+        |    CAST(latb * 10 AS DOUBLE) AS lat,
+        |    CAST(100 + lonb * 10 AS DOUBLE) AS lon,
+        |    CAST(v AS DOUBLE) AS value
+        |  FROM dense),
+        |sub AS (
+        |  SELECT * FROM grid
+        |  WHERE lat BETWEEN 5 AND 25 AND lon BETWEEN 90 AND 135
+        |    AND time BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+        |                 AND TIMESTAMP '2024-01-28 00:00:00'),
+        |rg AS (
+        |  SELECT time, FLOOR(lat / 20.0) * 20.0 AS lat,
+        |    FLOOR(lon / 20.0) * 20.0 AS lon, SUM(value) AS value
+        |  FROM sub GROUP BY 1, 2, 3),
+        |wk AS (
+        |  SELECT date_trunc('week', time) AS time, lat, lon,
+        |    SUM(value) AS value
+        |  FROM rg GROUP BY 1, 2, 3)
+        |-- dataset = the DSv2 member tag (file basename, extension kept)
+        |SELECT 'grid.h5' AS dataset, strftime(time, '%Y-%m-%d %H:%M:%S') AS time,
+        |  lat, lon,
+        |  CAST(value AS BIGINT) AS value_ct,
+        |  (value - AVG(value) OVER (PARTITION BY month(time), lat, lon))
+        |    AS anomaly
+        |FROM wk
+        |ORDER BY dataset, time, lat, lon""".stripMargin)
 }

@@ -545,6 +545,44 @@ class NetcdfV2Spec extends AnyFunSuite {
     assert(aggRow(pushed) == Seq(6L, 0L, null))
   }
 
+  test("climate pipeline over the DSv2 source: chain == in-memory twin, subset PUSHED into the scan") {
+    // The q_climate_pipeline_nc law: the full chained Ensemble
+    // (subset → regridBin(sum) → resample(week, sum) → anomaly) over a
+    // `spark.read.format("netcdf")` load equals the same chain over the
+    // in-memory frame the file was written from (exact: every value is
+    // an integer count in doubles, sums order-free, one terminal avg),
+    // AND the subset's lat/lon/time bounds reach the scan as pushed
+    // filters — the archive chunks outside the region are pruned, not
+    // read-then-filtered.
+    import spark.implicits._
+    val tmp = tmpDir("pipe")
+    val jan1 = 1704067200000L // 2024-01-01 00:00:00 UTC
+    val rows = for (d <- 0 until 28; la <- Seq(0.0, 10.0, 20.0);
+                    lo <- Seq(100.0, 110.0, 120.0, 130.0, 140.0))
+      yield ("m", new java.sql.Timestamp(jan1 + d * 86400000L), la, lo,
+        (d * 15 + la / 10 * 5 + (lo - 100) / 10 + 1).toDouble)
+    val frame = rows.toDF("dataset", "time", "lat", "lon", "value")
+    NetcdfSource.writeGrid(frame, tmp, varName = "tas", hdf5 = true)
+    def chain(df: DataFrame): DataFrame =
+      graft.Ensemble.of(df)
+        .subset(5, 25, 90, 135, "2024-01-03 00:00:00", "2024-01-28 00:00:00")
+        .regridBin(20.0, 20.0, agg = "sum")
+        .resample("week", agg = "sum")
+        .anomaly()
+    val viaFile = chain(dsv2(s"$tmp/m.h5", Some("tas"))
+      .select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")))
+    // the twin rides the SAME member tag the DSv2 reader assigns
+    val twin = chain(frame.withColumn("dataset", lit("m.h5")))
+    assertSame(viaFile, twin)
+    // 2 lat bins {0,20} × 2 lon bins {100,120} × 4 weeks (Jan 1/8/15/22)
+    assert(viaFile.count() == 16)
+    val plan = viaFile.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(lat,5.0)"), plan)
+    assert(plan.contains("LessThanOrEqual(lat,25.0)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(lon,90.0)"), plan)
+    assert(plan.contains("LessThanOrEqual(lon,135.0)"), plan)
+  }
+
   test("Spark-exact comparison atoms: compareDoubles semantics unit-pinned") {
     import NetcdfV2._
     assert(cmpD(Double.NaN, Double.NaN) == 0) // NaN = NaN
