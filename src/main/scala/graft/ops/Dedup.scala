@@ -216,26 +216,34 @@ object Dedup {
     * dropped row could never have joined, and a false positive only
     * travels to the join and falls out there (law-pinned in
     * DedupScaleSpec). Build side: one distributed BloomFilterAggregate
-    * pass; the ONE-row binary result (bounded by `numBits`/8 bytes,
-    * default 1 MiB) is the only driver-side collect, embedded as a
-    * literal so every task probes it codegen-side via might_contain.
-    * An over-full filter (items > `estItems`) only raises the FP rate
-    * — traffic, never correctness. Empty build side → nothing can
-    * join; the filter collapses to false. */
+    * pass referenced through a SCALAR SUBQUERY — exactly the
+    * expression shape InjectRuntimeFilter builds. The first r15 draft
+    * collected the filter eagerly and embedded the ~1 MiB byte array
+    * as a plan LITERAL; that both ran a Spark job at query-COMPOSITION
+    * time and, worse, multiplied the megabyte blob into every
+    * downstream plan rendering (a 12-stage pipeline caching above it
+    * OOM'd the test JVM in `treeString` — CachedRDDBuilder renders the
+    * full nested plan per cache). The subquery form keeps the plan
+    * string O(plan), defers the build to execution, and Spark's
+    * subquery machinery materializes the one-row binary result once
+    * per query run; every task then probes it codegen-side via
+    * might_contain. An over-full filter (items > `estItems`) only
+    * raises the FP rate — traffic, never correctness. Empty build
+    * side → the aggregate yields NULL, might_contain(NULL, k) is NULL,
+    * and the Filter drops every row — nothing could have joined. */
   private[graft] def bloomSemiFilter(big: DataFrame, keys: DataFrame,
                                      keyCol: String,
                                      estItems: Long = 1L << 20,
                                      numBits: Long = 1L << 23): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.GraftBridge
     val agg = GraftBridge.column(new BloomFilterAggregate(
       GraftBridge.expression(col(keyCol)), Literal(estItems), Literal(numBits))
       .toAggregateExpression())
-    val bf = keys.select(agg.as("bf")).head().getAs[Array[Byte]](0)
-    if (bf == null) big.filter(lit(false))
-    else big.filter(GraftBridge.column(
-      BloomFilterMightContain(Literal(bf), GraftBridge.expression(col(keyCol)))))
+    val sub = ScalarSubquery(GraftBridge.logicalPlan(keys.select(agg.as("bf"))))
+    big.filter(GraftBridge.column(
+      BloomFilterMightContain(sub, GraftBridge.expression(col(keyCol)))))
   }
 
   /** Audit companion to [[minHashCandidates]]: the (band, bhash) buckets

@@ -129,6 +129,10 @@ class GlobalPlanSweepSpec extends AnyFunSuite
       "q_stream_session_closed", "q_stream_sliding_closed",
       "q_stream_tumbling_closed", "q_stream_watermark",  // scalar watermark gates
       "q_text_boilerplate",                              // ≤15-row hot-line set
+      // r15: the decontam Bloom pre-filter's build side — a 1-row
+      // BloomFilterAggregate inside the runtime-filter SCALAR SUBQUERY
+      // (the InjectRuntimeFilter shape); bounded by numBits/8 ≈ 1 MiB
+      "q_text_decontam", "q_text_decontam_apply",
       "q_text_heavyhitters",                             // global top-k fold
       "q_text_tfidf",                                    // vocabulary gate
       "q_win_ntile", "q_win_percentrank")                // declared global windows
