@@ -293,11 +293,20 @@ object ClimateOps {
 
   /** Long → wide: one value column per variable. `first` is
     * deterministic here because the long form has exactly one row per
-    * (cell, variable). One shuffle on the cell key. */
-  def pivotVariables(df: DataFrame): DataFrame =
-    df.groupBy(col("dataset"), col("time"), col("lat"), col("lon"))
-      .pivot("variable")
+    * (cell, variable). One shuffle on the cell key.
+    *
+    * `values` (r15): when the caller knows the variable set (it
+    * usually does — it melted them), passing it pins the output
+    * schema WITHOUT the eager distinct-discovery job Spark's
+    * valueless `pivot` runs first — at 100 TB that job is a full
+    * extra scan — and keeps the schema stable on an empty input
+    * (discovery over zero rows yields NO variable columns at all). */
+  def pivotVariables(df: DataFrame, values: Seq[String] = Seq.empty): DataFrame = {
+    val g = df.groupBy(col("dataset"), col("time"), col("lat"), col("lon"))
+    (if (values.nonEmpty) g.pivot("variable", values)
+     else g.pivot("variable"))
       .agg(first(col("value")))
+  }
 
   /** R4 normalize_times: map a (year, day-of-year) pair from a noleap
     * (365-day) calendar onto the proleptic Gregorian axis by skipping
@@ -704,8 +713,74 @@ object Climate {
         .select(col("ubin"), col("vbin"), col("n"),
           (col("sum_micros").cast("double") / 1000000.0 / col("n")).as("mean_v"))
         .orderBy(col("ubin"), col("vbin"))
+    },
+
+    // R9 zonalMean GRADED (r15): the last spec-only Ensemble reduction
+    // with exact cross-engine semantics gets a hash grade. The member
+    // grid rides the standard events mapping (day × user-band lat ×
+    // (user_id%36)·10 lon, value = exact integer micros sum); zonalMean
+    // collapses the lon axis per (dataset, time, lat). Determinism: the
+    // per-cell values are exact integer micros in doubles, so the avg's
+    // sum is order-free and the one division is correctly rounded
+    // identically in both engines — graded UNROUNDED (the
+    // q_climate_pipeline anomaly precedent). spatialMeanWeighted stays
+    // declared spec-only: its cos-lat weights ride libm, which is not
+    // bit-portable across engines (argued at the op).
+    "q_climate_zonal" -> { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .withColumn("m", micros(col("value")))
+        .groupBy(date_trunc("day", col("ts")).as("time"),
+          floor(col("user_id") / 10).cast("double").as("lat"),
+          ((col("user_id") % 36) * 10).cast("double").as("lon"))
+        .agg(sum(col("m")).cast("double").as("value"))
+        .withColumn("dataset", lit("m0"))
+      graft.Ensemble.of(g).zonalMean()
+        .select(col("dataset"), tstr(col("time")).as("time"), col("lat"),
+          col("value").as("zmean_mu"))
+        .orderBy(col("dataset"), col("time"), col("lat"))
+    },
+
+    // §1.1 multi-variable Dataset GRADED, melt direction (r15): a wide
+    // two-variable frame (tas = exact micros sum, psl = count) through
+    // the REAL meltVariables (codegen'd stack, no shuffle) — the long
+    // form must carry one row per (cell, variable) with the wide value,
+    // vs the oracle's UNION ALL. An all-NULL tas cell stays a row with
+    // a NULL value in both engines (stack does not drop NULLs).
+    "q_climate_melt" -> { (s, dir) =>
+      ClimateOps.meltVariables(wideVars(s, dir), Seq("tas", "psl"))
+        .select(col("dataset"), tstr(col("time")).as("time"),
+          col("lat"), col("lon"), col("variable"), col("value"))
+        .orderBy(col("dataset"), col("time"), col("lat"), col("lon"),
+          col("variable"))
+    },
+
+    // §1.1 pivot direction (r15): the SAME long form back through
+    // pivotVariables (groupBy cell + pivot + first — one shuffle; first
+    // is deterministic because the long form has exactly one row per
+    // (cell, variable)) — the wide frame must survive the round trip,
+    // vs the oracle computing the wide frame DIRECTLY from events.
+    // Equality holds iff melt ∘ pivot is the identity cross-engine.
+    "q_climate_pivot" -> { (s, dir) =>
+      ClimateOps.pivotVariables(
+          ClimateOps.meltVariables(wideVars(s, dir), Seq("tas", "psl")),
+          values = Seq("psl", "tas"))
+        .select(col("dataset"), tstr(col("time")).as("time"),
+          col("lat"), col("lon"), col("psl"), col("tas"))
+        .orderBy(col("dataset"), col("time"), col("lat"), col("lon"))
     }
   )
+
+  /** The shared wide two-variable frame for the melt/pivot keys:
+    * tas = exact integer micros sum (NULL for an all-NULL cell),
+    * psl = row count — both order-free exact. */
+  private def wideVars(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("time"),
+        floor(col("user_id") / 10).cast("double").as("lat"),
+        ((col("user_id") % 36) * 10).cast("double").as("lon"))
+      .agg(sum(micros(col("value"))).cast("double").as("tas"),
+        count(lit(1)).cast("double").as("psl"))
+      .withColumn("dataset", lit("m0"))
 
   private val m = "CAST(ROUND(value*1000000) AS BIGINT)"
 
@@ -942,6 +1017,48 @@ object Climate {
          |  CAST(SUM($m) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_v
          |FROM events
          |GROUP BY 1, 2
-         |ORDER BY ubin, vbin""".stripMargin
+         |ORDER BY ubin, vbin""".stripMargin,
+
+    "q_climate_zonal" ->
+      s"""WITH g AS (
+         |  SELECT date_trunc('day', ts) AS time,
+         |    CAST(FLOOR(user_id / 10) AS DOUBLE) AS lat,
+         |    CAST((user_id % 36) * 10 AS DOUBLE) AS lon,
+         |    CAST(SUM($m) AS DOUBLE) AS value
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT 'm0' AS dataset, strftime(time, '%Y-%m-%d %H:%M:%S') AS time,
+         |  lat, AVG(value) AS zmean_mu
+         |FROM g
+         |GROUP BY time, lat
+         |ORDER BY dataset, time, lat""".stripMargin,
+
+    "q_climate_melt" ->
+      s"""WITH w AS (
+         |  SELECT date_trunc('day', ts) AS time,
+         |    CAST(FLOOR(user_id / 10) AS DOUBLE) AS lat,
+         |    CAST((user_id % 36) * 10 AS DOUBLE) AS lon,
+         |    CAST(SUM($m) AS DOUBLE) AS tas,
+         |    CAST(COUNT(*) AS DOUBLE) AS psl
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT 'm0' AS dataset, strftime(time, '%Y-%m-%d %H:%M:%S') AS time,
+         |  lat, lon, variable, value
+         |FROM (
+         |  SELECT time, lat, lon, 'tas' AS variable, tas AS value FROM w
+         |  UNION ALL
+         |  SELECT time, lat, lon, 'psl' AS variable, psl AS value FROM w)
+         |ORDER BY dataset, time, lat, lon, variable""".stripMargin,
+
+    "q_climate_pivot" ->
+      s"""WITH w AS (
+         |  SELECT date_trunc('day', ts) AS time,
+         |    CAST(FLOOR(user_id / 10) AS DOUBLE) AS lat,
+         |    CAST((user_id % 36) * 10 AS DOUBLE) AS lon,
+         |    CAST(SUM($m) AS DOUBLE) AS tas,
+         |    CAST(COUNT(*) AS DOUBLE) AS psl
+         |  FROM events GROUP BY 1, 2, 3)
+         |SELECT 'm0' AS dataset, strftime(time, '%Y-%m-%d %H:%M:%S') AS time,
+         |  lat, lon, psl, tas
+         |FROM w
+         |ORDER BY dataset, time, lat, lon""".stripMargin
   )
 }
