@@ -202,5 +202,22 @@ object Ensemble {
       .readGrid(spark, pathGlob, varName, latVar, lonVar, timeVar, bounds)
       .select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")))
 
+  /** bcdp `load_esgf`'s local form (r15): members discovered and
+    * facet-pruned through the [[graft.sources.NcCatalog]] manifest
+    * (reference R2's local half — the remote client would replace only
+    * the HTTP listing/fetch), the survivors loaded via the DSv2
+    * `netcdf` path with the bounds pushed into the chunk-pruned scan,
+    * wrapped as an Ensemble ready for the chained preprocessing ops —
+    * the catalog → ensemble → pipeline journey in one call
+    * (law-pinned in NcCatalogSpec against loadGrid + filters). */
+  def fromCatalog(spark: SparkSession, manifestDir: String,
+                  variable: String,
+                  bounds: Option[graft.sources.NetcdfSource.GridBounds] = None,
+                  datasetPattern: Option[String] = None): Ensemble =
+    Ensemble(graft.sources.NcCatalog.select(spark, manifestDir,
+        variable = Some(variable), bounds = bounds,
+        datasetPattern = datasetPattern)
+      .select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")))
+
   def of(df: DataFrame): Ensemble = Ensemble(df)
 }

@@ -113,6 +113,23 @@ class NcCatalogSpec extends AnyFunSuite {
       rows(full.where(col("dataset").rlike("^m[13]"))))
   }
 
+  test("Ensemble.fromCatalog == loadGrid + filters, and the chain runs on it (r15)") {
+    val (tmp, man) = archive()
+    val b = NetcdfSource.GridBounds(latMax = 20.0)
+    val viaCat = Ensemble.fromCatalog(spark, man, "tas", bounds = Some(b))
+    // the facet prunes to the one tas-carrying in-band member (m1) —
+    // the unpruned loadGrid comparison must target the same file (the
+    // strict readGrid path rejects a glob member lacking the variable)
+    val direct = Ensemble.loadGrid(spark, s"$tmp/m1.nc", "tas", bounds = Some(b))
+    assert(rows(viaCat.df) == rows(direct.df))
+    // the chained API composes on the catalog-loaded ensemble: the
+    // zonal collapse over the one in-band lat pair
+    val z = graft.ops.ClimateOps.zonalMean(viaCat.df)
+    assert(z.columns.toSeq == Seq("dataset", "time", "lat", "value"))
+    assert(z.count() == viaCat.df.select("dataset", "time", "lat")
+      .distinct().count())
+  }
+
   test("envelope pruning is PLANNING-time: an excluded member is never opened") {
     val (tmp, man) = archive()
     // corrupt m2 AFTER the manifest build; a lat facet whose envelope
