@@ -384,6 +384,30 @@ object Sources {
               col("anomaly"))
             .orderBy(col("dataset"), col("time"), col("lat"), col("lon"))
       }
+    },
+    // r15 cont.: the AGGREGATE-PUSHDOWN surface (r14 verdict #3,
+    // law-pinned in NetcdfV2Spec) hash-graded end-to-end — a bounded
+    // COUNT/MIN/MAX over the shared grid member through the DSv2
+    // format, where SupportsPushDownAggregates answers count(*) and
+    // the coordinate/time extrema from CHUNK METADATA without
+    // inflating data chunks (the grid is dense, no fill mask — the
+    // complete-pushdown case; no Aggregate node survives above the
+    // scan). The oracle recomputes every number from the base events
+    // table's observed axes, with each extremum NULLed when the
+    // bounded cell set is empty (Spark's min/max over zero rows), a
+    // degeneracy the --one fuzz tier exercises. */
+    "q_source_dsv2_agg" -> { (s, dir) =>
+      sharedGridMember(s, dir, hdf5 = true) match {
+        case None => emptyDsv2AggResult(s)
+        case Some(gridFile) =>
+          s.read.format("netcdf").option("vars", "events").load(gridFile)
+            .filter(col("lat") >= 5.0 && col("lon") <= 125.0)
+            .agg(count(lit(1)).cast("long").as("n_cells"),
+              min(col("lat")).as("lat_min"),
+              max(col("lon")).as("lon_max"),
+              date_format(min(col("time")), "yyyy-MM-dd HH:mm:ss").as("t_min"),
+              date_format(max(col("time")), "yyyy-MM-dd HH:mm:ss").as("t_max"))
+      }
     })
 
   /** One SHARED writeGrid artifact per (session, tier, format): r13
@@ -620,6 +644,20 @@ object Sources {
     s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
       StructField("lat", DoubleType), StructField("n_cells", LongType),
       StructField("sum_val", LongType), StructField("t_sig", LongType))))
+  }
+
+  /** Empty-events tier result for q_source_dsv2_agg: a global
+    * aggregate always yields ONE row — count 0, every extremum NULL —
+    * exactly what the oracle's aggregate over zero cells emits. */
+  private def emptyDsv2AggResult(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    s.createDataFrame(
+      java.util.Collections.singletonList(Row(0L, null, null, null, null)),
+      StructType(Seq(
+        StructField("n_cells", LongType, nullable = false),
+        StructField("lat_min", DoubleType), StructField("lon_max", DoubleType),
+        StructField("t_min", StringType), StructField("t_max", StringType))))
   }
 
   /** Empty-events tier result for q_climate_pipeline_nc: no grid file
@@ -878,5 +916,38 @@ object Sources {
         |  (value - AVG(value) OVER (PARTITION BY month(time), lat, lon))
         |    AS anomaly
         |FROM wk
-        |ORDER BY dataset, time, lat, lon""".stripMargin)
+        |ORDER BY dataset, time, lat, lon""".stripMargin,
+
+    // q_source_dsv2_agg: the bounded extrema recomputed from the
+    // OBSERVED axes (the file's coordinate vectors are the events
+    // table's distinct buckets); each extremum NULLs when the bounded
+    // cell product is empty — min/max over zero rows.
+    "q_source_dsv2_agg" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 3 AS INT) AS latb,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS lonb,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |sh AS (
+        |  SELECT COUNT(DISTINCT day) AS nt,
+        |    COUNT(DISTINCT CASE WHEN latb >= 1 THEN latb END) AS nla,
+        |    COUNT(DISTINCT CASE WHEN lonb <= 2 THEN lonb END) AS nlo,
+        |    MIN(CASE WHEN latb >= 1 THEN latb END) AS minla,
+        |    MAX(CASE WHEN lonb <= 2 THEN lonb END) AS maxlo,
+        |    MIN(day) AS mind, MAX(day) AS maxd
+        |  FROM cells)
+        |SELECT CAST(nt * nla * nlo AS BIGINT) AS n_cells,
+        |  CASE WHEN nt * nla * nlo > 0
+        |    THEN CAST(minla * 10 AS DOUBLE) END AS lat_min,
+        |  CASE WHEN nt * nla * nlo > 0
+        |    THEN CAST(100 + maxlo * 10 AS DOUBLE) END AS lon_max,
+        |  CASE WHEN nt * nla * nlo > 0
+        |    THEN strftime(CAST(mind AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        |    END AS t_min,
+        |  CASE WHEN nt * nla * nlo > 0
+        |    THEN strftime(CAST(maxd AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        |    END AS t_max
+        |FROM sh""".stripMargin)
 }
