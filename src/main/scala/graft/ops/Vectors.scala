@@ -84,16 +84,32 @@ object Vectors {
     kmeansCache.clear()
   }
 
-  /** (vec_id, vm, cid, d2): each vector with its nearest centroid. */
+  /** (vec_id, vm, cid, d2): each vector with its nearest centroid.
+    *
+    * Shape (r15): ALL k centroids ride ONE broadcast row
+    * (collect_list of (cid, cv)) and the argmin is a pure PROJECTION —
+    * array_min over (d2, cid) structs, so the d2 tie breaks on the
+    * smaller cid exactly like the previous window's orderBy(d2, cid),
+    * and collect_list's nondeterministic order is irrelevant (min is
+    * order-free). The r5–r14 form crossJoined each vector against the
+    * k broadcast centroid ROWS (k× row expansion) and then shuffled
+    * the expanded set through a per-vector row_number window — at
+    * decade 2 that window sort dominated the two keys sharing the fit
+    * (q_sample_semantic 40.3 s). Zero shuffle now: one narrow pass,
+    * same bits (identical per-pair double expression, identical
+    * tie-break). */
   private def assignToNearest(v: DataFrame, c: DataFrame): DataFrame = {
-    val d2 = dot(col("vm"), col("vm")) -
-      (lit(2.0) * dot(col("vm"), col("cv"))) + dot(col("cv"), col("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    v.crossJoin(broadcast(c))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("vm"), col("cid"), col("d2"))
+    val cs = c.agg(collect_list(struct(col("cid"), col("cv"))).as("cs"))
+    def d2of(cc: Column): Column =
+      dot(col("vm"), col("vm")) -
+        (lit(2.0) * dot(col("vm"), cc.getField("cv"))) +
+        dot(cc.getField("cv"), cc.getField("cv"))
+    v.crossJoin(broadcast(cs))
+      .withColumn("best", array_min(transform(col("cs"), cc =>
+        struct(d2of(cc).as("d2"), cc.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("vm"),
+        col("best").getField("cid").as("cid"),
+        col("best").getField("d2").as("d2"))
   }
 
   /** Per-cluster mean vectors from exact integer per-dim sums. */

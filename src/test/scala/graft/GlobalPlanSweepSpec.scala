@@ -133,6 +133,10 @@ class GlobalPlanSweepSpec extends AnyFunSuite
       // BloomFilterAggregate inside the runtime-filter SCALAR SUBQUERY
       // (the InjectRuntimeFilter shape); bounded by numBits/8 ≈ 1 MiB
       "q_text_decontam", "q_text_decontam_apply",
+      // r15: the k-means centroid fold — collect_list of ≤k (cid, cv)
+      // rows into the ONE broadcast row the projection-argmin probes
+      // (replaced the per-vector row_number window; bounded by k=8)
+      "q_sample_semantic", "q_vec_ann_ivf_det", "q_vec_kmeans",
       "q_text_heavyhitters",                             // global top-k fold
       "q_text_tfidf",                                    // vocabulary gate
       "q_win_ntile", "q_win_percentrank")                // declared global windows
