@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -93,6 +93,16 @@ object NetcdfV2 {
     StructField("lat", DoubleType, nullable = false),
     StructField("lon", DoubleType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+
+  /** Default mtime slack for the streaming offset's compaction
+    * watermark (see [[NcOffset]]): files modified at least this much
+    * earlier than the newest admitted file compact away behind the
+    * watermark instead of being pinned by name. 5 minutes — the same
+    * order as FileStreamSource's default maxFileAge reasoning: wide
+    * enough that clock skew / slow copies never mis-classify a
+    * just-landed file, narrow enough that checkpoint state is bounded
+    * by the landing rate, not the archive size. */
+  private[graft] val DefaultMtimeSlackMs: Long = 5L * 60L * 1000L
 
   // ---- Spark-exact pushed-predicate model ---------------------------
   // op codes for serializable comparison atoms
@@ -416,11 +426,25 @@ private class NcScanBuilder(options: CaseInsensitiveStringMap)
       options.getOrDefault("lonVar", "lon"),
       options.getOrDefault("timeVar", "time"))
     val conf = NetcdfV2.captureConf()
+    // streaming admission knobs (batch scans ignore them): cap the
+    // files admitted per micro-batch, and the mtime window within
+    // which processed files are pinned by NAME in the offset (older
+    // ones compact away behind the watermark — see [[NcOffset]])
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"netcdf stream: maxFilesPerTrigger must be > 0, got $n")
+      n
+    }
+    val slackMs = Option(options.get("mtimeSlackMs")).map { v =>
+      val n = v.toLong
+      require(n >= 0, s"netcdf stream: mtimeSlackMs must be >= 0, got $n")
+      n
+    }.getOrElse(NetcdfV2.DefaultMtimeSlackMs)
     aggPushed match {
       case Some(aggs) => new NcAggScan(paths, varsOpt, latV, lonV, timeV,
         acc, aggs, accepted.map(_.toString).toSeq, conf)
       case None => new NcScan(paths, varsOpt, latV, lonV, timeV,
-        acc, required, accepted.map(_.toString).toSeq, conf)
+        acc, required, accepted.map(_.toString).toSeq, conf, maxFiles, slackMs)
     }
   }
 }
@@ -429,7 +453,9 @@ private class NcScan(pathGlobs: Seq[String], varsOpt: Option[Seq[String]],
                      latVar: String, lonVar: String, timeVar: String,
                      pushed: NetcdfV2.NcPushed, required: StructType,
                      pushedDesc: Seq[String],
-                     conf: NetcdfV2.HadoopConfSer)
+                     conf: NetcdfV2.HadoopConfSer,
+                     streamMaxFiles: Option[Int] = None,
+                     streamSlackMs: Long = NetcdfV2.DefaultMtimeSlackMs)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** Driver-side file listing, `dataset` pushdown applied: an
@@ -460,7 +486,7 @@ private class NcScan(pathGlobs: Seq[String], varsOpt: Option[Seq[String]],
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new NcMicroBatchStream(pathGlobs, vars, latVar, lonVar, timeVar, pushed,
-      required, conf)
+      required, conf, streamMaxFiles, streamSlackMs)
   override def description(): String =
     s"netcdf ${pathGlobs.mkString(",")}, " +
       s"PushedFilters: [${pushedDesc.mkString(", ")}], " +
@@ -696,76 +722,188 @@ private class NcAggReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
   override def close(): Unit = ()
 }
 
-/** Stream offset = the set of member files already emitted, as a
-  * sorted JSON array. Linear in archive size — right for the
-  * thousands-of-members archives this source targets (the same
-  * trade-off Spark's own FileStreamSource makes with its seen-files
-  * map); a millions-of-tiny-files firehose wants a log-compacting
-  * source instead, documented out of scope. */
-private class NcOffset(val files: Seq[String])
+/** Compact stream offset (r16 — was the full already-emitted file
+  * list, linear in archive size and re-serialized into every
+  * checkpoint entry). The offset now carries a MODIFICATION-TIME
+  * WATERMARK plus a bounded recent-set, the same compaction idea as
+  * FileStreamSource's seen-log:
+  *
+  *  - `wm` — the max mtime over every file admitted so far
+  *    (`Long.MinValue` before the first admission);
+  *  - `slack` — the grace window: a file is classified as already
+  *    emitted when `mtime < wm - slack` (older than every recent
+  *    admission by more than the slack) OR when it is pinned by name
+  *    in `recent`;
+  *  - `recent` — exactly the admitted files with `mtime >= wm - slack`
+  *    (the only ones the watermark alone cannot classify).
+  *
+  * Admission happens in ascending (mtime, path) order, so every
+  * not-yet-admitted file always sits AT or ABOVE `wm - slack` — the
+  * watermark can never swallow a pending file — and `recent` is
+  * bounded by the files landing within one slack window, not by the
+  * archive's total member count. Offset state is therefore sized by
+  * the LANDING RATE; a million-member archive checkpoints kilobytes.
+  * The standing assumption (shared with every file-based source) is
+  * that members are immutable once landed: a file REPLACED in place
+  * with an older mtime can be mis-classified, exactly as in
+  * FileStreamSource past maxFileAge.
+  *
+  * `seen` uses the offset's OWN stored slack, so replay after a
+  * config change still classifies with the values the offset was
+  * built under. Legacy v1 offsets (a bare JSON array of every emitted
+  * path — pre-r16 checkpoints) parse to `wm = Long.MinValue` with the
+  * full list pinned in `recent`; subsequent admissions migrate the
+  * state behind the watermark naturally. */
+private class NcOffset(val wm: Long, val slack: Long,
+                       val recent: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
+  private lazy val recentSet: Set[String] = recent.toSet
+
+  /** Watermark floor; MinValue-safe (no underflow before first admit). */
+  def floor: Long = if (wm == Long.MinValue) Long.MinValue else wm - slack
+
+  /** Is (path, mtime) already emitted as of this offset? */
+  def seen(path: String, mtime: Long): Boolean =
+    (wm != Long.MinValue && mtime < wm - slack) || recentSet.contains(path)
+
   override def json: String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
-    compact(render(files.toList))
+    compact(render(
+      ("v" -> 2) ~ ("wm" -> wm) ~ ("slack" -> slack) ~
+        ("recent" -> recent.sorted.toList)))
   }
 }
 
 private object NcOffset {
+  import org.json4s._
+
+  def initial(slack: Long): NcOffset =
+    new NcOffset(Long.MinValue, slack, Vector.empty)
+
   def parse(json: String): NcOffset =
     org.json4s.jackson.JsonMethods.parse(json) match {
-      case org.json4s.JArray(elems)
-          if elems.forall(_.isInstanceOf[org.json4s.JString]) =>
-        new NcOffset(elems.collect {
-          case org.json4s.JString(s) => s }.toVector)
-      case other => throw new IllegalStateException(
-        "netcdf stream: checkpoint offset is not a JSON string array " +
-          s"(corrupt checkpoint?): $json")
+      // legacy v1: the bare emitted-path array
+      case JArray(elems) if elems.forall(_.isInstanceOf[JString]) =>
+        new NcOffset(Long.MinValue, 0L,
+          elems.collect { case JString(s) => s }.toVector)
+      case obj: JObject =>
+        (obj \ "wm", obj \ "slack", obj \ "recent") match {
+          case (JInt(wm), JInt(slack), JArray(rec))
+              if rec.forall(_.isInstanceOf[JString]) =>
+            new NcOffset(wm.toLong, slack.toLong,
+              rec.collect { case JString(s) => s }.toVector)
+          case _ => throw new IllegalStateException(
+            "netcdf stream: malformed v2 checkpoint offset " +
+              s"(corrupt checkpoint?): $json")
+        }
+      case _ => throw new IllegalStateException(
+        "netcdf stream: checkpoint offset is neither a v1 path array " +
+          s"nor a v2 watermark object (corrupt checkpoint?): $json")
     }
 }
 
 /** Micro-batch streaming over a growing grid archive: each trigger
-  * lists the glob and emits every member file not in the previous
-  * offset — `readStream.format("netcdf")` turns instrument drops into
-  * a Structured Streaming source with the SAME pruning and row
-  * semantics as the batch scan (one partition per new file, pushed
-  * predicates applied in the readers). Files are immutable once
-  * written (the grid formats are not appendable), so set-difference on
-  * names is exact; a REPLACED member (same name, new bytes) is out of
-  * scope like every mutable-file streaming source. */
+  * lists the glob and admits the not-yet-emitted members in
+  * (mtime, path) order, bounded by `maxFilesPerTrigger`
+  * ([[SupportsTriggerAvailableNow]] ⊃ SupportsAdmissionControl — a
+  * backlog drains in rate-limited batches, Trigger.AvailableNow pins
+  * the drain target at query start) — `readStream.format("netcdf")`
+  * turns instrument drops into a Structured Streaming source with the
+  * SAME pruning and row semantics as the batch scan (one partition
+  * per new file, pushed predicates applied in the readers).
+  * Checkpoint state is the compact [[NcOffset]] watermark, sized by
+  * the landing rate rather than the archive (r16 — was the full
+  * emitted-path list). Files are immutable once written (the grid
+  * formats are not appendable), so classification by (name, mtime) is
+  * exact; a REPLACED member (same name, new bytes) is out of scope
+  * like every mutable-file streaming source. */
 private class NcMicroBatchStream(pathGlobs: Seq[String],
                                  vars: Option[Seq[String]],
                                  latVar: String, lonVar: String,
                                  timeVar: String,
                                  pushed: NetcdfV2.NcPushed,
                                  required: StructType,
-                                 conf: NetcdfV2.HadoopConfSer)
-    extends MicroBatchStream {
+                                 conf: NetcdfV2.HadoopConfSer,
+                                 maxFilesPerTrigger: Option[Int],
+                                 slackMs: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def listing(): Seq[String] = {
-    // an empty listing is NOT an error for a stream: the archive may
-    // simply have no members yet — the batch scan's named rejection
-    // stays on the batch path
+  /** (path → mtime) for every current member passing the dataset
+    * pushdown. An empty listing is NOT an error for a stream: the
+    * archive may simply have no members yet — the batch scan's named
+    * rejection stays on the batch path. */
+  private def listing(): Map[String, Long] = {
     pathGlobs.flatMap { glob =>
       val p = new Path(glob)
       val fs = p.getFileSystem(conf.value)
       Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
     }.filter(_.isFile)
-      .map(_.getPath.toString)
-      .distinct
-      .filter(path => pushed.dsOk(new Path(path).getName))
-      .sorted
+      .filter(st => pushed.dsOk(st.getPath.getName))
+      .map(st => st.getPath.toString -> st.getModificationTime)
+      .toMap
   }
 
-  override def initialOffset(): Offset = new NcOffset(Vector.empty)
-  override def latestOffset(): Offset = new NcOffset(listing())
+  /** Trigger.AvailableNow contract: pin the drain target to the
+    * members on disk at query start — files landing mid-drain wait
+    * for the next run (and each intermediate batch still honors the
+    * per-trigger admission cap). */
+  @volatile private var availableNowSnapshot: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSnapshot = Some(listing())
+  private def admissible(): Map[String, Long] =
+    availableNowSnapshot.getOrElse(listing())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = NcOffset.initial(slackMs)
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "netcdf stream implements SupportsAdmissionControl — " +
+      "latestOffset(start, limit) is the entry point")
   override def deserializeOffset(json: String): Offset = NcOffset.parse(json)
 
+  private def maxFilesOf(limit: ReadLimit): Option[Int] = limit match {
+    case _: ReadAllAvailable => None
+    case f: ReadMaxFiles => Some(f.maxFiles())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxFilesOf).sorted.headOption
+    case _ => None // row/byte limits don't map to per-file admission
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val st = start.asInstanceOf[NcOffset]
+    val listed = admissible() // ONE listing per trigger — self-consistent
+    // ascending (mtime, path): the admission order that keeps every
+    // pending file at-or-above the new watermark's floor (see NcOffset)
+    val unseen = listed.toSeq
+      .filterNot { case (p, m) => st.seen(p, m) }
+      .sortBy { case (p, m) => (m, p) }
+    val take = maxFilesOf(limit).fold(unseen)(unseen.take)
+    if (take.isEmpty) st // unchanged offset json → no new micro-batch
+    else {
+      val newWm = math.max(st.wm, take.map(_._2).max)
+      val floor = if (newWm == Long.MinValue) Long.MinValue else newWm - slackMs
+      // carry forward only the recent entries the new watermark cannot
+      // classify; everything older compacts away (still `seen` via wm)
+      val carried = st.recent.filter(p => listed.get(p).exists(_ >= floor))
+      val admitted = take.collect { case (p, m) if m >= floor => p }
+      new NcOffset(newWm, slackMs, (carried ++ admitted).distinct.sorted)
+    }
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[NcOffset].files.toSet
-    end.asInstanceOf[NcOffset].files.filterNot(seen)
-      .map(p => NcPartition(p, vars, latVar, lonVar, timeVar): InputPartition)
+    val st = start.asInstanceOf[NcOffset]
+    val en = end.asInstanceOf[NcOffset]
+    // re-derived from the live listing (members are immutable, so a
+    // crash replay reconstructs the identical batch): everything the
+    // end offset classifies as emitted that the start offset does not
+    listing().toSeq
+      .filter { case (p, m) => en.seen(p, m) && !st.seen(p, m) }
+      .sortBy(_._1)
+      .map { case (p, _) =>
+        NcPartition(p, vars, latVar, lonVar, timeVar): InputPartition }
       .toArray
   }
 

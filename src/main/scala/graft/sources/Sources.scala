@@ -312,14 +312,16 @@ object Sources {
     // from the base events table.
     "q_source_dsv2_write" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
       dsv2 = true, dsv2Write = true)),
-    // r13 late, DEEPENED r15: the STREAMING read surface of the DSv2
-    // format graded as a true multi-batch replay under failure — the
-    // grid arrives as ≥3 member files landed one at a time (one
-    // checkpointed micro-batch each, each run a restart), with a
-    // deterministic crash injected in the exactly-once window after
-    // batch 0 (commits/0 deleted → WAL replay → sink-log dedup). The
-    // drained sink must carry the same unbounded fingerprint; see
-    // [[streamedGridFingerprint]].
+    // r13 late, DEEPENED r15/r16: the STREAMING read surface of the
+    // DSv2 format graded as a true multi-batch replay under failure —
+    // member 0 lands alone (one checkpointed batch), a deterministic
+    // crash is injected in the exactly-once window (commits/0 deleted
+    // → WAL replay → sink-log dedup), then the REMAINING members land
+    // all at once and maxFilesPerTrigger=1 admission control must
+    // still split them one-per-batch inside a single
+    // Trigger.AvailableNow run (r16 — grades SupportsAdmissionControl
+    // + the compact watermark offset). The drained sink must carry
+    // the same unbounded fingerprint; see [[streamedGridFingerprint]].
     "q_source_dsv2_stream" -> ((s, dir) => gridRoundtrip(s, dir, hdf5 = true,
       stream = true)),
     // r14: the CATALOG/MANIFEST layer (the ESGF-style R2 slot's local
@@ -586,34 +588,47 @@ object Sources {
         cells.unpersist()
         val members = Option(stage.listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".h5")).sortBy(_.getName)
-        def runOnce(): Unit = {
+        // rate-limited drain (r16): one file admitted per micro-batch
+        // (SupportsAdmissionControl), AvailableNow loops batches until
+        // the landed backlog is gone — so landing N files at once
+        // still commits N distinct checkpointed batches
+        def runDrain(): Unit = {
           val q = s.readStream.format("netcdf").option("vars", "events")
+            .option("maxFilesPerTrigger", "1")
             .load(s"$land/*.h5")
             .writeStream.format("parquet").option("path", sink.toString)
             .option("checkpointLocation", ckpt.toString)
-            .trigger(Trigger.Once()).start()
+            .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
         }
-        members.zipWithIndex.foreach { case (m, i) =>
+        members.headOption.foreach { m =>
+          // member 0 lands alone: one batch, then a crash in the
+          // exactly-once window (commit log entry lost after the sink
+          // wrote) and a restart that must WAL-replay it
           java.nio.file.Files.move(m.toPath,
             new java.io.File(land, m.getName).toPath)
-          runOnce()
-          if (i == 0) {
-            val c0 = new java.io.File(ckpt, "commits/0")
-            require(c0.isFile,
-              "netcdf stream replay: batch 0 never committed")
-            require(c0.delete(),
-              "netcdf stream replay: could not remove commits/0")
-            // the local ChecksumFs shadows every log file with a .crc
-            // sibling; a leftover one makes the replay's commit rename
-            // fail as a phantom "concurrent query" — a real crash
-            // loses both, so the simulation must too
-            new java.io.File(ckpt, "commits/.0.crc").delete()
-            runOnce() // restart: WAL replays batch 0, sink log dedups
-            require(new java.io.File(ckpt, "commits/0").isFile,
-              "netcdf stream replay: the restart did not recommit batch 0")
-          }
+          runDrain()
+          val c0 = new java.io.File(ckpt, "commits/0")
+          require(c0.isFile,
+            "netcdf stream replay: batch 0 never committed")
+          require(c0.delete(),
+            "netcdf stream replay: could not remove commits/0")
+          // the local ChecksumFs shadows every log file with a .crc
+          // sibling; a leftover one makes the replay's commit rename
+          // fail as a phantom "concurrent query" — a real crash
+          // loses both, so the simulation must too
+          new java.io.File(ckpt, "commits/.0.crc").delete()
+          runDrain() // restart: WAL replays batch 0, sink log dedups
+          require(new java.io.File(ckpt, "commits/0").isFile,
+            "netcdf stream replay: the restart did not recommit batch 0")
         }
+        // the remaining members land ALL AT ONCE; admission control
+        // must still split them one-per-batch inside a single run
+        members.drop(1).foreach { m =>
+          java.nio.file.Files.move(m.toPath,
+            new java.io.File(land, m.getName).toPath)
+        }
+        if (members.length > 1) runDrain()
         // the run provably crossed one committed batch per member —
         // a silent skip or a phantom extra batch fails by name here
         val committed = Option(new java.io.File(ckpt, "commits").list())

@@ -434,6 +434,96 @@ class NetcdfV2Spec extends AnyFunSuite {
     assert(byDataset() == Map("m1.nc" -> 6L, "m2.nc" -> 6L))
   }
 
+  test("admission control: a 9-member backlog drains 2 files per batch " +
+    "and checkpoint offsets stay bounded by the landing window, not the archive") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = tmpDir("streamadm"); val ckpt = tmpDir("streamadmck")
+    val sink = tmpDir("streamadmsink")
+    val n = 9
+    (0 until n).foreach { i =>
+      val p = s"$tmp/m$i.nc"
+      writeClassic(p, nt = 1, bias = i * 10.0)
+      // staggered mtimes: with slack=0 every offset's recent-set holds
+      // only the files sharing the newest admitted mtime (here: 1)
+      assert(new java.io.File(p).setLastModified(1700000000000L + i * 10000L))
+    }
+    val q = spark.readStream.format("netcdf").option("vars", "tas")
+      .option("maxFilesPerTrigger", "2")
+      .option("mtimeSlackMs", "0")
+      .load(s"$tmp/*.nc")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // all 9 members available at start, yet ceil(9/2)=5 rate-limited batches
+    val commits = new java.io.File(ckpt, "commits").list()
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).sorted.toSeq
+    assert(commits == (0L until 5L),
+      s"expected 5 rate-limited batches, committed: ${commits.mkString(",")}")
+    assert(spark.read.parquet(sink).select("dataset").distinct().count() == n)
+    // the compaction law: every checkpointed offset pins at most the
+    // files at the watermark (1 here), never the full 9-member history
+    import org.json4s._
+    val offDir = new java.io.File(ckpt, "offsets")
+    val offFiles = offDir.list().filter(s => s.nonEmpty && s.forall(_.isDigit))
+    assert(offFiles.nonEmpty)
+    offFiles.foreach { name =>
+      val lines = scala.io.Source.fromFile(new java.io.File(offDir, name))
+        .getLines().toSeq
+      val off = org.json4s.jackson.JsonMethods.parse(lines.last)
+      val recent = (off \ "recent") match {
+        case JArray(xs) => xs
+        case other => fail(s"offset $name has no recent array: $other")
+      }
+      assert(recent.size <= 2,
+        s"offset $name pins ${recent.size} files — watermark compaction broken")
+      assert((off \ "wm").isInstanceOf[JInt], s"offset $name lacks a watermark")
+    }
+  }
+
+  test("a legacy v1 path-array checkpoint offset resumes without re-reading") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = tmpDir("streamleg"); val ckpt = tmpDir("streamlegck")
+    val sink = tmpDir("streamlegsink")
+    writeClassic(s"$tmp/m1.nc", nt = 1, bias = 0.0)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("netcdf").option("vars", "tas")
+        .load(s"$tmp/*.nc")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // rewrite batch 0's source offset into the pre-r16 v1 form: the
+    // bare JSON array of every emitted path
+    val offFile = new java.io.File(ckpt, "offsets/0")
+    val lines = scala.io.Source.fromFile(offFile).getLines().toVector
+    // reuse the exact path strings the v2 offset recorded (Hadoop's
+    // Path.toString form) so the v1 set matches the listing verbatim
+    val v2 = org.json4s.jackson.JsonMethods.parse(lines.last)
+    val recorded = (v2 \ "recent") match {
+      case org.json4s.JArray(xs) => xs
+      case other => fail(s"batch-0 offset has no recent array: $other")
+    }
+    assert(recorded.nonEmpty)
+    val legacy = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JArray(recorded)))
+    // the offset json is the last line; metadata lines stay untouched
+    val rewritten = lines.init :+ legacy
+    java.nio.file.Files.write(offFile.toPath,
+      rewritten.mkString("\n").getBytes("UTF-8"))
+    new java.io.File(ckpt, "offsets/.0.crc").delete() // ChecksumFs shadow
+    // a second member lands; resume must parse the v1 offset, classify
+    // m1 as seen through it, and emit ONLY m2
+    writeClassic(s"$tmp/m2.nc", nt = 1, bias = 100.0)
+    runOnce()
+    val byDs = spark.read.parquet(sink).groupBy("dataset").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDs == Map("m1.nc" -> 6L, "m2.nc" -> 6L),
+      s"legacy-offset resume mis-read: $byDs")
+  }
+
   test("readStream on an empty-so-far archive waits instead of erroring") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = tmpDir("streamempty"); val ckpt = tmpDir("streamemptyck")
