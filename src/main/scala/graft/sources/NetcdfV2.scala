@@ -276,7 +276,7 @@ private class NcScanBuilder(options: CaseInsensitiveStringMap)
   private var acc = NcPushed()
   private var accepted: Array[sources.Filter] = Array.empty
   private var required: StructType = NetcdfV2.schema
-  private var aggPushed: Option[Seq[NcAgg]] = None
+  private var aggPushed: Option[(Boolean, Seq[NcAgg])] = None
 
   /** Accept a conjunct fully or not at all: None = residual (Spark
     * re-evaluates; the scan must then emit a superset, so no pruning
@@ -367,9 +367,20 @@ private class NcScanBuilder(options: CaseInsensitiveStringMap)
   /** Whole-aggregation translation, all-or-nothing (a partially
     * translated aggregation would be wrong, not slow). Every emitted
     * column except `time` is non-null, so COUNT(col) on them is
-    * COUNT(*); COUNT(time) counts 3-D rows only. */
-  private def translate(agg: Aggregation): Option[Seq[NcAgg]] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+    * COUNT(*); COUNT(time) counts 3-D rows only.
+    *
+    * GROUP BY (r16): `GROUP BY dataset` translates too — dataset IS
+    * file identity, so each per-file reader emits its own group's
+    * final row from chunk metadata (and suppresses the row when the
+    * file's surviving cell count is zero: SQL emits no row for an
+    * empty group). Any other grouping declines. Returns
+    * (groupedByDataset, aggs). */
+  private def translate(agg: Aggregation): Option[(Boolean, Seq[NcAgg])] = {
+    val grouped = agg.groupByExpressions.toSeq match {
+      case Seq() => false
+      case Seq(e) if colOf(e).contains("dataset") => true
+      case _ => return None
+    }
     val out = Vector.newBuilder[NcAgg]
     agg.aggregateExpressions.foreach { f: AggregateFunc =>
       f match {
@@ -393,24 +404,47 @@ private class NcScanBuilder(options: CaseInsensitiveStringMap)
         case _ => return None
       }
     }
-    Some(out.result())
+    Some((grouped, out.result()))
   }
 
-  /** COMPLETE pushdown (no Aggregate left in the plan) needs exactly
-    * one reader emitting the final row — i.e. a single surviving file
-    * after `dataset` pruning. Multi-file archives get PARTIAL pushdown:
-    * one partial row per member, Spark merges (sum/min/max) on top. */
-  private lazy val survivingFiles: Int = Try {
+  /** COMPLETE pushdown (no Aggregate left in the plan) requires the
+    * scan itself to emit final rows:
+    *  - global aggregate — ONE merged row: r15 required a single
+    *    surviving file; r16 merges up to `completeAggMaxFiles`
+    *    members' chunk-metadata answers inside one reader task
+    *    (metadata-only per member — KBs of header bytes — so a
+    *    bounded sequential merge beats a shuffle; above the cap the
+    *    parallel partial-merge form wins and we fall back to it);
+    *  - GROUP BY dataset — one row per group: dataset is file
+    *    identity, so per-file readers ARE per-group finals, at any
+    *    archive size — unless two surviving members collide on
+    *    basename across directories (then partial, Spark merges). */
+  private lazy val survivingPaths: Option[Seq[String]] = Try {
     NetcdfV2.resolvePaths(options, "source").flatMap { glob =>
       val p = new Path(glob)
       val fs = p.getFileSystem(NetcdfV2.captureConf().value)
       Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
     }.filter(_.isFile).map(_.getPath.toString).distinct
-      .count(path => acc.dsOk(new Path(path).getName))
-  }.getOrElse(Int.MaxValue) // listing failure → never claim complete
+      .filter(path => acc.dsOk(new Path(path).getName))
+  }.toOption // listing failure → never claim complete
+
+  private lazy val completeAggMaxFiles: Int =
+    Option(options.get("completeAggMaxFiles")).map(_.toInt).getOrElse(1024)
+
+  private def completeFor(grouped: Boolean): Boolean = survivingPaths match {
+    case None => false
+    case Some(paths) =>
+      if (grouped) {
+        val names = paths.map(p => new Path(p).getName)
+        names.distinct.length == names.length
+      } else paths.nonEmpty && paths.length <= completeAggMaxFiles
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    translate(agg).isDefined && survivingFiles == 1
+    translate(agg) match {
+      case Some((grouped, _)) => completeFor(grouped)
+      case None => false
+    }
 
   override def pushAggregation(agg: Aggregation): Boolean =
     translate(agg) match {
@@ -441,8 +475,15 @@ private class NcScanBuilder(options: CaseInsensitiveStringMap)
       n
     }.getOrElse(NetcdfV2.DefaultMtimeSlackMs)
     aggPushed match {
-      case Some(aggs) => new NcAggScan(paths, varsOpt, latV, lonV, timeV,
-        acc, aggs, accepted.map(_.toString).toSeq, conf)
+      case Some((grouped, aggs)) => new NcAggScan(paths, varsOpt, latV, lonV, timeV,
+        acc, aggs, accepted.map(_.toString).toSeq, conf,
+        grouped = grouped,
+        // recompute the same deterministic predicate Spark saw in
+        // supportCompletePushDown: when the GLOBAL aggregate was
+        // granted complete over >1 members, the scan must emit ONE
+        // merged row, so all members ride a single partition
+        mergeAll = !grouped && completeFor(grouped = false) &&
+          survivingPaths.exists(_.length > 1))
       case None => new NcScan(paths, varsOpt, latV, lonV, timeV,
         acc, required, accepted.map(_.toString).toSeq, conf, maxFiles, slackMs)
     }
@@ -524,52 +565,85 @@ private case class NcPartition(path: String, vars: Option[Seq[String]],
                                timeVar: String)
     extends InputPartition
 
-/** The aggregate-pushdown scan: same listing/partitioning as [[NcScan]]
-  * (one partition per surviving file), but each reader emits ONE row of
-  * aggregate values — final when Spark granted complete pushdown
-  * (single file), partial otherwise (Spark sums counts and re-mins /
-  * re-maxes across members). Output columns are positional per the
+/** The aggregate-pushdown scan: each reader emits rows of aggregate
+  * values straight from chunk metadata. Partitioning by mode:
+  *  - global partial — one partition per file, one partial row each,
+  *    Spark sums counts / re-mins / re-maxes on top;
+  *  - global complete (`mergeAll`) — ONE partition over every
+  *    surviving member; the reader folds the per-file accumulators
+  *    (metadata-only per member) and emits the single final row;
+  *  - `GROUP BY dataset` (`grouped`) — one partition per file; each
+  *    reader emits its own group's row (dataset = file identity),
+  *    suppressed when the file's surviving cell count is zero (SQL
+  *    emits no row for an empty group). Complete and partial grouped
+  *    forms emit the same rows — partial just lets Spark re-merge
+  *    when basenames collide across directories.
+  * Output columns are positional — group columns first, then the
   * pushed aggregate list, as V2ScanRelationPushDown requires. */
 private class NcAggScan(pathGlobs: Seq[String], varsOpt: Option[Seq[String]],
                         latVar: String, lonVar: String, timeVar: String,
                         pushed: NetcdfV2.NcPushed,
                         aggs: Seq[NetcdfV2.NcAgg], pushedDesc: Seq[String],
-                        conf: NetcdfV2.HadoopConfSer)
+                        conf: NetcdfV2.HadoopConfSer,
+                        grouped: Boolean, mergeAll: Boolean)
     extends NcScan(pathGlobs, varsOpt, latVar, lonVar, timeVar, pushed,
-      NcAggScan.schemaFor(aggs), pushedDesc, conf) {
+      NcAggScan.schemaFor(grouped, aggs), pushedDesc, conf) {
   import NetcdfV2._
 
   override def description(): String =
-    super.description() + s", PushedAggregates: [${aggs.mkString(", ")}]"
+    super.description() + s", PushedAggregates: [${aggs.mkString(", ")}]" +
+      (if (grouped) ", PushedGroupBy: [dataset]" else "")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base = super.planInputPartitions().map(_.asInstanceOf[NcPartition])
+    if (mergeAll)
+      Array(NcAggPartition(base.map(_.path).toSeq, base.head.vars,
+        latVar, lonVar, timeVar, grouped = false))
+    else base.map(p => NcAggPartition(Seq(p.path), p.vars,
+      latVar, lonVar, timeVar, grouped): InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val push = pushed
     val as = aggs
     val c = conf
     (partition: InputPartition) =>
-      new NcAggReader(partition.asInstanceOf[NcPartition], push, as, c)
+      new NcAggReader(partition.asInstanceOf[NcAggPartition], push, as, c)
   }
 }
 
 private object NcAggScan {
   import NetcdfV2._
-  def schemaFor(aggs: Seq[NcAgg]): StructType = StructType(aggs.map {
-    case NcCountStar => StructField("count(*)", LongType, nullable = false)
-    case NcCountTime => StructField("count(time)", LongType, nullable = false)
-    case NcMinMax(c, isMin) => StructField(
-      s"${if (isMin) "min" else "max"}($c)",
-      if (c == "time") TimestampType else DoubleType)
-  })
+  def schemaFor(grouped: Boolean, aggs: Seq[NcAgg]): StructType = {
+    val group = if (grouped)
+      Seq(StructField("dataset", StringType, nullable = false)) else Nil
+    StructType(group ++ aggs.map {
+      case NcCountStar => StructField("count(*)", LongType, nullable = false)
+      case NcCountTime => StructField("count(time)", LongType, nullable = false)
+      case NcMinMax(c, isMin) => StructField(
+        s"${if (isMin) "min" else "max"}($c)",
+        if (c == "time") TimestampType else DoubleType)
+    })
+  }
 }
 
-/** One file → one row of COUNT/MIN/MAX accumulators, mirroring
+private case class NcAggPartition(paths: Seq[String],
+                                  vars: Option[Seq[String]],
+                                  latVar: String, lonVar: String,
+                                  timeVar: String, grouped: Boolean)
+    extends InputPartition
+
+/** Member files → COUNT/MIN/MAX accumulator rows, mirroring
   * [[NcReader.rowsFor]]'s pruning exactly (same axis index sets, same
   * Spark-exact predicate atoms, same fill masking) so the pushed
   * aggregate equals the aggregate over the row path by construction.
   * When the variable declares no fill, COUNT is axis arithmetic and
   * MIN/MAX come from the coordinate axes — the data chunks are never
-  * read, let alone inflated. */
-private class NcAggReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
+  * read, let alone inflated. A multi-path partition (global complete
+  * pushdown) folds every member into the one accumulator set; a
+  * grouped partition (one path) prepends its dataset and suppresses
+  * the row when nothing survived (empty SQL group). */
+private class NcAggReader(p: NcAggPartition, pushed: NetcdfV2.NcPushed,
                           aggs: Seq[NetcdfV2.NcAgg],
                           conf: NetcdfV2.HadoopConfSer)
     extends PartitionReader[InternalRow] {
@@ -603,18 +677,20 @@ private class NcAggReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
   }
 
   locally {
-    val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(p.path, conf.value))
-    val ds = new Path(p.path).getName
-    if (pushed.dsOk(ds)) {
-      val vars = p.vars.getOrElse {
-        val axes = Set(p.latVar, p.lonVar, p.timeVar)
-        g.varNames.filterNot(axes).filter { v =>
-          Try(g.dimsOf(v)).toOption.exists(d =>
-            d == Seq(p.timeVar, p.latVar, p.lonVar) ||
-              d == Seq(p.latVar, p.lonVar))
-        }.sorted
+    p.paths.foreach { path =>
+      val g = NetcdfSource.openGrid(NetcdfV2.readFileBytes(path, conf.value))
+      val ds = new Path(path).getName
+      if (pushed.dsOk(ds)) {
+        val vars = p.vars.getOrElse {
+          val axes = Set(p.latVar, p.lonVar, p.timeVar)
+          g.varNames.filterNot(axes).filter { v =>
+            Try(g.dimsOf(v)).toOption.exists(d =>
+              d == Seq(p.timeVar, p.latVar, p.lonVar) ||
+                d == Seq(p.latVar, p.lonVar))
+          }.sorted
+        }
+        vars.filter(pushed.varOk).foreach(v => aggFor(g, v))
       }
-      vars.filter(pushed.varOk).foreach(v => aggFor(g, v))
     }
   }
 
@@ -703,10 +779,15 @@ private class NcAggReader(p: NcPartition, pushed: NetcdfV2.NcPushed,
   }
 
   private var emitted = false
-  override def next(): Boolean = !emitted && { emitted = true; true }
+  override def next(): Boolean =
+    !emitted && { emitted = true; !p.grouped || nRows > 0 }
   override def get(): InternalRow = {
-    val row = new GenericInternalRow(aggs.length)
-    aggs.zipWithIndex.foreach { case (a, k) =>
+    val off = if (p.grouped) 1 else 0
+    val row = new GenericInternalRow(off + aggs.length)
+    if (p.grouped)
+      row.update(0, UTF8String.fromString(new Path(p.paths.head).getName))
+    aggs.zipWithIndex.foreach { case (a, k0) =>
+      val k = off + k0
       a match {
         case NcCountStar => row.update(k, nRows)
         case NcCountTime => row.update(k, nTime)

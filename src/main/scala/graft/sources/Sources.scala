@@ -410,6 +410,31 @@ object Sources {
               date_format(min(col("time")), "yyyy-MM-dd HH:mm:ss").as("t_min"),
               date_format(max(col("time")), "yyyy-MM-dd HH:mm:ss").as("t_max"))
       }
+    },
+    // r16 (VERDICT r15 #3): GROUP BY aggregate pushdown hash-graded —
+    // the SAME dense grid split into a 3-member archive (dataset =
+    // day-mod-3, the stream key's split), then
+    // `groupBy(dataset).agg(COUNT/MIN/MAX)` with a pushed lat bound.
+    // dataset IS file identity, so each per-member reader answers its
+    // own group's row from chunk metadata and NO Aggregate node
+    // survives above the scan (law-pinned in NetcdfV2Spec), including
+    // the empty-group rule: a member emptied by the filter yields no
+    // row, exactly like SQL. The oracle recomputes every group from
+    // the base events table's observed axes.
+    "q_source_dsv2_agg_grouped" -> { (s, dir) =>
+      sharedSplitArchive(s, dir) match {
+        case None => emptyDsv2AggGroupedResult(s)
+        case Some(arch) =>
+          s.read.format("netcdf").option("vars", "events").load(s"$arch/*.h5")
+            .filter(col("lat") >= 10.0)
+            .groupBy(col("dataset"))
+            .agg(count(lit(1)).cast("long").as("n_cells"),
+              min(col("lat")).as("lat_min"),
+              max(col("lon")).as("lon_max"),
+              date_format(min(col("time")), "yyyy-MM-dd HH:mm:ss").as("t_min"),
+              date_format(max(col("time")), "yyyy-MM-dd HH:mm:ss").as("t_max"))
+            .orderBy(col("dataset"))
+      }
     })
 
   /** One SHARED writeGrid artifact per (session, tier, format): r13
@@ -436,6 +461,46 @@ object Sources {
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, hdf5),
       writeDenseGrid(s, dir, out, hdf5, viaDsv2 = false))
     if (wrote) Some(s"$out/grid.$ext") else None
+  }
+
+  /** One SHARED 3-member split archive per (session, tier): the dense
+    * grid partitioned by day-mod-3 into members m0/m1/m2 (the
+    * [[streamedGridFingerprint]] split) written ONCE through writeGrid
+    * for the grouped-aggregate key. Same staleness/tier rules as
+    * [[sharedGridMember]]. */
+  private val splitArchiveCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  private def sharedSplitArchive(s: SparkSession, dir: String): Option[String] = {
+    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"$roundtripRoot/gridsplit_$tier"
+    val wrote = splitArchiveCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir),
+      denseGrid(s, dir) match {
+        case None => false
+        case Some((cells, dense)) =>
+          val split = dense.select(
+            concat(lit("m"), pmod(datediff(col("day"), lit("1970-01-01")),
+              lit(3)).cast("string")).as("dataset"),
+            col("time"), col("lat"), col("lon"), col("value"))
+          NetcdfSource.writeGrid(split, out, varName = "events", hdf5 = true)
+          cells.unpersist()
+          true
+      })
+    if (wrote) Some(out) else None
+  }
+
+  /** Empty-events tier result for q_source_dsv2_agg_grouped: GROUP BY
+    * over zero rows emits ZERO rows (no groups — unlike the global
+    * aggregate's single all-NULL row). */
+  private def emptyDsv2AggGroupedResult(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("dataset", StringType),
+      StructField("n_cells", LongType, nullable = false),
+      StructField("lat_min", DoubleType), StructField("lon_max", DoubleType),
+      StructField("t_min", StringType), StructField("t_max", StringType))))
   }
 
   /** The dense (day, lat-bucket, lon-bucket) COUNT grid from the
@@ -964,5 +1029,39 @@ object Sources {
         |  CASE WHEN nt * nla * nlo > 0
         |    THEN strftime(CAST(maxd AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
         |    END AS t_max
-        |FROM sh""".stripMargin)
+        |FROM sh""".stripMargin,
+
+    // q_source_dsv2_agg_grouped: per-member groups recomputed from the
+    // base events table — member = day mod 3, axes shared across
+    // members (the densify rule), lat bound latb >= 1 mirrors the
+    // pushed lat >= 10 filter; a member whose survivor product is zero
+    // emits NO row (the SQL empty-group rule the pushed scan must
+    // reproduce).
+    "q_source_dsv2_agg_grouped" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(user_id % 3 AS INT) AS latb,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS lonb,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |axes AS (
+        |  SELECT COUNT(DISTINCT CASE WHEN latb >= 1 THEN latb END) AS nla,
+        |    COUNT(DISTINCT lonb) AS nlo,
+        |    MIN(CASE WHEN latb >= 1 THEN latb END) AS minla,
+        |    MAX(lonb) AS maxlo
+        |  FROM cells),
+        |mem AS (
+        |  SELECT CAST((day - DATE '1970-01-01') % 3 AS INT) AS m,
+        |    COUNT(DISTINCT day) AS nt, MIN(day) AS mind, MAX(day) AS maxd
+        |  FROM cells GROUP BY 1)
+        |SELECT 'm' || CAST(m AS VARCHAR) || '.h5' AS dataset,
+        |  CAST(nt * nla * nlo AS BIGINT) AS n_cells,
+        |  CAST(minla * 10 AS DOUBLE) AS lat_min,
+        |  CAST(100 + maxlo * 10 AS DOUBLE) AS lon_max,
+        |  strftime(CAST(mind AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS t_min,
+        |  strftime(CAST(maxd AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS t_max
+        |FROM mem CROSS JOIN axes
+        |WHERE nt * nla * nlo > 0
+        |ORDER BY dataset""".stripMargin)
 }

@@ -588,23 +588,82 @@ class NetcdfV2Spec extends AnyFunSuite {
     assert(aggRow(t0) == Seq(2L, 0.0))
   }
 
-  test("agg pushdown PARTIAL over multi-file archives merges per-member rows") {
+  test("agg pushdown COMPLETE over multi-file archives: one merged partition, no Aggregate node") {
     val tmp = tmpDir("aggp")
     writeClassic(s"$tmp/m1.nc", nt = 2, bias = 0.0)
     writeClassic(s"$tmp/m2.nc", nt = 3, bias = 100.0)
     val pushed = dsv2(s"$tmp/*.nc", Some("tas"))
       .agg(count(lit(1)).as("n"), min("time").as("mt"), max("time").as("xt"))
-    // two partitions → Spark keeps a merge Aggregate, but the SCAN
-    // already aggregated (its output is the agg schema, not rows)
+    // r16: both members' chunk-metadata answers fold inside ONE reader
+    // task — the plan carries no Aggregate at all
+    assert(!hasAggregate(pushed),
+      "multi-member COUNT/MIN/MAX must push completely:\n" +
+        pushed.queryExecution.optimizedPlan)
     assert(pushed.queryExecution.executedPlan.toString
       .contains("PushedAggregates: ["))
     assert(aggRow(pushed) == aggRow(
       NetcdfSource.readGrid(spark, s"$tmp/*.nc", "tas")
         .agg(count(lit(1)), min("time"), max("time"))))
-    // dataset pruning to ONE member upgrades the same query to complete
+    // dataset pruning to ONE member stays complete
     val one = dsv2(s"$tmp/*.nc", Some("tas"))
       .filter(col("dataset") === "m2.nc").agg(count(lit(1)).as("n"))
     assert(aggRow(one) == Seq(18L))
+    // above the bounded-merge cap the same query falls back to PARTIAL
+    // (per-member partial rows, Spark's merge Aggregate on top) with
+    // identical values — the 100×-archive path
+    val capped = spark.read.format("netcdf").option("vars", "tas")
+      .option("completeAggMaxFiles", "1").load(s"$tmp/*.nc")
+      .agg(count(lit(1)).as("n"), min("time").as("mt"), max("time").as("xt"))
+    assert(hasAggregate(capped), "over-cap archives must merge partially")
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: ["))
+    assert(aggRow(capped) == aggRow(pushed))
+  }
+
+  test("agg pushdown GROUP BY dataset: per-file readers emit final group rows, no Aggregate node") {
+    val tmp = tmpDir("aggg")
+    writeClassic(s"$tmp/m1.nc", nt = 2, bias = 0.0)
+    writeClassic(s"$tmp/m2.nc", nt = 3, bias = 100.0)
+    def grouped(df: DataFrame) = df.groupBy("dataset")
+      .agg(count(lit(1)).as("n"), min("lat").as("mla"), max("time").as("xt"))
+      .orderBy("dataset")
+    val pushed = grouped(dsv2(s"$tmp/*.nc", Some("tas")))
+    assert(!hasAggregate(pushed),
+      "GROUP BY dataset must push completely (dataset = file identity):\n" +
+        pushed.queryExecution.optimizedPlan)
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("PushedGroupBy: [dataset]"))
+    assertSame(pushed,
+      grouped(NetcdfSource.readGrid(spark, s"$tmp/*.nc", "tas")))
+    // a filter that empties one member SUPPRESSES its group (SQL emits
+    // no row for an empty group — a (m1.nc, 0, null, null) row here
+    // would be a wrong result, not a formatting choice)
+    val jan3 = java.sql.Timestamp.valueOf("1970-01-03 00:00:00")
+    val part = grouped(dsv2(s"$tmp/*.nc", Some("tas"))
+      .filter(col("time") >= jan3))
+    assert(!hasAggregate(part))
+    assertSame(part, grouped(NetcdfSource.readGrid(spark, s"$tmp/*.nc", "tas")
+      .filter(col("time") >= jan3)))
+    assert(part.collect().map(_.getString(0)).toSeq == Seq("m2.nc"))
+  }
+
+  test("agg pushdown GROUP BY dataset with colliding basenames falls back to a merge Aggregate") {
+    val tmp = tmpDir("aggcollide")
+    val (da, db) = (s"$tmp/a", s"$tmp/b")
+    new java.io.File(da).mkdirs(); new java.io.File(db).mkdirs()
+    // same member NAME in two directories: dataset is no longer file
+    // identity, so complete pushdown would double-emit the group —
+    // the builder must detect the collision and let Spark merge
+    writeClassic(s"$da/m.nc", nt = 2, bias = 0.0)
+    writeClassic(s"$db/m.nc", nt = 3, bias = 100.0)
+    val pushed = spark.read.format("netcdf").option("vars", "tas")
+      .load(s"$da/m.nc", s"$db/m.nc")
+      .groupBy("dataset").agg(count(lit(1)).as("n"), max("time").as("xt"))
+    assert(hasAggregate(pushed),
+      "colliding basenames must keep the merge Aggregate")
+    val rows = pushed.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "m.nc" &&
+      rows(0).getLong(1) == 30L, rows.mkString(","))
   }
 
   test("agg pushdown declines what it cannot prove: value aggs and GROUP BY stay on rows") {
