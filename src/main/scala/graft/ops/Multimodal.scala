@@ -262,6 +262,40 @@ object Multimodal {
             resizeFeature(transform(sequence(lit(1), col("frame_len")),
               i => (i % 256).cast("float")), 4), 1), 4).as("pooled0"))
         .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // r16 (VERDICT r15 #6): the frame pipeline HASH-GRADED via the
+    // encode key's digest trick — the payload is the md5(doc_id)
+    // digest BYTES (16), so DuckDB can reconstruct every frame from
+    // the hex string alone. The REAL [[frameSample]] slices it into 4
+    // frames of 4 bytes; per frame the oracle must match (a) the
+    // byte-exact content digest (md5 over the lowercase hex image —
+    // hex is injective, the q_multimodal_encode rule) and (b) a
+    // content-derived integer pool (the byte-value sum — the "decode →
+    // pool" stage with exact cross-engine math). Equality holds iff
+    // frameSample's slicing arithmetic, the binary plumbing, and the
+    // per-frame reduction are all byte-identical cross-engine; the
+    // production media path keeps the rows-only q_multimodal_frames
+    // twin above (DuckDB cannot decode real codecs).
+    "q_multimodal_frames_md5" -> { (s, dir) =>
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          unhex(md5(col("doc_id").cast("string"))).as("payload"),
+          struct(lit("application/digest").as("mime"),
+            lit(16).as("width"), lit(1).as("height"),
+            lit(0L).as("durationMs")).as("meta"))
+      val hexs = lower(hex(col("frame_bytes")))
+      val byteSum = aggregate(
+        transform(sequence(lit(0), length(col("frame_bytes")) - 1),
+          i => conv(hexs.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")),
+        lit(0L), (a, x) => a + x)
+      frameSample(media, n = 4)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          md5(hexs).as("frame_md5"),
+          byteSum.as("byte_sum"))
+        .orderBy(col("media_id"), col("frame_idx"))
     }
   )
 
@@ -298,6 +332,26 @@ object Multimodal {
         |      || dh) AS wav_md5,
         |  md5('524946463400000057415645666d74201000000001000200401f0000007d0000040010006461746110000000'
         |      || dh) AS wav2_md5
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q_multimodal_frames_md5: reconstruct each 4-byte frame from the
+    // digest hex — frame i is hex chars [i*8+1, i*8+8]; the byte sum
+    // parses the four hex pairs (the 0x-cast house idiom).
+    "q_multimodal_frames_md5" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, md5(CAST(doc_id AS VARCHAR)) AS dh
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, i AS frame_idx, substr(dh, i * 8 + 1, 8) AS fh
+        |  FROM d CROSS JOIN (SELECT UNNEST(range(4)) AS i))
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(4 AS BIGINT) AS frame_len,
+        |  md5(fh) AS frame_md5,
+        |  CAST(CAST('0x' || substr(fh, 1, 2) AS INT)
+        |     + CAST('0x' || substr(fh, 3, 2) AS INT)
+        |     + CAST('0x' || substr(fh, 5, 2) AS INT)
+        |     + CAST('0x' || substr(fh, 7, 2) AS INT) AS BIGINT) AS byte_sum
+        |FROM f
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -411,6 +411,34 @@ object Sources {
               date_format(max(col("time")), "yyyy-MM-dd HH:mm:ss").as("t_max"))
       }
     },
+    // r16 (VERDICT r15 #8): the catalog → MULTI-member ensemble →
+    // alignMembers journey hash-graded end-to-end. A 2-member sparse
+    // archive (members = even/odd event_id cell counts over the SAME
+    // (day, lat, lon) axes, written through the DSv2 sink, which
+    // NaN-fills + declares _FillValue so read-back restores exactly
+    // the sparse cells) is manifest-indexed, facet-pruned, loaded
+    // through the multi-path DSv2 form with the lat bound pushed into
+    // both members' scans, then aligned with declaredMembers = 2:
+    // only cells BOTH parities populate survive. The oracle recomputes
+    // the aligned cell set from base events (HAVING count(DISTINCT
+    // par) = 2). A tier where one parity vanishes entirely (the --one
+    // tier) must align EVERYTHING away — the declaredMembers
+    // data-loss-surfacing semantics, graded.
+    "q_source_catalog_ensemble" -> { (s, dir) =>
+      sharedEnsembleArchive(s, dir) match {
+        case None => emptyCatalogEnsembleResult(s)
+        case Some(arch) =>
+          val man = s"$arch/_manifest"
+          NcCatalog.buildManifest(s, s"$arch/*.h5", man)
+          graft.Ensemble.fromCatalog(s, man, variable = "events",
+              bounds = Some(NetcdfSource.GridBounds(latMin = 10.0)))
+            .alignMembers(declaredMembers = 2)
+            .df
+            .select(col("dataset"), graft.Det.tstr(col("time")).as("time"),
+              col("lat"), col("lon"), col("value"))
+            .orderBy(col("dataset"), col("time"), col("lat"), col("lon"))
+      }
+    },
     // r16 (VERDICT r15 #3): GROUP BY aggregate pushdown hash-graded —
     // the SAME dense grid split into a 3-member archive (dataset =
     // day-mod-3, the stream key's split), then
@@ -488,6 +516,52 @@ object Sources {
           true
       })
     if (wrote) Some(out) else None
+  }
+
+  /** One SHARED 2-member parity archive per (session, tier) for the
+    * catalog-ensemble key: members e0/e1 carry the SPARSE per-parity
+    * (day, lat-band, lon-band) counts, written through the DSv2 sink
+    * (NaN-fill + declared _FillValue restores exactly the sparse cells
+    * on read). A tier with only one parity writes one member — the
+    * align-away case the key grades. */
+  private val ensembleArchiveCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  private def sharedEnsembleArchive(s: SparkSession, dir: String): Option[String] = {
+    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"$roundtripRoot/catens_$tier"
+    val wrote = ensembleArchiveCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
+        val cells = graft.Tables.events(s, dir)
+          .groupBy(
+            concat(lit("e"), (col("event_id") % 2).cast("string")).as("dataset"),
+            date_trunc("day", col("ts")).as("time"),
+            ((col("user_id") % 3) * 10).cast("double").as("lat"),
+            (lit(100) + when(col("event_type") === "click", 0)
+              .when(col("event_type") === "view", 1)
+              .when(col("event_type") === "purchase", 2)
+              .when(col("event_type") === "signup", 3)
+              .otherwise(4) * 10).cast("double").as("lon"))
+          .agg(count(lit(1)).cast("double").as("value"))
+        if (cells.isEmpty) false
+        else {
+          cells.withColumn("variable", lit("events"))
+            .write.format("netcdf").mode("overwrite").save(out)
+          true
+        }
+      })
+    if (wrote) Some(out) else None
+  }
+
+  /** Empty-events tier result for q_source_catalog_ensemble: no
+    * archive, no members, zero aligned cells. */
+  private def emptyCatalogEnsembleResult(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("dataset", StringType), StructField("time", StringType),
+      StructField("lat", DoubleType), StructField("lon", DoubleType),
+      StructField("value", DoubleType))))
   }
 
   /** Empty-events tier result for q_source_dsv2_agg_grouped: GROUP BY
@@ -1063,5 +1137,29 @@ object Sources {
         |  strftime(CAST(maxd AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS t_max
         |FROM mem CROSS JOIN axes
         |WHERE nt * nla * nlo > 0
-        |ORDER BY dataset""".stripMargin)
+        |ORDER BY dataset""".stripMargin,
+
+    // q_source_catalog_ensemble: the aligned cell set recomputed from
+    // base events — sparse per-parity counts, the pushed lat bound in
+    // WHERE, alignment = cells both parities populate.
+    "q_source_catalog_ensemble" ->
+      """WITH cells AS (
+        |  SELECT CAST(event_id % 2 AS INT) AS par,
+        |    date_trunc('day', ts) AS time,
+        |    CAST((user_id % 3) * 10 AS DOUBLE) AS lat,
+        |    CAST(100 + (CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END) * 10
+        |      AS DOUBLE) AS lon,
+        |    CAST(COUNT(*) AS DOUBLE) AS value
+        |  FROM events
+        |  WHERE (user_id % 3) * 10 >= 10
+        |  GROUP BY 1, 2, 3, 4),
+        |aligned AS (
+        |  SELECT time, lat, lon FROM cells
+        |  GROUP BY 1, 2, 3
+        |  HAVING COUNT(DISTINCT par) = 2)
+        |SELECT 'e' || CAST(par AS VARCHAR) || '.h5' AS dataset,
+        |  strftime(time, '%Y-%m-%d %H:%M:%S') AS time, lat, lon, value
+        |FROM cells JOIN aligned USING (time, lat, lon)
+        |ORDER BY dataset, time, lat, lon""".stripMargin)
 }
