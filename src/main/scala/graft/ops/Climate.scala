@@ -311,7 +311,14 @@ object ClimateOps {
     * schema WITHOUT the eager distinct-discovery job Spark's
     * valueless `pivot` runs first — at 100 TB that job is a full
     * extra scan — and keeps the schema stable on an empty input
-    * (discovery over zero rows yields NO variable columns at all). */
+    * (discovery over zero rows yields NO variable columns at all).
+    *
+    * DROP SEMANTICS (r15 advice): a non-empty `values` list also
+    * means long-form rows whose `variable` is NOT in the list are
+    * SILENTLY dropped — standard Spark pivot behavior. A stale or
+    * partial list therefore loses data without an error; pass the
+    * exact melted set (or omit `values` to pay the discovery scan and
+    * keep every variable). */
   def pivotVariables(df: DataFrame, values: Seq[String] = Seq.empty): DataFrame = {
     val g = df.groupBy(col("dataset"), col("time"), col("lat"), col("lon"))
     (if (values.nonEmpty) g.pivot("variable", values)

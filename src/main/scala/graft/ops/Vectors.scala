@@ -107,6 +107,11 @@ object Vectors {
     v.crossJoin(broadcast(cs))
       .withColumn("best", array_min(transform(col("cs"), cc =>
         struct(d2of(cc).as("d2"), cc.getField("cid").as("cid")))))
+      // empty centroid set ⇒ array_min(empty) = NULL best: emit ZERO
+      // assignment rows, not every vector with NULL cid/d2 (r15 advice
+      // — unreachable from the current callers, where c is empty only
+      // when v is, but a latent trap for future ones)
+      .filter(col("best").isNotNull)
       .select(col("vec_id"), col("vm"),
         col("best").getField("cid").as("cid"),
         col("best").getField("d2").as("d2"))

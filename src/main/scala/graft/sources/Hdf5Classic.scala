@@ -34,8 +34,10 @@ import NetcdfClassic.{NcAttr, NcDim}
   *     chunks any variable with an unlimited time dimension), with
   *     the standard filter pipeline: DEFLATE (zlib turns out to need
   *     no external library — `java.util.zip.Inflater` ships in the
-  *     JDK), byte SHUFFLE, and fletcher32 (checksum dropped,
-  *     unverified like every checksum here), honoring per-chunk
+  *     JDK), byte SHUFFLE, fletcher32 (checksum dropped, unverified
+  *     like every checksum here), and r16 SZIP (the CCSDS-121
+  *     adaptive entropy coder, decoded from the public standard —
+  *     see szipDecode), honoring per-chunk
   *     filter masks — i.e. ordinary compressed netCDF-4 archives read
   *     end-to-end;
   *   - attributes v1 (padded) and v2/v3 (packed);
@@ -59,8 +61,9 @@ import NetcdfClassic.{NcAttr, NcDim}
   * Out of scope, rejected with NAMED errors (never a silent wrong
   * read): superblock v4+, direct/filtered huge heap IDs, extended
   * tiny heap IDs (heap ID length > 18), filtered heaps, heap offsets
-  * past the root indirect block's direct rows, non-standard filters
-  * (szip needs its native codec; nbit/scaleoffset READ since r14), and shared
+  * past the root indirect block's direct rows, filter ids outside the
+  * registered standard set (the whole standard pipeline READS:
+  * szip since r16, nbit/scaleoffset since r14), and shared
   * datatype messages.
   *
   * WRITE scope: a minimal but spec-valid netCDF-4-style grid file —
@@ -279,11 +282,12 @@ object Hdf5Classic {
           case 3 => // fletcher32: 4-byte checksum appended (unverified,
                     // like every other checksum this parser skips)
             java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
+          case 4 => szipDecode(raw, cdv, perChunk, dtype, name)
           case 5 => nbitDecode(raw, cdv, perChunk, dtype, name)
           case 6 => scaleoffsetDecode(raw, cdv, perChunk, dtype, name)
           case other => throw new IllegalArgumentException(
             s"'$name': filter id $other not supported (only deflate, " +
-              "shuffle, fletcher32, nbit, scaleoffset)")
+              "shuffle, fletcher32, szip, nbit, scaleoffset)")
         }
       }
       // nbit/scaleoffset decoders emit exactly perChunk elements by
@@ -534,6 +538,146 @@ object Hdf5Classic {
         }
       }
       out
+    }
+
+    // ---- SZIP filter (id 4) — r16 -----------------------------------
+    // CCSDS 121.0-B adaptive entropy decoder, built from the PUBLIC
+    // standard (the szip library and libaec implement the same
+    // format). Client data after H5Zszip set_local:
+    // [0]=options mask (4=EC entropy-only, 8=LSB, 16=MSB, 32=NN
+    // nearest-neighbor preprocessing, 128=raw), [1]=bits_per_pixel n,
+    // [2]=pixels_per_block J (even, <=32), [3]=pixels_per_scanline.
+    //
+    // Stream model: samples are processed scanline by scanline (the
+    // scanline is the reference-sample interval); each scanline splits
+    // into blocks of J samples (last block padded by the encoder and
+    // truncated here). Per block, an option ID of `idLen` bits
+    // (3 for n<=8, 4 for n<=16, else 5):
+    //  - 0 + ext bit 1 → SECOND EXTENSION: J/2 FS-coded γ values,
+    //    γ = (d0+d1)(d0+d1+1)/2 + d1 per sample pair (for a reference
+    //    block the first γ pairs a discarded phantom with sample 1);
+    //  - 0 + ext bit 0 → ZERO BLOCKS: one FS value f encodes a run of
+    //    all-zero blocks (f<4 → f+1 blocks, f=4 → rest of the 64-block
+    //    segment, f>4 → f blocks);
+    //  - 1..2^idLen-2 → SPLIT k = id-1: J FS-coded high parts, then
+    //    J k-bit low parts (k=0 is the pure fundamental sequence);
+    //  - all-ones → UNCOMPRESSED: J raw n-bit samples.
+    // With NN preprocessing each scanline's first sample is a raw
+    // n-bit reference following the first block's option ID; the other
+    // samples are the standard mapped prediction residuals
+    // (θ = min(pred, xmax-pred); 2δ / 2|δ|-1 / θ+|δ|), unmapped here
+    // against the running reconstruction. EC mode codes the sample
+    // values directly. Bits pack MSB-first (the shared BitReader);
+    // decoded samples re-pack in the DATATYPE's byte order, so the
+    // pipeline output is byte-identical to the pre-filter chunk. */
+    private def szipDecode(raw: Array[Byte], cdv: Seq[Int], perChunk: Int,
+                           dtype: H5Type, name: String): Array[Byte] = {
+      val options = cdvAt(cdv, 0, "szip", name).toInt
+      val n = cdvAt(cdv, 1, "szip", name).toInt
+      val j = cdvAt(cdv, 2, "szip", name).toInt
+      val ppl = cdvAt(cdv, 3, "szip", name).toInt
+      if ((options & 128) != 0) return raw // raw option: stored verbatim
+      require(n >= 1 && n <= 32,
+        s"'$name': szip bits_per_pixel $n outside [1, 32]")
+      require(j >= 2 && j <= 64 && j % 2 == 0,
+        s"'$name': szip pixels_per_block $j invalid (even, 2..64)")
+      require(ppl >= 1, s"'$name': szip pixels_per_scanline $ppl invalid")
+      val size = dtype.size
+      require(size == 1 || size == 2 || size == 4,
+        s"'$name': szip on $size-byte elements not supported " +
+          "(the szip filter applies to 1/2/4-byte samples)")
+      require(n <= size * 8,
+        s"'$name': szip bits_per_pixel $n exceeds the $size-byte datatype")
+      val nn = (options & 32) != 0
+      val idLen = if (n > 16) 5 else if (n > 8) 4 else 3
+      val maxId = (1 << idLen) - 1
+      val xmax = (1L << n) - 1
+      val br = new BitReader(raw)
+      def fs(): Long = { var c = 0L; while (br.take(1) == 0L) c += 1; c }
+      val out = new Array[Long](perChunk)
+      var pos = 0
+      while (pos < perChunk) {
+        val lineLen = math.min(ppl, perChunk - pos)
+        val blocks = (lineLen + j - 1) / j
+        val line = new Array[Long](blocks * j)
+        var b = 0
+        while (b < blocks) {
+          val ref = nn && b == 0
+          val id = br.take(idLen).toInt
+          if (id == 0) {
+            if (br.take(1) == 1L) { // second extension
+              var i = 0
+              if (ref) { line(0) = br.take(n); i = 1 }
+              while (i < j) {
+                val g = fs()
+                var ms = 0L
+                while ((ms + 1L) * (ms + 2L) / 2L <= g) ms += 1L
+                val d1 = g - ms * (ms + 1L) / 2L
+                if (i % 2 == 0) {
+                  line(b * j + i) = ms - d1; i += 1
+                  if (i < j) { line(b * j + i) = d1; i += 1 }
+                } else { line(b * j + i) = d1; i += 1 }
+              }
+              b += 1
+            } else { // zero-block run (mapped zeros are `line`'s default)
+              if (ref) line(b * j) = br.take(n)
+              val f = fs()
+              val run =
+                if (f + 1 == 5) math.min(64 - (b % 64), blocks - b) // ROS
+                else if (f + 1 > 5) f.toInt
+                else (f + 1).toInt
+              require(run <= blocks - b,
+                s"'$name': szip zero-block run $run overruns the scanline")
+              b += run
+            }
+          } else if (id == maxId) { // uncompressed
+            var i = 0
+            while (i < j) { line(b * j + i) = br.take(n); i += 1 }
+            b += 1
+          } else { // split, k = id - 1
+            val k = id - 1
+            var start = 0
+            if (ref) { line(b * j) = br.take(n); start = 1 }
+            val hi = new Array[Long](j)
+            var i = start
+            while (i < j) { hi(i) = fs(); i += 1 }
+            i = start
+            while (i < j) {
+              line(b * j + i) = (hi(i) << k) | br.take(k); i += 1
+            }
+            b += 1
+          }
+        }
+        if (nn) { // unmap prediction residuals against the running value
+          var prev = line(0)
+          out(pos) = prev
+          var i = 1
+          while (i < lineLen) {
+            val m = line(i)
+            val theta = math.min(prev, xmax - prev)
+            val delta =
+              if (m <= 2 * theta) { if (m % 2 == 0) m / 2 else -((m + 1) / 2) }
+              else if (theta == prev) m - theta // pred nearer 0 → positive
+              else theta - m                    // pred nearer xmax → negative
+            prev += delta
+            require(prev >= 0 && prev <= xmax,
+              s"'$name': szip unmapped sample $prev outside [0, $xmax] " +
+                "(corrupt stream or wrong parameters)")
+            out(pos + i) = prev
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < lineLen) { out(pos + i) = line(i); i += 1 }
+        }
+        pos += lineLen
+      }
+      val packed = new Array[Byte](perChunk * size)
+      var e = 0
+      while (e < perChunk) {
+        putOrdered(packed, e, size, out(e), dtype.littleEndian); e += 1
+      }
+      packed
     }
 
     /** All values of a numeric dataset as doubles (row-major). */
@@ -1410,10 +1554,10 @@ object Hdf5Classic {
               // chunked + filtered both readable (r12): the filter
               // pipeline (0x000B) supports deflate (JDK Inflater —
               // zlib needed no external library after all), byte
-              // shuffle, fletcher32 (checksum dropped unverified), and
+              // shuffle, fletcher32 (checksum dropped unverified),
               // r14 the two bit-manipulation filters nbit and
-              // scaleoffset; szip (the one genuinely native codec)
-              // rejects by name
+              // scaleoffset, and r16 szip (the CCSDS-121 adaptive
+              // entropy coder, decoded from the public standard)
               val filters: Seq[(Int, Seq[Int])] =
                 msgs.find(_.typ == 0x000B).map { fm =>
                   val fb = lbb(fm.body)
@@ -1434,11 +1578,10 @@ object Hdf5Classic {
                     }
                     val cdv = Seq.fill(ncdv)(fb.getInt())
                     if (fver == 1 && ncdv % 2 == 1) fb.getInt() // pad to 8
-                    require(id == 1 || id == 2 || id == 3 ||
-                      id == 5 || id == 6,
+                    require(id >= 1 && id <= 6,
                       s"'$name': filter id $id not supported (deflate=1, " +
-                        "shuffle=2, fletcher32=3, nbit=5, scaleoffset=6 " +
-                        "— szip needs its native codec)")
+                        "shuffle=2, fletcher32=3, szip=4, nbit=5, " +
+                        "scaleoffset=6)")
                     (id, cdv)
                   }
                 }.getOrElse(Nil)

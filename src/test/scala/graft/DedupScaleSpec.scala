@@ -393,6 +393,15 @@ class DedupScaleSpec extends AnyFunSuite
     assert(ops.Text.contamination(cDf, emptyB, minOverlap = 1).count() == 0)
     assert(ops.Text.decontaminate(cDf, emptyB, minOverlap = 1).count() ==
       cDf.count())
+    // law-pin the mechanism itself (r15 advice): the empty-build-side
+    // short-circuit was replaced by BloomFilterAggregate-over-zero-rows
+    // → NULL → might_contain(NULL) null-dropping in Filter — an
+    // implicit Spark contract this assertion would catch changing
+    val probed = ops.Dedup.bloomSemiFilter(
+      cDf.select($"doc_id"), emptyB.select($"doc_id"), "doc_id")
+    assert(probed.count() == 0,
+      "bloomSemiFilter over an EMPTY key set must drop every row " +
+        "(BloomFilterAggregate→NULL→might_contain NULL semantics)")
   }
 
   test("stratifiedSample windows a bounded survivor set, result == full window") {

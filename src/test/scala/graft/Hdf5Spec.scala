@@ -526,10 +526,17 @@ class Hdf5Spec extends AnyFunSuite {
       "edge-padded chunks must scatter-clip into the dense row-major array")
   }
 
-  test("non-standard filters (szip) are rejected by name") {
+  test("unknown filters are rejected by name; malformed szip rejects at read") {
+    // id 7 is past the registered standard set — parse rejects upfront
     val ex = intercept[IllegalArgumentException](
-      Hdf5Classic.parse(chunkedFile(filterId = Some(4))))
-    assert(ex.getMessage.contains("filter id 4"))
+      Hdf5Classic.parse(chunkedFile(filterId = Some(7))))
+    assert(ex.getMessage.contains("filter id 7"))
+    // szip (id 4, r16) parses, but an entry with NO client data — or
+    // on an 8-byte datatype, which the szip filter never applies to —
+    // rejects by name when the chunk is read, never a silent wrong read
+    val h5 = Hdf5Classic.parse(chunkedFile(filterId = Some(4)))
+    val ex2 = intercept[IllegalArgumentException](h5.read("v"))
+    assert(ex2.getMessage.contains("szip"))
   }
 
   // 1-D [4] f64 in chunks of [2] behind the given filter pipeline; the
@@ -699,12 +706,14 @@ class Hdf5Spec extends AnyFunSuite {
     b.array()
   }
 
-  /** filteredFile generalized over the datatype: 1-D [4] in chunks of
-    * [2] behind `pipeline`, element size from the dt. */
+  /** filteredFile generalized over the datatype: 1-D [2*chunkElems] in
+    * chunks of [chunkElems] behind `pipeline`, element size from the
+    * dt (default 2-element chunks — the r14 nbit/scaleoffset shape). */
   private def filteredFileDt(dtBody: Array[Byte], elemSize: Int,
                              pipeline: Seq[(Int, Seq[Int])],
                              chunk0: Array[Byte], chunk1: Array[Byte],
-                             mask1: Int = 0): Array[Byte] = {
+                             mask1: Int = 0,
+                             chunkElems: Int = 2): Array[Byte] = {
     def pad8(x: Int) = (x + 7) & ~7
     val filterBody = {
       val cdvLen = pipeline.map(f => f._2.length * 4 + (f._2.length % 2) * 4).sum
@@ -738,7 +747,7 @@ class Hdf5Spec extends AnyFunSuite {
     msg(0x0001, {
       val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.put(1.toByte); b.put(1.toByte); b.put(0.toByte)
-      b.put(new Array[Byte](5)); b.putLong(4L); b.array()
+      b.put(new Array[Byte](5)); b.putLong(2L * chunkElems); b.array()
     })
     msg(0x0003, dtBody)
     msg(0x000B, filterBody)
@@ -746,7 +755,7 @@ class Hdf5Spec extends AnyFunSuite {
       val b = java.nio.ByteBuffer.allocate(19).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.put(3.toByte); b.put(2.toByte); b.put(2.toByte)
       b.putLong(btAt.toLong)
-      b.putInt(2); b.putInt(elemSize)
+      b.putInt(chunkElems); b.putInt(elemSize)
       b.array()
     })
     assert(out.position() == btAt)
@@ -757,10 +766,10 @@ class Hdf5Spec extends AnyFunSuite {
     out.putLong(0L); out.putLong(0L)
     out.putLong(c0At.toLong)
     out.putInt(chunk1.length); out.putInt(mask1)
-    out.putLong(2L); out.putLong(0L)
+    out.putLong(chunkElems.toLong); out.putLong(0L)
     out.putLong(c1At.toLong)
     out.putInt(0); out.putInt(0)
-    out.putLong(4L); out.putLong(0L)
+    out.putLong(2L * chunkElems); out.putLong(0L)
     assert(out.position() == c0At)
     out.put(chunk0); out.put(chunk1)
     out.array()
@@ -951,6 +960,197 @@ class Hdf5Spec extends AnyFunSuite {
       deflate(shuffle(enc(Seq(12L, 7L)), 4)))
     assert(Hdf5Classic.parse(bytes).read("v").toSeq ==
       Seq(5.0, 9.0, 12.0, 7.0))
+  }
+
+  // ---- SZIP / CCSDS-121 (r16) --------------------------------------
+  // Mirror ENCODER for the adaptive entropy coder, hand-built from the
+  // public CCSDS 121.0-B standard (the same document the decoder
+  // cites) — every option is exercised through hand-packed bitstreams
+  // that must invert exactly through the full file path.
+
+  /** MSB-first mixed-width bit writer + FS (unary) codes. */
+  private final class SzBitW {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var acc = 0L; private var nb = 0
+    def put(v: Long, bits: Int): Unit = {
+      var left = bits
+      while (left > 0) {
+        val k = math.min(left, 8 - nb)
+        acc = (acc << k) | ((v >>> (left - k)) & ((1L << k) - 1))
+        nb += k; left -= k
+        if (nb == 8) { out += acc.toByte; acc = 0; nb = 0 }
+      }
+    }
+    def fs(v: Long): Unit = { var i = 0L; while (i < v) { put(0, 1); i += 1 }; put(1, 1) }
+    def bytes: Array[Byte] =
+      (out ++ (if (nb > 0) Seq(((acc << (8 - nb)) & 0xff).toByte) else Nil)).toArray
+  }
+
+  /** CCSDS prediction-residual mapping (the decoder's inverse). */
+  private def szMap(pred: Long, x: Long, xmax: Long): Long = {
+    val d = x - pred; val th = math.min(pred, xmax - pred)
+    if (d >= 0 && d <= th) 2 * d
+    else if (d < 0 && -d <= th) -2 * d - 1
+    else th + math.abs(d)
+  }
+
+  /** Split-option block: id = k+1, J FS high parts, then J k-bit LSBs. */
+  private def szSplit(w: SzBitW, idLen: Int, k: Int, mapped: Seq[Long]): Unit = {
+    w.put(k + 1L, idLen)
+    mapped.foreach(m => w.fs(m >>> k))
+    if (k > 0) mapped.foreach(m => w.put(m & ((1L << k) - 1), k))
+  }
+
+  test("SZIP EC mode: split-k and uncompressed blocks invert bit-exactly (r16)") {
+    // uint8, J=8, one 16-pixel scanline per chunk; options = EC|LSB
+    val cdv = Seq(4 | 8, 8, 8, 16)
+    val c0 = Seq[Long](0, 1, 2, 3, 4, 5, 6, 7, 250, 7, 128, 255, 0, 1, 99, 200)
+    val c1 = Seq[Long](9, 8, 11, 10, 13, 12, 15, 14, 42, 42, 42, 42, 17, 0, 255, 128)
+    def enc(vals: Seq[Long]): Array[Byte] = {
+      val w = new SzBitW
+      szSplit(w, 3, 2, vals.take(8))      // id=3 → k=2
+      w.put(7, 3); vals.drop(8).foreach(v => w.put(v, 8)) // uncompressed
+      w.bytes
+    }
+    val bytes = filteredFileDt(fixedDt(1, signed = false, 8, 0), 1,
+      Seq((4, cdv)), enc(c0), enc(c1), chunkElems = 16)
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq == (c0 ++ c1).map(_.toDouble))
+  }
+
+  test("SZIP NN mode: reference samples, overflow mapping, zero-blocks and ROS (r16)") {
+    // uint8, J=4, ppl=8 → two 8-pixel scanlines per 16-pixel chunk
+    val cdv = Seq(32 | 8, 8, 4, 8)
+    // scanline A: ref 2, then +5 (OVERFLOW: θ=2 < |δ|), -1, constant
+    val lineA = Seq[Long](2, 7, 6, 6, 6, 6, 6, 6)
+    // scanline B: constant 9 — ONE zero-run via ROS covers both blocks
+    val lineB = Seq.fill(8)(9L)
+    def mapped(line: Seq[Long]): Seq[Long] =
+      line.zip(line.head +: line.init).map { case (x, p) => szMap(p, x, 255) }
+    val w = new SzBitW
+    // A block0: split k=1 with reference (ref raw after the id)
+    val mA = mapped(lineA)
+    w.put(2, 3) // id=2 → k=1
+    w.put(lineA.head, 8)
+    mA.slice(1, 4).foreach(m => w.fs(m >>> 1))
+    mA.slice(1, 4).foreach(m => w.put(m & 1, 1))
+    // A block1: all-zero residuals → zero-block, run f+1 = 1
+    w.put(0, 3); w.put(0, 1); w.fs(0)
+    // B block0: zero-run with reference + ROS (f=4 → rest of segment)
+    w.put(0, 3); w.put(0, 1); w.put(lineB.head, 8); w.fs(4)
+    val enc = w.bytes
+    val bytes = filteredFileDt(fixedDt(1, signed = false, 8, 0), 1,
+      Seq((4, cdv)), enc, enc, chunkElems = 16)
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq ==
+      ((lineA ++ lineB) ++ (lineA ++ lineB)).map(_.toDouble))
+  }
+
+  test("SZIP second extension: pair transform, and the reference phantom pair (r16)") {
+    val xmax = 255L
+    // EC chunk: J=4, ppl=8, C=8; γ = (d0+d1)(d0+d1+1)/2 + d1
+    def gamma(d0: Long, d1: Long): Long = (d0 + d1) * (d0 + d1 + 1) / 2 + d1
+    val ec = Seq[Long](1, 0, 2, 1, 0, 0, 3, 0)
+    val wEc = new SzBitW
+    wEc.put(0, 3); wEc.put(1, 1); wEc.fs(gamma(1, 0)); wEc.fs(gamma(2, 1))
+    wEc.put(0, 3); wEc.put(1, 1); wEc.fs(gamma(0, 0)); wEc.fs(gamma(3, 0))
+    // NN chunk: scanlines of 4, ref block under SE — the first γ pairs
+    // a phantom zero with sample 1 (only d1 is used by the decoder)
+    val lineN = Seq[Long](10, 11, 11, 12)
+    val mN = lineN.zip(lineN.head +: lineN.init)
+      .map { case (x, p) => szMap(p, x, xmax) }
+    val wNn = new SzBitW
+    (0 until 2).foreach { _ => // same scanline twice = one 8-pixel chunk
+      wNn.put(0, 3); wNn.put(1, 1); wNn.put(lineN.head, 8)
+      wNn.fs(gamma(0, mN(1))); wNn.fs(gamma(mN(2), mN(3)))
+    }
+    val ecBytes = filteredFileDt(fixedDt(1, signed = false, 8, 0), 1,
+      Seq((4, Seq(4 | 8, 8, 4, 8))), wEc.bytes, wEc.bytes, chunkElems = 8)
+    assert(Hdf5Classic.parse(ecBytes).read("v").toSeq ==
+      (ec ++ ec).map(_.toDouble))
+    val nnBytes = filteredFileDt(fixedDt(1, signed = false, 8, 0), 1,
+      Seq((4, Seq(32 | 8, 8, 4, 4))), wNn.bytes, wNn.bytes, chunkElems = 8)
+    assert(Hdf5Classic.parse(nnBytes).read("v").toSeq ==
+      ((lineN ++ lineN) ++ (lineN ++ lineN)).map(_.toDouble))
+  }
+
+  test("SZIP 16-bit samples: 4-bit option ids, wide split, LE repack (r16)") {
+    // uint16 → idLen=4, maxId=15; split k=9 (id=10) + uncompressed
+    val cdv = Seq(4 | 8, 16, 4, 8)
+    val c0 = Seq[Long](0x1234, 0x0007, 0x01ff, 0x8000, 65535, 0, 1, 513)
+    def enc(vals: Seq[Long]): Array[Byte] = {
+      val w = new SzBitW
+      szSplit(w, 4, 9, vals.take(4))
+      w.put(15, 4); vals.drop(4).foreach(v => w.put(v, 16))
+      w.bytes
+    }
+    val bytes = filteredFileDt(fixedDt(2, signed = false, 16, 0), 2,
+      Seq((4, cdv)), enc(c0), enc(c0), chunkElems = 8)
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq ==
+      (c0 ++ c0).map(_.toDouble))
+  }
+
+  test("SZIP partial last block: encoder padding is truncated, not emitted (r16)") {
+    // ppl=10 = one 8-block + one 2-real/6-pad block per scanline chunk
+    val cdv = Seq(4 | 8, 8, 8, 10)
+    val vals = Seq[Long](5, 4, 3, 2, 1, 0, 7, 6, 200, 100)
+    def enc(): Array[Byte] = {
+      val w = new SzBitW
+      w.put(7, 3); vals.take(8).foreach(v => w.put(v, 8))
+      w.put(7, 3); (vals.drop(8) ++ Seq.fill(6)(100L)).foreach(v => w.put(v, 8))
+      w.bytes
+    }
+    val bytes = filteredFileDt(fixedDt(1, signed = false, 8, 0), 1,
+      Seq((4, cdv)), enc(), enc(), chunkElems = 10)
+    assert(Hdf5Classic.parse(bytes).read("v").toSeq ==
+      (vals ++ vals).map(_.toDouble))
+  }
+
+  test("SZIP round-trip property: seeded random scanlines, NN and EC, mixed options (r16)") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 10) {
+      val nn = rnd.nextBoolean()
+      val j = Seq(4, 8, 16)(rnd.nextInt(3))
+      val nblocks = 1 + rnd.nextInt(3)
+      val ppl = j * nblocks - (if (rnd.nextBoolean()) rnd.nextInt(j - 1) else 0)
+      val c = ppl * (1 + rnd.nextInt(2))
+      val vals = IndexedSeq.fill(2 * c)(rnd.nextInt(256).toLong)
+      def encChunk(chunk: Seq[Long]): Array[Byte] = {
+        val w = new SzBitW
+        chunk.grouped(ppl).foreach { line =>
+          val blocks = (line.length + j - 1) / j
+          val padded = (line ++ Seq.fill(blocks * j - line.length)(line.last))
+            .toIndexedSeq
+          // mv(0) of an NN scanline is the raw reference; the rest are
+          // mapped residuals against the previous ORIGINAL value
+          // (reconstruction equals original, so the chain matches)
+          val mv = padded.zipWithIndex.map { case (x, i) =>
+            if (!nn) x
+            else if (i == 0) x
+            else szMap(padded(i - 1), x, 255)
+          }
+          (0 until blocks).foreach { bi =>
+            val ref = nn && bi == 0
+            val blk = mv.slice(bi * j, bi * j + j)
+            if (rnd.nextBoolean()) { // uncompressed (ref raw in place)
+              w.put(7, 3); blk.foreach(v => w.put(v, 8))
+            } else { // split k
+              val k = rnd.nextInt(6)
+              w.put(k + 1L, 3)
+              if (ref) w.put(blk.head, 8)
+              val rest = if (ref) blk.tail else blk
+              rest.foreach(m => w.fs(m >>> k))
+              if (k > 0) rest.foreach(m => w.put(m & ((1L << k) - 1), k))
+            }
+          }
+        }
+        w.bytes
+      }
+      val opts = (if (nn) 32 else 4) | 8
+      val bytes = filteredFileDt(fixedDt(1, signed = false, 8, 0), 1,
+        Seq((4, Seq(opts, 8, j, ppl))),
+        encChunk(vals.take(c)), encChunk(vals.drop(c)), chunkElems = c)
+      assert(Hdf5Classic.parse(bytes).read("v").toSeq == vals.map(_.toDouble),
+        s"trial=$trial nn=$nn j=$j ppl=$ppl c=$c")
+    }
   }
 
   test("hyperslab readSlab prunes non-intersecting chunks (r13)") {
