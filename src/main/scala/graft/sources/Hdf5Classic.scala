@@ -58,13 +58,19 @@ import NetcdfClassic.{NcAttr, NcDim}
   * ANY depth via the recursive walk with libhdf5's per-level pointer
   * sizing; see the scope notes at the readers).
   *
+  * Also readable (r16): FILTERED fractal heaps — the heap's own I/O
+  * pipeline (deflate/shuffle/fletcher32) decodes filtered root direct
+  * blocks, the widened (address, stored size, filter mask) indirect
+  * entries, and filtered huge objects via the type-2 huge-object
+  * B-tree — plus DIRECT huge heap IDs (extent embedded in the ID,
+  * filtered or not).
+  *
   * Out of scope, rejected with NAMED errors (never a silent wrong
-  * read): superblock v4+, direct/filtered huge heap IDs, extended
-  * tiny heap IDs (heap ID length > 18), filtered heaps, heap offsets
-  * past the root indirect block's direct rows, filter ids outside the
-  * registered standard set (the whole standard pipeline READS:
-  * szip since r16, nbit/scaleoffset since r14), and shared
-  * datatype messages.
+  * read): superblock v4+, extended tiny heap IDs (heap ID length
+  * > 18), heap offsets past the root indirect block's direct rows,
+  * filter ids outside the registered standard set (the whole standard
+  * pipeline READS: szip since r16, nbit/scaleoffset since r14), and
+  * shared datatype messages.
   *
   * WRITE scope: a minimal but spec-valid netCDF-4-style grid file —
   * superblock v0, one root group (single SNOD; enough for the ≤2·K
@@ -81,6 +87,75 @@ object Hdf5Classic {
 
   private val MAGIC = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
   private val UNDEF = -1L
+
+  /** zlib inflate with a growing buffer (doc at the [[H5File]] shim). */
+  private def inflateBytes(in: Array[Byte], sizeHint: Int,
+                           name: String): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(in)
+      var out = new Array[Byte](math.max(sizeHint, 16))
+      var off = 0
+      while (!inf.finished()) {
+        if (off == out.length)
+          out = java.util.Arrays.copyOf(out, out.length * 2)
+        val k = inf.inflate(out, off, out.length - off)
+        if (k == 0 && !inf.finished() &&
+          (inf.needsInput() || inf.needsDictionary()))
+          throw new IllegalArgumentException(
+            s"'$name': truncated or non-zlib deflate chunk")
+        off += k
+      }
+      if (off == out.length) out else java.util.Arrays.copyOf(out, off)
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"'$name': corrupt deflate chunk (${e.getMessage})")
+    } finally inf.end()
+  }
+
+  /** Inverse of the byte-SHUFFLE filter: on disk all 0th bytes come
+    * first, then all 1st bytes, …; re-interleave per element. A
+    * trailing remainder (length % elemSize) is stored unshuffled. */
+  private def unshuffleBytes(in: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return in
+    val n = in.length / elemSize
+    val out = new Array[Byte](in.length)
+    var b = 0
+    while (b < elemSize) {
+      var i = 0
+      while (i < n) { out(i * elemSize + b) = in(b * n + i); i += 1 }
+      b += 1
+    }
+    System.arraycopy(in, n * elemSize, out, n * elemSize, in.length - n * elemSize)
+    out
+  }
+
+  /** Run a BYTE-stream filter pipeline in reverse (the fractal-heap
+    * form, r16: filtered direct blocks and filtered huge objects carry
+    * the heap's own I/O pipeline). Only the byte-generic filters make
+    * sense on heap bytes — deflate / shuffle / fletcher32; the
+    * element-typed ones (szip/nbit/scaleoffset) reject by name. The
+    * output must be EXACTLY `expectLen` bytes. */
+  private def defilterHeapBytes(raw0: Array[Byte],
+                                filters: Seq[(Int, Seq[Int])], mask: Int,
+                                expectLen: Int, what: String): Array[Byte] = {
+    var raw = raw0
+    filters.zipWithIndex.reverse.foreach { case ((id, cdv), fi) =>
+      if ((mask & (1 << fi)) == 0) raw = id match {
+        case 1 => inflateBytes(raw, expectLen, what)
+        case 2 => unshuffleBytes(raw, cdv.headOption.getOrElse(1))
+        case 3 => java.util.Arrays.copyOfRange(raw, 0, raw.length - 4)
+        case other => throw new IllegalArgumentException(
+          s"$what: heap filter id $other not supported " +
+            "(deflate, shuffle, fletcher32)")
+      }
+    }
+    require(raw.length == expectLen,
+      s"$what: defiltered heap bytes carry ${raw.length} for an " +
+        s"expected $expectLen (corrupt or truncated)")
+    raw
+  }
 
   // ---------------------------------------------------------- model
   /** values: String | Array[Double] | Array[Long] | H5Refs */
@@ -189,48 +264,16 @@ object Hdf5Classic {
       * filter like scaleoffset inflates to a stage size the chunk
       * geometry cannot predict; the HDF5 library's own inverse is
       * size-agnostic the same way). The final pipeline-output length
-      * is checked once in [[defilterChunk]]. */
+      * is checked once in [[defilterChunk]]. Object-scoped since r16:
+      * the fractal-heap reader in [[parse]] shares it. */
     private def inflate(in: Array[Byte], sizeHint: Int,
-                        name: String): Array[Byte] = {
-      val inf = new java.util.zip.Inflater()
-      try {
-        inf.setInput(in)
-        var out = new Array[Byte](math.max(sizeHint, 16))
-        var off = 0
-        while (!inf.finished()) {
-          if (off == out.length)
-            out = java.util.Arrays.copyOf(out, out.length * 2)
-          val k = inf.inflate(out, off, out.length - off)
-          if (k == 0 && !inf.finished() &&
-            (inf.needsInput() || inf.needsDictionary()))
-            throw new IllegalArgumentException(
-              s"'$name': truncated or non-zlib deflate chunk")
-          off += k
-        }
-        if (off == out.length) out else java.util.Arrays.copyOf(out, off)
-      } catch {
-        case e: java.util.zip.DataFormatException =>
-          throw new IllegalArgumentException(
-            s"'$name': corrupt deflate chunk (${e.getMessage})")
-      } finally inf.end()
-    }
+                        name: String): Array[Byte] =
+      Hdf5Classic.inflateBytes(in, sizeHint, name)
 
-    /** Inverse of the byte-SHUFFLE filter: on disk all 0th bytes come
-      * first, then all 1st bytes, …; re-interleave per element. A
-      * trailing remainder (length % elemSize) is stored unshuffled. */
-    private def unshuffle(in: Array[Byte], elemSize: Int): Array[Byte] = {
-      if (elemSize <= 1) return in
-      val n = in.length / elemSize
-      val out = new Array[Byte](in.length)
-      var b = 0
-      while (b < elemSize) {
-        var i = 0
-        while (i < n) { out(i * elemSize + b) = in(b * n + i); i += 1 }
-        b += 1
-      }
-      System.arraycopy(in, n * elemSize, out, n * elemSize, in.length - n * elemSize)
-      out
-    }
+    /** See [[Hdf5Classic.unshuffleBytes]]. */
+    private def unshuffle(in: Array[Byte], elemSize: Int): Array[Byte] =
+      Hdf5Classic.unshuffleBytes(in, elemSize)
+
 
     /** Raw-data chunk B-tree (v1, node type 1): every (chunk offsets,
       * data address, stored byte size, filter mask) tuple, recursing
@@ -1197,6 +1240,34 @@ object Hdf5Classic {
       if (ltype == 0) Some((nm, b.getLong())) else None
     }
 
+    // -- filter pipeline message body (0x000B), shared by the chunked
+    //    layout parse and (r16) fractal-heap I/O filter information
+    def parseFilterPipeline(fb: ByteBuffer, name: String): Seq[(Int, Seq[Int])] = {
+      val fver = fb.get() & 0xff
+      require(fver == 1 || fver == 2,
+        s"'$name': filter pipeline version $fver")
+      val nf = fb.get() & 0xff
+      if (fver == 1) fb.position(fb.position() + 6)
+      (0 until nf).map { _ =>
+        val id = fb.getShort() & 0xffff
+        val nameLen =
+          if (fver == 1 || id >= 256) fb.getShort() & 0xffff else 0
+        fb.getShort() // flags (bit 0 = optional filter)
+        val ncdv = fb.getShort() & 0xffff
+        if (nameLen > 0) {
+          val skip = if (fver == 1) (nameLen + 7) & ~7 else nameLen
+          fb.position(fb.position() + skip)
+        }
+        val cdv = Seq.fill(ncdv)(fb.getInt())
+        if (fver == 1 && ncdv % 2 == 1) fb.getInt() // pad to 8
+        require(id >= 1 && id <= 6,
+          s"'$name': filter id $id not supported (deflate=1, " +
+            "shuffle=2, fletcher32=3, szip=4, nbit=5, " +
+            "scaleoffset=6)")
+        (id, cdv)
+      }
+    }
+
     // -- fractal heap + v2 B-tree (r13): DENSE link/attribute storage.
     //    libver=latest files move group links past the compact limit
     //    (8 by default) and attributes past 8 into a fractal heap
@@ -1204,15 +1275,17 @@ object Hdf5Classic {
     //    point lookups) still needs the B-tree: the heap does not
     //    delimit its objects — the (offset, length) pairs live only in
     //    the B-tree records' heap IDs. Scope: managed objects in
-    //    unfiltered heaps, root direct block or root indirect block
-    //    with direct-block rows (≈2·width·maxDirectSize of link/attr
-    //    bytes — far past any realistic group), v2 B-trees of ANY
-    //    depth (recursive walk, per-level pointer widths from the
-    //    cumulative-maximum math); tiny heap IDs read (data in the ID
-    //    itself); huge IDs resolve via the heap's type-1 huge-object
-    //    B-tree (the >max-managed-size attribute case); direct or
-    //    filtered huge IDs, extended tiny IDs, and filtered heaps
-    //    reject by name like every out-of-scope path.
+    //    unfiltered AND (r16) FILTERED heaps (the heap's own I/O
+    //    pipeline decodes root direct blocks, widened indirect
+    //    entries, and huge objects), root direct block or root
+    //    indirect block with direct-block rows (≈2·width·maxDirectSize
+    //    of link/attr bytes — far past any realistic group), v2
+    //    B-trees of ANY depth (recursive walk, per-level pointer
+    //    widths from the cumulative-maximum math); tiny heap IDs read
+    //    (data in the ID itself); huge IDs resolve via the heap's
+    //    type-1/type-2 huge-object B-tree or directly from wide IDs
+    //    (r16); extended tiny IDs reject by name like every
+    //    out-of-scope path.
     def asciiSig(at: Long): String =
       new String(bytes, at.toInt, 4, StandardCharsets.US_ASCII)
     def readVarLong(b: ByteBuffer, n: Int): Long = {
@@ -1225,14 +1298,20 @@ object Hdf5Classic {
     def bytesFor(max: Long): Int =
       (63 - java.lang.Long.numberOfLeadingZeros(math.max(max, 1L))) / 8 + 1
 
-    // per-heap memo of the huge-object B-tree: id → (address, length)
-    val hugeMaps =
-      scala.collection.mutable.HashMap.empty[Long, Map[Long, (Long, Long)]]
+    // per-heap memo of the huge-object B-tree:
+    // id → (address, stored length, filter mask, memory size)
+    val hugeMaps = scala.collection.mutable
+      .HashMap.empty[Long, Map[Long, (Long, Long, Int, Long)]]
 
     final case class FHeap(idLen: Int, offBytes: Int,
                            lenBytes: Int, width: Int, startSize: Long,
                            maxDirectSize: Long, rootAddr: Long, curRows: Int,
-                           hugeBtAddr: Long)
+                           hugeBtAddr: Long,
+                           filters: Seq[(Int, Seq[Int])] = Nil,
+                           rootFilteredSize: Long = 0L,
+                           rootFilterMask: Int = 0,
+                           managedSpace: Long = 0L,
+                           checksummed: Boolean = false)
     def fractalHeap(addr: Long): FHeap = {
       require(asciiSig(addr) == "FRHP", s"no fractal heap header at $addr")
       val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
@@ -1241,17 +1320,18 @@ object Hdf5Classic {
       require(ver == 0, s"fractal heap version $ver")
       val idLen = b.getShort() & 0xffff
       val ioFilterLen = b.getShort() & 0xffff
-      require(ioFilterLen == 0, "filtered fractal heap not supported")
-      b.get() // flags (bit 1: direct blocks checksummed — skipped here
-              // like every other checksum this parser does not verify)
+      val flags = b.get() & 0xff // bit 1: direct blocks checksummed —
+        // the checksum itself stays unverified like every other, but a
+        // FILTERED block's logical size must account for its 4 bytes
       b.getInt()                           // max size of managed objects
       b.getLong()                          // next huge object id
       val hugeBtAddr = b.getLong()         // v2 B-tree of huge objects
-      b.position(b.position() + 8 + 8 + 8 + 8 + 8) // free space + mgr,
-        // managed space, allocated, iterator offset
+      b.getLong(); b.getLong()             // free space, fs manager
+      val managedSpace = b.getLong()       // amount of managed heap space
+      b.getLong(); b.getLong()             // allocated, iterator offset
       b.getLong()                          // number of managed objects
       b.getLong(); b.getLong()             // huge size / count (huge
-        // objects resolve through the type-1 B-tree, see fheapObject)
+        // objects resolve through the huge-object B-tree, see fheapObject)
       b.getLong(); b.getLong()               // tiny size / count (tiny
         // objects read fine — their data lives in the heap ID itself)
       val width = b.getShort() & 0xffff
@@ -1261,12 +1341,61 @@ object Hdf5Classic {
       b.getShort()                         // starting rows in root indirect
       val rootAddr = b.getLong()
       val curRows = b.getShort() & 0xffff
+      // r16: FILTERED heaps read too — when the header declares an I/O
+      // pipeline, (a) a root DIRECT block's stored size + filter mask
+      // ride the header here, and (b) the pipeline itself follows as a
+      // standard filter-pipeline message body
+      var rootFilteredSize = 0L
+      var rootFilterMask = 0
+      var filters: Seq[(Int, Seq[Int])] = Nil
+      if (ioFilterLen > 0) {
+        if (rootAddr != UNDEF && curRows == 0) {
+          rootFilteredSize = b.getLong()
+          rootFilterMask = b.getInt()
+        }
+        val body = new Array[Byte](ioFilterLen)
+        b.get(body)
+        filters = parseFilterPipeline(lbb(body), s"fractal heap at $addr")
+      }
       val offBytes = (maxHeapBits + 7) / 8
       // heap ID = 1 flag byte + offset + length; the header stores the
       // total, so the length width needs no second formula
       FHeap(idLen, offBytes, idLen - 1 - offBytes,
-        width, startSize, maxDirect, rootAddr, curRows, hugeBtAddr)
+        width, startSize, maxDirect, rootAddr, curRows, hugeBtAddr,
+        filters, rootFilteredSize, rootFilterMask, managedSpace,
+        checksummed = (flags & 2) != 0)
     }
+
+    /** Logical bytes of one direct block (r16): unfiltered blocks read
+      * in place; filtered blocks defilter ONCE per (heap, address) —
+      * the whole block, FHDB header included, is what the pipeline
+      * covers. `blockSize` is the block's logical size from the
+      * doubling table (or the managed-space total for a root direct
+      * block). */
+    val directBlockCache =
+      scala.collection.mutable.HashMap.empty[Long, Array[Byte]]
+    def directBlockBytes(h: FHeap, blockAddr: Long, storedSize: Long,
+                         mask: Int, blockSize: Long): Array[Byte] =
+      directBlockCache.getOrElseUpdate(blockAddr, {
+        val logical =
+          if (h.filters.isEmpty)
+            java.util.Arrays.copyOfRange(bytes, blockAddr.toInt,
+              (blockAddr + blockSize).toInt)
+          else {
+            require(storedSize > 0,
+              s"filtered fractal-heap direct block at $blockAddr " +
+                "has no stored size")
+            defilterHeapBytes(
+              java.util.Arrays.copyOfRange(bytes, blockAddr.toInt,
+                (blockAddr + storedSize).toInt),
+              h.filters, mask, blockSize.toInt,
+              s"fractal-heap direct block at $blockAddr")
+          }
+        require(logical.length >= 4 &&
+          new String(logical, 0, 4, StandardCharsets.US_ASCII) == "FHDB",
+          s"no fractal heap direct block at $blockAddr")
+        logical
+      })
 
     /** Managed-object bytes for one heap ID (offset into the heap's
       * linear space, which INCLUDES block headers — the direct block's
@@ -1291,17 +1420,36 @@ object Hdf5Classic {
       }
       if (typ == 1) {
         // HUGE object (> max managed size — a long attribute value in
-        // dense storage is the realistic producer). The default dense
-        // heaps use 8-byte IDs, too small to embed (address, length)
-        // directly, so the ID carries a huge-object NUMBER resolved
-        // through the heap's own v2 B-tree of huge objects (record
-        // type 1: address, length, ID — the unfiltered indirect form).
-        // Direct huge IDs (idLen ≥ 17 embeds addr+len in the ID) and
-        // filtered huge objects reject by name: no standard dense
-        // group produces either.
-        require(h.idLen < 1 + 8 + 8,
-          s"direct huge fractal-heap IDs (id length ${h.idLen} ≥ 17) " +
-            "not supported")
+        // dense storage is the realistic producer). Two access forms
+        // (both read since r16, with and without the heap's filters):
+        //  - DIRECT: the heap's id slots are wide enough to embed the
+        //    extent itself — address + stored length (+ filter mask +
+        //    de-filtered size when the heap carries an I/O pipeline);
+        //  - INDIRECT: the default 8-byte IDs carry a huge-object
+        //    NUMBER resolved through the heap's own v2 B-tree of huge
+        //    objects (record type 1 unfiltered: address, length, id;
+        //    type 2 filtered: address, stored length, filter mask,
+        //    memory size, id).
+        def hugeBytes(at: Long, stored: Long, mask: Int,
+                      memSize: Long, what: String): Array[Byte] = {
+          require(at != UNDEF && stored > 0 && at + stored <= bytes.length,
+            s"$what has corrupt extent ($at + $stored B)")
+          val raw = java.util.Arrays.copyOfRange(
+            bytes, at.toInt, (at + stored).toInt)
+          if (h.filters.isEmpty) raw
+          else defilterHeapBytes(raw, h.filters, mask, memSize.toInt, what)
+        }
+        val directIdLen =
+          1 + 8 + 8 + (if (h.filters.nonEmpty) 4 + 8 else 0)
+        if (h.idLen >= directIdLen) {
+          // DIRECT huge ID: extent embedded in the ID itself
+          val at = readVarLong(ib, 8)
+          val stored = readVarLong(ib, 8)
+          val (mask, mem) =
+            if (h.filters.isEmpty) (0, stored)
+            else (readVarLong(ib, 4).toInt, readVarLong(ib, 8))
+          return hugeBytes(at, stored, mask, mem, "direct huge heap object")
+        }
         require(h.hugeBtAddr != UNDEF,
           "huge heap object without a huge-object v2 B-tree")
         // libhdf5 caps the huge-object id at 8 encoded bytes even when
@@ -1311,24 +1459,29 @@ object Hdf5Classic {
         // one B-tree walk per heap, memoized: N huge attributes must
         // not mean N full-tree rescans
         val hugeMap = hugeMaps.getOrElseUpdate(h.hugeBtAddr,
-          v2BtreeRecords(h.hugeBtAddr, wantType = 1).map { r =>
+          v2BtreeRecords(h.hugeBtAddr,
+            wantType = if (h.filters.isEmpty) 1 else 2).map { r =>
             val rb = lbb(r)
-            rb.getLong(16) -> (rb.getLong(0), rb.getLong(8))
+            if (h.filters.isEmpty)
+              rb.getLong(16) -> (rb.getLong(0), rb.getLong(8), 0,
+                rb.getLong(8))
+            else
+              rb.getLong(28) -> (rb.getLong(0), rb.getLong(8),
+                rb.getInt(16), rb.getLong(20))
           }.toMap)
-        val (at, len) = hugeMap.getOrElse(hugeId,
+        val (at, stored, mask, mem) = hugeMap.getOrElse(hugeId,
           throw new IllegalArgumentException(
             s"huge object id $hugeId not in the huge-object B-tree"))
-        require(at != UNDEF && len > 0 && at + len <= bytes.length,
-          s"huge object id $hugeId has corrupt extent ($at + $len B)")
-        return java.util.Arrays.copyOfRange(
-          bytes, at.toInt, (at + len).toInt)
+        return hugeBytes(at, stored, mask, mem, s"huge object id $hugeId")
       }
       require(typ == 0,
         s"fractal-heap object type $typ not supported")
       val off = readVarLong(ib, h.offBytes)
       val len = readVarLong(ib, h.lenBytes).toInt
-      val (blockAddr, blockOff) =
-        if (h.curRows == 0) (h.rootAddr, 0L) // root IS one direct block
+      val (blockAddr, blockOff, storedSize, mask, blockSize) =
+        if (h.curRows == 0) // root IS one direct block
+          (h.rootAddr, 0L, h.rootFilteredSize, h.rootFilterMask,
+            if (h.managedSpace > 0) h.managedSpace else h.startSize)
         else {
           // doubling table: rows 0,1 of startSize blocks, row i≥2 of
           // startSize·2^(i-1); width blocks per row, direct rows first
@@ -1351,15 +1504,33 @@ object Hdf5Classic {
             s"fractal-heap offset $off beyond the root block's " +
               s"${h.curRows} rows")
           val entriesAt = h.rootAddr.toInt + 4 + 1 + 8 + h.offBytes
-          val child = bb.getLong(entriesAt + (row * h.width + col) * 8)
+          // r16: a FILTERED heap's indirect entries widen to
+          // (address, stored size, filter mask) triples
+          val stride = if (h.filters.isEmpty) 8 else 8 + 8 + 4
+          val entAt = entriesAt + (row * h.width + col) * stride
+          val child = bb.getLong(entAt)
           require(child != UNDEF,
             s"fractal-heap offset $off points into an unallocated block")
-          (child, cum + col.toLong * rowSize(row))
+          val (entStored, entMask) =
+            if (h.filters.isEmpty) (0L, 0)
+            else (bb.getLong(entAt + 8), bb.getInt(entAt + 16))
+          (child, cum + col.toLong * rowSize(row), entStored, entMask,
+            rowSize(row))
         }
-      require(asciiSig(blockAddr) == "FHDB",
-        s"no fractal heap direct block at $blockAddr")
-      val at = (blockAddr + (off - blockOff)).toInt
-      java.util.Arrays.copyOfRange(bytes, at, at + len)
+      if (h.filters.isEmpty) {
+        // unfiltered: read in place, no block materialization
+        require(asciiSig(blockAddr) == "FHDB",
+          s"no fractal heap direct block at $blockAddr")
+        val at = (blockAddr + (off - blockOff)).toInt
+        java.util.Arrays.copyOfRange(bytes, at, at + len)
+      } else {
+        val block = directBlockBytes(h, blockAddr, storedSize, mask, blockSize)
+        val at = (off - blockOff).toInt
+        require(at >= 0 && at + len <= block.length,
+          s"fractal-heap object at $off+$len overruns its " +
+            s"${block.length}-byte defiltered direct block")
+        java.util.Arrays.copyOfRange(block, at, at + len)
+      }
     }
     def bitsOf(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
 
@@ -1559,32 +1730,9 @@ object Hdf5Classic {
               // scaleoffset, and r16 szip (the CCSDS-121 adaptive
               // entropy coder, decoded from the public standard)
               val filters: Seq[(Int, Seq[Int])] =
-                msgs.find(_.typ == 0x000B).map { fm =>
-                  val fb = lbb(fm.body)
-                  val fver = fb.get() & 0xff
-                  require(fver == 1 || fver == 2,
-                    s"'$name': filter pipeline version $fver")
-                  val nf = fb.get() & 0xff
-                  if (fver == 1) fb.position(fb.position() + 6)
-                  (0 until nf).map { _ =>
-                    val id = fb.getShort() & 0xffff
-                    val nameLen =
-                      if (fver == 1 || id >= 256) fb.getShort() & 0xffff else 0
-                    fb.getShort() // flags (bit 0 = optional filter)
-                    val ncdv = fb.getShort() & 0xffff
-                    if (nameLen > 0) {
-                      val skip = if (fver == 1) (nameLen + 7) & ~7 else nameLen
-                      fb.position(fb.position() + skip)
-                    }
-                    val cdv = Seq.fill(ncdv)(fb.getInt())
-                    if (fver == 1 && ncdv % 2 == 1) fb.getInt() // pad to 8
-                    require(id >= 1 && id <= 6,
-                      s"'$name': filter id $id not supported (deflate=1, " +
-                        "shuffle=2, fletcher32=3, szip=4, nbit=5, " +
-                        "scaleoffset=6)")
-                    (id, cdv)
-                  }
-                }.getOrElse(Nil)
+                msgs.find(_.typ == 0x000B)
+                  .map(fm => parseFilterPipeline(lbb(fm.body), name))
+                  .getOrElse(Nil)
               val dimensionality = b.get() & 0xff // rank + 1 (elem size)
               val bt = b.getLong()
               val dims = Seq.fill(dimensionality)(b.getInt())

@@ -1687,24 +1687,265 @@ class Hdf5Spec extends AnyFunSuite {
     assert(h5.read("b").toSeq == Seq(9.0, 8.0))
   }
 
-  test("fractal-heap poisons reject by name: huge ID sans B-tree, filtered heap") {
+  test("fractal-heap poisons reject by name: huge ID sans B-tree") {
     // a HUGE heap ID in a heap whose header has no huge-object B-tree
     // (address undefined) is corrupt — named error, never a wrong read
     val exT = intercept[IllegalArgumentException](
       Hdf5Classic.parse(denseLinkFile(idType = 1)))
     assert(exT.getMessage.contains("huge"))
-    // filtered heaps (compressed direct blocks) stay out of scope: no
-    // standard dense group writes one — poison the FRHP filter length
-    val filtered = denseLinkFile()
-    filtered(81 + 7) = 4 // FRHP: sig(4)+ver(1)+idLen(2) → I/O filter len
-    val exF = intercept[IllegalArgumentException](
-      Hdf5Classic.parse(filtered))
-    assert(exF.getMessage.contains("filtered fractal heap"))
     // a header that merely COUNTS huge objects parses fine when every
     // referenced ID is managed/tiny (the count is bookkeeping; reads
     // only fail on an actual unresolvable huge ID)
     assert(Hdf5Classic.parse(denseLinkFile(hugeCount = 1L))
       .vars.map(_.name).sorted == Seq("a", "b"))
+  }
+
+  /** zlib-deflate helper shared with the filtered-chunk tests. */
+  private def deflateBytes(in: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(in); d.finish()
+    val buf = new Array[Byte](in.length + 64)
+    val n = d.deflate(buf); d.end()
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Dense-link group over a FILTERED fractal heap (r16): the root
+    * direct block — FHDB header + both link messages, zero-padded to
+    * the 512-byte managed space — is stored DEFLATED; the heap header
+    * carries the stored size, filter mask, and a version-2 filter
+    * pipeline body. `hugeB`: link "b" moves out of the block into a
+    * filtered HUGE object resolved through a type-2 (filtered
+    * indirect) huge-object v2 B-tree. */
+  private def denseLinkFileFiltered(hugeB: Boolean): Array[Byte] = {
+    val heapAddr = 81L
+    // logical root direct block: 17-byte FHDB header + link messages
+    val logical = java.nio.ByteBuffer.allocate(512)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // dataset addresses depend on downstream sizes — computed below,
+    // so build the block LAST; first lay out sizes symbolically
+    val pipeBody = {
+      val b = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(1.toByte)        // pipeline v2, 1 filter
+      b.putShort(1); b.putShort(0); b.putShort(1) // deflate, flags, ncdv
+      b.putInt(6)                             // level
+      b.array()
+    }
+    val frhpLen = 146 + 8 + 4 + pipeBody.length // filtered-root extras
+    val blockAt = 81 + frhpLen
+    // sizes of the trailing fixed parts
+    val bthd5Len = 38
+    val btlf5Len = 6 + 2 * (4 + 7) + 4
+    val dsLen = 73
+    // the deflated sizes depend on the link-target addresses, which
+    // depend on the deflated sizes — iterate the fixed point (the
+    // layout is varint-free, so it converges in one or two passes)
+    var dz = 64 // root-block stored-size guess
+    var hz = 20 // huge-object stored-size guess
+    var bytesOut: Array[Byte] = null
+    var iter = 0
+    while (iter < 16 && bytesOut == null) {
+      val bt5At = blockAt + dz
+      val leaf5At = bt5At + bthd5Len
+      val afterLeaf = leaf5At + btlf5Len
+      // huge variant appends: deflated link-b object + BTHD2 + BTLF2
+      val (hugeAt, bt2At, leaf2At, dsAAt) =
+        if (hugeB)
+          (afterLeaf, afterLeaf + hz, afterLeaf + hz + bthd5Len,
+            afterLeaf + hz + bthd5Len + (6 + 36 + 4))
+        else (0, 0, 0, afterLeaf)
+      val dataAAt = dsAAt + dsLen
+      val dsBAt = dataAAt + 24
+      val dataBAt = dsBAt + dsLen
+      val eof = dataBAt + 16
+      // now build the REAL logical block with final addresses
+      val lb = java.nio.ByteBuffer.allocate(512)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      lb.put("FHDB".getBytes(StandardCharsets.US_ASCII))
+      lb.put(0.toByte); lb.putLong(heapAddr); lb.putInt(0)
+      lb.put(linkMsg("a", dsAAt))             // heap offset 17
+      if (!hugeB) lb.put(linkMsg("b", dsBAt)) // heap offset 29
+      val stored = deflateBytes(lb.array())
+      val hugeStoredBytes =
+        if (hugeB) deflateBytes(linkMsg("b", dsBAt)) else Array.empty[Byte]
+      if (stored.length != dz || (hugeB && hugeStoredBytes.length != hz)) {
+        dz = stored.length
+        if (hugeB) hz = hugeStoredBytes.length
+        iter += 1
+      } else {
+        val out = java.nio.ByteBuffer.allocate(eof)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+        out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+        out.putLong(0L); out.putLong(-1L)
+        out.putLong(eof.toLong); out.putLong(48L); out.putInt(0)
+        assert(out.position() == 48)
+        out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+        out.put(2.toByte); out.put(0.toByte); out.put(22.toByte)
+        out.put(0x02.toByte); out.putShort(18); out.put(0.toByte)
+        out.put(0.toByte); out.put(0.toByte)
+        out.putLong(heapAddr)
+        out.putLong(bt5At.toLong)
+        out.putInt(0)
+        assert(out.position() == 81)
+        // FRHP with filters
+        out.put("FRHP".getBytes(StandardCharsets.US_ASCII))
+        out.put(0.toByte)
+        out.putShort(7); out.putShort(pipeBody.length.toShort)
+        out.put(0.toByte)
+        out.putInt(4096)
+        out.putLong(if (hugeB) 2L else 0L)      // next huge id
+        out.putLong(if (hugeB) bt2At.toLong else -1L)
+        out.putLong(0L); out.putLong(-1L)       // free space, fs mgr
+        out.putLong(512L); out.putLong(512L); out.putLong(41L) // managed/alloc/iter
+        out.putLong(if (hugeB) 1L else 2L)      // managed objects
+        out.putLong(if (hugeB) 12L else 0L); out.putLong(if (hugeB) 1L else 0L)
+        out.putLong(0L); out.putLong(0L)        // tiny size / count
+        out.putShort(4); out.putLong(512L); out.putLong(65536L)
+        out.putShort(32); out.putShort(1)
+        out.putLong(blockAt.toLong); out.putShort(0) // root direct, 0 rows
+        out.putLong(stored.length.toLong)       // filtered root size
+        out.putInt(0)                           // root filter mask
+        out.put(pipeBody)
+        out.putInt(0)                           // checksum (unverified)
+        assert(out.position() == blockAt, s"${out.position()} != $blockAt")
+        out.put(stored)
+        assert(out.position() == bt5At)
+        out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+        out.put(0.toByte); out.put(5.toByte)
+        out.putInt(512); out.putShort(11)
+        out.putShort(0)
+        out.put(100.toByte); out.put(40.toByte)
+        out.putLong(leaf5At.toLong); out.putShort(2)
+        out.putLong(2L); out.putInt(0)
+        assert(out.position() == leaf5At)
+        out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+        out.put(0.toByte); out.put(5.toByte)
+        out.putInt(0)
+        out.put(heapId7(17, 12))                // link "a": managed
+        out.putInt(0)
+        if (hugeB) {
+          out.put((1 << 4).toByte)              // HUGE id, number 1
+          out.put(Array[Byte](1, 0, 0, 0, 0, 0))
+        } else out.put(heapId7(29, 12))
+        out.putInt(0)
+        if (hugeB) {
+          assert(out.position() == hugeAt, s"${out.position()} != $hugeAt")
+          out.put(hugeStoredBytes)
+          assert(out.position() == bt2At)
+          out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+          out.put(0.toByte); out.put(2.toByte)  // type 2: filtered huge
+          out.putInt(512); out.putShort(36)
+          out.putShort(0)
+          out.put(100.toByte); out.put(40.toByte)
+          out.putLong(leaf2At.toLong); out.putShort(1)
+          out.putLong(1L); out.putInt(0)
+          assert(out.position() == leaf2At)
+          out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+          out.put(0.toByte); out.put(2.toByte)
+          out.putLong(hugeAt.toLong)            // address
+          out.putLong(hugeStoredBytes.length.toLong) // stored length
+          out.putInt(0)                         // filter mask
+          out.putLong(12L)                      // memory (defiltered) size
+          out.putLong(1L)                       // huge object id
+          out.putInt(0)                         // checksum
+        }
+        assert(out.position() == dsAAt)
+        putDatasetOhdr(out, 3L, dataAAt.toLong)
+        assert(out.position() == dataAAt)
+        out.putDouble(1.5); out.putDouble(2.5); out.putDouble(3.5)
+        assert(out.position() == dsBAt)
+        putDatasetOhdr(out, 2L, dataBAt.toLong)
+        assert(out.position() == dataBAt)
+        out.putDouble(9.0); out.putDouble(8.0)
+        bytesOut = out.array()
+      }
+    }
+    assert(bytesOut != null, "filtered-heap fixture did not converge")
+    bytesOut
+  }
+
+  test("FILTERED fractal heap: deflated root direct block reads (r16)") {
+    val h5 = Hdf5Classic.parse(denseLinkFileFiltered(hugeB = false))
+    assert(h5.vars.map(_.name).sorted == Seq("a", "b"))
+    assert(h5.read("a").toSeq == Seq(1.5, 2.5, 3.5))
+    assert(h5.read("b").toSeq == Seq(9.0, 8.0))
+  }
+
+  test("FILTERED huge heap objects resolve through the type-2 B-tree (r16)") {
+    val h5 = Hdf5Classic.parse(denseLinkFileFiltered(hugeB = true))
+    assert(h5.vars.map(_.name).sorted == Seq("a", "b"))
+    assert(h5.read("a").toSeq == Seq(1.5, 2.5, 3.5))
+    assert(h5.read("b").toSeq == Seq(9.0, 8.0),
+      "link b must arrive through the deflated huge object")
+  }
+
+  /** Dense-link group (unfiltered) whose link "b" rides a DIRECT huge
+    * heap ID: idLen 17 embeds (address, stored length) in the ID
+    * itself — no huge-object B-tree at all. Link "a" is managed with
+    * the same wide ID layout (offBytes 4, lenBytes 12). */
+  private def denseLinkFileDirectHuge(): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(544)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+    out.putLong(0L); out.putLong(-1L)
+    out.putLong(544L); out.putLong(48L); out.putInt(0)
+    assert(out.position() == 48)
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(22.toByte)
+    out.put(0x02.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(0.toByte); out.put(0.toByte)
+    out.putLong(81L)                        // fractal heap header
+    out.putLong(256L)                       // type-5 name-index B-tree
+    out.putInt(0)
+    assert(out.position() == 81)
+    putFrhp(out, idLen = 17, rootAddr = 227L, curRows = 0,
+      nHuge = 1L, nManaged = 1L)
+    assert(out.position() == 227)
+    putFhdb(out, 81L, 0)                    // root IS the direct block
+    assert(out.position() == 244)           // heap offset 17
+    out.put(linkMsg("a", 358L))             // managed object at offset 17
+    assert(out.position() == 256)
+    out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(512); out.putShort(21)       // record = hash(4) + id(17)
+    out.putShort(0)
+    out.put(100.toByte); out.put(40.toByte)
+    out.putLong(294L); out.putShort(2)
+    out.putLong(2L); out.putInt(0)
+    assert(out.position() == 294)
+    out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0)                           // hash of "a"
+    out.put(0.toByte); out.putInt(17)       // managed: flag + offset(4)
+    // lenBytes = idLen-1-offBytes = 12: length 12, little-endian
+    out.put(12.toByte); out.put(Array.fill[Byte](11)(0))
+    out.putInt(0)                           // hash of "b"
+    out.put((1 << 4).toByte)                // DIRECT huge ID
+    out.putLong(346L)                       // address of the raw object
+    out.putLong(12L)                        // stored length
+    out.putInt(0)                           // leaf checksum
+    assert(out.position() == 346)
+    out.put(linkMsg("b", 455L))             // the huge object bytes (raw)
+    assert(out.position() == 358)
+    putDatasetOhdr(out, 3L, 431L)
+    assert(out.position() == 431)
+    out.putDouble(1.5); out.putDouble(2.5); out.putDouble(3.5)
+    assert(out.position() == 455)
+    putDatasetOhdr(out, 2L, 528L)
+    assert(out.position() == 528)
+    out.putDouble(9.0); out.putDouble(8.0)
+    assert(out.position() == 544)
+    out.array()
+  }
+
+  test("DIRECT huge heap IDs: extent embedded in the ID, no B-tree walk (r16)") {
+    val h5 = Hdf5Classic.parse(denseLinkFileDirectHuge())
+    assert(h5.vars.map(_.name).sorted == Seq("a", "b"))
+    assert(h5.read("a").toSeq == Seq(1.5, 2.5, 3.5))
+    assert(h5.read("b").toSeq == Seq(9.0, 8.0),
+      "link b must arrive through the direct huge ID")
   }
 
   test("HUGE heap objects resolve through the type-1 huge-object v2 B-tree") {
