@@ -290,6 +290,35 @@ object ClimateOps {
   def convertUnits(df: DataFrame, k: Double, b: Double): DataFrame =
     df.withColumn("value", col("value") * k + b)
 
+  /** xarray `interpolate_na(method="linear")` (r16): fill NULL gaps in
+    * `valueCol` by linear interpolation between the nearest non-null
+    * neighbors along the numeric `axisCol`, independently per
+    * `partCols` series. Leading/trailing NULLs (no neighbor on one
+    * side) stay NULL — xarray's default. One shuffle on the series
+    * key; two frames over ONE partition sort (preceding + following),
+    * never a global window. Cross-engine exactness: with integer
+    * values and axis, vp/vn/tp/tn are exact, and the fill is the
+    * fixed IEEE sequence vp + (vn−vp)·((t−tp)/(tn−tp)) — one division,
+    * one multiply, one add, identically parenthesized in the graded
+    * oracle. */
+  def interpolateNa(df: DataFrame, partCols: Seq[String], axisCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(partCols.map(col): _*).orderBy(col(axisCol))
+    val before = base.rowsBetween(Window.unboundedPreceding, -1)
+    val after = base.rowsBetween(1, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val t = col(axisCol)
+    val tp = last(when(v.isNotNull, t), ignoreNulls = true).over(before)
+    val vp = last(when(v.isNotNull, v), ignoreNulls = true).over(before)
+    val tn = first(when(v.isNotNull, t), ignoreNulls = true).over(after)
+    val vn = first(when(v.isNotNull, v), ignoreNulls = true).over(after)
+    df.withColumn(valueCol,
+      when(v.isNotNull, v.cast("double")).otherwise(
+        vp.cast("double") + (vn.cast("double") - vp.cast("double")) *
+          ((t - tp).cast("double") / (tn - tp).cast("double"))))
+  }
+
   /** §1.1 multi-variable Datasets: an xarray.Dataset holds several
     * variables over shared dims; the long form adds a `variable`
     * discriminator column. melt (wide → long) is a pure projection via
@@ -811,6 +840,24 @@ object Climate {
         .select(col("dataset"), tstr(col("time")).as("time"),
           col("value").as("wmean"))
         .orderBy(col("dataset"), col("time"))
+    },
+
+    // xarray interpolate_na GRADED (r16): linear gap fill between the
+    // nearest non-null neighbors along the event_id axis, per user
+    // series — deterministic planted gaps (event_id % 7, the q_win_fill
+    // convention; the --nulls tier adds real value NULLs, mirrored
+    // because both sides derive vm identically). Exactness: vm and the
+    // axis are exact integers, so the fill is one identically-
+    // parenthesized IEEE division/multiply/add in both engines;
+    // leading/trailing gaps stay NULL in both.
+    "q_climate_interp_na" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("vm", when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(micros(col("value"))))
+        .select(col("event_id"), col("user_id"), col("vm"))
+      ClimateOps.interpolateNa(ev, Seq("user_id"), "event_id", "vm")
+        .select(col("event_id"), col("user_id"), col("vm").as("v_interp"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -1129,6 +1176,35 @@ object Climate {
          |  CAST(SUM(value * wt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS wmean
          |FROM w
          |GROUP BY dataset, time
-         |ORDER BY dataset, time""".stripMargin
+         |ORDER BY dataset, time""".stripMargin,
+
+    "q_climate_interp_na" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(ROUND(value*1000000) AS BIGINT) END AS vm
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, vm,
+        |    LAST_VALUE(CASE WHEN vm IS NOT NULL THEN event_id END IGNORE NULLS)
+        |      OVER pw AS tp,
+        |    LAST_VALUE(CASE WHEN vm IS NOT NULL THEN vm END IGNORE NULLS)
+        |      OVER pw AS vp,
+        |    FIRST_VALUE(CASE WHEN vm IS NOT NULL THEN event_id END IGNORE NULLS)
+        |      OVER fw AS tn,
+        |    FIRST_VALUE(CASE WHEN vm IS NOT NULL THEN vm END IGNORE NULLS)
+        |      OVER fw AS vn
+        |  FROM e
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    fw AS (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN vm IS NOT NULL THEN CAST(vm AS DOUBLE)
+        |       ELSE CAST(vp AS DOUBLE) + (CAST(vn AS DOUBLE) - CAST(vp AS DOUBLE))
+        |            * (CAST(event_id - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))
+        |  END AS v_interp
+        |FROM w
+        |ORDER BY event_id""".stripMargin
   )
 }

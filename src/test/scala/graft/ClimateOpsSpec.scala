@@ -233,6 +233,24 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(got == 20.0, s"integer-weight path must be exact, got $got")
   }
 
+  test("interpolateNa: linear gap fill, uneven axis, edge NULLs stay NULL") {
+    val src = Seq[(String, Long, Option[Double])](
+      ("a", 0L, Some(10.0)), ("a", 1L, None), ("a", 2L, None),
+      ("a", 3L, Some(40.0)),
+      ("a", 5L, None), ("a", 9L, Some(100.0)), // uneven axis: 40@3 → 100@9
+      ("b", 0L, None), ("b", 1L, Some(7.0)), ("b", 2L, None) // edges
+    ).toDF("k", "t", "v")
+    val got = ClimateOps.interpolateNa(src, Seq("k"), "t", "v")
+      .orderBy($"k", $"t").select("v").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(
+      Some(10.0), Some(20.0), Some(30.0), Some(40.0),
+      Some(60.0),           // 40 + 60 * (5-3)/(9-3)
+      Some(100.0),
+      None, Some(7.0), None // no neighbor on one side → stays NULL
+    ))
+  }
+
   test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
     val df = Seq(
       (2001, 30),  // Jan 30       → Jan 30
