@@ -23,9 +23,19 @@ object Vectors {
 
   /** float32 array → double array (§2.8 7b). */
   private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
-  /** Σ xᵢyᵢ as a left-assoc fold in index order. */
+  /** Σ xᵢyᵢ as a left-assoc fold in index order — since r16 the custom
+    * [[graft.expressions.VectorExpressions.dot_product]] expression
+    * (proven === the aggregate∘zip_with HOF fold bit-exactly in
+    * VectorExpressionsSpec). Same bits, radically cheaper eval: the
+    * HOF form is interpreted per ELEMENT (Catalyst lambda dispatch),
+    * and inside the k-means argmin's per-centroid transform that
+    * interpretation dominated the decade-2 fit (~95 s for 200k×64×8×3
+    * dots); the expression's eval is one tight double loop (and
+    * codegens outside HOF lambdas). Inputs here never carry null
+    * elements (micros-quantized vectors), the one case where the two
+    * forms could differ. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.VectorExpressions.dot_product(a, b)
   private def norm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 
