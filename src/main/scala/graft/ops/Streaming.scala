@@ -218,7 +218,7 @@ object Streaming {
 
   /** Body of q_stream_upsert (separate so the spec can reuse it). */
   def streamUpsertFixpoint(s: SparkSession, dir: String): DataFrame = {
-    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tier = graft.sources.Sources.tierTag(dir)
     val root = s"/root/repo/target/stream_upsert/$tier"
     val chunks = s"$root/chunks"
     chunkCache.getOrElseUpdate(

@@ -31,11 +31,15 @@ object Vectors {
     * and inside the k-means argmin's per-centroid transform that
     * interpretation dominated the decade-2 fit (~95 s for 200k×64×8×3
     * dots); the expression's eval is one tight double loop (and
-    * codegens outside HOF lambdas). Inputs here never carry null
-    * elements (micros-quantized vectors), the one case where the two
-    * forms could differ. */
+    * codegens outside HOF lambdas). The size guard preserves the HOF
+    * form's length-mismatch semantics (zip_with null-pads the shorter
+    * array → the fold is NULL): a ragged vector must surface as NULL,
+    * never as a plausible truncated dot (r16 review). Inputs never
+    * carry null ELEMENTS (micros-quantized vectors), the one remaining
+    * case where the two forms could differ. */
   private def dot(a: Column, b: Column): Column =
-    graft.expressions.VectorExpressions.dot_product(a, b)
+    when(size(a) === size(b),
+      graft.expressions.VectorExpressions.dot_product(a, b))
   private def norm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 

@@ -612,7 +612,17 @@ object Hdf5Classic {
     // against the running reconstruction. EC mode codes the sample
     // values directly. Bits pack MSB-first (the shared BitReader);
     // decoded samples re-pack in the DATATYPE's byte order, so the
-    // pipeline output is byte-identical to the pre-filter chunk. */
+    // pipeline output is byte-identical to the pre-filter chunk.
+    //
+    // VERIFICATION BLIND SPOT (documented like the ORC round-trip's):
+    // no szip/libaec binary exists in this environment, so the spec
+    // fixtures are hand-packed from the same reading of the standard
+    // the decoder implements — a SHARED misreading of a corner (e.g.
+    // the rest-of-segment count or the reference-block pair phantom)
+    // would pass the round-trip tests yet misdecode a real library's
+    // output. The NN unmapping guard (a reconstructed sample outside
+    // [0, xmax] rejects by name) bounds the failure mode to loud
+    // errors or wrong values, never memory corruption. */
     private def szipDecode(raw: Array[Byte], cdv: Seq[Int], perChunk: Int,
                            dtype: H5Type, name: String): Array[Byte] = {
       val options = cdvAt(cdv, 0, "szip", name).toInt
@@ -1310,8 +1320,7 @@ object Hdf5Classic {
                            filters: Seq[(Int, Seq[Int])] = Nil,
                            rootFilteredSize: Long = 0L,
                            rootFilterMask: Int = 0,
-                           managedSpace: Long = 0L,
-                           checksummed: Boolean = false)
+                           managedSpace: Long = 0L)
     def fractalHeap(addr: Long): FHeap = {
       require(asciiSig(addr) == "FRHP", s"no fractal heap header at $addr")
       val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
@@ -1320,9 +1329,9 @@ object Hdf5Classic {
       require(ver == 0, s"fractal heap version $ver")
       val idLen = b.getShort() & 0xffff
       val ioFilterLen = b.getShort() & 0xffff
-      val flags = b.get() & 0xff // bit 1: direct blocks checksummed —
-        // the checksum itself stays unverified like every other, but a
-        // FILTERED block's logical size must account for its 4 bytes
+      b.get() // flags (bit 1: direct blocks carry a trailing checksum —
+        // unverified like every other checksum here; it lives INSIDE
+        // the block's doubling-table size, so no size accounting needed)
       b.getInt()                           // max size of managed objects
       b.getLong()                          // next huge object id
       val hugeBtAddr = b.getLong()         // v2 B-tree of huge objects
@@ -1349,7 +1358,12 @@ object Hdf5Classic {
       var rootFilterMask = 0
       var filters: Seq[(Int, Seq[Int])] = Nil
       if (ioFilterLen > 0) {
-        if (rootAddr != UNDEF && curRows == 0) {
+        // libhdf5 writes these two fields whenever filters are present
+        // AND the root is (or would be) a direct block — INCLUDING an
+        // emptied heap whose root address is undefined (r16 review:
+        // gating on rootAddr != UNDEF fed the pipeline parse 12 bytes
+        // early for spec-valid empty filtered heaps)
+        if (curRows == 0) {
           rootFilteredSize = b.getLong()
           rootFilterMask = b.getInt()
         }
@@ -1362,8 +1376,7 @@ object Hdf5Classic {
       // total, so the length width needs no second formula
       FHeap(idLen, offBytes, idLen - 1 - offBytes,
         width, startSize, maxDirect, rootAddr, curRows, hugeBtAddr,
-        filters, rootFilteredSize, rootFilterMask, managedSpace,
-        checksummed = (flags & 2) != 0)
+        filters, rootFilteredSize, rootFilterMask, managedSpace)
     }
 
     /** Logical bytes of one direct block (r16): unfiltered blocks read

@@ -596,10 +596,18 @@ private class NcAggScan(pathGlobs: Seq[String], varsOpt: Option[Seq[String]],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val base = super.planInputPartitions().map(_.asInstanceOf[NcPartition])
-    if (mergeAll)
+    if (mergeAll) {
+      // granted from the builder's listing (>1 surviving members); if
+      // the scan's own listing now disagrees (members deleted between
+      // planning and execution), fail by NAME — an empty partition set
+      // here would return ZERO rows for a complete global aggregate
+      // that must emit one (r16 review)
+      require(base.nonEmpty,
+        "netcdf aggregate pushdown: the surviving-member listing became " +
+          "empty between planning and execution (archive mutated?)")
       Array(NcAggPartition(base.map(_.path).toSeq, base.head.vars,
         latVar, lonVar, timeVar, grouped = false))
-    else base.map(p => NcAggPartition(Seq(p.path), p.vars,
+    } else base.map(p => NcAggPartition(Seq(p.path), p.vars,
       latVar, lonVar, timeVar, grouped): InputPartition)
   }
 
@@ -840,9 +848,6 @@ private class NcOffset(val wm: Long, val slack: Long,
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   private lazy val recentSet: Set[String] = recent.toSet
 
-  /** Watermark floor; MinValue-safe (no underflow before first admit). */
-  def floor: Long = if (wm == Long.MinValue) Long.MinValue else wm - slack
-
   /** Is (path, mtime) already emitted as of this offset? */
   def seen(path: String, mtime: Long): Boolean =
     (wm != Long.MinValue && mtime < wm - slack) || recentSet.contains(path)
@@ -955,6 +960,13 @@ private class NcMicroBatchStream(pathGlobs: Seq[String],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val st = start.asInstanceOf[NcOffset]
+    // the CHECKPOINT's recorded slack wins over the session option for
+    // a continuing stream (r16 review): a restart with a narrower
+    // mtimeSlackMs would otherwise move the floor past files that were
+    // classified unseen-but-unadmitted under the old offset — silently
+    // swallowing pending backlog. The option seeds initialOffset only.
+    val slack = if (st.wm == Long.MinValue && st.recent.isEmpty) slackMs
+                else st.slack
     val listed = admissible() // ONE listing per trigger — self-consistent
     // ascending (mtime, path): the admission order that keeps every
     // pending file at-or-above the new watermark's floor (see NcOffset)
@@ -965,12 +977,16 @@ private class NcMicroBatchStream(pathGlobs: Seq[String],
     if (take.isEmpty) st // unchanged offset json → no new micro-batch
     else {
       val newWm = math.max(st.wm, take.map(_._2).max)
-      val floor = if (newWm == Long.MinValue) Long.MinValue else newWm - slackMs
-      // carry forward only the recent entries the new watermark cannot
-      // classify; everything older compacts away (still `seen` via wm)
-      val carried = st.recent.filter(p => listed.get(p).exists(_ >= floor))
+      val floor = if (newWm == Long.MinValue) Long.MinValue else newWm - slack
+      // carry forward the recent entries the new watermark cannot
+      // classify; everything SEEN below the floor compacts away (still
+      // `seen` via wm). A pin whose file is MISSING from this listing
+      // is kept (r16 review): an eventually-consistent store can
+      // transiently omit a processed member, and dropping its pin
+      // would re-emit the file when it reappears above the floor.
+      val carried = st.recent.filter(p => listed.get(p).forall(_ >= floor))
       val admitted = take.collect { case (p, m) if m >= floor => p }
-      new NcOffset(newWm, slackMs, (carried ++ admitted).distinct.sorted)
+      new NcOffset(newWm, slack, (carried ++ admitted).distinct.sorted)
     }
   }
 

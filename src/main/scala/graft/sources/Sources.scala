@@ -18,6 +18,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 object Sources {
   private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Collision-free per-tier artifact tag (r16 review): the readable
+    * sanitized form alone is LOSSY ("data/x1" and "data_x1" collide),
+    * and the shared-artifact caches key on the RAW dir while paths
+    * used the sanitized tier — two colliding dirs would silently read
+    * each other's artifacts. The appended dir-hash (String.hashCode is
+    * spec-fixed, so paths stay stable across JVMs) makes path ↔ dir
+    * 1:1 while keeping the tag filesystem-safe and human-readable. */
+  private[graft] def tierTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      (dir.hashCode & 0x7fffffff).toHexString
+
   /** CSV NULL sentinel (the MySQL `\N` convention), set on BOTH the
     * writer and the reader. Spark's defaults cannot round-trip the
     * empty string: the writer emits '' as quoted `""` and NULL as an
@@ -334,7 +345,7 @@ object Sources {
     // q_source_grid_subset — equality holds iff manifest-build →
     // facet-prune → DSv2 load → pushdown yields exactly the bounded rows.
     "q_source_catalog" -> { (s, dir) =>
-      val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tier = tierTag(dir)
       sharedGridMember(s, dir, hdf5 = true) match {
         case None => emptyGridFingerprint(s)
         case Some(gridFile) =>
@@ -483,7 +494,7 @@ object Sources {
   private def sharedGridMember(s: SparkSession, dir: String,
                                hdf5: Boolean): Option[String] = {
     val ext = if (hdf5) "h5" else "nc"
-    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tier = tierTag(dir)
     val out = s"$roundtripRoot/grid_${tier}_$ext"
     val wrote = gridMemberCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, hdf5),
@@ -500,7 +511,7 @@ object Sources {
     scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
 
   private def sharedSplitArchive(s: SparkSession, dir: String): Option[String] = {
-    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tier = tierTag(dir)
     val out = s"$roundtripRoot/gridsplit_$tier"
     val wrote = splitArchiveCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir),
@@ -528,7 +539,7 @@ object Sources {
     scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
 
   private def sharedEnsembleArchive(s: SparkSession, dir: String): Option[String] = {
-    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tier = tierTag(dir)
     val out = s"$roundtripRoot/catens_$tier"
     val wrote = ensembleArchiveCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
@@ -701,7 +712,7 @@ object Sources {
     * protocol end-to-end. */
   private def streamedGridFingerprint(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val tier = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val tier = tierTag(dir)
     val root = new java.io.File(s"$roundtripRoot/dsv2s_$tier")
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
