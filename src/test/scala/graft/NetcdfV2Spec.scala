@@ -481,6 +481,46 @@ class NetcdfV2Spec extends AnyFunSuite {
     }
   }
 
+  test("a restart with a NARROWER mtimeSlackMs keeps the checkpoint's slack: " +
+    "late-mtime backlog is admitted, never silently swallowed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = tmpDir("streamslack"); val ckpt = tmpDir("streamslackck")
+    val sink = tmpDir("streamslacksink")
+    val t0 = 1700000000000L
+    // m0 processed under the DEFAULT slack (5 min): wm = t0
+    writeClassic(s"$tmp/m0.nc", nt = 1, bias = 0.0)
+    assert(new java.io.File(s"$tmp/m0.nc").setLastModified(t0))
+    val q1 = spark.readStream.format("netcdf").option("vars", "tas")
+      .load(s"$tmp/*.nc")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    // two stragglers land with mtimes BEHIND the watermark (clock skew /
+    // slow copy), inside the recorded 5-min slack window
+    writeClassic(s"$tmp/m1.nc", nt = 1, bias = 10.0)
+    assert(new java.io.File(s"$tmp/m1.nc").setLastModified(t0 - 120000L))
+    writeClassic(s"$tmp/m2.nc", nt = 1, bias = 20.0)
+    assert(new java.io.File(s"$tmp/m2.nc").setLastModified(t0 - 180000L))
+    // restart with mtimeSlackMs=0 and a 1-file cap: batch 1 admits the
+    // OLDEST straggler (m2). Pre-r16-review, the NEW offset was built
+    // with the session's slack (0) — floor jumped to wm, classifying
+    // the still-pending m1 (mtime < wm) as seen → silently dropped.
+    // The checkpoint's recorded slack must win.
+    val q2 = spark.readStream.format("netcdf").option("vars", "tas")
+      .option("maxFilesPerTrigger", "1")
+      .option("mtimeSlackMs", "0")
+      .load(s"$tmp/*.nc")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val byDs = spark.read.parquet(sink).groupBy("dataset").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDs == Map("m0.nc" -> 6L, "m1.nc" -> 6L, "m2.nc" -> 6L),
+      s"narrower-slack restart swallowed backlog: $byDs")
+  }
+
   test("a legacy v1 path-array checkpoint offset resumes without re-reading") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = tmpDir("streamleg"); val ckpt = tmpDir("streamlegck")
