@@ -290,6 +290,63 @@ object ClimateOps {
   def convertUnits(df: DataFrame, k: Double, b: Double): DataFrame =
     df.withColumn("value", col("value") * k + b)
 
+  /** Empirical QUANTILE-MAPPING bias correction (r16) — the
+    * downscaling staple (xclim's EmpiricalQuantileMapping shape):
+    * corrected(x) = Q_obs(F_model(x)) per group. Deterministic
+    * construction from exact building blocks:
+    *  - F_model(x) = k/(n_m−1), k the 0-based rank of x in the model
+    *    group ordered by (value, idCol) — ties break on the unique id,
+    *    so the rank (and thus the correction) is total-order stable;
+    *  - Q_obs at r interpolates linearly between the obs order
+    *    statistics: h = r·(n_o−1), corrected = v⌊h⌋ + (h−⌊h⌋)·(v⌊h⌋₊₁
+    *    − v⌊h⌋) — the standard type-7 quantile.
+    * NULL values are excluded on both sides; model rows in groups with
+    * NO reference data are DROPPED (no correction is definable).
+    * Scale shape: one window pass per side partitioned by the group
+    * key, then two group-keyed equi-joins (obs counts, then the ⌊h⌋
+    * order statistic) — no broadcast of the reference, no all-pairs.
+    * Cross-engine exactness (the graded key): integer-valued inputs
+    * make every order statistic exact; r, h, and the interpolation are
+    * the same fixed IEEE sequence both engines evaluate. */
+  def quantileMap(model: DataFrame, obs: DataFrame, groupCols: Seq[String],
+                  valueCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    def ranked(df: DataFrame) = {
+      val ord = Window.partitionBy(g: _*)
+        .orderBy(col(valueCol), col(idCol))
+      val whole = Window.partitionBy(g: _*)
+      df.filter(col(valueCol).isNotNull)
+        .withColumn("__rk", row_number().over(ord) - 1)
+        .withColumn("__n", count(lit(1)).over(whole))
+        .withColumn("__vnext", lead(col(valueCol), 1).over(ord))
+    }
+    val o = ranked(obs)
+    // renamed group keys on the order-statistic side: obs and model
+    // usually derive from one lineage, so bare-name join keys would be
+    // ambiguous attributes
+    val obsStats = o.select(
+      (groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__rk").as("__j") :+
+        col(valueCol).as("__vlo") :+ col("__vnext")): _*)
+    val obsCounts = o.groupBy(g: _*).agg(count(lit(1)).as("__no"))
+    val m = ranked(model).drop("__vnext")
+      .join(obsCounts, groupCols)
+      .withColumn("__r", when(col("__n") === 1, lit(0.0))
+        .otherwise(col("__rk").cast("double") /
+          (col("__n") - 1).cast("double")))
+      .withColumn("__h", col("__r") * (col("__no") - 1).cast("double"))
+      .withColumn("__jlo", floor(col("__h")))
+    val cond = groupCols.map(c => col(c) === col(s"__g_$c")).reduce(_ && _) &&
+      col("__jlo") === col("__j")
+    m.join(obsStats, cond, "inner")
+      .withColumn("corrected",
+        col("__vlo") + (col("__h") - col("__jlo").cast("double")) *
+          (coalesce(col("__vnext"), col("__vlo")) - col("__vlo")))
+      .drop((groupCols.map(c => s"__g_$c") ++
+        Seq("__rk", "__n", "__no", "__r", "__h", "__jlo", "__j",
+          "__vlo", "__vnext")): _*)
+  }
+
   /** xarray `interpolate_na(method="linear")` (r16): fill NULL gaps in
     * `valueCol` by linear interpolation between the nearest non-null
     * neighbors along the numeric `axisCol`, independently per
@@ -858,6 +915,28 @@ object Climate {
       ClimateOps.interpolateNa(ev, Seq("user_id"), "event_id", "vm")
         .select(col("event_id"), col("user_id"), col("vm").as("v_interp"))
         .orderBy(col("event_id"))
+    },
+
+    // Empirical QUANTILE-MAPPING bias correction GRADED (r16): per
+    // event_type, even-id events play the reference series and odd-id
+    // events the model series; each model value maps to the obs
+    // quantile at its own empirical rank (type-7 interpolation between
+    // order statistics). Exactness: micros values are exact integers,
+    // ranks/counts exact, and r, h, and the interpolation are the
+    // identical IEEE sequence in both engines (ties broken on
+    // event_id, so the rank itself is total-order stable). NULL values
+    // are excluded on both sides identically; the --one tier empties
+    // one series and yields zero rows in both engines.
+    "q_climate_qmap" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("m", micros(col("value")).cast("double"))
+      ClimateOps.quantileMap(
+          model = ev.filter(col("event_id") % 2 === 1),
+          obs = ev.filter(col("event_id") % 2 === 0),
+          groupCols = Seq("event_type"), valueCol = "m", idCol = "event_id")
+        .select(col("event_id"), col("event_type"), col("m"),
+          col("corrected"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -1205,6 +1284,37 @@ object Climate {
         |            * (CAST(event_id - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))
         |  END AS v_interp
         |FROM w
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_climate_qmap" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(ROUND(value*1000000) AS BIGINT) AS DOUBLE) AS m
+        |  FROM events WHERE value IS NOT NULL),
+        |obs AS (
+        |  SELECT event_type, m, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, event_id) - 1 AS j,
+        |    LEAD(m) OVER (PARTITION BY event_type ORDER BY m, event_id) AS vnext
+        |  FROM ev WHERE event_id % 2 = 0),
+        |oc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS no
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+        |mdl AS (
+        |  SELECT event_id, event_type, m,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, event_id) - 1 AS k,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nm
+        |  FROM ev WHERE event_id % 2 = 1),
+        |mh AS (
+        |  SELECT mdl.event_id, mdl.event_type, mdl.m,
+        |    (CASE WHEN nm = 1 THEN 0.0
+        |          ELSE CAST(k AS DOUBLE) / CAST(nm - 1 AS DOUBLE) END)
+        |      * CAST(oc.no - 1 AS DOUBLE) AS h
+        |  FROM mdl JOIN oc USING (event_type))
+        |SELECT mh.event_id, mh.event_type, mh.m,
+        |  o.m + (mh.h - CAST(FLOOR(mh.h) AS BIGINT))
+        |      * (COALESCE(o.vnext, o.m) - o.m) AS corrected
+        |FROM mh JOIN obs o
+        |  ON mh.event_type = o.event_type
+        |  AND CAST(FLOOR(mh.h) AS BIGINT) = o.j
+        |ORDER BY mh.event_id""".stripMargin
   )
 }

@@ -251,6 +251,25 @@ class ClimateOpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("quantileMap: type-7 mapping onto obs order statistics, hand fixture") {
+    // obs (sorted): 10, 20, 40, 80 (n_o = 4); model: 5, 6, 7 (n_m = 3)
+    // ranks r = 0, 1/2, 1 → h = 0, 1.5, 3 → corrected = 10, 30, 80
+    val obs = Seq(("g", 1L, 40.0), ("g", 2L, 10.0), ("g", 3L, 80.0),
+      ("g", 4L, 20.0)).toDF("k", "id", "v")
+    val model = Seq(("g", 11L, 6.0), ("g", 12L, 5.0), ("g", 13L, 7.0),
+      ("lonely", 14L, 1.0)) // group with no reference data → dropped
+      .toDF("k", "id", "v")
+    val got = ClimateOps.quantileMap(model, obs, Seq("k"), "v", "id")
+      .orderBy($"id").select($"id", $"corrected")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((11L, 30.0), (12L, 10.0), (13L, 80.0)))
+    // single-row sides: r = 0, n_o = 1 → corrected = the one obs value
+    val one = ClimateOps.quantileMap(
+      Seq(("g", 1L, 99.0)).toDF("k", "id", "v"),
+      Seq(("g", 2L, 7.0)).toDF("k", "id", "v"), Seq("k"), "v", "id")
+    assert(one.select("corrected").as[Double].collect().toSeq == Seq(7.0))
+  }
+
   test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
     val df = Seq(
       (2001, 30),  // Jan 30       → Jan 30
