@@ -918,23 +918,29 @@ object Climate {
     },
 
     // Empirical QUANTILE-MAPPING bias correction GRADED (r16): per
-    // event_type, even-id events play the reference series and odd-id
-    // events the model series; each model value maps to the obs
-    // quantile at its own empirical rank (type-7 interpolation between
-    // order statistics). Exactness: micros values are exact integers,
-    // ranks/counts exact, and r, h, and the interpolation are the
-    // identical IEEE sequence in both engines (ties broken on
-    // event_id, so the rank itself is total-order stable). NULL values
-    // are excluded on both sides identically; the --one tier empties
-    // one series and yields zero rows in both engines.
+    // (event_type, user band) — the group key carries the cardinality
+    // the op's scale shape needs (per-group sorts are inherent to
+    // exact empirical QM; in climate use the group is the (cell,
+    // season), thousands of groups — a bare 5-value event_type window
+    // would be the r2-verdict funnel class). Even-id events play the
+    // reference series, odd-id events the model; each model value maps
+    // to the obs quantile at its own empirical rank (type-7
+    // interpolation between order statistics). Exactness: micros
+    // values are exact integers, ranks/counts exact, and r, h, and the
+    // interpolation are the identical IEEE sequence in both engines
+    // (ties broken on event_id, so the rank itself is total-order
+    // stable). NULL values are excluded on both sides identically; the
+    // --one tier empties one series and yields zero rows both sides.
     "q_climate_qmap" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .withColumn("m", micros(col("value")).cast("double"))
+        .withColumn("band", (col("user_id") % 50).cast("long"))
       ClimateOps.quantileMap(
           model = ev.filter(col("event_id") % 2 === 1),
           obs = ev.filter(col("event_id") % 2 === 0),
-          groupCols = Seq("event_type"), valueCol = "m", idCol = "event_id")
-        .select(col("event_id"), col("event_type"), col("m"),
+          groupCols = Seq("event_type", "band"),
+          valueCol = "m", idCol = "event_id")
+        .select(col("event_id"), col("event_type"), col("band"), col("m"),
           col("corrected"))
         .orderBy(col("event_id"))
     }
@@ -1289,31 +1295,35 @@ object Climate {
     "q_climate_qmap" ->
       """WITH ev AS (
         |  SELECT event_id, event_type,
+        |    CAST(user_id % 50 AS BIGINT) AS band,
         |    CAST(CAST(ROUND(value*1000000) AS BIGINT) AS DOUBLE) AS m
         |  FROM events WHERE value IS NOT NULL),
         |obs AS (
-        |  SELECT event_type, m, event_id,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, event_id) - 1 AS j,
-        |    LEAD(m) OVER (PARTITION BY event_type ORDER BY m, event_id) AS vnext
+        |  SELECT event_type, band, m, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, band
+        |      ORDER BY m, event_id) - 1 AS j,
+        |    LEAD(m) OVER (PARTITION BY event_type, band
+        |      ORDER BY m, event_id) AS vnext
         |  FROM ev WHERE event_id % 2 = 0),
-        |oc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS no
-        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+        |oc AS (SELECT event_type, band, CAST(COUNT(*) AS BIGINT) AS no
+        |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2),
         |mdl AS (
-        |  SELECT event_id, event_type, m,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, event_id) - 1 AS k,
-        |    COUNT(*) OVER (PARTITION BY event_type) AS nm
+        |  SELECT event_id, event_type, band, m,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, band
+        |      ORDER BY m, event_id) - 1 AS k,
+        |    COUNT(*) OVER (PARTITION BY event_type, band) AS nm
         |  FROM ev WHERE event_id % 2 = 1),
         |mh AS (
-        |  SELECT mdl.event_id, mdl.event_type, mdl.m,
+        |  SELECT mdl.event_id, mdl.event_type, mdl.band, mdl.m,
         |    (CASE WHEN nm = 1 THEN 0.0
         |          ELSE CAST(k AS DOUBLE) / CAST(nm - 1 AS DOUBLE) END)
         |      * CAST(oc.no - 1 AS DOUBLE) AS h
-        |  FROM mdl JOIN oc USING (event_type))
-        |SELECT mh.event_id, mh.event_type, mh.m,
+        |  FROM mdl JOIN oc USING (event_type, band))
+        |SELECT mh.event_id, mh.event_type, mh.band, mh.m,
         |  o.m + (mh.h - CAST(FLOOR(mh.h) AS BIGINT))
         |      * (COALESCE(o.vnext, o.m) - o.m) AS corrected
         |FROM mh JOIN obs o
-        |  ON mh.event_type = o.event_type
+        |  ON mh.event_type = o.event_type AND mh.band = o.band
         |  AND CAST(FLOOR(mh.h) AS BIGINT) = o.j
         |ORDER BY mh.event_id""".stripMargin
   )
