@@ -1358,15 +1358,16 @@ object Hdf5Classic {
       var rootFilterMask = 0
       var filters: Seq[(Int, Seq[Int])] = Nil
       if (ioFilterLen > 0) {
-        // libhdf5 writes these two fields whenever filters are present
-        // AND the root is (or would be) a direct block — INCLUDING an
-        // emptied heap whose root address is undefined (r16 review:
-        // gating on rootAddr != UNDEF fed the pipeline parse 12 bytes
-        // early for spec-valid empty filtered heaps)
-        if (curRows == 0) {
-          rootFilteredSize = b.getLong()
-          rootFilterMask = b.getInt()
-        }
+        // Per the spec (and libhdf5's H5HF header encode), these 12
+        // bytes are present WHENEVER the header declares an I/O
+        // pipeline — written as zeros, not omitted, when the root is
+        // an indirect block (r17 advice: gating them on curRows == 0
+        // fed the pipeline parse 12 bytes early for filtered heaps
+        // with a root indirect block, rejecting spec-valid libhdf5
+        // files). Their VALUES only mean anything for a root direct
+        // block; the indirect path takes per-entry sizes instead.
+        rootFilteredSize = b.getLong()
+        rootFilterMask = b.getInt()
         val body = new Array[Byte](ioFilterLen)
         b.get(body)
         filters = parseFilterPipeline(lbb(body), s"fractal heap at $addr")

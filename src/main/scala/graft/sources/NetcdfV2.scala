@@ -869,9 +869,14 @@ private object NcOffset {
 
   def parse(json: String): NcOffset =
     org.json4s.jackson.JsonMethods.parse(json) match {
-      // legacy v1: the bare emitted-path array
+      // legacy v1: the bare emitted-path array. Migrated offsets keep
+      // the DEFAULT straggler slack (r17 advice): v1 classified by
+      // exact name set-difference, so it never dropped a skewed-mtime
+      // late lander — parsing with slack 0 would make the first
+      // post-migration admission's watermark swallow exactly those
+      // files, a silent data loss neither version's own semantics has.
       case JArray(elems) if elems.forall(_.isInstanceOf[JString]) =>
-        new NcOffset(Long.MinValue, 0L,
+        new NcOffset(Long.MinValue, NetcdfV2.DefaultMtimeSlackMs,
           elems.collect { case JString(s) => s }.toVector)
       case obj: JObject =>
         (obj \ "wm", obj \ "slack", obj \ "recent") match {
@@ -996,7 +1001,23 @@ private class NcMicroBatchStream(pathGlobs: Seq[String],
     // re-derived from the live listing (members are immutable, so a
     // crash replay reconstructs the identical batch): everything the
     // end offset classifies as emitted that the start offset does not
-    listing().toSeq
+    val listed = listing()
+    // Replay-fidelity gate (r17 advice): every file THIS batch pinned
+    // at admission time (in the end offset's recent set but not the
+    // start's) must still be listable — on an eventually-consistent
+    // store a member can transiently vanish, the exact scenario the
+    // offset's pin-retention accommodates on the ADMISSION side, and
+    // silently shrinking a (possibly crash-) replayed batch would
+    // break exactly-once delivery. Fail by name so the retryable
+    // condition is visible instead of swallowed.
+    val priorPins = st.recent.toSet
+    val missing = en.recent.filterNot(priorPins).filterNot(listed.contains)
+    require(missing.isEmpty,
+      "netcdf stream: batch member(s) admitted at " +
+        s"${en.json} are no longer listable — transiently missing from " +
+        s"an eventually-consistent store? Retry the trigger. Missing: " +
+        missing.mkString(", "))
+    listed.toSeq
       .filter { case (p, m) => en.seen(p, m) && !st.seen(p, m) }
       .sortBy(_._1)
       .map { case (p, _) =>

@@ -1880,6 +1880,159 @@ class Hdf5Spec extends AnyFunSuite {
       "link b must arrive through the deflated huge object")
   }
 
+  /** Dense-link group over a FILTERED fractal heap whose root is an
+    * INDIRECT block (r17 advice): per the spec, the header's 12 bytes
+    * of (Size of Filtered Root Direct Block, I/O Filter Mask) are
+    * present — zeroed, not omitted — whenever the pipeline is
+    * declared, and the indirect block's entries widen to
+    * (address, stored size, filter mask) triples. Three links across
+    * two deflated 512-byte direct blocks; "c" sits in the SECOND
+    * block so its heap offset (529) exercises the per-entry stored
+    * size + block-offset subtraction on the defiltered bytes. */
+  private def denseLinkFileFilteredIndirect(): Array[Byte] = {
+    val heapAddr = 81L
+    val pipeBody = {
+      val b = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(1.toByte)        // pipeline v2, 1 filter
+      b.putShort(1); b.putShort(0); b.putShort(1) // deflate, flags, ncdv
+      b.putInt(6)                             // level
+      b.array()
+    }
+    val frhpLen = 146 + 8 + 4 + pipeBody.length // zeroed root extras + pipe
+    val fhibAt = 81 + frhpLen                   // root INDIRECT block
+    val fhibLen = 4 + 1 + 8 + 4 + 4 * (8 + 8 + 4) + 4 // widened entries
+    val blk0At = fhibAt + fhibLen
+    val bthd5Len = 38
+    val btlf5Len = 6 + 3 * (4 + 7) + 4
+    val dsLen = 73
+    // deflated block sizes depend on the link-target addresses, which
+    // depend on the deflated sizes — iterate the fixed point
+    var dz0 = 64; var dz1 = 40
+    var bytesOut: Array[Byte] = null
+    var iter = 0
+    while (iter < 16 && bytesOut == null) {
+      val blk1At = blk0At + dz0
+      val bt5At = blk1At + dz1
+      val leaf5At = bt5At + bthd5Len
+      val dsAAt = leaf5At + btlf5Len
+      val dataAAt = dsAAt + dsLen
+      val dsBAt = dataAAt + 8
+      val dataBAt = dsBAt + dsLen
+      val dsCAt = dataBAt + 8
+      val dataCAt = dsCAt + dsLen
+      val eof = dataCAt + 8
+      // logical block 0: FHDB + links "a" (off 17) and "b" (off 29)
+      val lb0 = java.nio.ByteBuffer.allocate(512)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      lb0.put("FHDB".getBytes(StandardCharsets.US_ASCII))
+      lb0.put(0.toByte); lb0.putLong(heapAddr); lb0.putInt(0)
+      lb0.put(linkMsg("a", dsAAt))
+      lb0.put(linkMsg("b", dsBAt))
+      // logical block 1: heap space [512, 1024) — "c" at heap off 529
+      val lb1 = java.nio.ByteBuffer.allocate(512)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      lb1.put("FHDB".getBytes(StandardCharsets.US_ASCII))
+      lb1.put(0.toByte); lb1.putLong(heapAddr); lb1.putInt(512)
+      lb1.put(linkMsg("c", dsCAt))
+      val st0 = deflateBytes(lb0.array())
+      val st1 = deflateBytes(lb1.array())
+      if (st0.length != dz0 || st1.length != dz1) {
+        dz0 = st0.length; dz1 = st1.length; iter += 1
+      } else {
+        val out = java.nio.ByteBuffer.allocate(eof)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+        out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+        out.putLong(0L); out.putLong(-1L)
+        out.putLong(eof.toLong); out.putLong(48L); out.putInt(0)
+        assert(out.position() == 48)
+        out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+        out.put(2.toByte); out.put(0.toByte); out.put(22.toByte)
+        out.put(0x02.toByte); out.putShort(18); out.put(0.toByte)
+        out.put(0.toByte); out.put(0.toByte)
+        out.putLong(heapAddr)
+        out.putLong(bt5At.toLong)
+        out.putInt(0)
+        assert(out.position() == 81)
+        // FRHP: filtered, root INDIRECT (curRows = 1)
+        out.put("FRHP".getBytes(StandardCharsets.US_ASCII))
+        out.put(0.toByte)
+        out.putShort(7); out.putShort(pipeBody.length.toShort)
+        out.put(0.toByte)
+        out.putInt(4096)
+        out.putLong(0L); out.putLong(-1L)       // next huge id, huge bt
+        out.putLong(0L); out.putLong(-1L)       // free space, fs mgr
+        out.putLong(1024L); out.putLong(1024L); out.putLong(541L)
+        out.putLong(3L)                         // managed objects
+        out.putLong(0L); out.putLong(0L)        // huge size / count
+        out.putLong(0L); out.putLong(0L)        // tiny size / count
+        out.putShort(4); out.putLong(512L); out.putLong(65536L)
+        out.putShort(32); out.putShort(1)
+        out.putLong(fhibAt.toLong); out.putShort(1) // root FHIB, 1 row
+        // the spec point under test: these 12 bytes are PRESENT and
+        // ZERO for an indirect root — libhdf5 writes them whenever
+        // the pipeline is declared
+        out.putLong(0L)                         // filtered root size: 0
+        out.putInt(0)                           // root filter mask: 0
+        out.put(pipeBody)
+        out.putInt(0)                           // checksum (unverified)
+        assert(out.position() == fhibAt, s"${out.position()} != $fhibAt")
+        out.put("FHIB".getBytes(StandardCharsets.US_ASCII))
+        out.put(0.toByte); out.putLong(heapAddr); out.putInt(0)
+        out.putLong(blk0At.toLong); out.putLong(st0.length.toLong); out.putInt(0)
+        out.putLong(blk1At.toLong); out.putLong(st1.length.toLong); out.putInt(0)
+        out.putLong(-1L); out.putLong(0L); out.putInt(0)
+        out.putLong(-1L); out.putLong(0L); out.putInt(0)
+        out.putInt(0)                           // checksum
+        assert(out.position() == blk0At, s"${out.position()} != $blk0At")
+        out.put(st0)
+        assert(out.position() == blk1At)
+        out.put(st1)
+        assert(out.position() == bt5At)
+        out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+        out.put(0.toByte); out.put(5.toByte)
+        out.putInt(512); out.putShort(11)
+        out.putShort(0)
+        out.put(100.toByte); out.put(40.toByte)
+        out.putLong(leaf5At.toLong); out.putShort(3)
+        out.putLong(3L); out.putInt(0)
+        assert(out.position() == leaf5At)
+        out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+        out.put(0.toByte); out.put(5.toByte)
+        out.putInt(0); out.put(heapId7(17, 12))   // "a"
+        out.putInt(0); out.put(heapId7(29, 12))   // "b"
+        out.putInt(0); out.put(heapId7(529, 12))  // "c": SECOND block
+        out.putInt(0)
+        assert(out.position() == dsAAt)
+        putDatasetOhdr(out, 1L, dataAAt.toLong)
+        assert(out.position() == dataAAt)
+        out.putDouble(1.0)
+        assert(out.position() == dsBAt)
+        putDatasetOhdr(out, 1L, dataBAt.toLong)
+        assert(out.position() == dataBAt)
+        out.putDouble(2.0)
+        assert(out.position() == dsCAt)
+        putDatasetOhdr(out, 1L, dataCAt.toLong)
+        assert(out.position() == dataCAt)
+        out.putDouble(3.0)
+        bytesOut = out.array()
+      }
+    }
+    assert(bytesOut != null, "filtered root-indirect fixture did not converge")
+    bytesOut
+  }
+
+  test("FILTERED fractal heap with a ROOT INDIRECT block: the header's " +
+    "zeroed filtered-root fields parse and widened entries defilter (r17)") {
+    val h5 = Hdf5Classic.parse(denseLinkFileFilteredIndirect())
+    assert(h5.vars.map(_.name) == Seq("a", "b", "c"))
+    assert(h5.read("a").toSeq == Seq(1.0))
+    assert(h5.read("b").toSeq == Seq(2.0))
+    assert(h5.read("c").toSeq == Seq(3.0),
+      "link c must arrive through the SECOND deflated direct block")
+  }
+
   /** Dense-link group (unfiltered) whose link "b" rides a DIRECT huge
     * heap ID: idLen 17 embeds (address, stored length) in the ID
     * itself — no huge-object B-tree at all. Link "a" is managed with

@@ -564,6 +564,89 @@ class NetcdfV2Spec extends AnyFunSuite {
       s"legacy-offset resume mis-read: $byDs")
   }
 
+  test("a migrated v1 offset keeps the default straggler slack: a file " +
+    "landing with an mtime behind the post-migration watermark is not dropped") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = tmpDir("streamlegslack"); val ckpt = tmpDir("streamlegslackck")
+    val sink = tmpDir("streamlegslacksink")
+    val t0 = 1700000000000L
+    writeClassic(s"$tmp/m1.nc", nt = 1, bias = 0.0)
+    assert(new java.io.File(s"$tmp/m1.nc").setLastModified(t0))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("netcdf").option("vars", "tas")
+        .load(s"$tmp/*.nc")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // rewrite batch 0's offset into the pre-r16 v1 path-array form
+    val offFile = new java.io.File(ckpt, "offsets/0")
+    val lines = scala.io.Source.fromFile(offFile).getLines().toVector
+    val v2 = org.json4s.jackson.JsonMethods.parse(lines.last)
+    val recorded = (v2 \ "recent") match {
+      case org.json4s.JArray(xs) => xs
+      case other => fail(s"batch-0 offset has no recent array: $other")
+    }
+    val legacy = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JArray(recorded)))
+    java.nio.file.Files.write(offFile.toPath,
+      (lines.init :+ legacy).mkString("\n").getBytes("UTF-8"))
+    new java.io.File(ckpt, "offsets/.0.crc").delete()
+    // first post-migration admission: m2 moves the watermark to t0+60s
+    writeClassic(s"$tmp/m2.nc", nt = 1, bias = 10.0)
+    assert(new java.io.File(s"$tmp/m2.nc").setLastModified(t0 + 60000L))
+    runOnce()
+    // a straggler lands with an mtime BEHIND that watermark (clock
+    // skew / slow copy), inside the default 5-min slack. Pre-r17, the
+    // v1 offset parsed with slack 0 and latestOffset inherits the
+    // checkpoint's slack — the floor sat AT the watermark and m3 was
+    // silently classified seen. v1's own name set-difference would
+    // never have dropped it; neither may the migration.
+    writeClassic(s"$tmp/m3.nc", nt = 1, bias = 20.0)
+    assert(new java.io.File(s"$tmp/m3.nc").setLastModified(t0 + 30000L))
+    runOnce()
+    val byDs = spark.read.parquet(sink).groupBy("dataset").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDs == Map("m1.nc" -> 6L, "m2.nc" -> 6L, "m3.nc" -> 6L),
+      s"v1-migration slack lost — straggler swallowed: $byDs")
+  }
+
+  test("crash replay of a batch whose member vanished fails BY NAME " +
+    "instead of silently shrinking the batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = tmpDir("streamgone"); val ckpt = tmpDir("streamgoneck")
+    val sink = tmpDir("streamgonesink")
+    writeClassic(s"$tmp/m1.nc", nt = 1, bias = 0.0)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("netcdf").option("vars", "tas")
+        .load(s"$tmp/*.nc")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    writeClassic(s"$tmp/m2.nc", nt = 1, bias = 10.0)
+    runOnce()
+    // simulate a crash between offset write and commit: drop batch 1's
+    // commit so a restart replays it — then the replayed member is
+    // MISSING from the listing (eventually-consistent store / manual
+    // deletion). planInputPartitions must fail by name, not replay a
+    // silently smaller batch.
+    assert(new java.io.File(ckpt, "commits/1").delete())
+    new java.io.File(ckpt, "commits/.1.crc").delete()
+    assert(new java.io.File(s"$tmp/m2.nc").delete())
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("no longer listable") && msgs.contains("m2.nc"),
+      s"expected a named missing-member failure, got: $msgs")
+  }
+
   test("readStream on an empty-so-far archive waits instead of erroring") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = tmpDir("streamempty"); val ckpt = tmpDir("streamemptyck")
