@@ -257,6 +257,101 @@ object ClimateOps {
         coalesce(col("_exact"), col("_idw")).as("value"))
   }
 
+  /** R7 regrid, method=conservative — TRUE first-order conservative
+    * remapping (ESMF/xesmf semantics, r17): each target cell's value
+    * is the overlap-area-weighted mean of every source cell it
+    * intersects, value_t = Σ_s v_s·A(s∩t) / Σ_s A(s∩t). Unlike
+    * [[regridBin]] (exact only when source cells NEST inside target
+    * cells) this weights every source cell by its FRACTIONAL overlap,
+    * so non-nested grids (src 1.5° → dst 1°, offset grids, …)
+    * conserve mass: Σ_t value_t·A_t equals Σ_s v_s·A_s over the
+    * covered domain, by construction (law-pinned in ClimateOpsSpec).
+    *
+    * Conventions: (lat, lon) are cell CENTERS (the xarray/CF norm) —
+    * source cell s spans lat±srcLatRes/2 × lon±srcLonRes/2; the
+    * target mesh tiles [latMin, latMax)×[lonMin, lonMax) with
+    * dstLatRes×dstLonRes cells and the output (tlat, tlon) are the
+    * target CENTERS. `spherical=true` (default) weights by true
+    * sphere area, (sin φ_hi − sin φ_lo)·Δλ over the overlap
+    * rectangle — what ESMF computes; `spherical=false` uses planar
+    * degree² areas, which with integer-scaled bounds and values is
+    * EXACT integer arithmetic end to end (the hash-graded form).
+    *
+    * Shape: on rectilinear grids s∩t decomposes into a product of
+    * two 1-D interval overlaps, so the covering target indices come
+    * from pure ARITHMETIC on the source bounds — each source row
+    * explodes into the ≤(⌈srcLatRes/dstLatRes⌉+1)·(⌈srcLonRes/
+    * dstLonRes⌉+1) cells it can touch and ONE groupBy(target cell)
+    * reduces. No join, no all-pairs, no mesh broadcast: at 100 TB the
+    * only shuffle is the final aggregation, keyed by the target cell
+    * (cardinality = the OUTPUT grid). Bounds are compared in exact
+    * integer microdegrees (Det.micros' per-row rounding contract), so
+    * a cell edge that lands exactly on a target edge contributes to
+    * exactly one side — no double counting, no dropped slivers. */
+  def regridConservative(df: DataFrame,
+                         srcLatRes: Double, srcLonRes: Double,
+                         latMin: Double, latMax: Double,
+                         lonMin: Double, lonMax: Double,
+                         dstLatRes: Double, dstLonRes: Double,
+                         spherical: Boolean = true): DataFrame = {
+    require(srcLatRes > 0 && srcLonRes > 0 && dstLatRes > 0 && dstLonRes > 0,
+      "regridConservative: resolutions must be positive")
+    val nLat = math.round((latMax - latMin) / dstLatRes)
+    val nLon = math.round((lonMax - lonMin) / dstLonRes)
+    require(nLat >= 1 && nLon >= 1,
+      "regridConservative: target domain shorter than one cell")
+    // exact integer microdegree bounds: target edge k sits at
+    // latMinµ + k·dstµ; source cell spans [cµ − resµ/2, cµ + resµ/2)
+    val latMinU = math.round(latMin * 1e6); val dstLatU = math.round(dstLatRes * 1e6)
+    val lonMinU = math.round(lonMin * 1e6); val dstLonU = math.round(dstLonRes * 1e6)
+    val sLatHalf = math.round(srcLatRes * 1e6) / 2
+    val sLonHalf = math.round(srcLonRes * 1e6) / 2
+    def cover(cU: Column, half: Long, minU: Long, dU: Long, n: Long)
+        : (Column, Column, Column) = {
+      val lo = cU - half; val hi = cU + half
+      // floorDiv semantics (pmod trick): indices of the first/last
+      // target cell the source interval [lo, hi) can overlap, clipped
+      // to the mesh — a cell wholly outside yields an EMPTY range and
+      // explode drops the row (xesmf's unmapped-source behavior)
+      def fdiv(x: Column, d: Long): Column =
+        ((x - pmod(x, lit(d))) / d).cast("long")
+      val i0 = greatest(fdiv(lo - minU, dU), lit(0L))
+      val i1 = least(fdiv(hi - lit(1L) - minU, dU), lit(n - 1))
+      (lo, hi, when(i1 >= i0, sequence(i0, i1)).otherwise(
+        array().cast("array<long>")))
+    }
+    val srcU = df.select(col("dataset"), col("time"), col("value"),
+      micros(col("lat")).as("clatU"), micros(col("lon")).as("clonU"))
+    val (laLo, laHi, laIdx) = cover(col("clatU"), sLatHalf, latMinU, dstLatU, nLat)
+    val (loLo, loHi, loIdx) = cover(col("clonU"), sLonHalf, lonMinU, dstLonU, nLon)
+    val exploded = srcU
+      .withColumn("slaLo", laLo).withColumn("slaHi", laHi)
+      .withColumn("sloLo", loLo).withColumn("sloHi", loHi)
+      .withColumn("i", explode(laIdx))
+      .withColumn("j", explode(loIdx))
+    // 1-D overlaps in exact µdeg; /1e6 is one correctly-rounded IEEE
+    // division (exact whenever the overlap is a round binary fraction
+    // of a degree — in particular for whole-degree test grids)
+    val ovLaLoU = greatest(col("slaLo"), lit(latMinU) + col("i") * dstLatU)
+    val ovLaHiU = least(col("slaHi"), lit(latMinU) + (col("i") + 1) * dstLatU)
+    val ovLonDeg = (least(col("sloHi"), lit(lonMinU) + (col("j") + 1) * dstLonU) -
+      greatest(col("sloLo"), lit(lonMinU) + col("j") * dstLonU)).cast("double") / 1e6
+    val w =
+      if (spherical)
+        (sin(radians(ovLaHiU.cast("double") / 1e6)) -
+          sin(radians(ovLaLoU.cast("double") / 1e6))) * ovLonDeg
+      else ((ovLaHiU - ovLaLoU).cast("double") / 1e6) * ovLonDeg
+    exploded
+      .withColumn("w", w)
+      .groupBy(col("dataset"), col("time"), col("i"), col("j"))
+      .agg((sum(col("value") * col("w")) / sum(col("w"))).as("value"),
+        sum(col("w")).as("w_sum"))
+      .select(col("dataset"), col("time"),
+        ((lit(latMinU) + (col("i").cast("double") + 0.5) * dstLatU) / 1e6).as("tlat"),
+        ((lit(lonMinU) + (col("j").cast("double") + 0.5) * dstLonU) / 1e6).as("tlon"),
+        col("value"), col("w_sum"))
+  }
+
   /** R11 zonal mean: collapse the lon axis. */
   def zonalMean(df: DataFrame): DataFrame =
     df.groupBy(col("dataset"), col("time"), col("lat"))
@@ -305,6 +400,12 @@ object ClimateOps {
     * Scale shape: one window pass per side partitioned by the group
     * key, then two group-keyed equi-joins (obs counts, then the ⌊h⌋
     * order statistic) — no broadcast of the reference, no all-pairs.
+    * GROUP-CARDINALITY REQUIREMENT (r17): each group is sorted in ONE
+    * task by the rank windows, so `groupCols` must partition the data
+    * into groups that (a) individually fit an executor's sort buffer
+    * and (b) grow in COUNT as data grows (a month/region band, not a
+    * 5-value category) — the same contract as packSequences' sharding;
+    * PlanAuditSpec pins the graded key's windows to the full key.
     * Cross-engine exactness (the graded key): integer-valued inputs
     * make every order statistic exact; r, h, and the interpolation are
     * the same fixed IEEE sequence both engines evaluate. */
@@ -943,6 +1044,30 @@ object Climate {
         .select(col("event_id"), col("event_type"), col("band"), col("m"),
           col("corrected"))
         .orderBy(col("event_id"))
+    },
+
+    // R7 method=conservative (r17): TRUE fractional-overlap remap
+    // through the real ClimateOps.regridConservative — a 20×24 grid of
+    // 3-unit source cells (per-cell event counts) onto a 2-unit target
+    // mesh. 3 vs 2 never nests, so every interior target blends 2 or 4
+    // sources with weights {1,2,4} — exact integers (planar mode), the
+    // sums stay exact longs-in-doubles, and the one terminal division
+    // is correctly rounded in both engines: hash-exact by
+    // construction, and w_sum grades the WEIGHTS themselves, not just
+    // the blend.
+    "q_climate_regrid_conserv" -> { (s, dir) =>
+      val src = Tables.events(s, dir)
+        .groupBy((col("user_id") % 20).cast("long").as("glat"),
+          hour(col("ts")).cast("long").as("glon"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("m").as("dataset"),
+          lit("2000-01-01 00:00:00").cast("timestamp").as("time"),
+          (col("glat") * 3.0 + 1.5).as("lat"),
+          (col("glon") * 3.0 + 1.5).as("lon"), col("value"))
+      ClimateOps.regridConservative(src, 3.0, 3.0, 0.0, 60.0, 0.0, 72.0,
+          2.0, 2.0, spherical = false)
+        .select(col("tlat"), col("tlon"), col("value"), col("w_sum"))
+        .orderBy(col("tlat"), col("tlon"))
     }
   )
 
@@ -1325,6 +1450,27 @@ object Climate {
         |FROM mh JOIN obs o
         |  ON mh.event_type = o.event_type AND mh.band = o.band
         |  AND CAST(FLOOR(mh.h) AS BIGINT) = o.j
-        |ORDER BY mh.event_id""".stripMargin
+        |ORDER BY mh.event_id""".stripMargin,
+
+    "q_climate_regrid_conserv" ->
+      """WITH src AS (
+        |  SELECT CAST(user_id % 20 AS BIGINT) AS glat,
+        |         CAST(hour(ts) AS BIGINT) AS glon,
+        |         CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT ti.i AS i, tj.i AS j, v,
+        |    (LEAST(glat*3+3, ti.i*2+2) - GREATEST(glat*3, ti.i*2)) *
+        |    (LEAST(glon*3+3, tj.i*2+2) - GREATEST(glon*3, tj.i*2)) AS w
+        |  FROM src
+        |  JOIN range(0, 30) ti(i)
+        |    ON ti.i*2+2 > glat*3 AND ti.i*2 < glat*3+3
+        |  JOIN range(0, 36) tj(i)
+        |    ON tj.i*2+2 > glon*3 AND tj.i*2 < glon*3+3)
+        |SELECT CAST(i*2+1 AS DOUBLE) AS tlat, CAST(j*2+1 AS DOUBLE) AS tlon,
+        |  CAST(SUM(v*w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS value,
+        |  CAST(SUM(w) AS DOUBLE) AS w_sum
+        |FROM ov GROUP BY i, j
+        |ORDER BY tlat, tlon""".stripMargin
   )
 }

@@ -207,6 +207,98 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(back.exceptAll(wide).count() == 0 && wide.exceptAll(back).count() == 0)
   }
 
+  private val ct = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
+
+  test("regridConservative: identity when target grid equals source grid") {
+    // 1°-center cells on a 1° mesh: each source cell IS one target cell
+    val src = Seq((0.5, 0.5, 10.0), (0.5, 1.5, 20.0),
+        (1.5, 0.5, 30.0), (1.5, 1.5, 40.0))
+      .map { case (la, lo, v) => ("m", ct, la, lo, v) }
+      .toDF("dataset", "time", "lat", "lon", "value")
+    val out = ClimateOps.regridConservative(src, 1.0, 1.0,
+        0.0, 2.0, 0.0, 2.0, 1.0, 1.0, spherical = false)
+      .select("tlat", "tlon", "value", "w_sum")
+      .as[(Double, Double, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq((0.5, 0.5, 10.0, 1.0), (0.5, 1.5, 20.0, 1.0),
+      (1.5, 0.5, 30.0, 1.0), (1.5, 1.5, 40.0, 1.0)))
+  }
+
+  test("regridConservative: NON-nested grids take true fractional-overlap " +
+    "weights (the case bin-average gets wrong)") {
+    // two 3°-wide cells [0,3)×[0,1) v=10 and [3,6)×[0,1) v=40, onto a
+    // 2° target: the middle cell [2,4) overlaps each source by exactly
+    // 1° → (10·1 + 40·1)/2 = 25. No nesting: regridBin cannot say this.
+    val src = Seq((0.5, 1.5, 10.0), (0.5, 4.5, 40.0))
+      .map { case (la, lo, v) => ("m", ct, la, lo, v) }
+      .toDF("dataset", "time", "lat", "lon", "value")
+    val out = ClimateOps.regridConservative(src, 1.0, 3.0,
+        0.0, 1.0, 0.0, 6.0, 1.0, 2.0, spherical = false)
+      .select("tlon", "value", "w_sum")
+      .as[(Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1.0, 10.0, 2.0), (3.0, 25.0, 2.0),
+      (5.0, 40.0, 2.0)))
+  }
+
+  test("regridConservative: MASS CONSERVATION on non-nested grids — " +
+    "Σ value·area is preserved exactly (integer-scaled planar weights)") {
+    // 4×6 source mesh of 1.5° cells with integer values, regridded to
+    // 1° cells over the same [0,6)×[0,9) domain: every overlap is a
+    // multiple of 0.5°, so with spherical=false all weights are exact
+    // binary fractions and the mass identity holds to the BIT.
+    val rows = for (i <- 0 until 4; j <- 0 until 6)
+      yield ("m", ct, i * 1.5 + 0.75, j * 1.5 + 0.75, (i * 7 + j * 3 + 1).toDouble)
+    val src = rows.toDF("dataset", "time", "lat", "lon", "value")
+    val srcMass = rows.map(_._5 * 1.5 * 1.5).sum
+    val out = ClimateOps.regridConservative(src, 1.5, 1.5,
+      0.0, 6.0, 0.0, 9.0, 1.0, 1.0, spherical = false)
+    assert(out.count() == 54)
+    val dstMass = out.select(sum(col("value") * col("w_sum")))
+      .as[Double].head()
+    assert(dstMass == srcMass,
+      s"mass not conserved: src $srcMass vs dst $dstMass")
+    // and every target cell is fully covered: w_sum = its 1°² area
+    val wsums = out.select("w_sum").distinct().as[Double].collect()
+    assert(wsums.toSeq == Seq(1.0))
+  }
+
+  test("regridConservative: spherical weights are sin-difference sphere " +
+    "areas; a lat-straddling source pair biases toward the equator side") {
+    // one 2° target lat band [0,2) fed by two 1° source cells at
+    // centers 0.5 (v=10) and 1.5 (v=40): spherical weights sin(1)−sin(0)
+    // vs sin(2)−sin(1) — the equatorward cell weighs MORE than planar's
+    // equal split, so the blend sits below 25.
+    val src = Seq((0.5, 0.5, 10.0), (1.5, 0.5, 40.0))
+      .map { case (la, lo, v) => ("m", ct, la, lo, v) }
+      .toDF("dataset", "time", "lat", "lon", "value")
+    val out = ClimateOps.regridConservative(src, 1.0, 1.0,
+        0.0, 2.0, 0.0, 1.0, 2.0, 1.0)
+      .select("value").as[Double].head()
+    val w1 = math.sin(math.toRadians(1.0)) - 0.0
+    val w2 = math.sin(math.toRadians(2.0)) - math.sin(math.toRadians(1.0))
+    val expect = (10.0 * w1 + 40.0 * w2) / (w1 + w2)
+    assert(math.abs(out - expect) < 1e-12)
+    assert(out < 25.0, "equatorward cell must out-weigh the poleward one")
+  }
+
+  test("regridConservative: source cells outside the target domain drop " +
+    "(unmapped), partially-covered ones clip to the domain") {
+    val src = Seq((0.5, 0.5, 10.0), (0.5, 3.5, 99.0), // 2nd wholly outside
+        (0.5, 1.5, 20.0)) // straddles the lon edge at 2: clipped half in
+      .map { case (la, lo, v) => ("m", ct, la, lo, v) }
+      .toDF("dataset", "time", "lat", "lon", "value")
+    val out = ClimateOps.regridConservative(src, 1.0, 2.0,
+        0.0, 1.0, 0.0, 2.0, 1.0, 2.0, spherical = false)
+      .select("tlon", "value", "w_sum")
+      .as[(Double, Double, Double)].collect()
+    // one 2° target cell [0,2): full src0 (area 2·1=… src cells are
+    // 1°lat × 2°lon: src0 spans lon [−0.5,1.5) → clipped to [0,1.5) =
+    // 1.5; src2 spans [0.5,2.5) → clipped to [0.5,2) = 1.5
+    assert(out.length == 1)
+    val (tlon, v, wsum) = out.head
+    assert(tlon == 1.0 && wsum == 3.0)
+    assert(v == (10.0 * 1.5 + 20.0 * 1.5) / 3.0)
+  }
+
   test("spatialMeanWeighted: cos-lat area weighting down-weights the poles") {
     val t = java.sql.Timestamp.valueOf("2000-01-01 00:00:00")
     // equator cell (weight cos0 = 1) value 10, 60°N cell (cos60 = 0.5)

@@ -81,6 +81,21 @@ class PlanAuditSpec extends AnyFunSuite
     assert(p.contains("BroadcastHashJoin"), s"hourly means not broadcast:\n$p")
   }
 
+  test("qmap rank windows partition by the FULL group key (r16 verdict #8: " +
+    "group count scales with input, no per-group sort funnel)") {
+    // quantileMap's per-side rank windows are its only sorts; the
+    // graded key deliberately carries (event_type × 50 bands) so no
+    // single group funnels. This pins that every Window in the plan
+    // keeps `band` (the input-scaling component) in its partition
+    // spec — dropping it to event_type alone (5 groups) would pass
+    // correctness and die at decade scale.
+    val p = plan(SparkEntry.queries("q_climate_qmap")(spark, dir))
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, s"qmap lost its rank windows:\n$p")
+    winLines.foreach(l => assert(l.contains("band"),
+      s"a qmap window dropped `band` from its partition spec: $l"))
+  }
+
   test("tfidf vocabulary gate: oversized vocab drops the broadcast HINT, same result") {
     val docs = Tables.documents(spark, dir)
     val small = ops.Text.tfIdfTopK(docs, k = 3) // vocab ≤ default 1M → hinted broadcast
