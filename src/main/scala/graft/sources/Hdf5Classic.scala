@@ -1784,16 +1784,30 @@ object Hdf5Classic {
   }
 
   // ---------------------------------------------------------- write
-  /** Minimal netCDF-4-style writer: contiguous little-endian float64
-    * datasets in the root group with REAL dimension scales. Mirrors
+  /** Minimal netCDF-4-style writer: little-endian float64 datasets in
+    * the root group with REAL dimension scales. Mirrors
     * [[NetcdfClassic.write]]: `vars` entries whose name matches a dim
     * become that dim's coordinate variable (CLASS="DIMENSION_SCALE" +
     * NAME); every other entry gets a DIMENSION_LIST of object
     * references through a global heap collection. Every dim used by a
-    * data variable must have a coordinate variable present. */
+    * data variable must have a coordinate variable present.
+    *
+    * `compress` (r17): DATA variables get the standard archive
+    * encoding — shuffle + deflate chunked layout (pipeline v2,
+    * per-chunk v1 raw-data B-tree), chunked one slice along the first
+    * axis (netCDF-4's unlimited-dim shape, so the reader's hyperslab
+    * pruning skips non-intersecting time slices WITHOUT inflating
+    * them); coordinate variables stay contiguous (tiny, and axis
+    * reads drive pruning so they must stay cheap). Real archives are
+    * deflate+shuffle — an uncompressed 100 TB sink pays 3-10×
+    * storage/IO for nothing — and `java.util.zip.Deflater` is in the
+    * JDK like the read side's Inflater. Round-trip through [[parse]]
+    * (and any conforming reader: the emitted structures are the plain
+    * spec forms libhdf5 writes) is law-pinned in Hdf5Spec. */
   def write(dims: Seq[NcDim],
             vars: Seq[(String, Seq[Int], Seq[NcAttr], Array[Double])],
-            gattrs: Seq[NcAttr] = Nil): Array[Byte] = {
+            gattrs: Seq[NcAttr] = Nil,
+            compress: Boolean = false): Array[Byte] = {
     require(vars.nonEmpty, "HDF5 writer needs at least one dataset")
     val dimIdx: Map[String, Int] = dims.map(_.name).zipWithIndex.toMap
     val coordVarOfDim: Map[Int, String] = vars.collect {
@@ -1810,6 +1824,77 @@ object Hdf5Classic {
 
     def pad8(n: Int): Int = (n + 7) & ~7
     def nameBytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+    // ---- chunk planning (compress = true) --------------------------
+    // pipeline v2 in WRITE order: shuffle (elem size 8) then deflate
+    // (level 6) — readers apply it reversed, exactly as defilterChunk
+    // does. Per-chunk filter mask 0: every filter applied everywhere.
+    val writePipeline: Seq[(Int, Seq[Int])] = Seq((2, Seq(8)), (1, Seq(6)))
+    def shuffleFwd(in: Array[Byte]): Array[Byte] = {
+      val n = in.length / 8
+      val outB = new Array[Byte](in.length)
+      var i = 0
+      while (i < n) {
+        var k = 0
+        while (k < 8) { outB(k * n + i) = in(i * 8 + k); k += 1 }
+        i += 1
+      }
+      outB
+    }
+    def deflateChunk(in: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(in); d.finish()
+      val buf = new Array[Byte](in.length + 64)
+      var off = 0
+      while (!d.finished()) {
+        if (off == buf.length) throw new IllegalStateException(
+          "deflate produced more than input + 64 bytes") // can't: level-6
+        off += d.deflate(buf, off, buf.length - off)
+      }
+      d.end()
+      java.util.Arrays.copyOf(buf, off)
+    }
+    /** (chunkDims, per-chunk (element offsets, filtered bytes)). */
+    final case class ChunkPlan(chunkDims: Seq[Int],
+                               chunks: Seq[(Seq[Long], Array[Byte])])
+    val chunkPlans: Map[String, ChunkPlan] =
+      if (!compress) Map.empty
+      else vars.collect {
+        case (n, dimIds, _, data)
+            if !coordVarOfDim.values.exists(_ == n) && dimIds.nonEmpty &&
+              data.length > 0 =>
+          val shape = dimIds.map(dims(_).length)
+          // one slice along axis 0 (time) per chunk; rank-1 vars are a
+          // single whole chunk
+          val cdims = if (shape.length >= 2) 1 +: shape.tail else shape
+          val sliceLen = cdims.product
+          val nChunks = shape.head / cdims.head
+          val chunks = (0 until nChunks).map { t =>
+            val bb = ByteBuffer.allocate(sliceLen * 8)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            var i = t * sliceLen
+            val end = (t + 1) * sliceLen
+            while (i < end) { bb.putDouble(data(i)); i += 1 }
+            val offs = (t.toLong * cdims.head) +:
+              Seq.fill(shape.length - 1)(0L)
+            offs -> deflateChunk(shuffleFwd(bb.array()))
+          }
+          n -> ChunkPlan(cdims, chunks)
+      }.toMap
+    val pipelineMsgBody: Array[Byte] = {
+      val b = ByteBuffer.allocate(2 + writePipeline.map(_._2.length * 4 + 6).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(writePipeline.length.toByte)
+      writePipeline.foreach { case (id, cdv) =>
+        b.putShort(id.toShort)  // standard ids < 256: no name field in v2
+        b.putShort(0)           // flags: mandatory
+        b.putShort(cdv.length.toShort)
+        cdv.foreach(b.putInt)
+      }
+      b.array()
+    }
+    def chunkBtreeSize(nChunks: Int, rank: Int): Long =
+      24L + (nChunks + 1) * (8L + 8 * (rank + 1)) + nChunks * 8L
 
     // ---- per-variable synthetic attributes (dimension-scale scheme)
     def fullAttrs(name: String, dimIds: Seq[Int], user: Seq[NcAttr]): Seq[NcAttr] =
@@ -1947,18 +2032,36 @@ object Hdf5Classic {
       b.array()
     }
 
+    /** layout v3 message body: contiguous (data address) or, when a
+      * chunk plan exists for the var, chunked (v1 B-tree address +
+      * chunk dims + the trailing element size). `addr` is 0 in the
+      * sizing pass and the real address at emission — same length. */
+    def layoutBody(name: String, addr: Long, n: Int): Array[Byte] =
+      chunkPlans.get(name) match {
+        case Some(cp) =>
+          val b = ByteBuffer.allocate(11 + 4 * (cp.chunkDims.length + 1))
+            .order(ByteOrder.LITTLE_ENDIAN)
+          b.put(3.toByte); b.put(2.toByte)
+          b.put((cp.chunkDims.length + 1).toByte)
+          b.putLong(addr)
+          cp.chunkDims.foreach(b.putInt)
+          b.putInt(8) // element size
+          b.array()
+        case None =>
+          val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(3.toByte); b.put(1.toByte)
+          b.putLong(addr); b.putLong(n.toLong * 8)
+          b.array()
+      }
     def datasetMsgs(name: String, dimIds: Seq[Int], user: Seq[NcAttr],
                     n: Int): Seq[RawMsg] = {
       val shape = dimIds.map(d => dims(d).length.toLong)
       Seq(
         RawMsg(0x0001, dsSimple(shape)),
         RawMsg(0x0003, dtF64),
-        RawMsg(0x0008, { // layout v3 contiguous; address patched later
-          val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
-          b.put(3.toByte); b.put(1.toByte)
-          b.putLong(0L); b.putLong(n.toLong * 8)
-          b.array()
-        })) ++
+        RawMsg(0x0008, layoutBody(name, 0L, n))) ++
+        (if (chunkPlans.contains(name))
+          Seq(RawMsg(0x000B, pipelineMsgBody)) else Nil) ++
         fullAttrs(name, dimIds, user).map(a => RawMsg(0x000C, attrBody(a)))
     }
 
@@ -2005,8 +2108,16 @@ object Hdf5Classic {
         math.max(4096, used + 16).toLong
       }
     val dataAt = gheapAt + gheapSize
-    val dataOffsets = sortedVars.scanLeft(dataAt) { case (off, (_, _, _, d)) =>
-      off + d.length * 8L
+    // per-var data section: chunked = its B-tree node + filtered
+    // chunks; contiguous = raw doubles. dataOffsets(i) is the LAYOUT
+    // address either way (B-tree addr / data addr).
+    val dataOffsets = sortedVars.scanLeft(dataAt) {
+      case (off, (nme, dimIds, _, d)) =>
+        chunkPlans.get(nme) match {
+          case Some(cp) => off + chunkBtreeSize(cp.chunks.length, dimIds.length) +
+            cp.chunks.map(_._2.length.toLong).sum
+          case None => off + d.length * 8L
+        }
     }
     val eof = dataOffsets.last
 
@@ -2085,12 +2196,10 @@ object Hdf5Classic {
       val msgs = Seq(
         RawMsg(0x0001, dsSimple(dimIds.map(d => dims(d).length.toLong))),
         RawMsg(0x0003, dtF64),
-        RawMsg(0x0008, {
-          val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
-          b.put(3.toByte); b.put(1.toByte)
-          b.putLong(dataOffsets(i)); b.putLong(data.length.toLong * 8)
-          b.array()
-        })) ++ attrs.map { a =>
+        RawMsg(0x0008, layoutBody(n, dataOffsets(i), data.length))) ++
+        (if (chunkPlans.contains(n))
+          Seq(RawMsg(0x000B, pipelineMsgBody)) else Nil) ++
+        attrs.map { a =>
           val body = a.values match {
             case H5Refs(ids) =>
               // vlen descriptors: gheap objects are laid out in
@@ -2138,8 +2247,44 @@ object Hdf5Classic {
       out.position(dataAt.toInt)
     }
 
-    // contiguous float64 data
-    sortedVars.foreach { case (_, _, _, data) => data.foreach(out.putDouble) }
+    // per-var data sections: chunked vars emit their v1 raw-data-chunk
+    // B-tree (single leaf: one slice per entry, ascending offsets)
+    // followed by the filtered chunk bytes; the rest stay contiguous
+    sortedVars.zipWithIndex.foreach { case ((nme, dimIds, _, data), i) =>
+      chunkPlans.get(nme) match {
+        case Some(cp) =>
+          require(out.position() == dataOffsets(i).toInt,
+            s"chunk B-tree drift at '$nme'")
+          val rank = dimIds.length
+          val nCk = cp.chunks.length
+          val chunkAddrs = cp.chunks.scanLeft(
+            dataOffsets(i) + chunkBtreeSize(nCk, rank)) {
+            case (a, (_, ck)) => a + ck.length
+          }
+          out.put("TREE".getBytes(StandardCharsets.US_ASCII))
+          out.put(1.toByte)             // node type: raw data chunk
+          out.put(0.toByte)             // leaf
+          out.putShort(nCk.toShort)
+          out.putLong(UNDEF); out.putLong(UNDEF)
+          def putKey(size: Int, offs: Seq[Long]): Unit = {
+            out.putInt(size); out.putInt(0) // stored size, filter mask
+            offs.foreach(out.putLong); out.putLong(0L) // + element dim
+          }
+          cp.chunks.zipWithIndex.foreach { case ((offs, ck), k) =>
+            putKey(ck.length, offs)
+            out.putLong(chunkAddrs(k))
+          }
+          // final key: one past the last chunk along axis 0 (libhdf5's
+          // "greatest key" convention; readers walk entries, not keys)
+          putKey(0, (cp.chunks.last._1.head + cp.chunkDims.head) +:
+            cp.chunks.last._1.tail)
+          cp.chunks.foreach { case (_, ck) => out.put(ck) }
+        case None =>
+          require(out.position() == dataOffsets(i).toInt,
+            s"contiguous data drift at '$nme'")
+          data.foreach(out.putDouble)
+      }
+    }
     require(out.position() == eof.toInt, "data drift")
     out.array()
   }

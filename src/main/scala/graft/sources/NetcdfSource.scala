@@ -498,7 +498,11 @@ object NetcdfSource {
     // write→read pair is then the identity on SPARSE grids too
     val vars = coordVars ++ varNames.map(vn => (vn, dims.indices.toSeq,
       Seq(NetcdfClassic.NcAttr("_FillValue", Array(Double.NaN))), grids(vn)))
-    if (hdf5) Hdf5Classic.write(dims, vars)
+    // r17: HDF5 members ship deflate+shuffle chunked data variables —
+    // the real-archive norm (an uncompressed sink pays 3-10×
+    // storage/IO at 100 TB). NetCDF-3 classic has no compression in
+    // the format; it stays raw by definition.
+    if (hdf5) Hdf5Classic.write(dims, vars, compress = true)
     else NetcdfClassic.write(dims, vars)
   }
 

@@ -2503,6 +2503,58 @@ class Hdf5Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("ambiguous"))
   }
 
+  test("compressed write: deflate+shuffle chunks round-trip through the " +
+    "filter-pipeline reader and actually shrink the file (r17)") {
+    val nt = 8; val nla = 20; val nlo = 30
+    // a quantized field (what instruments store) compresses well;
+    // include NaN (the fill) and negative values so the shuffle
+    // byte-transpose is exercised on full-range sign/exponent bytes
+    val data = Array.tabulate(nt * nla * nlo) { i =>
+      if (i % 37 == 0) Double.NaN
+      else math.round(math.sin(i / 10.0) * 4.0) * 25.0 - 50.0
+    }
+    val dims = Seq(NcDim("time", nt), NcDim("lat", nla), NcDim("lon", nlo))
+    val vars = Seq(
+      ("time", Seq(0), Seq(NcAttr("units", "days since 2000-01-01")),
+        Array.tabulate(nt)(_.toDouble)),
+      ("lat", Seq(1), Nil, Array.tabulate(nla)(_ * 10.0)),
+      ("lon", Seq(2), Nil, Array.tabulate(nlo)(_ * 10.0)),
+      ("tas", Seq(0, 1, 2), Nil, data))
+    val raw = Hdf5Classic.write(dims, vars)
+    val comp = Hdf5Classic.write(dims, vars, compress = true)
+    assert(comp.length < raw.length,
+      s"compressed file (${comp.length}) not smaller than raw (${raw.length})")
+    val h5 = Hdf5Classic.parse(comp)
+    // the data var is CHUNKED one time-slice per chunk with the
+    // shuffle+deflate pipeline; coordinate vars stay contiguous
+    val tas = h5.vars.find(_.name == "tas").get
+    tas.data match {
+      case Hdf5Classic.H5Chunked(_, cdims, filters) =>
+        assert(cdims == Seq(1, nla, nlo), s"chunk dims $cdims")
+        assert(filters.map(_._1) == Seq(2, 1), s"pipeline $filters")
+      case other => fail(s"tas not chunked: $other")
+    }
+    assert(h5.vars.find(_.name == "lat").get.data
+      .isInstanceOf[Hdf5Classic.H5Contiguous])
+    // byte-exact round-trip, NaN fill included
+    val back = h5.read("tas")
+    assert(back.length == data.length)
+    data.indices.foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(back(i)) ==
+        java.lang.Double.doubleToLongBits(data(i)), s"cell $i differs")
+    }
+    // and the hyperslab path prunes + decodes compressed chunks: a
+    // 2-timestep bounded read returns exactly those slices
+    val sliced = h5.readSlab("tas", Seq(2L, 0L, 0L),
+      Seq(2L, nla.toLong, nlo.toLong))
+    assert(sliced.length == 2 * nla * nlo)
+    (0 until sliced.length).foreach { k =>
+      val src = 2 * nla * nlo + k
+      assert(java.lang.Double.doubleToLongBits(sliced(k)) ==
+        java.lang.Double.doubleToLongBits(data(src)), s"slab cell $k")
+    }
+  }
+
   // ---- distributed loader end-to-end --------------------------------
   test("readHdf5 loads a 2-file ensemble into the long form, CF times decoded") {
     val tmp = Files.createTempDirectory("h5ens").toString
