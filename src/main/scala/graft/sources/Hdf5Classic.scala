@@ -66,11 +66,12 @@ import NetcdfClassic.{NcAttr, NcDim}
   * filtered or not).
   *
   * Out of scope, rejected with NAMED errors (never a silent wrong
-  * read): superblock v4+, extended tiny heap IDs (heap ID length
-  * > 18), heap offsets past the root indirect block's direct rows,
-  * filter ids outside the registered standard set (the whole standard
-  * pipeline READS: szip since r16, nbit/scaleoffset since r14), and
-  * shared datatype messages.
+  * read): superblock v4+, heap offsets past the root indirect
+  * block's direct rows, filter ids outside the registered standard
+  * set (the whole standard pipeline READS: szip since r16,
+  * nbit/scaleoffset since r14), and shared datatype messages. Heap-ID
+  * dispatch has NO named rejections left (r17: extended tiny IDs —
+  * the 12-bit length form in widened slots — now read).
   *
   * WRITE scope: a minimal but spec-valid netCDF-4-style grid file —
   * superblock v0, one root group (single SNOD; enough for the ≤2·K
@@ -1420,17 +1421,21 @@ object Hdf5Classic {
       require((first >> 6) == 0, s"heap ID version ${first >> 6}")
       val typ = (first >> 4) & 3
       if (typ == 2) {
-        // TINY object (r13): the bytes live IN the heap ID itself —
-        // normal sub-variant, length-1 in the flag byte's low 4 bits.
-        // The extended sub-variant only exists for heap IDs > 18 bytes
-        // (an extra length byte), which no standard dense group uses —
-        // rejected by name like the other out-of-scope paths.
-        require(h.idLen <= 18,
-          "extended tiny fractal-heap IDs (heap ID length > 18) not supported")
-        val len = (first & 0xf) + 1
-        require(1 + len <= id.length,
+        // TINY object (r13): the bytes live IN the heap ID itself.
+        // Normal sub-variant (heap ID ≤ 18 bytes): length-1 in the
+        // flag byte's low 4 bits. EXTENDED sub-variant (r17, heap ID
+        // > 18 bytes — attribute-heavy files with widened id slots):
+        // the flag byte's low nibble holds bits 8-11 and the next
+        // byte bits 0-7 of a 12-bit (length-1) — per the spec's
+        // fractal-heap tiny-object layout. With this, the reader has
+        // ZERO named rejections left in heap-ID dispatch.
+        val len =
+          if (h.idLen <= 18) (first & 0xf) + 1
+          else (((first & 0xf) << 8) | (ib.get() & 0xff)) + 1
+        val dataOff = if (h.idLen <= 18) 1 else 2
+        require(dataOff + len <= id.length,
           s"tiny heap object length $len overruns the ${id.length}-byte heap ID")
-        return java.util.Arrays.copyOfRange(id, 1, 1 + len)
+        return java.util.Arrays.copyOfRange(id, dataOff, dataOff + len)
       }
       if (typ == 1) {
         // HUGE object (> max managed size — a long attribute value in

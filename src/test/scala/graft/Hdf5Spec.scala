@@ -1680,6 +1680,77 @@ class Hdf5Spec extends AnyFunSuite {
       "the tiny-ID link must resolve to dataset b")
   }
 
+  /** EXTENDED tiny heap IDs (r17): a dense group with WIDENED 20-byte
+    * heap ID slots (idLen > 18 switches tiny objects to the extended
+    * sub-variant — low nibble of the flag byte = bits 8-11 of a
+    * 12-bit length-1, the next byte = bits 0-7). Link "a" stays a
+    * managed object in the wide slot (15-byte length field); "b" is
+    * the extended tiny ID. The LAST named rejection in heap-ID
+    * dispatch, now read. */
+  private def denseExtendedTinyLinkFile(): Array[Byte] = {
+    val out = ByteBuffer.allocate(538).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(3.toByte); out.put(8.toByte); out.put(8.toByte); out.put(0.toByte)
+    out.putLong(0L); out.putLong(-1L)
+    out.putLong(538L); out.putLong(48L); out.putInt(0)
+    assert(out.position() == 48)
+    out.put("OHDR".getBytes(StandardCharsets.US_ASCII))
+    out.put(2.toByte); out.put(0.toByte); out.put(22.toByte)
+    out.put(0x02.toByte); out.putShort(18); out.put(0.toByte)
+    out.put(0.toByte); out.put(0.toByte)
+    out.putLong(81L)                        // fractal heap header
+    out.putLong(256L)                       // type-5 name-index B-tree
+    out.putInt(0)
+    assert(out.position() == 81)
+    putFrhp(out, idLen = 20, rootAddr = 227L, curRows = 0,
+      nManaged = 1L, nTiny = 1L)
+    assert(out.position() == 227)
+    putFhdb(out, 81L, 0)                    // root IS the direct block
+    assert(out.position() == 244)           // heap offset 17
+    out.put(linkMsg("a", 352L))             // managed object at offset 17
+    assert(out.position() == 256)
+    out.put("BTHD".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)    // version, type 5 (link name)
+    out.putInt(512); out.putShort(24)       // node size, record 4+20
+    out.putShort(0)                         // depth 0: root is a leaf
+    out.put(100.toByte); out.put(40.toByte)
+    out.putLong(294L); out.putShort(2)      // root leaf, 2 records
+    out.putLong(2L); out.putInt(0)
+    assert(out.position() == 294)
+    out.put("BTLF".getBytes(StandardCharsets.US_ASCII))
+    out.put(0.toByte); out.put(5.toByte)
+    out.putInt(0)                           // hash of "a" (unverified)
+    // managed id in the WIDE slot: flag, 4-byte offset, 15-byte length
+    out.put(0.toByte); out.putInt(17); out.put(12.toByte)
+    out.put(new Array[Byte](14))
+    out.putInt(0)                           // hash of "b"
+    // EXTENDED tiny: len-1 = 11 → flag nibble 0 (bits 8-11), byte 11
+    out.put((2 << 4).toByte)
+    out.put(11.toByte)
+    out.put(linkMsg("b", 449L))             // the 12 message bytes
+    out.put(new Array[Byte](6))             // zero pad to the 20-byte slot
+    out.putInt(0)                           // leaf checksum
+    assert(out.position() == 352)
+    putDatasetOhdr(out, 3L, 425L)
+    assert(out.position() == 425)
+    out.putDouble(1.5); out.putDouble(2.5); out.putDouble(3.5)
+    assert(out.position() == 449)
+    putDatasetOhdr(out, 2L, 522L)
+    assert(out.position() == 522)
+    out.putDouble(9.0); out.putDouble(8.0)
+    assert(out.position() == 538)
+    out.array()
+  }
+
+  test("EXTENDED tiny heap IDs read: the 12-bit two-byte length form in " +
+    "widened ID slots (r17 — zero named rejections left in heap-ID dispatch)") {
+    val h5 = Hdf5Classic.parse(denseExtendedTinyLinkFile())
+    assert(h5.vars.map(_.name).sorted == Seq("a", "b"))
+    assert(h5.read("a").toSeq == Seq(1.5, 2.5, 3.5))
+    assert(h5.read("b").toSeq == Seq(9.0, 8.0),
+      "the extended-tiny-ID link must resolve to dataset b")
+  }
+
   test("dense link storage: fractal heap + type-5 v2 B-tree enumerate") {
     val h5 = Hdf5Classic.parse(denseLinkFile())
     assert(h5.vars.map(_.name).sorted == Seq("a", "b"))
