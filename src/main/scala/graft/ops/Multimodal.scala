@@ -240,6 +240,47 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // r17 (VERDICT r16 #4): the DECODE direction hash-graded via the
+    // digest-twin trick. Payload = real BMP/WAV containers built by
+    // the byte-graded encoder (q_multimodal_encode pins encodeBmp/
+    // encodeWav against spec-literal hex, so the bytes entering the
+    // parser here are spec-correct by that independent grade); the
+    // REAL MediaCodec.decodeBmp/decodeWav then parse them, and the
+    // decoded VALUE TABLE (dimensions, logical-order pixels, signed
+    // samples, rate/channels) is graded against DuckDB reconstructing
+    // every value from the md5 digest by pure spec arithmetic — no
+    // byte parsing oracle-side. The 3×2 bottom-up BMP pins row
+    // re-ordering + 4-byte padding on the DECODE side; the stereo WAV
+    // pins the header walk; sample signs pin the LE signed-short
+    // read. The production media path keeps the rows-only
+    // q_multimodal_decode below.
+    "q_multimodal_decode_md5" -> { (s, dir) =>
+      import s.implicits._
+      import graft.sources.MediaCodec
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          unhex(md5(col("doc_id").cast("string"))).as("digest"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            def px(off: Int, b: Array[Byte]) =
+              ((b(off + 2) & 0xff) << 16) | ((b(off + 1) & 0xff) << 8) |
+                (b(off) & 0xff)
+            val p2 = p ++ p.take(2)
+            val bmp = MediaCodec.decodeBmp(MediaCodec.encodeBmp(3, 2,
+              Array.tabulate(6)(i => px(3 * i, p2))))
+            val wav = MediaCodec.decodeWav(MediaCodec.encodeWav(8000, 2,
+              Array.tabulate(8)(i =>
+                ((p(2 * i) & 0xff) | (p(2 * i + 1) << 8)).toShort)))
+            (id, bmp.width, bmp.height, bmp.pixels.mkString(","),
+              wav.sampleRate, wav.channels, wav.samples.mkString(","))
+          }
+        }
+        .toDF("doc_id", "bmp_w", "bmp_h", "bmp_px",
+          "wav_rate", "wav_ch", "wav_samples")
+        .orderBy(col("doc_id"))
+    },
+
     "q_multimodal_decode" -> { (s, dir) =>
       val media = mediaTable(s, dir)
       val feats = decodeFeatures(s, media).toDF()
@@ -314,7 +355,34 @@ object Multimodal {
     *         0x1f40, byte rate 16000 = 0x3e80, align 2, 16 bit),
     *         data 16 = the digest.
     *   wav2: same but ch 2, byte rate 32000 = 0x7d00, align 4. */
+  /** Oracle for the decode twin: every decoded value rebuilt from the
+    * md5 digest by spec arithmetic — pixel i is the (R,G,B) int over
+    * bytes (3i+2, 3i+1, 3i) of digest‖digest[0..1]; sample i is the
+    * signed little-endian short at digest[2i]. Generated so the byte
+    * positions are written once. */
+  private lazy val decodeMd5OracleSql: String = {
+    def b(h: String, j: Int) = s"CAST('0x' || substr($h, ${2 * j + 1}, 2) AS INT)"
+    val pxs = (0 until 6).map(i =>
+      s"(${b("ph", 3 * i + 2)} * 65536 + ${b("ph", 3 * i + 1)} * 256 + ${b("ph", 3 * i)})")
+    val smps = (0 until 8).map { i =>
+      val v = s"${b("dh", 2 * i)} + 256 * ${b("dh", 2 * i + 1)}"
+      s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         md5(CAST(doc_id AS VARCHAR)) AS dh,
+       |         md5(CAST(doc_id AS VARCHAR))
+       |           || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS ph
+       |  FROM documents)
+       |SELECT doc_id, CAST(3 AS INT) AS bmp_w, CAST(2 AS INT) AS bmp_h,
+       |  ${pxs.map(p => s"CAST($p AS VARCHAR)").mkString(" || ',' || ")} AS bmp_px,
+       |  CAST(8000 AS INT) AS wav_rate, CAST(2 AS INT) AS wav_ch,
+       |  ${smps.map(sm => s"CAST($sm AS VARCHAR)").mkString(" || ',' || ")} AS wav_samples
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_multimodal_decode_md5" -> decodeMd5OracleSql,
     "q_multimodal_encode" ->
       """WITH d AS (
         |  SELECT doc_id,
