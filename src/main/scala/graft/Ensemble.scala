@@ -137,6 +137,19 @@ final case class Ensemble(df: DataFrame) {
         dstLatRes, dstLonRes, k, blockDeg)
       .withColumnRenamed("tlat", "lat").withColumnRenamed("tlon", "lon"))
 
+  /** R7 method=conservative: TRUE fractional-overlap remapping onto a
+    * uniform target mesh (see ClimateOps.regridConservative — mass-
+    * conserving on NON-nested grids, unlike regridBin's bin-average). */
+  def regridConservative(srcLatRes: Double, srcLonRes: Double,
+                         latMin: Double, latMax: Double,
+                         lonMin: Double, lonMax: Double,
+                         dstLatRes: Double, dstLonRes: Double,
+                         spherical: Boolean = true): Ensemble =
+    Ensemble(ClimateOps.regridConservative(df, srcLatRes, srcLonRes,
+        latMin, latMax, lonMin, lonMax, dstLatRes, dstLonRes, spherical)
+      .withColumnRenamed("tlat", "lat").withColumnRenamed("tlon", "lon")
+      .drop("w_sum"))
+
   def resample(unit: String, agg: String = "mean"): Ensemble =
     Ensemble(ClimateOps.resample(df, unit, agg))
 

@@ -36,6 +36,18 @@ class EnsembleSpec extends AnyFunSuite {
     assert(regridded.df.columns.toSet == Set("dataset", "time", "lat", "lon", "value"))
   }
 
+  test("regridConservative on the Ensemble keeps the long-form schema (r17)") {
+    val ens = Ensemble.of(member("m1", Seq(0.5, 1.5)))
+      .regridConservative(1.0, 180.0, 0.0, 2.0, 0.0, 360.0, 2.0, 360.0,
+        spherical = false)
+    assert(ens.df.columns.toSet == Set("dataset", "time", "lat", "lon", "value"))
+    // one 2°×360° target cell per timestep; the blend is convex — it
+    // sits strictly inside the source value range (0.51 .. 1.69)
+    val vals = ens.df.select("value").as[Double].collect().toSeq
+    assert(vals.length == 2)
+    assert(vals.forall(v => v > 0.51 && v < 1.69), s"non-convex blend: $vals")
+  }
+
   test("alignMembers keeps only cells present in every member") {
     val ens = Ensemble.of(member("m1", Seq(0.0, 20.0))
       .unionByName(member("m2", Seq(0.0, 20.0, 40.0))))
