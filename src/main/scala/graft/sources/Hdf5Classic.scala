@@ -1849,11 +1849,13 @@ object Hdf5Classic {
     def deflateChunk(in: Array[Byte]): Array[Byte] = {
       val d = new java.util.zip.Deflater(6)
       d.setInput(in); d.finish()
-      val buf = new Array[Byte](in.length + 64)
+      // zlib worst case on incompressible input: ~5 bytes per 64 KiB
+      // stored block + 6 header/trailer — size for it up front so a
+      // random-noise slice cannot overflow (r17 self-review: a flat
+      // `+64` bound breaks past ~200 KiB of incompressible chunk)
+      val buf = new Array[Byte](in.length + in.length / 16384 * 5 + 64)
       var off = 0
       while (!d.finished()) {
-        if (off == buf.length) throw new IllegalStateException(
-          "deflate produced more than input + 64 bytes") // can't: level-6
         off += d.deflate(buf, off, buf.length - off)
       }
       d.end()

@@ -2626,6 +2626,26 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("compressed write survives an INCOMPRESSIBLE large chunk " +
+    "(deflate stored-block worst case, r17 self-review)") {
+    // one 400 KiB random slice: deflate emits stored blocks BIGGER
+    // than the input — the writer's output buffer must absorb that
+    val rnd = new scala.util.Random(41)
+    val nla = 200; val nlo = 256
+    val data = Array.fill(nla * nlo)(
+      java.lang.Double.longBitsToDouble(rnd.nextLong()))
+      .map(v => if (v.isNaN) 0.5 else v) // NaN bit patterns canonicalize
+    val dims = Seq(NcDim("lat", nla), NcDim("lon", nlo))
+    val vars = Seq(
+      ("lat", Seq(0), Nil, Array.tabulate(nla)(_ * 1.0)),
+      ("lon", Seq(1), Nil, Array.tabulate(nlo)(_ * 1.0)),
+      ("tas", Seq(0, 1), Nil, data))
+    val h5 = Hdf5Classic.parse(Hdf5Classic.write(dims, vars, compress = true))
+    val back = h5.read("tas")
+    assert(back.length == data.length)
+    data.indices.foreach(i => assert(back(i) == data(i), s"cell $i"))
+  }
+
   // ---- distributed loader end-to-end --------------------------------
   test("readHdf5 loads a 2-file ensemble into the long form, CF times decoded") {
     val tmp = Files.createTempDirectory("h5ens").toString
