@@ -362,6 +362,44 @@ class ClimateOpsSpec extends AnyFunSuite {
     assert(one.select("corrected").as[Double].collect().toSeq == Seq(7.0))
   }
 
+  test("spells: maximal consecutive runs, hand fixture") {
+    // series a: days 1,2,3 | 5 | 8,9  → runs (1-3), (5-5), (8-9)
+    // series b: days 4    → one singleton run
+    val q = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 5L, 40L), ("a", 8L, 50L), ("a", 9L, 60L),
+      ("b", 4L, 70L)).toDF("k", "d", "v")
+    val got = ClimateOps.spells(q, Seq("k"), "d", "v")
+      .orderBy($"k", $"spell_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("a", 1L, 3L, 3L, 60L),   // start, end, len, sum
+      ("a", 5L, 5L, 1L, 40L),
+      ("a", 8L, 9L, 2L, 110L),
+      ("b", 4L, 4L, 1L, 70L)))
+  }
+
+  test("spells: MAXIMALITY law — no two spells in a series touch, and " +
+    "lengths reconstruct the qualifying-day count") {
+    // pseudo-random qualifying day set, two series
+    val days = (1 to 200).filter(d => (d * 2654435761L % 5) < 3)
+    val q = Seq("x", "y").flatMap(k => days.map(d =>
+      (k, d.toLong, 1L))).toDF("k", "d", "v")
+    val rows = ClimateOps.spells(q, Seq("k"), "d", "v")
+      .orderBy($"k", $"spell_start").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          // a gap of at least one missing day separates consecutive spells
+          assert(b.getLong(1) > a.getLong(2) + 1)
+        case _ => ()
+      }
+      assert(rs.map(_.getLong(3)).sum == days.size) // Σ len = |qualifying|
+      rs.foreach(r => // len is consistent with the [start, end] extent
+        assert(r.getLong(3) == r.getLong(2) - r.getLong(1) + 1))
+    }
+  }
+
   test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
     val df = Seq(
       (2001, 30),  // Jan 30       → Jan 30
