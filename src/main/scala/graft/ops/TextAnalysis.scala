@@ -166,16 +166,24 @@ object TextAnalysis {
     * this is the right shape for a frozen tokenizer: the table is
     * O(vocab) bytes in the plan, never a broadcast or a shuffle. */
   def bpeTokens(docs: DataFrame, vocab: Seq[String],
-                numMerges: Int = 40): DataFrame = {
+                numMerges: Int = 40): DataFrame =
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      bpeCountOf(vocab, numMerges).as("n_tok_bpe"))
+
+  /** The frozen greedy-BPE document token-count EXPRESSION over
+    * `vocab` — the map-literal lookup + higher-order sum that
+    * [[bpeTokens]] and the BPE-budgeted packer share (still a pure
+    * codegen'd projection; extracting it lets [[packSequences]] budget
+    * on REAL tokenizer counts instead of the length/4 estimate). */
+  private[graft] def bpeCountOf(vocab: Seq[String],
+                                numMerges: Int = 40): Column = {
     val units = bpeUnits(vocab, numMerges)
     val table = vocab.distinct.sorted.map(w => w -> bpeGreedy(w, units).length)
     val m = map(table.flatMap { case (w, n) =>
       Seq(lit(w), lit(n.toLong)) }: _*)
-    docs.select(col("doc_id"),
-      size(toks).cast("long").as("n_words"),
-      aggregate(toks, lit(0L), (acc, w) =>
-        acc + coalesce(element_at(m, w), length(w).cast("long")))
-        .as("n_tok_bpe"))
+    aggregate(toks, lit(0L), (acc, w) =>
+      acc + coalesce(element_at(m, w), length(w).cast("long")))
   }
 
   /** Rolling-hash document fingerprint: xxhash64 over 8-token windows,
@@ -253,12 +261,13 @@ object TextAnalysis {
     * the duplicates could swap sequences between runs. Dedup first
     * (the pipeline does) or add a tiebreak column. */
   def packSequences(docs: DataFrame, capacity: Long = 512L,
-                    packKey: String = "lang"): DataFrame = {
+                    packKey: String = "lang",
+                    tokCol: Column = tokEstimate): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(packKey)).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col(packKey), tokEstimate.as("tok"))
+    docs.select(col("doc_id"), col(packKey), tokCol.as("tok"))
       .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"cum_before DIV $capacity"))
   }
@@ -479,6 +488,23 @@ object TextAnalysis {
     // hash pins the shard assignment AND the per-shard boundary
     // arithmetic — the sharded form can no longer drift from the graded
     // per-lang form (r9 verdict task 4).
+    // Packing BUDGETED ON THE REAL TOKENIZER (r17, the VERDICT r16 #3
+    // tail): the same exclusive-running-sum boundary arithmetic as
+    // q_pack_sequences, but the budget consumes the frozen greedy-BPE
+    // counts (q_text_bpe's exact table) instead of the length/4
+    // estimate — the counts a training pipeline actually packs on.
+    // Capacity 128 keeps multi-sequence packings at every tier under
+    // the smaller real counts.
+    "q_pack_bpe" -> { (s, dir) =>
+      packSequences(Tables.documents(s, dir), capacity = 128L,
+          tokCol = bpeCountOf(BpeCorpusVocab))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("tok")).cast("long").as("sum_tok"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("seq_id"))
+    },
     "q_pack_sharded" -> { (s, dir) =>
       packSequencesSharded(Tables.documents(s, dir), nShards = 32)
         .groupBy(col("shard"), col("seq_id"))
@@ -739,6 +765,26 @@ object TextAnalysis {
         |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+
+    // the BPE-budgeted packer: q_text_bpe's frozen count table inside
+    // q_pack_sequences' boundary arithmetic (seq_id CAST per §2.8
+    // rule 4 — window SUM widens to HUGEINT)
+    "q_pack_bpe" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    list_sum(list_transform(string_split(text, ' '),
+         |      t -> $bpeCountsSql)) AS tok
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, tok,
+         |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 128
+         |      AS BIGINT) AS seq_id
+         |  FROM d)
+         |SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
 
     // the sharded packer: q_sample_split's md5 shard digest composed
     // with q_pack_sequences' exclusive-running-sum boundary arithmetic

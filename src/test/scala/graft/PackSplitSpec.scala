@@ -54,6 +54,29 @@ class PackSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE-budgeted packing (q_pack_bpe): same boundary algebra on the " +
+    "frozen tokenizer counts, and tok equals bpeTokens' count per doc") {
+    val docs = Tables.documents(spark, dir)
+    val cap = 128L
+    val packed = ops.TextAnalysis.packSequences(docs, cap,
+        tokCol = ops.TextAnalysis.bpeCountOf(ops.TextAnalysis.BpeCorpusVocab))
+      .orderBy(col("lang"), col("doc_id"))
+      .select("lang", "doc_id", "tok", "seq_id").collect()
+    // the budget column IS the graded tokenizer's count
+    val bpe = ops.TextAnalysis.bpeTokens(docs, ops.TextAnalysis.BpeCorpusVocab)
+      .select("doc_id", "n_tok_bpe").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    packed.foreach(r => assert(r.getLong(2) == bpe(r.getLong(1))))
+    // and the boundary law holds on those counts
+    packed.groupBy(_.getString(0)).foreach { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_.getLong(1)).foreach { r =>
+        assert(r.getLong(3) == cum / cap)
+        cum += r.getLong(2)
+      }
+    }
+  }
+
   test("packing sequence ranges are contiguous and never interleave") {
     val agg = SparkEntry.queries("q_pack_sequences")(spark, dir)
       .orderBy(col("lang"), col("seq_id")).collect()
