@@ -474,6 +474,26 @@ object Sources {
               date_format(max(col("time")), "yyyy-MM-dd HH:mm:ss").as("t_max"))
             .orderBy(col("dataset"))
       }
+    },
+
+    // BUCKETED layout graded end-to-end (r17): both fact tables
+    // rewritten ONCE per (session, tier) as bucket-by-join-key catalog
+    // tables, then joined — the join plans with ZERO Exchange (the
+    // PlanAuditSpec pin), the layout knob README §"Deploying at 100×"
+    // prescribes for repeated fact-fact joins. The oracle recomputes
+    // the same join + aggregate from the BASE parquet tables, so the
+    // key also grades that the bucketed rewrite lost nothing.
+    "q_source_bucketed_join" -> { (s, dir) =>
+      bucketedJoin(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(graft.Det.cents(col("l_extendedprice"))).cast("long")
+            .as("sum_price_c"),
+          sum(graft.Det.cents(col("l_quantity"))).cast("long")
+            .as("sum_qty_c"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy(col("o_orderpriority"))
     })
 
   /** One SHARED writeGrid artifact per (session, tier, format): r13
@@ -562,6 +582,49 @@ object Sources {
         }
       })
     if (wrote) Some(out) else None
+  }
+
+  /** One SHARED pair of BUCKETED catalog tables per (session, tier):
+    * lineitem and orders each rewritten ONCE as 8-bucket,
+    * sorted-within-bucket external tables on their join key (paths
+    * under target/roundtrip, tier-tagged names — the in-memory
+    * catalog is session-scoped, the artifact rules match
+    * [[sharedGridMember]]). Bucketing is the cluster LAYOUT knob for
+    * repeated fact-fact joins: both sides pre-clustered on the key,
+    * so every subsequent join plans with ZERO Exchange at ANY data
+    * size — the shuffle is paid once at write time, not per query.
+    * 8 buckets sizes the local tiers; a 100 TB deployment picks
+    * buckets ≈ cluster cores (thousands) — same plan, finer grain.
+    * Returns the zero-shuffle joined frame (merge-hinted: the graded
+    * tiers' orders side is broadcast-small, and a broadcast join
+    * would silently waive the co-location the key exists to grade). */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tier = tierTag(dir)
+    // table names must be dot-free (a dot parses as schema.table); the
+    // artifact PATHS keep the canonical tier tag
+    val nameTag = tier.replaceAll("[^A-Za-z0-9_]", "_")
+    val (liT, ordT) = (s"li_bkt_$nameTag", s"ord_bkt_$nameTag")
+    bucketedCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
+        graft.Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+          .write.mode("overwrite")
+          .option("path", s"$roundtripRoot/li_bkt_$tier")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liT)
+        graft.Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite")
+          .option("path", s"$roundtripRoot/ord_bkt_$tier")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ordT)
+        true
+      })
+    s.table(ordT).hint("merge")
+      .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
   }
 
   /** Empty-events tier result for q_source_catalog_ensemble: no
@@ -839,6 +902,18 @@ object Sources {
   }
 
   val oracle: Map[String, String] = Map(
+    // the bucketed-rewrite join vs the same join from the BASE tables
+    "q_source_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_c,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_source_csv_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,

@@ -96,6 +96,19 @@ class PlanAuditSpec extends AnyFunSuite
       s"a qmap window dropped `band` from its partition spec: $l"))
   }
 
+  test("bucketed co-located join: SortMergeJoin with ZERO Exchange (r17 — " +
+    "the pre-paid-shuffle layout; losing it re-shuffles both facts per query)") {
+    val j = sources.Sources.bucketedJoin(spark, dir)
+    val p = plan(j)
+    assert(p.contains("SortMergeJoin"), s"bucketed join lost SMJ:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join shuffles — the bucket layout is being ignored:\n$p")
+    // and the rewrite lost no rows vs the base tables' join
+    val base = Tables.orders(spark, dir).join(Tables.lineitem(spark, dir),
+      col("o_orderkey") === col("l_orderkey"))
+    assert(j.count() == base.count())
+  }
+
   test("tfidf vocabulary gate: oversized vocab drops the broadcast HINT, same result") {
     val docs = Tables.documents(spark, dir)
     val small = ops.Text.tfIdfTopK(docs, k = 3) // vocab ≤ default 1M → hinted broadcast
