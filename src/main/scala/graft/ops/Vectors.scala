@@ -398,6 +398,69 @@ object Vectors {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // ---- PCA leading component (r17) ---------------------------------
+  /** Leading principal component by deterministic QUANTIZED POWER
+    * ITERATION — the first step of PCA whitening/compression and the
+    * EOF-analysis primitive. The Gram matrix C = XᵀX is computed
+    * DISTRIBUTED as exact integer sums over kilo-quantized components
+    * (round(x·1000): |x| ≤ ~1 ⇒ products ≤ ~10⁶, corpus sums ≪ 2⁶³);
+    * C is d×d — bounded by the DIMENSION, never the corpus — so
+    * collecting it to the driver is the standard shape (Spark MLlib's
+    * PCA collects the same Gram matrix), joining the Ann-trainer
+    * collect() allowlist. The O(d²·iters) eigen-iteration then runs in
+    * exact driver integer math: C and every iterate re-quantize to the
+    * 1e6 grid via floor(v/max·1e6 + 0.5) — the PQ codebook move — so
+    * all products stay exact longs and the oracle replays the
+    * IDENTICAL integer/IEEE steps in SQL. Fixed iteration count;
+    * all-ones start (never orthogonal to the lead on real data);
+    * max = 0 (all-zero input) keeps the iterate unscaled, zero-safely.
+    * Memoized per (session, input plan, iters): the loadings and
+    * scores keys share one Gram job. */
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), IndexedSeq[Long]]
+
+  private[graft] def pcaLoadings(e: DataFrame,
+                                 iters: Int = 3): IndexedSeq[Long] =
+    pcaCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(e.sparkSession),
+        e.queryExecution.analyzed.semanticHash(), iters), {
+        val u = e.select(col("vec_id"),
+          posexplode(transform(dbl(col("embedding")),
+            x => round(x * 1000L, 0).cast("long"))).as(Seq("i", "xi")))
+        val ua = u.select(col("vec_id"), col("i").as("ai"), col("xi").as("ax"))
+        val ub = u.select(col("vec_id"), col("i").as("bi"), col("xi").as("bx"))
+        val cRows = ua.join(ub, "vec_id")
+          .groupBy(col("ai"), col("bi"))
+          .agg(sum(col("ax") * col("bx")).as("cij"))
+          .collect()
+        if (cRows.isEmpty) IndexedSeq.empty
+        else {
+          val d = cRows.map(_.getInt(0)).max + 1
+          val c = Array.ofDim[Long](d, d)
+          cRows.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+          def requant(v: IndexedSeq[Long]): IndexedSeq[Long] = {
+            val m = v.map(math.abs).max
+            if (m == 0L) v
+            else v.map(x =>
+              math.floor(x.toDouble / m.toDouble * 1000000.0 + 0.5).toLong)
+          }
+          // C re-quantizes by the GLOBAL max (not per row — the matrix
+          // is one object), same floor(v/max·1e6 + 0.5) grid
+          val cmax = c.flatten.map(math.abs).max
+          val cqg =
+            if (cmax == 0L) c.map(_.toIndexedSeq).toIndexedSeq
+            else c.map(_.map(x => math.floor(
+              x.toDouble / cmax.toDouble * 1000000.0 + 0.5).toLong)
+              .toIndexedSeq).toIndexedSeq
+          var x = IndexedSeq.fill(d)(1000000L)
+          (1 to iters).foreach { _ =>
+            x = requant((0 until d).map(i =>
+              (0 until d).map(j => cqg(i)(j) * x(j)).sum))
+          }
+          x
+        }
+      })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SQ8 quantization graded end-to-end: per-vector scale, the full
     // quantized vector (comma-joined — the fingerprint keys' list
@@ -446,6 +509,38 @@ object Vectors {
     // alone's 11/50 on this worst-case isotropic corpus).
     "q_vec_ann_pq" -> { (s, dir) =>
       pqSearch(Tables.embeddings(s, dir))
+    },
+
+    // PCA leading component graded end-to-end (r17): the distributed
+    // exact-integer Gram job + 3 quantized power iterations; the
+    // oracle replays the identical integer/IEEE steps in SQL (Gram →
+    // global-max requant → per-iteration requant). dim is 0-based.
+    "q_vec_pca" -> { (s, dir) =>
+      val x = pcaLoadings(Tables.embeddings(s, dir))
+      import s.implicits._
+      x.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("dim", "loading").orderBy(col("dim"))
+    },
+
+    // The projection scores: score(v) = ⟨kilos(v), x₃⟩ — the loadings
+    // inlined as a literal array, one exact-integer dot per vector,
+    // pure projection (the at-scale read path of a fitted PCA).
+    "q_vec_pca_scores" -> { (s, dir) =>
+      val x = pcaLoadings(Tables.embeddings(s, dir))
+      if (x.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.LongType))))
+      else {
+        val lx = array(x.map(v => lit(v.toDouble)): _*)
+        Tables.embeddings(s, dir).select(col("vec_id"),
+          dot(transform(dbl(col("embedding")),
+            e => round(e * 1000L, 0)), lx).cast("long").as("score"))
+          .orderBy(col("vec_id"))
+      }
     },
 
     // GRADED ANN-LSH twin (r6): bucket assignment + in-bucket exact
@@ -597,6 +692,48 @@ object Vectors {
 
   private val qvCast = "CAST(embedding AS DOUBLE[])"
 
+  /** Shared PCA power-iteration CTE chain — the single DuckDB copy of
+    * the quantized-power-iteration math that must stay step-identical
+    * with [[pcaLoadings]]: kilo-quantized components, exact-integer
+    * Gram, global-max re-quantization of C, then three (C·x, max,
+    * requant) rounds. `m = 0` keeps the vector unscaled (the driver's
+    * zero guard); empty input flows through as zero rows. Emits
+    * `u(vec_id, i, xi)` (i 1-based) and the final iterate `x3(i, xv)`. */
+  private val pcaCte: String = {
+    def step(k: Int): String =
+      s"""y$k AS (
+         |  SELECT ai AS i, CAST(SUM(cq * xv) AS BIGINT) AS yv
+         |  FROM cq JOIN x${k - 1} ON bi = x${k - 1}.i GROUP BY ai),
+         |m$k AS (SELECT CAST(MAX(ABS(yv)) AS DOUBLE) AS m FROM y$k),
+         |x$k AS (
+         |  SELECT i, CASE WHEN m = 0 THEN yv
+         |    ELSE CAST(FLOOR(CAST(yv AS DOUBLE) / m * 1000000 + 0.5)
+         |      AS BIGINT) END AS xv
+         |  FROM y$k, m$k)""".stripMargin
+    s"""v AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   e -> ROUND(e * 1000)) AS vk
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id, generate_subscripts(vk, 1) AS i,
+       |    CAST(unnest(vk) AS BIGINT) AS xi
+       |  FROM v),
+       |c AS (
+       |  SELECT a.i AS ai, b.i AS bi, CAST(SUM(a.xi * b.xi) AS BIGINT) AS cij
+       |  FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2),
+       |mc AS (SELECT CAST(MAX(ABS(cij)) AS DOUBLE) AS m FROM c),
+       |cq AS (
+       |  SELECT ai, bi, CASE WHEN m = 0 THEN cij
+       |    ELSE CAST(FLOOR(CAST(cij AS DOUBLE) / m * 1000000 + 0.5)
+       |      AS BIGINT) END AS cq
+       |  FROM c, mc),
+       |x0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS xv FROM u),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}""".stripMargin
+  }
+
   /** Shared PQ training CTE chain — the single DuckDB copy of the
     * per-subspace 2-iteration Lloyd fit that must stay step-identical
     * with [[pqModel]] (the ivf_det SQL with a `sub` key threaded
@@ -682,6 +819,19 @@ object Vectors {
     .mkString("\n      + ")
 
   val oracle: Map[String, String] = Map(
+    // the PCA power-iteration chain: Gram → global-max requant →
+    // three (multiply, max, requant) rounds — every step exact
+    // integers or the one identical floor(v/m·1e6 + 0.5) IEEE sequence
+    "q_vec_pca" ->
+      s"""WITH $pcaCte
+         |SELECT i - 1 AS dim, xv AS loading FROM x3 ORDER BY dim""".stripMargin,
+
+    "q_vec_pca_scores" ->
+      s"""WITH $pcaCte
+         |SELECT u.vec_id, CAST(SUM(u.xi * x3.xv) AS BIGINT) AS score
+         |FROM u JOIN x3 ON u.i = x3.i
+         |GROUP BY u.vec_id ORDER BY vec_id""".stripMargin,
+
     // the shared PQ training chain; final assignment rows, exact ints
     "q_vec_pq" ->
       s"""WITH $pqCte
