@@ -155,6 +155,34 @@ object Windows {
         .orderBy(col("event_id"))
     },
 
+    // BATCH sessionization (r17) — the gaps-and-islands companion to
+    // the streaming session window (q_stream_session grades the
+    // watermark path; this is the backfill/batch path every pipeline
+    // also needs): a new session starts at the first event or when the
+    // gap since the previous event exceeds 30 min. Session seq = the
+    // running sum of start flags over ONE per-user window sort (epoch
+    // micros — exact longs); the per-session rollup groups on
+    // (user_id, session seq) and reuses the window's partitioning.
+    // user_id carries input-scaling cardinality (no sort funnel).
+    "q_win_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          min(col("us")).as("t_first"),
+          max(col("us")).as("t_last"),
+          sum(micros(col("value"))).cast("long").as("sum_micros"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+
     "q_sort_multi" -> { (s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -336,6 +364,32 @@ object Windows {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
         |FROM e
         |ORDER BY event_id""".stripMargin,
+
+    // the 30-min-gap flag chain: epoch micros are exact longs, the
+    // session seq a running sum of flags, the rollup CAST per §2.8
+    // rule 4 (window/group SUM widens to HUGEINT)
+    "q_win_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(ROUND(value*1000000) AS BIGINT) AS m
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us, m,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |           OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us, m,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM f)
+        |SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(us) AS t_first, MAX(us) AS t_last,
+        |  CAST(SUM(m) AS BIGINT) AS sum_micros
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
 
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus,

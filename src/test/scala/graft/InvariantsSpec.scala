@@ -340,4 +340,40 @@ class InvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sig(1L) == sig(2L))
     assert(sig(1L) != sig(3L))
   }
+
+  test("batch sessionization (r17): sessions partition every user's events, " +
+    "intra-session gaps <= 30 min, inter-session gaps > 30 min") {
+    val dir = "/root/testdata/sf0.001"
+    val sessions = SparkEntry.queries("q_win_sessionize")(spark, dir).collect()
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).sorted }
+    // Σ n_events reconstructs every user's event count (partition law)
+    val perUser = sessions.groupBy(_.getLong(0))
+    assert(perUser.keySet == events.keySet)
+    perUser.foreach { case (u, ss) =>
+      assert(ss.map(_.getLong(2)).sum == events(u).length)
+      val sorted = ss.sortBy(_.getLong(1)) // by sid
+      // session spans never overlap and boundary gaps exceed 30 min
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) - a.getLong(4) > 1800000000L,
+            s"user $u: sessions ${a.getLong(1)} and ${b.getLong(1)} " +
+              "are separated by <= 30 min — not maximal")
+        case _ => ()
+      }
+      // within a session every consecutive gap is <= 30 min: re-derive
+      // from the raw events falling inside each [t_first, t_last]
+      sorted.foreach { s0 =>
+        val inside = events(u)
+          .filter(t => t >= s0.getLong(3) && t <= s0.getLong(4))
+        assert(inside.length == s0.getLong(2))
+        inside.sliding(2).foreach {
+          case Array(a, b) => assert(b - a <= 1800000000L)
+          case _ => ()
+        }
+      }
+    }
+  }
 }
