@@ -17,13 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
-  /** Persist a DataFrame bucketed+sorted by `key` as a managed table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+  /** Persist a DataFrame bucketed+sorted by `key` as a catalog table —
+    * managed (warehouse) by default, external when `path` is given
+    * (the graded q_source_bucketed_join artifact rides tier-tagged
+    * external paths under target/roundtrip). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two pre-bucketed tables on their bucket key — shuffle-free
     * when both sides used the same bucket count. */

@@ -604,23 +604,22 @@ object Sources {
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val tier = tierTag(dir)
     // table names must be dot-free (a dot parses as schema.table); the
-    // artifact PATHS keep the canonical tier tag
+    // artifact PATHS keep the canonical tier tag. The writes are the
+    // ops/Bucketing primitive (BucketingSpec proves its shuffle
+    // algebra); this layer adds the per-(session, tier) memoized
+    // artifact, the merge hint, and the graded-key plumbing.
     val nameTag = tier.replaceAll("[^A-Za-z0-9_]", "_")
     val (liT, ordT) = (s"li_bkt_$nameTag", s"ord_bkt_$nameTag")
     bucketedCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
-        graft.Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
-          .write.mode("overwrite")
-          .option("path", s"$roundtripRoot/li_bkt_$tier")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable(liT)
-        graft.Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_orderpriority"))
-          .write.mode("overwrite")
-          .option("path", s"$roundtripRoot/ord_bkt_$tier")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable(ordT)
+        graft.ops.Bucketing.writeBucketed(
+          graft.Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity")),
+          liT, "l_orderkey", 8, Some(s"$roundtripRoot/li_bkt_$tier"))
+        graft.ops.Bucketing.writeBucketed(
+          graft.Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          ordT, "o_orderkey", 8, Some(s"$roundtripRoot/ord_bkt_$tier"))
         true
       })
     s.table(ordT).hint("merge")

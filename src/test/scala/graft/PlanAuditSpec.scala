@@ -101,7 +101,9 @@ class PlanAuditSpec extends AnyFunSuite
     val j = sources.Sources.bucketedJoin(spark, dir)
     val p = plan(j)
     assert(p.contains("SortMergeJoin"), s"bucketed join lost SMJ:\n$p")
-    assert(!p.contains("Exchange"),
+    // typed detection (ops.Bucketing walks AQE/reuse/subquery wrappers),
+    // not string matching
+    assert(ops.Bucketing.isShuffleFree(j),
       s"bucketed join shuffles — the bucket layout is being ignored:\n$p")
     // and the rewrite lost no rows vs the base tables' join
     val base = Tables.orders(spark, dir).join(Tables.lineitem(spark, dir),
