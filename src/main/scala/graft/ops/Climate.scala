@@ -657,29 +657,46 @@ object Climate {
         .orderBy(col("event_id"))
     },
 
-    // Linear DETRENDING (r5) — the climate-analysis staple the anomaly
-    // key doesn't cover: remove each series' OLS trend over time
-    // (xarray's polyfit/polyval detrend shape), here per event_type.
-    // Same de-funneled two-pass form as anomaly: regr_slope/intercept
-    // per group in ONE partial+final aggregation (both engines ship
-    // the OLS aggregates — graded pairwise in q_agg_regr), fitted
-    // values broadcast back onto the scan. Time is hours since
-    // 2024-01-01T00Z (a fixed literal, not a data-dependent min, so
-    // both engines derive the identical double from the identical
-    // integer micros). Residuals are O(value)≈O(10) with ~1e-11
-    // cross-engine FP noise — far inside the 4-dp grid (the
-    // q_agg_stats argument).
+    // Linear DETRENDING (r5; EXACT-MOMENTS rebuild r17) — the
+    // climate-analysis staple the anomaly key doesn't cover: remove
+    // each series' OLS trend over time (xarray's polyfit/polyval
+    // detrend shape), here per event_type. Until r17 this rode
+    // regr_slope/intercept, whose streaming moment updates carry
+    // ~1e-11 summation-ORDER noise — "far inside the 4-dp grid"
+    // except on the measure-zero rounding boundaries, and the r17
+    // decade-2 sweep (48.6M rows, seed 7) finally landed ONE residual
+    // on a boundary (spark 32.4041 vs duck 32.4042). Rebuilt on the
+    // exact-integer-moments form: t = micros since a fixed reference
+    // (exact long), y = exact micros; Σt, Σt², Σy, Σty accumulate as
+    // DECIMAL(38,0) (order-free exact; DuckDB mirrors via HUGEINT),
+    // and slope/intercept/residual are ONE fixed IEEE sequence over
+    // the deterministically-cast moments — bit-identical at ANY scale
+    // and summation order, so the 4-dp round can never diverge.
+    // d = 0 (a single distinct time, the --one tier) yields NULL
+    // slope → NULL residuals, regr_slope's behavior.
     "q_climate_detrend" -> { (s, dir) =>
       val refMicros = 1704067200000000L // 2024-01-01T00:00:00Z
+      val dec = "decimal(38,0)"
       val ev = Tables.events(s, dir)
-        .withColumn("th",
-          (unix_micros(col("ts")) - lit(refMicros)) / lit(3.6e9))
-      val fit = ev.groupBy(col("event_type"))
-        .agg(regr_slope(col("value"), col("th")).as("b"),
-          regr_intercept(col("value"), col("th")).as("a"))
+        .withColumn("t", unix_micros(col("ts")) - lit(refMicros))
+      val fit = ev.filter(col("value").isNotNull)
+        .withColumn("ym", micros(col("value")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("t").cast(dec)).cast("double").as("st"),
+          sum(col("t").cast(dec) * col("t").cast(dec)).cast("double").as("st2"),
+          sum(col("ym").cast(dec)).cast("double").as("sy"),
+          sum(col("t").cast(dec) * col("ym").cast(dec)).cast("double").as("sty"))
+        .withColumn("dd", col("n") * col("st2") - col("st") * col("st"))
+        .withColumn("bm", when(col("dd") === 0.0, lit(null))
+          .otherwise((col("n") * col("sty") - col("st") * col("sy")) / col("dd")))
+        .withColumn("am", (col("sy") - col("bm") * col("st")) / col("n"))
+        .select(col("event_type"), col("bm"), col("am"))
       ev.join(broadcast(fit), "event_type")
         .select(col("event_id"), col("event_type"),
-          r4(col("value") - (col("b") * col("th") + col("a"))).as("resid"))
+          r4(col("value") -
+            (col("bm") * col("t").cast("double") + col("am")) / 1000000.0)
+            .as("resid"))
         .orderBy(col("event_id"))
     },
 
@@ -1193,18 +1210,33 @@ object Climate {
          |WINDOW w AS (PARTITION BY hour(ts))
          |ORDER BY event_id""".stripMargin,
 
+    // exact HUGEINT moments mirroring the DECIMAL(38,0) sums, then the
+    // identical fixed IEEE slope/intercept/residual sequence
     "q_climate_detrend" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, value,
-        |    (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS th
+        |    epoch_us(ts) - 1704067200000000 AS t
         |  FROM events),
         |fit AS (
         |  SELECT event_type,
-        |    regr_slope(value, th) AS b, regr_intercept(value, th) AS a
-        |  FROM ev GROUP BY event_type)
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(t AS HUGEINT)) AS DOUBLE) AS st,
+        |    CAST(SUM(CAST(t AS HUGEINT) * t) AS DOUBLE) AS st2,
+        |    CAST(SUM(CAST(CAST(ROUND(value*1000000) AS BIGINT) AS HUGEINT))
+        |      AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(t AS HUGEINT) * CAST(ROUND(value*1000000) AS BIGINT))
+        |      AS DOUBLE) AS sty
+        |  FROM ev WHERE value IS NOT NULL GROUP BY event_type),
+        |f2 AS (
+        |  SELECT event_type, n, st, sy,
+        |    CASE WHEN n * st2 - st * st = 0 THEN NULL
+        |         ELSE (n * sty - st * sy) / (n * st2 - st * st) END AS bm
+        |  FROM fit),
+        |f3 AS (
+        |  SELECT event_type, bm, (sy - bm * st) / n AS am FROM f2)
         |SELECT event_id, ev.event_type,
-        |  ROUND(value - (b * th + a), 4) AS resid
-        |FROM ev JOIN fit ON ev.event_type = fit.event_type
+        |  ROUND(value - (bm * CAST(t AS DOUBLE) + am) / 1000000.0, 4) AS resid
+        |FROM ev JOIN f3 ON ev.event_type = f3.event_type
         |ORDER BY event_id""".stripMargin,
 
     "q_climate_ensemble" ->
