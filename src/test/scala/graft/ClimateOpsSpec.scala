@@ -400,6 +400,28 @@ class ClimateOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corrExact: ±1 on perfectly linear series, NULL on zero variance, " +
+    "bounded on mixed data") {
+    val df = Seq(
+      ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),      // y = 2x → +1
+      ("dn", 1L, 6L), ("dn", 2L, 4L), ("dn", 3L, 2L),      // y = -2x+8 → -1
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L) // var(y)=0 → NULL
+    ).toDF("k", "x", "y")
+    val got = ClimateOps.corrExact(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(got("up").get - 1.0) < 1e-12)
+    assert(math.abs(got("dn").get + 1.0) < 1e-12)
+    assert(got("flat").isEmpty)
+    // and on the real corpus every defined value is a valid correlation
+    val real = SparkEntry.queries("q_climate_corr_field")(
+      spark, "/root/testdata/sf0.001")
+      .filter(col("corr").isNotNull).select("corr")
+      .collect().map(_.getDouble(0))
+    assert(real.nonEmpty)
+    real.foreach(c => assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+  }
+
   test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
     val df = Seq(
       (2001, 30),  // Jan 30       → Jan 30
