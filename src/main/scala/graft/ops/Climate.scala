@@ -551,6 +551,40 @@ object ClimateOps {
         col("corr"): _*)
   }
 
+  /** Per-group OLS TREND from exact integer moments (r17) — the
+    * trend-map primitive (warming trend per grid cell, xclim's
+    * `linregress` shape): slope and intercept of integer-valued
+    * `yCol` over integer-valued `tCol` per group, moments as
+    * DECIMAL(38,0) (order-free exact), the final arithmetic one fixed
+    * IEEE sequence — [[corrExact]]'s machinery with the regression
+    * read-out. Emits RAW doubles (deterministic up to the ~1e-15
+    * hugeint→double conversion floor at >2^53 moments); a graded
+    * consumer rescales to O(1)-magnitude units and rounds so its grid
+    * sits orders above that floor — rounding magnitude-1e11 micros
+    * intercepts directly would put the grid BELOW the absolute noise.
+    * A single distinct time (zero variance in t) → NULL slope and
+    * intercept. */
+  def trendExact(df: DataFrame, groupCols: Seq[String], tCol: String,
+                 yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val td = col(tCol).cast(dec); val yd = col(yCol).cast(dec)
+    df.filter(col(tCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(td).cast("double").as("st"),
+        sum(yd).cast("double").as("sy"),
+        sum(td * td).cast("double").as("st2"),
+        sum(td * yd).cast("double").as("sty"))
+      .withColumn("dd", col("n") * col("st2") - col("st") * col("st"))
+      .withColumn("slope", when(col("dd") <= 0.0, lit(null))
+        .otherwise((col("n") * col("sty") - col("st") * col("sy")) /
+          col("dd")))
+      .withColumn("icept",
+        (col("sy") - col("slope") * col("st")) / col("n"))
+      .select(groupCols.map(col) :+ col("n").cast("long").as("n_obs") :+
+        col("slope") :+ col("icept"): _*)
+  }
+
   /** §1.1 multi-variable Datasets: an xarray.Dataset holds several
     * variables over shared dims; the long form adds a `variable`
     * discriminator column. melt (wide → long) is a pure projection via
@@ -1161,6 +1195,31 @@ object Climate {
         .orderBy(col("tlat"), col("tlon"))
     },
 
+    // Per-cell TREND MAP graded (r17): the classic climate product —
+    // per (lat-band, lon-band) OLS slope/intercept of daily exact
+    // micros volume over the day index, via trendExact's exact
+    // integer moments. The key rescales micros → value units BEFORE
+    // the 6-dp round so the grid sits ~4 orders above the 1e-15
+    // conversion floor even on decade-2 magnitudes (see trendExact's
+    // scaladoc); the t axis is CENTERED at a fixed reference day
+    // (2024-01-01 = epoch day 19723) — an uncentered epoch-day axis
+    // would make the intercept a huge-cancellation extrapolation to
+    // 1970 whose ulp exceeds the grid; centered, Σt/Σt² stay small
+    // exact ints and the intercept is the reference-day level.
+    "q_climate_trend" -> { (s, dir) =>
+      val cells = Tables.events(s, dir)
+        .groupBy((unix_date(to_date(col("ts"))) - lit(19723)).cast("long")
+            .as("d"),
+          floor(col("user_id") / 10).cast("long").as("glat"),
+          (col("user_id") % 36).cast("long").as("glon"))
+        .agg(sum(micros(col("value"))).as("x"))
+      ClimateOps.trendExact(cells, Seq("glat", "glon"), "d", "x")
+        .select(col("glat"), col("glon"), col("n_obs"),
+          round(col("slope") / 1000000.0, 6).as("slope_v"),
+          round(col("icept") / 1000000.0, 6).as("icept_v"))
+        .orderBy(col("glat"), col("glon"))
+    },
+
     // Per-cell PATTERN CORRELATION graded UNROUNDED (r17): daily
     // (micros volume, event count) per (lat-band, lon-band) cell,
     // correlated across days per cell via corrExact's exact integer
@@ -1623,8 +1682,38 @@ object Climate {
         |FROM ov GROUP BY i, j
         |ORDER BY tlat, tlon""".stripMargin,
 
+    // trendExact's moment chain with the regression read-out; the
+    // centered day axis and the micros→value rescale before ROUND
+    // keep the 6-dp grid orders above the conversion floor
+    "q_climate_trend" ->
+      """WITH cells AS (
+        |  SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      - 19723 AS d,
+        |    CAST(FLOOR(user_id / 10) AS BIGINT) AS glat,
+        |    CAST(user_id % 36 AS BIGINT) AS glon,
+        |    CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT glat, glon,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(d AS HUGEINT)) AS DOUBLE) AS st,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(d AS HUGEINT) * d) AS DOUBLE) AS st2,
+        |    CAST(SUM(CAST(d AS HUGEINT) * x) AS DOUBLE) AS sty
+        |  FROM cells WHERE d IS NOT NULL AND x IS NOT NULL
+        |  GROUP BY glat, glon),
+        |f2 AS (
+        |  SELECT glat, glon, n, st, sy,
+        |    CASE WHEN n * st2 - st * st <= 0 THEN NULL
+        |         ELSE (n * sty - st * sy) / (n * st2 - st * st) END AS slope
+        |  FROM f)
+        |SELECT glat, glon, CAST(n AS BIGINT) AS n_obs,
+        |  ROUND(slope / 1000000.0, 6) AS slope_v,
+        |  ROUND(((sy - slope * st) / n) / 1000000.0, 6) AS icept_v
+        |FROM f2 ORDER BY glat, glon""".stripMargin,
+
     // exact HUGEINT moments mirroring corrExact's DECIMAL sums, the
-    // identical fixed IEEE sequence — graded with NO rounding
+    // identical fixed IEEE sequence — graded at 6 dp
     "q_climate_corr_field" ->
       """WITH cells AS (
         |  SELECT date_trunc('day', ts) AS time,

@@ -422,6 +422,18 @@ class ClimateOpsSpec extends AnyFunSuite {
     real.foreach(c => assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
   }
 
+  test("trendExact: recovers an exact linear fit, NULL on a single time") {
+    // y = 3t + 7 exactly → slope 3, intercept 7
+    val df = Seq(("a", 0L, 7L), ("a", 1L, 10L), ("a", 2L, 13L),
+      ("a", 3L, 16L), ("one", 5L, 42L)).toDF("k", "t", "y")
+    val got = ClimateOps.trendExact(df, Seq("k"), "t", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getDouble(2), r.getDouble(3)))))
+      .toMap
+    assert(got("a").contains((3.0, 7.0))) // exact: all moments < 2^53
+    assert(got("one").isEmpty)            // zero t-variance → NULL fit
+  }
+
   test("cal360ToTimestamp maps 30-day months, clamping Feb overflow") {
     val df = Seq(
       (2001, 30),  // Jan 30       → Jan 30
