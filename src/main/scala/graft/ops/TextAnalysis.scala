@@ -186,6 +186,41 @@ object TextAnalysis {
       acc + coalesce(element_at(m, w), length(w).cast("long")))
   }
 
+  /** COLLOCATION extraction (r17) — top bigrams by PMI, the corpus-
+    * analysis staple (phrase mining, tokenizer-merge candidates).
+    * PMI = log(p(xy)/(p(x)p(y))) ranks identically to the EXACT
+    * integer score (c_xy·10⁹) div (c_x·c_y) — the corpus-constant
+    * N²/M factor and the log (monotone) drop out of the ORDER — so
+    * both the ranking and the graded score live in exact long
+    * arithmetic, no transcendentals, no rounding grid (the log's
+    * libm portability problem engineered out rather than rounded
+    * away). Scale shape: one explode over adjacent pairs (a pure
+    * projection), two hash aggregations (bigram, unigram), two joins
+    * against the unigram counts — vocabulary-sized, so Catalyst
+    * broadcasts them — and a TakeOrdered top-k, never a global sort.
+    * `minCount` drops hapax noise (PMI's classic failure mode). */
+  def collocations(docs: DataFrame, minCount: Long = 5L,
+                   k: Int = 100): DataFrame = {
+    val tk = toks
+    val bg = docs.filter(col("text").isNotNull && size(tk) >= 2)
+      .select(explode(transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val uni = docs.filter(col("text").isNotNull)
+      .select(explode(tk).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .withColumn("score",
+        expr("(cxy * CAST(1000000000 AS BIGINT)) DIV (cx * cy)"))
+      .select(col("w1"), col("w2"), col("cxy"), col("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 over 8-token windows,
     * keep the k smallest (winnowing) — the classic content-defined
     * fingerprint for containment detection. Spark-hash-based. Runs the
@@ -458,6 +493,12 @@ object TextAnalysis {
     // counts in both engines.
     "q_text_bpe" -> { (s, dir) =>
       bpeTokens(Tables.documents(s, dir), BpeCorpusVocab).orderBy(col("doc_id"))
+    },
+    // Collocations: top-100 bigrams by the exact integer PMI-monotone
+    // score — ranking AND score in pure long arithmetic (see
+    // collocations' scaladoc for why no log and no rounding appear).
+    "q_text_colloc" -> { (s, dir) =>
+      collocations(Tables.documents(s, dir))
     },
     // Redaction-style scrub — the PII-removal shape of a training-data
     // pipeline (here the stand-in sensitive term is the vocab token
@@ -743,6 +784,30 @@ object TextAnalysis {
          |    t -> $bpeCountsSql)) AS BIGINT) AS n_tok_bpe
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+
+    // adjacent-pair explode + two count joins + the exact integer
+    // PMI-monotone score; // is DuckDB's integer floor-div = Spark's
+    // DIV on the nonnegative counts
+    "q_text_colloc" ->
+      """WITH tk AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i ->
+        |    struct_pack(w1 := w[i], w2 := w[i + 1]))) AS s
+        |  FROM tk WHERE len(w) >= 2),
+        |big AS (
+        |  SELECT s.w1 AS w1, s.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS cxy
+        |  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |uni AS (
+        |  SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(w) AS u FROM tk) GROUP BY 1)
+        |SELECT w1, w2, cxy,
+        |  CAST((cxy * 1000000000) // (ux.c * uy.c) AS BIGINT) AS score
+        |FROM big JOIN uni ux ON big.w1 = ux.w
+        |         JOIN uni uy ON big.w2 = uy.w
+        |ORDER BY score DESC, w1, w2
+        |LIMIT 100""".stripMargin,
 
     // exclusive running sum // capacity — DuckDB's window ROWS frame and
     // integer // match Spark's rowsBetween(unboundedPreceding, -1) + DIV.
