@@ -111,6 +111,24 @@ class PlanAuditSpec extends AnyFunSuite
     assert(j.count() == base.count())
   }
 
+  test("colloc top-k fuses into TakeOrdered and broadcasts the unigram joins " +
+    "(r17 — losing either re-sorts or re-shuffles the bigram table per query)") {
+    val p = plan(SparkEntry.queries("q_text_colloc")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"colloc full-sorts:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"a unigram-count join stopped broadcasting:\n$p")
+  }
+
+  test("spell + sessionize windows partition by their full series keys " +
+    "(r17 — the qmap group-cardinality contract)") {
+    val ps = plan(SparkEntry.queries("q_climate_spell")(spark, dir))
+    ps.linesIterator.filter(_.contains("Window")).foreach(l =>
+      assert(l.contains("band"), s"a spell window dropped `band`: $l"))
+    val pz = plan(SparkEntry.queries("q_win_sessionize")(spark, dir))
+    pz.linesIterator.filter(_.contains("Window")).foreach(l =>
+      assert(l.contains("user_id"), s"a sessionize window lost user_id: $l"))
+  }
+
   test("tfidf vocabulary gate: oversized vocab drops the broadcast HINT, same result") {
     val docs = Tables.documents(spark, dir)
     val small = ops.Text.tfIdfTopK(docs, k = 3) // vocab ≤ default 1M → hinted broadcast
