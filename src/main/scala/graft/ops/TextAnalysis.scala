@@ -221,6 +221,88 @@ object TextAnalysis {
       .limit(k)
   }
 
+  // ---- bigram-LM fluency / perplexity filtering (r17) --------------
+  /** Language-model FLUENCY scoring — the perplexity-filter step of a
+    * training-data pipeline (CCNet-style: score every document under a
+    * bigram LM learned from the corpus, filter the low-fluency tail).
+    * The LM is add-one smoothed: p(w2|w1) = (c_xy+1)/(h_x+V) with
+    * h_x = Σ_w c(x,w) (the history count) and V the distinct
+    * vocabulary size. The GRADED statistic is the exact-integer mean
+    * smoothed conditional probability — per bigram
+    * `sq = (1e9·(c_xy+1)) div (h_x+V)`, per doc `score_sum = Σ sq`
+    * and `fluency_q = score_sum div n_bigrams` — pure long
+    * arithmetic, no transcendentals, no rounding grid. Textbook
+    * perplexity exponentiates the mean LOG of the same conditionals;
+    * grading that cross-engine would reintroduce the libm boundary
+    * class ADVICE.md documents, so [[perplexity]] derives the
+    * exp-NLL form from the SAME counts for users (law-tested in
+    * LmFluencySpec, not hash-graded) and the rank statistic stays
+    * exact. Overflow audit: sq ≤ 1e9 (c_xy+1 ≤ h_x+V always), so
+    * score_sum ≤ 1e9·words/doc ≪ 2^63; the product
+    * (c_xy+1)·1e9 ≤ (corpus bigrams)·1e9 needs c_xy ≤ 9.2e9 — three
+    * orders above the decade-2 corpus.
+    *
+    * Scale shape: one adjacent-pair explode feeds BOTH the LM
+    * aggregation and the scoring join (two corpus scans, the colloc
+    * trade); the LM tables are vocabulary²-bounded so AQE broadcasts
+    * them on real corpora, and when a web-scale vocabulary outgrows
+    * broadcast the join degrades to a plain shuffle on the pair key —
+    * never a funnel. V enters as a 1-row cross join (scalar
+    * subquery), not a collect; one final groupBy(doc_id). Every doc
+    * survives: <2 tokens or NULL text → n_bigrams 0, fluency NULL. */
+  def lmFluency(docs: DataFrame): DataFrame = {
+    val scored = pairScores(docs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sq")).as("score_sum"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        expr("score_sum DIV n_bigrams").as("fluency_q"))
+  }
+
+  /** Textbook bigram perplexity over the SAME add-one-smoothed counts
+    * as [[lmFluency]]: PP(doc) = exp(-mean ln p(w2|w1)). Double-valued
+    * (libm logs — see lmFluency's scaladoc for why the graded key is
+    * the exact twin instead); NULL for docs with no bigram. */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val scored = pairScores(docs)
+      .withColumn("lp", log((col("cxy") + 1).cast("double") /
+        (col("hx") + col("v")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("mlp"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        exp(-col("mlp")).as("ppl"))
+  }
+
+  /** Shared LM scoring core: per-document adjacent pairs joined to the
+    * corpus bigram counts (cxy), history counts (hx) and vocabulary
+    * size (v), plus the exact-integer smoothed score `sq`. Inner
+    * joins are total by construction — the LM is aggregated FROM the
+    * same pair set it scores. */
+  private def pairScores(docs: DataFrame): DataFrame = {
+    val tk = toks
+    val pairsDoc = docs.filter(col("text").isNotNull && size(tk) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = pairsDoc.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cxy"))
+    val hist = bg.groupBy(col("w1")).agg(sum(col("cxy")).as("hx"))
+    val vocab = docs.filter(col("text").isNotNull)
+      .select(explode(tk).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    pairsDoc
+      .join(bg, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("sq",
+        expr("((cxy + 1) * CAST(1000000000 AS BIGINT)) DIV (hx + v)"))
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 over 8-token windows,
     * keep the k smallest (winnowing) — the classic content-defined
     * fingerprint for containment detection. Spark-hash-based. Runs the
@@ -499,6 +581,14 @@ object TextAnalysis {
     // collocations' scaladoc for why no log and no rounding appear).
     "q_text_colloc" -> { (s, dir) =>
       collocations(Tables.documents(s, dir))
+    },
+    // Bigram-LM fluency (perplexity filtering's exact twin): every doc
+    // scored under the corpus add-one bigram LM in pure long
+    // arithmetic — see lmFluency's scaladoc for why the graded
+    // statistic is the transcendental-free mean conditional
+    // probability and textbook perplexity stays a law-tested API.
+    "q_text_lm_fluency" -> { (s, dir) =>
+      lmFluency(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
     // Redaction-style scrub — the PII-removal shape of a training-data
     // pipeline (here the stand-in sensitive term is the vocab token
@@ -808,6 +898,42 @@ object TextAnalysis {
         |         JOIN uni uy ON big.w2 = uy.w
         |ORDER BY score DESC, w1, w2
         |LIMIT 100""".stripMargin,
+
+    // the same pair explode as colloc feeding the LM aggregation AND
+    // the scoring join; // is DuckDB's floor-div = Spark's DIV on the
+    // nonnegative counts, and every SUM is CAST back from HUGEINT
+    // (§2.8 rule 4). NULL fluency_q for bigram-less docs on both
+    // sides (NULL // and NULL DIV propagate).
+    "q_text_lm_fluency" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |pd AS (
+        |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+        |      struct_pack(w1 := w[i], w2 := w[i + 1]))) AS s
+        |    FROM tk WHERE len(w) >= 2)),
+        |big AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cxy
+        |  FROM pd GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT w1, CAST(SUM(cxy) AS BIGINT) AS hx FROM big GROUP BY 1),
+        |voc AS (
+        |  SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS v
+        |  FROM (SELECT unnest(w) AS u FROM tk)),
+        |sc AS (
+        |  SELECT pd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(((cxy + 1) * 1000000000) // (hx + v)) AS BIGINT)
+        |      AS score_sum
+        |  FROM pd JOIN big USING (w1, w2) JOIN hist USING (w1)
+        |       CROSS JOIN voc
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  COALESCE(sc.score_sum, CAST(0 AS BIGINT)) AS score_sum,
+        |  CAST(sc.score_sum // sc.n_bigrams AS BIGINT) AS fluency_q
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // exclusive running sum // capacity — DuckDB's window ROWS frame and
     // integer // match Spark's rowsBetween(unboundedPreceding, -1) + DIV.
