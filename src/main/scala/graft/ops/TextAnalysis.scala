@@ -303,6 +303,57 @@ object TextAnalysis {
         expr("((cxy + 1) * CAST(1000000000 AS BIGINT)) DIV (hx + v)"))
   }
 
+  // ---- exact substring-span dedup (r17) ----------------------------
+  /** EXACT SUBSTRING deduplication — the span-level companion to
+    * whole-doc dedup (the "deduplicating training data" method: find
+    * every k-token span that occurs more than once ANYWHERE in the
+    * corpus, merge per-document overlaps, emit the spans a pipeline
+    * would cut). One row per maximal duplicated span:
+    * `(doc_id, span_start, span_end, n_shingles)` with 1-based
+    * inclusive token indices — a token is covered iff some duplicated
+    * k-shingle contains it, so two shingle hits merge iff
+    * `next.pos ≤ prev_end + 1` (overlapping or adjacent).
+    *
+    * Scale shape: shingle explode is a pure projection; ONE hash
+    * aggregation over shingles finds the duplicated set (partial+final
+    * combine — the hottest shingle's count never funnels rows); a
+    * semi-join marks positions (AQE broadcasts the duplicated set when
+    * small, plain shuffle join on the shingle key otherwise); the
+    * island merge windows ONLY the marked positions per doc — bounded
+    * by doc length, never corpus. The graded key joins on the shingle
+    * STRING (cross-engine exact); a 100 TB run would key the
+    * aggregation and semi-join on xxhash64(shingle) instead — 8-byte
+    * shuffle, same plan, the [[hashShingles]] trade. */
+  def duplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"shingle width must be >= 2, got $k")
+    val tk = toks
+    val pos = docs.filter(col("text").isNotNull && size(tk) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(tk) - (k - 1)),
+        i => struct(i.cast("long").as("pos"),
+          concat_ws(" ", slice(tk, i, lit(k))).as("sh")))).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.sh").as("sh"))
+    val dup = pos.groupBy(col("sh"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("sh"))
+    val marked = pos.join(dup, Seq("sh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (k - 1)).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    marked
+      .withColumn("flag",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("flag")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_shingles"))
+  }
+
   /** Rolling-hash document fingerprint: xxhash64 over 8-token windows,
     * keep the k smallest (winnowing) — the classic content-defined
     * fingerprint for containment detection. Spark-hash-based. Runs the
@@ -589,6 +640,13 @@ object TextAnalysis {
     // probability and textbook perplexity stays a law-tested API.
     "q_text_lm_fluency" -> { (s, dir) =>
       lmFluency(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    },
+    // Exact substring-span dedup: every maximal per-doc span covered
+    // by corpus-repeated 8-token shingles — the spans a pipeline cuts.
+    // Zero rows on an all-unique corpus (the sparse-tier family law).
+    "q_dedup_substring" -> { (s, dir) =>
+      duplicateSpans(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("span_start"))
     },
     // Redaction-style scrub — the PII-removal shape of a training-data
     // pipeline (here the stand-in sensitive term is the vocab token
@@ -934,6 +992,44 @@ object TextAnalysis {
         |  CAST(sc.score_sum // sc.n_bigrams AS BIGINT) AS fluency_q
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // shingle explode → corpus-repeated set → per-doc island merge;
+    // the window frames mirror Spark's rowsBetween exactly and every
+    // windowed SUM/COUNT output is CAST back from HUGEINT (§2.8
+    // rule 4). 1-based inclusive token indices on both sides.
+    "q_dedup_substring" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |ps AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    list_aggregate(w[i:i+7], 'string_agg', ' ') AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM tk WHERE len(w) >= 8)),
+        |dup AS (SELECT sh FROM ps GROUP BY sh HAVING COUNT(*) > 1),
+        |mk AS (SELECT doc_id, pos FROM ps
+        |       WHERE sh IN (SELECT sh FROM dup)),
+        |fl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN MAX(pos + 7) OVER (PARTITION BY doc_id
+        |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING) IS NULL
+        |      OR pos > MAX(pos + 7) OVER (PARTITION BY doc_id
+        |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING) + 1
+        |    THEN 1 ELSE 0 END AS flag
+        |  FROM mk),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM fl)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // exclusive running sum // capacity — DuckDB's window ROWS frame and
     // integer // match Spark's rowsBetween(unboundedPreceding, -1) + DIV.
