@@ -643,6 +643,81 @@ object ClimateOps {
     val dClamped = least(d, dayofmonth(last_day(make_date(y, m, lit(1)))))
     to_timestamp(make_date(y, m, dClamped))
   }
+
+  // ---- EOF analysis (r17) ------------------------------------------
+  /** Densified, quantized ANOMALY field for EOF analysis over a
+    * long-form `(t, i, x)` frame — t the time-step key, i a bounded
+    * integer cell index, x the exact-integer field value. Missing
+    * (t, i) combos densify to 0; the per-cell time mean is removed by
+    * CROSS-MULTIPLICATION (a = n·x − Σ_t x — scaling all anomalies by
+    * n preserves eigenvectors exactly, so the mean removal is pure
+    * long arithmetic); the scaled anomaly then re-quantizes to the
+    * 1e6 grid by the global max via the ONE shared IEEE sequence
+    * floor(a/max·1e6 + 0.5) (m = 0 keeps a unscaled). Overflow audit:
+    * |a| ≤ 2·n·max|x| — at decade-2 (n = 30 days, cell-day micros
+    * sums ≤ ~1e13) that is ~6e14, four orders inside 2⁶³; a
+    * multi-decade daily axis at 100 TB (n ~ 1e4, sums ~ 1e15)
+    * approaches the edge — rescale micros → millis upstream there.
+    *
+    * Scale shape: days × cells cross join is (time steps × bounded
+    * grid) — the dense field itself, not a blowup; per-cell totals
+    * and the global n/max enter as broadcast 1-row/grid-sized
+    * aggregates, never a window funnel. */
+  private[graft] def eofAnomalyQuant(base: DataFrame): DataFrame = {
+    val days = base.select(col("t")).distinct()
+    val cells = base.select(col("i")).distinct()
+    val n1 = days.agg(count(lit(1)).as("n"))
+    val tot = base.groupBy(col("i"))
+      .agg(coalesce(sum(col("x")), lit(0L)).as("s"))
+    val dense = days.crossJoin(cells)
+      .join(base, Seq("t", "i"), "left")
+      .withColumn("xv", coalesce(col("x"), lit(0L)))
+      .join(tot, Seq("i"))
+      .crossJoin(n1)
+      .withColumn("a", col("n") * col("xv") - col("s"))
+    val am1 = dense.agg(max(abs(col("a"))).as("am"))
+    dense.crossJoin(am1)
+      .withColumn("aq", when(col("am") === 0L, col("a")).otherwise(
+        floor(col("a").cast("double") / col("am").cast("double")
+          * 1000000.0 + 0.5).cast("long")))
+      .select(col("t"), col("i"), col("aq"))
+  }
+
+  private val eofCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), (Seq[Int], IndexedSeq[Long])]
+
+  /** Leading EOF (Empirical Orthogonal Function) of the field — THE
+    * canonical climate-analysis decomposition (the `eofs` package's
+    * core op; NAO/ENSO patterns are its leading modes): the first
+    * eigenvector of the spatial covariance of the time-mean-removed
+    * field. Runs [[Vectors.powerIterate]] — the IDENTICAL quantized
+    * power iteration the PCA keys grade — on the cell×cell Gram of
+    * [[eofAnomalyQuant]]'s exact-integer anomaly field. The Gram is
+    * bounded by the GRID (cells²), never the corpus, so the driver
+    * collect is the MLlib PCA shape (the pcaLoadings allowlist
+    * entry); aq products ≤ 1e12 keep the distributed sums exact to
+    * ~9e6 time steps. Returns (observed cell indices, loading vector
+    * indexed by cell id); memoized per (session, input plan, iters)
+    * so the loading-map and PC-series keys share one Gram job. */
+  private[graft] def eofLoadings(base: DataFrame,
+                                 iters: Int = 3): (Seq[Int], IndexedSeq[Long]) =
+    eofCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(base.sparkSession),
+        base.queryExecution.analyzed.semanticHash(), iters), {
+        val aq = eofAnomalyQuant(base)
+        val g = aq.select(col("t"), col("i").as("ai"), col("aq").as("av"))
+          .join(aq.select(col("t"), col("i").as("bi"), col("aq").as("bv")),
+            "t")
+          .groupBy(col("ai"), col("bi"))
+          .agg(sum(col("av") * col("bv")).as("cij"))
+          .collect()
+        val entries = g.map(r =>
+          (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+        // observed cells = indices with a Gram row (every observed
+        // cell has its self-pair); gap indices stay out of the output
+        (entries.map(_._1).distinct.sorted.toSeq,
+          Vectors.powerIterate(entries.toSeq, iters))
+      })
 }
 
 /** SURVEY §2.9 family G — the climate surface exercised on harness data
@@ -1262,8 +1337,57 @@ object Climate {
         .drop("__tot", "__nd")
       ClimateOps.spells(qual, Seq("event_type", "band"), "d", "sv")
         .orderBy(col("event_type"), col("band"), col("spell_start"))
+    },
+
+    // Leading EOF graded end-to-end (r17): the daily field over a
+    // FIXED 10×12 cell grid (bounded by design — the spatial
+    // resolution, never the corpus), time-mean removed by exact
+    // cross-multiplication, quantized power iteration on the
+    // cell×cell Gram — the identical integer/IEEE chain q_vec_pca
+    // grades, re-derived by the oracle from the same events.
+    "q_climate_eof" -> { (s, dir) =>
+      val (cells, x) = ClimateOps.eofLoadings(eofBase(s, dir))
+      import s.implicits._
+      cells.map(i => (i.toLong / 12L, i.toLong % 12L, x(i)))
+        .toDF("glat", "glon", "loading")
+        .orderBy(col("glat"), col("glon"))
+    },
+
+    // The EOF's principal-component TIME SERIES (the NAO/ENSO index
+    // shape): score(t) = ⟨aq(t,·), loading⟩ with the fitted loadings
+    // inlined as a literal array — one exact-integer dot per time
+    // step, sharing the memoized fit and the quantized anomaly field.
+    "q_climate_eof_pc" -> { (s, dir) =>
+      val base = eofBase(s, dir)
+      val (_, x) = ClimateOps.eofLoadings(base)
+      if (x.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("d",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("score",
+              org.apache.spark.sql.types.LongType))))
+      else {
+        val arr = array(x.map(v => lit(v)): _*)
+        ClimateOps.eofAnomalyQuant(base)
+          .groupBy(col("t"))
+          .agg(sum(col("aq") *
+            element_at(arr, (col("i") + 1).cast("int"))).as("score"))
+          .select(col("t").as("d"), col("score"))
+          .orderBy(col("d"))
+      }
     }
   )
+
+  /** The shared EOF input frame: exact daily micros volume per cell of
+    * the fixed 10×12 (user_id%10, user_id%12) grid — events playing
+    * the gridded field, the corr_field/trend convention. */
+  private def eofBase(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(unix_date(to_date(col("ts"))).cast("long").as("t"),
+        ((col("user_id") % 10) * 12 + (col("user_id") % 12))
+          .cast("long").as("i"))
+      .agg(sum(micros(col("value"))).as("x"))
 
   /** Driver-computed integer cos-lat weights shared by the graded
     * weighted-mean key and its oracle: lat band ↦ round(cos(lat)·1e6).
@@ -1763,6 +1887,79 @@ object Climate {
         |  CAST(COUNT(*) AS BIGINT) AS spell_len,
         |  CAST(SUM(sv) AS BIGINT) AS spell_sum
         |FROM isl GROUP BY event_type, band, g
-        |ORDER BY event_type, band, spell_start""".stripMargin
+        |ORDER BY event_type, band, spell_start""".stripMargin,
+
+    // the quantized-power-iteration chain over the densified anomaly
+    // field: exact cross-multiplied mean removal, global-max requant
+    // (the one shared IEEE sequence), Gram, three (multiply, max,
+    // requant) rounds — step-identical with eofAnomalyQuant +
+    // Vectors.powerIterate (Vectors.pcaCte's step(k) shape)
+    "q_climate_eof" ->
+      s"""WITH $eofCte
+         |SELECT CAST(i // 12 AS BIGINT) AS glat,
+         |  CAST(i % 12 AS BIGINT) AS glon, xv AS loading
+         |FROM x3 ORDER BY glat, glon""".stripMargin,
+
+    "q_climate_eof_pc" ->
+      s"""WITH $eofCte
+         |SELECT CAST(aq.t AS BIGINT) AS d,
+         |  CAST(SUM(aq.aq * x3.xv) AS BIGINT) AS score
+         |FROM aq JOIN x3 ON aq.i = x3.i
+         |GROUP BY 1 ORDER BY d""".stripMargin
   )
+
+  /** Shared EOF CTE chain — the single DuckDB copy of the anomaly
+    * densify/quantize + power-iteration math that must stay
+    * step-identical with [[ClimateOps.eofAnomalyQuant]] +
+    * [[Vectors.powerIterate]]. Emits `aq(t, i, aq)` and the final
+    * iterate `x3(i, xv)`. */
+  private lazy val eofCte: String = {
+    def step(k: Int): String =
+      s"""y$k AS (
+         |  SELECT ai AS i, CAST(SUM(cqv * xv) AS BIGINT) AS yv
+         |  FROM cq JOIN x${k - 1} ON bi = x${k - 1}.i GROUP BY ai),
+         |m$k AS (SELECT CAST(MAX(ABS(yv)) AS DOUBLE) AS m FROM y$k),
+         |x$k AS (
+         |  SELECT i, CASE WHEN m = 0 THEN yv
+         |    ELSE CAST(FLOOR(CAST(yv AS DOUBLE) / m * 1000000 + 0.5)
+         |      AS BIGINT) END AS xv
+         |  FROM y$k, m$k)""".stripMargin
+    s"""base AS (
+       |  SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t,
+       |    CAST((user_id % 10) * 12 + (user_id % 12) AS BIGINT) AS i,
+       |    CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT t FROM base),
+       |cells AS (SELECT DISTINCT i FROM base),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+       |tot AS (SELECT i, CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s
+       |        FROM base GROUP BY 1),
+       |dense AS (
+       |  SELECT dy.t, cl.i, COALESCE(b.x, 0) AS xv
+       |  FROM days dy CROSS JOIN cells cl
+       |  LEFT JOIN base b ON b.t = dy.t AND b.i = cl.i),
+       |av AS (
+       |  SELECT t, i, n * xv - s AS a
+       |  FROM dense JOIN tot USING (i) CROSS JOIN nn),
+       |am AS (SELECT CAST(MAX(ABS(a)) AS DOUBLE) AS m FROM av),
+       |aq AS (
+       |  SELECT t, i, CASE WHEN m = 0 THEN a
+       |    ELSE CAST(FLOOR(CAST(a AS DOUBLE) / m * 1000000 + 0.5)
+       |      AS BIGINT) END AS aq
+       |  FROM av, am),
+       |c AS (
+       |  SELECT a.i AS ai, b.i AS bi,
+       |    CAST(SUM(a.aq * b.aq) AS BIGINT) AS cij
+       |  FROM aq a JOIN aq b USING (t) GROUP BY 1, 2),
+       |mc AS (SELECT CAST(MAX(ABS(cij)) AS DOUBLE) AS m FROM c),
+       |cq AS (
+       |  SELECT ai, bi, CASE WHEN m = 0 THEN cij
+       |    ELSE CAST(FLOOR(CAST(cij AS DOUBLE) / m * 1000000 + 0.5)
+       |      AS BIGINT) END AS cqv
+       |  FROM c, mc),
+       |x0 AS (SELECT DISTINCT ai AS i, CAST(1000000 AS BIGINT) AS xv FROM c),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}""".stripMargin
+  }
 }

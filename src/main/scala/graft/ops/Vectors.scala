@@ -433,33 +433,45 @@ object Vectors {
           .groupBy(col("ai"), col("bi"))
           .agg(sum(col("ax") * col("bx")).as("cij"))
           .collect()
-        if (cRows.isEmpty) IndexedSeq.empty
-        else {
-          val d = cRows.map(_.getInt(0)).max + 1
-          val c = Array.ofDim[Long](d, d)
-          cRows.foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-          def requant(v: IndexedSeq[Long]): IndexedSeq[Long] = {
-            val m = v.map(math.abs).max
-            if (m == 0L) v
-            else v.map(x =>
-              math.floor(x.toDouble / m.toDouble * 1000000.0 + 0.5).toLong)
-          }
-          // C re-quantizes by the GLOBAL max (not per row — the matrix
-          // is one object), same floor(v/max·1e6 + 0.5) grid
-          val cmax = c.flatten.map(math.abs).max
-          val cqg =
-            if (cmax == 0L) c.map(_.toIndexedSeq).toIndexedSeq
-            else c.map(_.map(x => math.floor(
-              x.toDouble / cmax.toDouble * 1000000.0 + 0.5).toLong)
-              .toIndexedSeq).toIndexedSeq
-          var x = IndexedSeq.fill(d)(1000000L)
-          (1 to iters).foreach { _ =>
-            x = requant((0 until d).map(i =>
-              (0 until d).map(j => cqg(i)(j) * x(j)).sum))
-          }
-          x
-        }
+        powerIterate(cRows.map(r =>
+          (r.getInt(0), r.getInt(1), r.getLong(2))), iters)
       })
+
+  /** The shared driver-side quantized power iteration over a sparse
+    * integer Gram matrix (extracted r17 so the climate EOF op runs the
+    * IDENTICAL integer/IEEE steps [[pcaLoadings]] grades): global-max
+    * re-quantization of C to the 1e6 grid, then `iters` rounds of
+    * (C·x, max, floor(v/max·1e6 + 0.5)). Indices ≥ 0; absent entries
+    * are zero; m = 0 keeps the vector unscaled (the zero guard the
+    * oracle CTEs mirror). Empty entries → empty result. */
+  private[graft] def powerIterate(entries: Seq[(Int, Int, Long)],
+                                  iters: Int = 3): IndexedSeq[Long] =
+    if (entries.isEmpty) IndexedSeq.empty
+    else {
+      val d = entries.map(e => math.max(e._1, e._2)).max + 1
+      val c = Array.ofDim[Long](d, d)
+      entries.foreach { case (i, j, v) => c(i)(j) = v }
+      def requant(v: IndexedSeq[Long]): IndexedSeq[Long] = {
+        val m = v.map(math.abs).max
+        if (m == 0L) v
+        else v.map(x =>
+          math.floor(x.toDouble / m.toDouble * 1000000.0 + 0.5).toLong)
+      }
+      // C re-quantizes by the GLOBAL max (not per row — the matrix
+      // is one object), same floor(v/max·1e6 + 0.5) grid
+      val cmax = c.flatten.map(math.abs).max
+      val cqg =
+        if (cmax == 0L) c.map(_.toIndexedSeq).toIndexedSeq
+        else c.map(_.map(x => math.floor(
+          x.toDouble / cmax.toDouble * 1000000.0 + 0.5).toLong)
+          .toIndexedSeq).toIndexedSeq
+      var x = IndexedSeq.fill(d)(1000000L)
+      (1 to iters).foreach { _ =>
+        x = requant((0 until d).map(i =>
+          (0 until d).map(j => cqg(i)(j) * x(j)).sum))
+      }
+      x
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SQ8 quantization graded end-to-end: per-vector scale, the full
