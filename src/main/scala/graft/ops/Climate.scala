@@ -644,6 +644,28 @@ object ClimateOps {
     to_timestamp(make_date(y, m, dClamped))
   }
 
+  /** xarray `.rolling(time=k).mean()` — the rolling-statistics surface
+    * (trailing k-STEP window per cell over the observed axis, ROWS
+    * frame; a gapped axis rolls over observed steps, xarray's
+    * positional semantics). Emits the exact-integer window sum and
+    * non-null count plus the mean — the ONE division of exact longs,
+    * correctly rounded identically in both engines, so the mean grades
+    * unrounded (the pipeline_nc precedent). `minPeriods` nulls the
+    * mean until enough non-null samples arrive (xarray's min_periods).
+    * One shuffle on the group key; both window functions share the
+    * frame. */
+  def rollingMean(df: DataFrame, groupCols: Seq[String], axisCol: String,
+                  valCol: String, k: Int, minPeriods: Int = 1): DataFrame = {
+    require(k >= 1 && minPeriods >= 1 && minPeriods <= k,
+      s"need 1 <= minPeriods <= k, got k=$k minPeriods=$minPeriods")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(axisCol)).rowsBetween(-(k - 1), 0)
+    df.withColumn("n_win", count(col(valCol)).over(w))
+      .withColumn("roll_sum", sum(col(valCol)).over(w))
+      .withColumn("roll_mean", when(col("n_win") >= minPeriods,
+        col("roll_sum").cast("double") / col("n_win").cast("double")))
+  }
+
   // ---- EOF analysis (r17) ------------------------------------------
   /** Densified, quantized ANOMALY field for EOF analysis over a
     * long-form `(t, i, x)` frame — t the time-step key, i a bounded
@@ -1339,6 +1361,24 @@ object Climate {
         .orderBy(col("event_type"), col("band"), col("spell_start"))
     },
 
+    // Rolling 7-day mean graded UNROUNDED (r17): q_climate_spell's
+    // exact daily series through ClimateOps.rollingMean with
+    // min_periods = 7 — sums/counts exact longs, the mean their one
+    // IEEE division (identical in both engines on exact inputs; the
+    // sums stay far below 2^53 so no conversion floor either).
+    "q_climate_rolling" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (col("user_id") % 8).cast("long").as("band"),
+          unix_date(to_date(col("ts"))).cast("long").as("d"))
+        .agg(sum(micros(col("value"))).as("sv"))
+      ClimateOps.rollingMean(daily, Seq("event_type", "band"), "d", "sv",
+          k = 7, minPeriods = 7)
+        .select(col("event_type"), col("band"), col("d"),
+          col("n_win"), col("roll_sum"), col("roll_mean"))
+        .orderBy(col("event_type"), col("band"), col("d"))
+    },
+
     // Leading EOF graded end-to-end (r17): the daily field over a
     // FIXED 10×12 cell grid (bounded by design — the spatial
     // resolution, never the corpus), time-mean removed by exact
@@ -1888,6 +1928,29 @@ object Climate {
         |  CAST(SUM(sv) AS BIGINT) AS spell_sum
         |FROM isl GROUP BY event_type, band, g
         |ORDER BY event_type, band, spell_start""".stripMargin,
+
+    // the same exact daily series as the spell oracle; window SUM
+    // widens to HUGEINT → CAST back (§2.8 rule 4); the mean divides
+    // the BIGINT-cast sum (≪ 2^53, so the double is exact) by the
+    // count — the identical IEEE division Spark performs
+    "q_climate_rolling" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(user_id % 8 AS BIGINT) AS band,
+        |    DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sv
+        |  FROM events GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT event_type, band, d,
+        |    CAST(COUNT(sv) OVER w AS BIGINT) AS n_win,
+        |    CAST(SUM(sv) OVER w AS BIGINT) AS roll_sum
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type, band ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, band, d, n_win, roll_sum,
+        |  CASE WHEN n_win >= 7
+        |    THEN CAST(roll_sum AS DOUBLE) / CAST(n_win AS DOUBLE) END
+        |    AS roll_mean
+        |FROM r ORDER BY event_type, band, d""".stripMargin,
 
     // the quantized-power-iteration chain over the densified anomaly
     // field: exact cross-multiplied mean removal, global-max requant

@@ -290,8 +290,68 @@ object Joins {
             .otherwise(col("price_cents")).as("price_cents"),
           coalesce(col("op"), lit("=")).as("src"))
         .orderBy(col("key"))
+    },
+
+    // TYPE-2 SCD history graded through its per-key rollup (r17): the
+    // full 8M-version decade-2 history would swamp the compare, so the
+    // key grades (n_versions, n_events, first/last opening, exact
+    // micros-offset signatures over every valid_from/valid_to, open
+    // count) per user — sums that pin every version boundary.
+    // Signature base 2024-01-01 keeps |Σ Δµs| ≤ ~2e17 at decade-2
+    // (and ≤ ~1e17 under epoch-extreme fuzz timestamps), five orders
+    // inside 2⁶³.
+    "q_merge_scd2" -> { (s, dir) =>
+      val hist = scd2History(Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id")),
+        "user_id", "event_type", "ts", "event_id")
+      val base = lit(1704067200000000L) // 2024-01-01T00:00:00Z in µs
+      hist.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_versions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          tstr(min(col("valid_from"))).as("first_from"),
+          tstr(max(col("valid_from"))).as("last_from"),
+          sum(unix_micros(col("valid_from")) - base).cast("long")
+            .as("from_sig"),
+          sum(unix_micros(col("valid_to")) - base).cast("long")
+            .as("to_sig"),
+          (count(lit(1)) - count(col("valid_to"))).cast("long")
+            .as("n_open"))
+        .orderBy(col("user_id"))
     }
   )
+
+  /** TYPE-2 slowly-changing-dimension history build — the warehouse
+    * companion to MERGE (q_merge_upsert): collapse an ordered change
+    * stream into versioned validity intervals, one row per version:
+    * `(key, ver, value, valid_from, n_events, valid_to)`. A version
+    * opens at the key's first event or whenever the tracked value
+    * changes (NULL-safe compare, so NULL is a real trackable state);
+    * `valid_from` is the version's first event timestamp, `valid_to`
+    * the next version's `valid_from` (NULL = the current version —
+    * half-open [from, to) intervals, the standard SCD2 convention).
+    * `tieCol` must make (tsCol, tieCol) a total order per key or
+    * version boundaries are layout-dependent.
+    *
+    * Scale shape: ONE shuffle on the key — the change flag, the
+    * running version counter, the per-version rollup, and the
+    * valid_to lead all reuse the same partitioning; no join, no
+    * driver state. */
+  def scd2History(df: DataFrame, keyCol: String, valCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__chg", when(col("__rn") === 1 ||
+        !(col(valCol) <=> lag(col(valCol), 1).over(w)), 1L).otherwise(0L))
+      .withColumn("ver", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("ver"))
+      .agg(min(col(valCol)).as(valCol), // constant within a version
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("ver"))))
+  }
 
   /** Shared emulation body for the two as-of keys: purchases annotated
     * with the most recent strictly-prior signup ts per user — one
@@ -449,6 +509,43 @@ object Joins {
         |FROM base FULL JOIN changes ON key = c_key
         |WHERE COALESCE(op, '=') <> 'D'
         |ORDER BY key""".stripMargin,
+
+    // the version counter over the same (ts, event_id) total order;
+    // IS DISTINCT FROM mirrors Spark's null-safe <=>; every SUM CAST
+    // back from HUGEINT (§2.8 rule 4); DATE_DIFF µs mirrors
+    // unix_micros minus the 2024-01-01 base exactly
+    "q_merge_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    LAG(event_type) OVER w AS pv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, event_type, ts,
+        |    SUM(CASE WHEN rn = 1 OR event_type IS DISTINCT FROM pv
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+        |  FROM o),
+        |h AS (
+        |  SELECT user_id, ver, MIN(ts) AS valid_from,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM f GROUP BY 1, 2),
+        |h2 AS (
+        |  SELECT user_id, valid_from, n_events,
+        |    LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY ver)
+        |      AS valid_to
+        |  FROM h)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  strftime(MIN(valid_from), '%Y-%m-%d %H:%M:%S') AS first_from,
+        |  strftime(MAX(valid_from), '%Y-%m-%d %H:%M:%S') AS last_from,
+        |  CAST(SUM(DATE_DIFF('microsecond', TIMESTAMP '2024-01-01',
+        |    valid_from)) AS BIGINT) AS from_sig,
+        |  CAST(SUM(DATE_DIFF('microsecond', TIMESTAMP '2024-01-01',
+        |    valid_to)) AS BIGINT) AS to_sig,
+        |  CAST(COUNT(*) - COUNT(valid_to) AS BIGINT) AS n_open
+        |FROM h2 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_join_lateral" ->
       """SELECT n.n_name, c.c_custkey, c.bal_cents
