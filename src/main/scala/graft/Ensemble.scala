@@ -199,6 +199,18 @@ object Ensemble {
       .readClassic(spark, pathGlob, varName, latVar, lonVar, timeVar)
       .select(col("dataset"), col("time"), col("lat"), col("lon"), col("value")))
 
+  /** bcdp `load_local` for a Zarr v2 store (r17) — one member per
+    * store; `bounds` prunes non-intersecting chunk files from the
+    * manifest by name arithmetic before anything is opened (see
+    * [[graft.sources.ZarrStore.readGrid]]). */
+  def loadZarr(spark: SparkSession, storePath: String, varName: String,
+               bounds: Option[graft.sources.NetcdfSource.GridBounds] = None)
+      : Ensemble =
+    Ensemble(graft.sources.ZarrStore
+      .readGrid(spark, storePath, varName, bounds)
+      .select(col("dataset"), col("time"), col("lat"), col("lon"),
+        col("value")))
+
   /** bcdp `load_local` for MIXED archives (r12): format auto-detected
     * per file from the magic bytes — NetCDF-3 classic and NetCDF-4/
     * HDF5 (incl. chunked/compressed; see [[graft.sources.Hdf5Classic]])

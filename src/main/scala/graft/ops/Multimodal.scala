@@ -187,6 +187,24 @@ object Multimodal {
     })
   }
 
+  /** Nearest-neighbor IMAGE RESIZE — the preprocessing step every
+    * multimodal pipeline runs before a vision encoder (resize to the
+    * model's input size). Pure integer index arithmetic:
+    * `dst(y2, x2) = src((y2·h) div h2, (x2·w) div w2)` — deterministic,
+    * kernel-free, DuckDB-replayable (a bilinear kernel would follow
+    * the same per-pixel map shape with 4 taps + fixed-point weights).
+    * Runs inside the per-partition decode task, so the pixels never
+    * leave the row. */
+  def resizeNearest(px: Array[Int], w: Int, h: Int,
+                    w2: Int, h2: Int): Array[Int] = {
+    require(w > 0 && h > 0 && w2 > 0 && h2 > 0 && px.length == w * h,
+      s"bad resize geometry: ${px.length} px as ${w}x$h -> ${w2}x$h2")
+    Array.tabulate(w2 * h2) { i =>
+      val y2 = i / w2; val x2 = i % w2
+      px((y2 * h / h2) * w + (x2 * w / w2))
+    }
+  }
+
   /** Media queries. decode/frames are rows-only (DuckDB cannot decode
     * media bytes); q_multimodal_encode (r13) grades the ENCODE path by
     * full hash — the oracle rebuilds the exact BMP/WAV byte streams
@@ -278,6 +296,38 @@ object Multimodal {
         }
         .toDF("doc_id", "bmp_w", "bmp_h", "bmp_px",
           "wav_rate", "wav_ch", "wav_samples")
+        .orderBy(col("doc_id"))
+    },
+
+    // r17: the RESIZE step hash-graded via the same digest twin — a
+    // real 4×4 BMP (digest bytes cycled ×3 → 16 RGB pixels) goes
+    // through encodeBmp → decodeBmp → resizeNearest both UP (6×6, a
+    // non-integer ratio, so the floor map is load-bearing) and DOWN
+    // (2×2); the oracle rebuilds every output pixel from the hex
+    // digest with the SAME (y2·h) div h2 map, precomputed into slot
+    // expressions at SQL-generation time. Equality holds iff the
+    // codec roundtrip AND the resize index arithmetic are exact.
+    "q_multimodal_resize_md5" -> { (s, dir) =>
+      import s.implicits._
+      import graft.sources.MediaCodec
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          unhex(md5(col("doc_id").cast("string"))).as("digest"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, p) =>
+            def px(off: Int, b: Array[Byte]) =
+              ((b(off + 2) & 0xff) << 16) | ((b(off + 1) & 0xff) << 8) |
+                (b(off) & 0xff)
+            val p3 = p ++ p ++ p
+            val img = MediaCodec.decodeBmp(MediaCodec.encodeBmp(4, 4,
+              Array.tabulate(16)(i => px(3 * i, p3))))
+            val up = resizeNearest(img.pixels, 4, 4, 6, 6)
+            val dn = resizeNearest(img.pixels, 4, 4, 2, 2)
+            (id, up.mkString(","), dn.mkString(","))
+          }
+        }
+        .toDF("doc_id", "up_px", "dn_px")
         .orderBy(col("doc_id"))
     },
 
@@ -381,8 +431,31 @@ object Multimodal {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for the resize twin: source pixel j rebuilt from the
+    * thrice-cycled digest hex exactly like [[decodeMd5OracleSql]];
+    * each OUTPUT slot's source index is precomputed here with the
+    * identical floor map, so the SQL is a pure column of px
+    * expressions. */
+  private lazy val resizeMd5OracleSql: String = {
+    def b(j: Int) = s"CAST('0x' || substr(ph3, ${2 * j + 1}, 2) AS INT)"
+    def pxE(i: Int) =
+      s"(${b(3 * i + 2)} * 65536 + ${b(3 * i + 1)} * 256 + ${b(3 * i)})"
+    def slots(w2: Int, h2: Int): String =
+      (for (y2 <- 0 until h2; x2 <- 0 until w2)
+        yield (y2 * 4 / h2) * 4 + (x2 * 4 / w2))
+        .map(i => s"CAST(${pxE(i)} AS VARCHAR)").mkString(" || ',' || ")
+    s"""WITH d AS (
+       |  SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 3) AS ph3
+       |  FROM documents)
+       |SELECT doc_id,
+       |  ${slots(6, 6)} AS up_px,
+       |  ${slots(2, 2)} AS dn_px
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_multimodal_decode_md5" -> decodeMd5OracleSql,
+    "q_multimodal_resize_md5" -> resizeMd5OracleSql,
     "q_multimodal_encode" ->
       """WITH d AS (
         |  SELECT doc_id,

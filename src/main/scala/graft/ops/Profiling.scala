@@ -259,7 +259,48 @@ object Profiling {
       .agg(count(lit(1)).cast("long").as("n_rows"),
         coalesce(expr("bit_xor(d)"), lit(0L)).as("xor_sig"))
 
+  /** DATA-DRIFT report between two corpus slices — the train/holdout
+    * distribution check a pipeline runs before shipping a split (the
+    * PSI report's exact twin): per feature bin, both slice counts and
+    * the exact cross-multiplied proportion gap
+    * `dq = c_a·N_b − c_b·N_a` — zero ⟺ identical proportions, sign =
+    * drift direction, |dq| ranks drifted bins (PSI's ranking without
+    * PSI's log — the colloc/fluency move; PSI itself is
+    * Σ (p−q)·ln(p/q), monotone-aligned per bin with |dq| for fixed
+    * totals). Overflow: |dq| ≤ c·N ≤ N² — safe to N ~ 3e9 rows per
+    * slice; shard the report beyond that. Scale shape: one
+    * partial+final hash aggregation per slice, a full outer join on
+    * the bin key, two 1-row cross joins for the totals — no window,
+    * no funnel. */
+  def driftReport(a: DataFrame, b: DataFrame, binCol: Column): DataFrame = {
+    def cnt(df: DataFrame, n: String) = df.select(binCol.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    cnt(a, "c_a").join(cnt(b, "c_b"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .crossJoin(na).crossJoin(nb)
+      .withColumn("dq", col("c_a") * col("n_b") - col("c_b") * col("n_a"))
+      .select(col("bin"), col("c_a"), col("c_b"), col("dq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Drift between the md5-split train and test slices over
+    // (lang × 100-char n_chars band) bins — the split is the SAME
+    // digest bucketing q_sample_split grades, so this key also pins
+    // drift's composition with the production splitter. NULL n_chars
+    // bins as -1 explicitly (concat_ws would SKIP the null and merge
+    // bins across engines' skip rules).
+    "q_profile_drift" -> { (s, dir) =>
+      val split = TextAnalysis.hashSplit(Tables.documents(s, dir))
+      val bin = concat(col("lang"), lit(":"),
+        coalesce(floor(col("n_chars") / 100).cast("long"), lit(-1L))
+          .cast("string"))
+      driftReport(split.filter(col("split") === "train"),
+          split.filter(col("split") === "test"), bin)
+        .orderBy(col("bin"))
+    },
     // 20 docs per language, content-hash ranked.
     "q_sample_stratified" -> { (s, dir) =>
       stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 20)
@@ -389,6 +430,31 @@ object Profiling {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same digest bucketing as q_sample_split; DuckDB integer /
+    // is float division, so FLOOR(...)::BIGINT mirrors Spark's
+    // floor(col/100) exactly (n_chars ≪ 2^53)
+    "q_profile_drift" ->
+      """WITH s AS (
+        |  SELECT lang || ':' || CAST(COALESCE(
+        |      CAST(FLOOR(n_chars / 100) AS BIGINT), -1) AS VARCHAR) AS bin,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c_a
+        |      FROM s WHERE bucket < 90 GROUP BY 1),
+        |b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c_b
+        |      FROM s WHERE bucket >= 95 GROUP BY 1),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a
+        |       FROM s WHERE bucket < 90),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b
+        |       FROM s WHERE bucket >= 95)
+        |SELECT COALESCE(a.bin, b.bin) AS bin,
+        |  COALESCE(c_a, CAST(0 AS BIGINT)) AS c_a,
+        |  COALESCE(c_b, CAST(0 AS BIGINT)) AS c_b,
+        |  CAST(COALESCE(c_a, 0) * n_b - COALESCE(c_b, 0) * n_a
+        |    AS BIGINT) AS dq
+        |FROM a FULL JOIN b ON a.bin = b.bin CROSS JOIN na CROSS JOIN nb
+        |ORDER BY bin""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, doc_id, rn FROM (
         |  SELECT lang, doc_id,

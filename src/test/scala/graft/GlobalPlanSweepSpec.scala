@@ -139,6 +139,12 @@ class GlobalPlanSweepSpec extends AnyFunSuite
       "q_sample_semantic", "q_vec_ann_ivf_det", "q_vec_kmeans",
       "q_text_heavyhitters",                             // global top-k fold
       "q_text_tfidf",                                    // vocabulary gate
+      // r17: 1-row scalar gates by construction — the LM's vocabulary
+      // size V (one count_distinct row), the EOF chain's day count n
+      // and global |a| max (one row each), and the drift report's two
+      // slice totals. Each is a single-row aggregate cross-joined
+      // into a projection, the watermark-gate shape.
+      "q_text_lm_fluency", "q_climate_eof_pc", "q_profile_drift",
       "q_win_ntile", "q_win_percentrank")                // declared global windows
     assertFragmentAllowlisted("Exchange SinglePartition", allowed,
       "single-partition exchange")
@@ -164,7 +170,12 @@ class GlobalPlanSweepSpec extends AnyFunSuite
       "q_vec_ann_ivf", "q_vec_ann_ivf_det", "q_vec_ann_sq8", //  ≤50 queries
       "q_stream_session_closed", "q_stream_sliding_closed",
       "q_stream_tumbling_closed", "q_stream_watermark",      // scalar watermarks
-      "q_text_boilerplate", "q_text_heavyhitters", "q_text_tfidf")
+      "q_text_boilerplate", "q_text_heavyhitters", "q_text_tfidf",
+      // r17: the same 1-row scalar gates as the single-partition
+      // allowlist — V / n / amax / slice totals broadcast as one-row
+      // BNLJs into projections; every broadcast side is provably one
+      // row by construction
+      "q_text_lm_fluency", "q_climate_eof_pc", "q_profile_drift")
     assertFragmentAllowlisted("BroadcastNestedLoopJoin", allowed,
       "nested-loop join")
   }

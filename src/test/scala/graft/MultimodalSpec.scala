@@ -204,4 +204,19 @@ class MultimodalSpec extends AnyFunSuite {
       .head().getSeq[Double](0)
     assert(out == Seq(1.5, 3.5, 5.5, 7.5))
   }
+
+  test("resizeNearest: identity, 2x up duplicates, down picks strides") {
+    val src = Array(0, 1, 2, 3) // 2x2: rows (0,1) / (2,3)
+    assert(ops.Multimodal.resizeNearest(src, 2, 2, 2, 2).toSeq == src.toSeq)
+    // 2x2 -> 4x4: each source pixel becomes a 2x2 block
+    assert(ops.Multimodal.resizeNearest(src, 2, 2, 4, 4).toSeq ==
+      Seq(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3))
+    // 4x4 -> 2x2 picks strided corners (0,0),(0,2),(2,0),(2,2)
+    val s16 = Array.tabulate(16)(identity)
+    assert(ops.Multimodal.resizeNearest(s16, 4, 4, 2, 2).toSeq ==
+      Seq(0, 2, 8, 10))
+    // non-integer 4 -> 6 floor map on one axis
+    assert(ops.Multimodal.resizeNearest(Array(0, 1, 2, 3), 4, 1, 6, 1).toSeq ==
+      Seq(0, 0, 1, 2, 2, 3))
+  }
 }
