@@ -174,6 +174,52 @@ object Streaming {
         .orderBy(col("p_id"), col("s_us"))
     },
 
+    // APPEND-mode fixpoint of the LEFT-OUTER watermarked stream-stream
+    // join (r17, completing the *_closed program for joins): matched
+    // rows emit as in the inner join; an unmatched purchase emits its
+    // NULL row only once the GLOBAL watermark (min of the two sides'
+    // ms-floored max event times, −1 h delay — Spark's
+    // multipleWatermarkPolicy=min) passes its own event time, the
+    // state-eviction point for the s_ts ≤ p_ts constraint. Rule
+    // pinned EMPIRICALLY against the real left-outer stream
+    // (StreamingParitySpec, exact set equality — the ms-floor and the
+    // min policy are graded semantics, not slack). Either side empty
+    // ⇒ the watermark never initializes ⇒ no unmatched emission —
+    // mirrored by the NULL-propagating CASE (a NULL wm fails the
+    // filter on both engines).
+    "q_stream_join_left_closed" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      val wm = e.agg(
+          max(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("mp"),
+          max(when(col("event_type") === "signup",
+            unix_micros(col("ts")))).as("ms"))
+        .select(when(col("mp").isNull || col("ms").isNull,
+            lit(null).cast("long"))
+          .otherwise(least(col("mp") - col("mp") % 1000L,
+            col("ms") - col("ms") % 1000L) - 3600000000L).as("wm_us"))
+      p.join(sg,
+          col("p_user") === col("s_user")
+            && col("s_ts") <= col("p_ts")
+            && col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"),
+          "left_outer")
+        .crossJoin(broadcast(wm)) // 1-row watermark scalar
+        .filter(col("s_ts").isNotNull
+          || unix_micros(col("p_ts")) < col("wm_us"))
+        .select(col("p_id"), col("p_user"),
+          unix_micros(col("p_ts")).as("p_us"),
+          unix_micros(col("s_ts")).as("s_us"))
+        // per purchase: either matched rows or ONE null row, never
+        // both — still pin NULLS FIRST (Spark's asc default) so the
+        // engines can never disagree on null placement
+        .orderBy(col("p_id"), col("s_us").asc_nulls_first)
+    },
+
     // dropDuplicatesWithinWatermark analog: first event per
     // (user_id, event_type) in event-time order.
     "q_stream_dedup" -> { (s, dir) =>
@@ -410,6 +456,32 @@ object Streaming {
         |  ON p.event_type = 'purchase' AND s.event_type = 'signup'
         | AND p.user_id = s.user_id
         | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 24 HOURS
-        |ORDER BY p_id, s_us""".stripMargin
+        |ORDER BY p_id, s_us""".stripMargin,
+
+    // the left-outer fixpoint: the inner rows + watermark-evicted
+    // unmatched purchases; NULLS FIRST pins Spark's asc default
+    "q_stream_join_left_closed" ->
+      """WITH wm AS (
+        |  SELECT CASE WHEN mp IS NULL OR ms IS NULL THEN NULL
+        |    ELSE LEAST(mp - mp % 1000, ms - ms % 1000) - 3600000000
+        |  END AS wm_us
+        |  FROM (SELECT
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(epoch_us(ts) AS BIGINT) END) AS mp,
+        |    MAX(CASE WHEN event_type = 'signup'
+        |      THEN CAST(epoch_us(ts) AS BIGINT) END) AS ms
+        |    FROM events)),
+        |j AS (
+        |  SELECT p.event_id AS p_id, p.user_id AS p_user,
+        |    CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+        |    CAST(epoch_us(s.ts) AS BIGINT) AS s_us
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |    ON p.user_id = s.user_id
+        |   AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 24 HOURS)
+        |SELECT p_id, p_user, p_us, s_us
+        |FROM j CROSS JOIN wm
+        |WHERE s_us IS NOT NULL OR p_us < wm_us
+        |ORDER BY p_id, s_us NULLS FIRST""".stripMargin
   )
 }

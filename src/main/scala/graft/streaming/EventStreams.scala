@@ -210,6 +210,27 @@ object EventStreams {
       .select(col("p_id"), col("p_user"), col("p_ts"), col("s_ts"))
   }
 
+  /** The LEFT-OUTER form of [[purchaseSignupJoin]] (r17): unmatched
+    * purchases emit a NULL-signup row once the global watermark (min
+    * across both sides, 1 h delay) passes their event time — the
+    * state-eviction semantics q_stream_join_left_closed pins as its
+    * batch fixpoint (exact set equality in StreamingParitySpec). */
+  def purchaseSignupLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    purchases.join(signups,
+      col("p_user") === col("s_user")
+        && col("s_ts") <= col("p_ts")
+        && col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"),
+      "left_outer")
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("s_ts"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
                           ts_us: Long, v_micros: Long)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

@@ -128,6 +128,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite
       "q_profile_checksum", "q_profile_expect", "q_profile_stats",
       "q_stream_session_closed", "q_stream_sliding_closed",
       "q_stream_tumbling_closed", "q_stream_watermark",  // scalar watermark gates
+      "q_stream_join_left_closed",                       // r17: same 1-row wm gate
       "q_text_boilerplate",                              // ≤15-row hot-line set
       // r15: the decontam Bloom pre-filter's build side — a 1-row
       // BloomFilterAggregate inside the runtime-filter SCALAR SUBQUERY
@@ -170,6 +171,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite
       "q_vec_ann_ivf", "q_vec_ann_ivf_det", "q_vec_ann_sq8", //  ≤50 queries
       "q_stream_session_closed", "q_stream_sliding_closed",
       "q_stream_tumbling_closed", "q_stream_watermark",      // scalar watermarks
+      "q_stream_join_left_closed",                           // r17: 1-row wm gate
       "q_text_boilerplate", "q_text_heavyhitters", "q_text_tfidf",
       // r17: the same 1-row scalar gates as the single-partition
       // allowlist — V / n / amax / slice totals broadcast as one-row

@@ -85,6 +85,23 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("left-outer stream-stream join == graded closed fixpoint") {
+    import org.apache.spark.sql.functions._
+    // the REAL left-outer watermarked stream: matches + NULL rows for
+    // purchases the final watermark evicted unmatched
+    val streamed = runStream("par_ljoin", EventStreams.purchaseSignupLeftJoin)
+      .select(col("p_id"), unix_micros(col("s_ts")).as("s_us"))
+    val closed = SparkEntry.queries("q_stream_join_left_closed")(spark, dir)
+      .select(col("p_id"), col("s_us"))
+    // EXACT set equality — the eviction rule (min-of-watermarks,
+    // ms-floor, strict <) is graded semantics, not slack
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closed).count() == 0)
+    assert(closed.exceptAll(streamed).count() == 0)
+    // and the NULL rows specifically are non-empty at this tier
+    assert(closed.filter(col("s_us").isNull).count() > 0)
+  }
+
   test("incremental stateful sessionization == batch fixpoint (single batch)") {
     val q = EventStreams.sessionsStateful(spark, EventStreams.readEvents(spark, dir))
       .writeStream.outputMode("append").format("memory")
