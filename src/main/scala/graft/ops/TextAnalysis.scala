@@ -333,10 +333,13 @@ object TextAnalysis {
         i => struct(i.cast("long").as("pos"),
           concat_ws(" ", slice(tk, i, lit(k))).as("sh")))).as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.sh").as("sh"))
-    val dup = pos.groupBy(col("sh"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
-      .select(col("sh"))
-    val marked = pos.join(dup, Seq("sh"), "left_semi")
+    // ONE shuffle: corpus-occurrence counts as a whole-partition
+    // window over the shingle key (r17 bench find: the groupBy +
+    // semi-join form evaluated the explode subtree twice — two full
+    // shingle scans and shuffles for the same marked set)
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val marked = pos.withColumn("__c", count(lit(1)).over(wSh))
+      .filter(col("__c") > 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevEnd = max(col("pos") + (k - 1)).over(
