@@ -202,10 +202,17 @@ object TextAnalysis {
   def collocations(docs: DataFrame, minCount: Long = 5L,
                    k: Int = 100): DataFrame = {
     val tk = toks
+    // token array materialized into its own projection FIRST (the
+    // Dedup.shingleCol rule): transform() lambdas are interpreted, so
+    // an inline split() re-evaluates once per ELEMENT — O(tokens²) per
+    // doc (r17 optimization-round find: the bigram explode was ~2.5 s
+    // of q_text_colloc's 3.3 s at sf0.1). A bound column reference is
+    // a cheap per-element read.
     val bg = docs.filter(col("text").isNotNull && size(tk) >= 2)
-      .select(explode(transform(sequence(lit(1), size(tk) - 1),
-        i => struct(element_at(tk, i).as("w1"),
-          element_at(tk, i + 1).as("w2")))).as("b"))
+      .select(tk.as("tks"))
+      .select(explode(transform(sequence(lit(1), size(col("tks")) - 1),
+        i => struct(element_at(col("tks"), i).as("w1"),
+          element_at(col("tks"), i + 1).as("w2")))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= minCount)
@@ -284,10 +291,14 @@ object TextAnalysis {
     * same pair set it scores. */
   private def pairScores(docs: DataFrame): DataFrame = {
     val tk = toks
+    // tokenize ONCE per row before the transform lambda (the
+    // Dedup.shingleCol / collocations rule — an inline split() inside
+    // the interpreted lambda re-runs per element, O(tokens²) per doc)
     val pairsDoc = docs.filter(col("text").isNotNull && size(tk) >= 2)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), size(tk) - 1),
-        i => struct(element_at(tk, i).as("w1"),
-          element_at(tk, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), tk.as("tks"))
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("tks")) - 1),
+        i => struct(element_at(col("tks"), i).as("w1"),
+          element_at(col("tks"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bg = pairsDoc.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cxy"))
@@ -327,11 +338,15 @@ object TextAnalysis {
   def duplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"shingle width must be >= 2, got $k")
     val tk = toks
+    // tokenize ONCE per row before the transform lambda (the
+    // Dedup.shingleCol / collocations rule — an inline split() inside
+    // the interpreted lambda re-runs per slice, O(tokens²) per doc)
     val pos = docs.filter(col("text").isNotNull && size(tk) >= k)
+      .select(col("doc_id"), tk.as("tks"))
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(tk) - (k - 1)),
+        sequence(lit(1), size(col("tks")) - (k - 1)),
         i => struct(i.cast("long").as("pos"),
-          concat_ws(" ", slice(tk, i, lit(k))).as("sh")))).as("p"))
+          concat_ws(" ", slice(col("tks"), i, lit(k))).as("sh")))).as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.sh").as("sh"))
     // ONE shuffle: corpus-occurrence counts as a whole-partition
     // window over the shingle key (r17 bench find: the groupBy +
@@ -402,12 +417,17 @@ object TextAnalysis {
     * which would silently resurrect the bug (r11 review find). */
   private def fingerprintsBy(docs: DataFrame, window: Int, keep: Int,
                              hashFn: Column => Column): DataFrame =
-    docs.select(col("doc_id"),
-      slice(array_sort(transform(
-        sequence(lit(0), when(col("text").isNotNull,
-          greatest(size(toks) - window, lit(0)))),
-        i => hashFn(concat_ws(" ", slice(toks, i + 1, lit(window)))))),
-        1, keep).as("fingerprint"))
+    // tokenize ONCE per row before the transform lambda (the
+    // Dedup.shingleCol rule — an inline split() inside the interpreted
+    // lambda re-runs per window, O(tokens²) per doc). `text` rides
+    // along so the NULL guard below keeps its exact documented form.
+    docs.select(col("doc_id"), col("text"), toks.as("tks"))
+      .select(col("doc_id"),
+        slice(array_sort(transform(
+          sequence(lit(0), when(col("text").isNotNull,
+            greatest(size(col("tks")) - window, lit(0)))),
+          i => hashFn(concat_ws(" ", slice(col("tks"), i + 1, lit(window)))))),
+          1, keep).as("fingerprint"))
 
   /** Greedy contiguous sequence packing — the training-batch
     * construction step of an LLM data pipeline: assign documents, in
