@@ -425,9 +425,17 @@ object ZarrStore {
     val rank = meta.rank
     val es = elemSize(meta.dtype)
     val m = meta
+    // axis-sized state rides as ONE broadcast, not a task-closure
+    // capture: with one task per chunk, a captured time axis (~10⁷
+    // steps on a long climate record = ~80 MB of longs) would be
+    // re-serialized into EVERY task; a broadcast ships it once per
+    // executor (ADVICE r17 self-review item, applied this round).
+    val sc = spark.sparkContext
+    val axesB = sc.broadcast((lats, lons, timesMicros, keep))
     spark.read.format("binaryFile").load(paths: _*)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
+        val (lats, lons, timesMicros, keep) = axesB.value
         val cix = path.substring(path.lastIndexOf('/') + 1)
           .split('.').map(_.toInt)
         val vals = decodeChunk(decompress(bytes, comp, m.chunkElems * es), m)
