@@ -190,10 +190,16 @@ object Ann {
         Window.partitionBy(col("q_id")).orderBy(col("dist").desc, col("cell"))))
       .filter(col("cell_rank") <= nprobe)
       .select(col("q_id"), col("qv"), col("cell"))
-    // exact cosine only within probed cells
+    // exact cosine only within probed cells. The probe side is
+    // (query batch × nprobe) rows — bounded by the caller's query
+    // batch, never the corpus — so BROADCAST it (r17 optimization
+    // round, guide §3.1): without the hint the planner sort-merge-
+    // joins, which shuffles the ENTIRE corpus side by cell id to meet
+    // a kilobyte-sized probe set. Query batches large enough to break
+    // a broadcast should be split into slices (guide §2.6) upstream.
     val cands = assigned
       .select(col("cell"), col("vec_id").as("c_id"), col("v").as("cv"))
-    qCells.join(cands, "cell")
+    cands.join(broadcast(qCells), "cell")
       .withColumn("cos4", round(cosine_sim(col("qv"), col("cv")), 4))
       .withColumn("rn_cell", row_number().over(
         Window.partitionBy(col("q_id"), col("cell"))

@@ -77,8 +77,12 @@ object Profiling {
     // with zero survivors surface via the left join's null _got)
     val got = survivors.groupBy(col("_stratum").as("_gstratum"))
       .agg(count(lit(1)).cast("long").as("_got"))
+    // got is stratum-bounded (one row per stratum — languages,
+    // clusters), so broadcast it: unhinted, this left join planned a
+    // SortMergeJoin whose two exchanges + sorts are pure overhead for
+    // a frame the size of the stratum count (r17 optimization round)
     val deficient = counts
-      .join(got, col("_stratum") <=> col("_gstratum"), "left")
+      .join(broadcast(got), col("_stratum") <=> col("_gstratum"), "left")
       .filter(coalesce(col("_got"), lit(0L)) < least(lit(n.toLong), col("_cnt")))
       .select(col("_stratum").as("_defstratum"))
     val good = top(survivors

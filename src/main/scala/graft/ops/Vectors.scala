@@ -605,7 +605,10 @@ object Vectors {
       val cands = members.filter(col("vec_id") >= 10)
         .select(col("cid"), col("vec_id").as("c_id"), col("v").as("cv2"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos4").desc, col("c_id"))
-      probed.join(cands, "cid")
+      // broadcast the probe side (queries × ≤2 cells — bounded by the
+      // query batch), mirroring Ann.ivfCandidates: unhinted this
+      // planned a SortMergeJoin that shuffled the corpus side by cell
+      cands.join(broadcast(probed), "cid")
         .withColumn("cos4", round(
           graft.expressions.VectorExpressions.cosine_sim(col("qv"), col("cv2")), 4))
         .withColumn("rn", row_number().over(w).cast("long"))
