@@ -23,7 +23,16 @@ object Bucketing {
     * external paths under target/roundtrip). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     path: Option[String] = None): Unit = {
-    val w = df.write.mode("overwrite")
+    // repartition on the bucket key to the bucket count FIRST (r17
+    // optimization round): hash repartitioning and the bucket-id hash
+    // are the same Murmur3, so with numPartitions == buckets each task
+    // holds exactly its own bucket — the write sorts `buckets` slices
+    // in parallel and emits ONE file per bucket. Unrepartitioned, the
+    // write inherits the scan's layout: each input task sorts its
+    // whole slice and opens a file per bucket it touches (tasks×buckets
+    // files worst case — the small-files problem at scale), or a
+    // 1-partition scan funnels the whole sort through one task.
+    val w = df.repartition(buckets, col(key)).write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")

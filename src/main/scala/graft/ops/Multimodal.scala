@@ -375,12 +375,18 @@ object Multimodal {
           struct(lit("application/digest").as("mime"),
             lit(16).as("width"), lit(1).as("height"),
             lit(0L).as("durationMs")).as("meta"))
-      val hexs = lower(hex(col("frame_bytes")))
+      // hex string materialized ONCE per frame before the transform
+      // lambda (the Dedup.shingleCol rule): inline, the interpreted
+      // lambda re-hexed the whole frame per BYTE — O(bytes²) per frame,
+      // harmless on these 4-byte digest frames but quadratic on real
+      // media frames routed through the same shape.
+      val hexs = col("hexs")
       val byteSum = aggregate(
         transform(sequence(lit(0), length(col("frame_bytes")) - 1),
           i => conv(hexs.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")),
         lit(0L), (a, x) => a + x)
       frameSample(media, n = 4)
+        .withColumn("hexs", lower(hex(col("frame_bytes"))))
         .select(col("media_id"),
           col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame_bytes")).cast("long").as("frame_len"),
