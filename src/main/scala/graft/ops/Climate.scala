@@ -409,6 +409,23 @@ object ClimateOps {
     * Cross-engine exactness (the graded key): integer-valued inputs
     * make every order statistic exact; r, h, and the interpolation are
     * the same fixed IEEE sequence both engines evaluate. */
+  /** Memoized ranked-obs intermediates for [[quantileMap]] (keyed on
+    * session + analyzed obs plan + params — the Text.tfIdfCache
+    * precedent). The cached frame is group-bounded only by the obs
+    * row count, the same bound the rank window already materializes
+    * per sort; callers cycling sessions call
+    * [[clearQuantileMapCache]] on teardown. */
+  private val qmapObsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Seq[String], String, String), DataFrame]
+
+  /** Unpersist and drop the memoized quantileMap obs intermediates. */
+  def clearQuantileMapCache(): Unit = {
+    qmapObsCache.values.foreach { df =>
+      try df.unpersist() catch { case _: Exception => () }
+    }
+    qmapObsCache.clear()
+  }
+
   def quantileMap(model: DataFrame, obs: DataFrame, groupCols: Seq[String],
                   valueCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -422,7 +439,18 @@ object ClimateOps {
         .withColumn("__n", count(lit(1)).over(whole))
         .withColumn("__vnext", lead(col(valueCol), 1).over(ord))
     }
-    val o = ranked(obs)
+    // the ranked obs side feeds BOTH the order-statistic table and the
+    // per-group counts below — without a cache the whole obs subtree
+    // (scan + rank window sort) evaluates twice per query (r17
+    // optimization round, guide §2.4: one pass, not two). Memoized per
+    // (session, obs plan, params) so repeated invocations in one
+    // session (spec parity suites) reuse one cached copy instead of
+    // stacking them — the Text.tfIdfCache pattern.
+    val o = qmapObsCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(obs.sparkSession),
+        obs.queryExecution.analyzed.semanticHash(),
+        groupCols, valueCol, idCol),
+      ranked(obs).cache())
     // renamed group keys on the order-statistic side: obs and model
     // usually derive from one lineage, so bare-name join keys would be
     // ambiguous attributes
@@ -939,13 +967,35 @@ object Climate {
         .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
         .select(col("glat"), col("glon"),
           (col("sm").cast("double") / 1000000.0 / col("n")).as("v"))
-      val v00 = src.select(col("glat"), col("glon"), col("v").as("v00"))
-      val v01 = src.select(col("glat"), (col("glon") - 1).as("glon"), col("v").as("v01"))
-      val v10 = src.select((col("glat") - 1).as("glat"), col("glon"), col("v").as("v10"))
-      val v11 = src.select((col("glat") - 1).as("glat"), (col("glon") - 1).as("glon"),
-        col("v").as("v11"))
-      v00.join(v01, Seq("glat", "glon")).join(v10, Seq("glat", "glon"))
-        .join(v11, Seq("glat", "glon"))
+      // ONE pass (r17 optimization round, guide §2.4): the previous
+      // form derived four shifted copies of `src` and inner-joined
+      // them — four full events scans + aggregations of the SAME
+      // subtree (AQE's exchange reuse is off below the tiny-input
+      // gate, and at scale four passes is four passes). Equivalent
+      // algebra: each src cell scatters its value into the ≤4 target
+      // keys it serves as a corner of (tagged), then ONE groupBy
+      // pivots the tags back into v00..v11; nc = 4 reproduces the
+      // inner-join semantics exactly (src keys are unique post-agg,
+      // so each tag appears at most once per target). Null keys
+      // filtered explicitly — the USING join never matched them, while
+      // groupBy would have grouped them (glat−1 stays NULL).
+      val tagged = src
+        .filter(col("glat").isNotNull && col("glon").isNotNull)
+        .select(explode(array(
+          struct(col("glat"), col("glon"), lit(0).as("c"), col("v")),
+          struct(col("glat"), (col("glon") - 1).as("glon"), lit(1).as("c"), col("v")),
+          struct((col("glat") - 1).as("glat"), col("glon"), lit(2).as("c"), col("v")),
+          struct((col("glat") - 1).as("glat"), (col("glon") - 1).as("glon"),
+            lit(3).as("c"), col("v")))).as("e"))
+        .select(col("e.glat").as("glat"), col("e.glon").as("glon"),
+          col("e.c").as("c"), col("e.v").as("v"))
+      tagged.groupBy(col("glat"), col("glon"))
+        .agg(count(lit(1)).as("nc"),
+          max(when(col("c") === 0, col("v"))).as("v00"),
+          max(when(col("c") === 1, col("v"))).as("v01"),
+          max(when(col("c") === 2, col("v"))).as("v10"),
+          max(when(col("c") === 3, col("v"))).as("v11"))
+        .filter(col("nc") === 4)
         .select(col("glat"), col("glon"),
           (lit(0.5625) * col("v00") + lit(0.1875) * col("v01")
             + lit(0.1875) * col("v10") + lit(0.0625) * col("v11")).as("interp_v"))

@@ -176,6 +176,20 @@ object Profiling {
     * [[graft.ops.Text.clearTfIdfCache]]). */
   def clearGateCache(): Unit = gateCache.clear()
 
+  /** Memoized MAD deviation frames (events ⋈ per-group median, one
+    * row per event) — see the q_profile_mad comment; keyed on
+    * (session, analyzed input plan). */
+  private val madAdCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+
+  /** Unpersist and drop the memoized MAD deviation frames. */
+  def clearMadCache(): Unit = {
+    madAdCache.values.foreach { df =>
+      try df.unpersist() catch { case _: Exception => () }
+    }
+    madAdCache.clear()
+  }
+
   /** The memoized worst-group distinct count driving the gate. */
   private def probeGate(ev: DataFrame, groupCol: String, valCol: String): Long =
     gateCache.getOrElseUpdate(
@@ -380,8 +394,18 @@ object Profiling {
     "q_profile_mad" -> { (s, dir) =>
       val ev = Tables.events(s, dir).withColumn("vm", micros(col("value")))
       val med = gatedPercentiles(ev, "event_type", "vm", Seq(0.5 -> "med"))
-      val ad = ev.join(broadcast(med), "event_type")
-        .withColumn("adev", abs(col("vm").cast("double") - col("med")))
+      // the deviation frame feeds THREE consumers (the adev gate
+      // probe, the mad percentile, the final flag aggregation) — each
+      // would re-run the full events scan AND the med percentile job
+      // buried in its subtree (r17 optimization round, guide §2.4:
+      // 3 passes → 1). Memoized per (session, ev plan) so spec parity
+      // suites reuse one cached copy — the Text.tfIdfCache pattern.
+      val ad = madAdCache.getOrElseUpdate(
+        (org.apache.spark.sql.GraftBridge.sessionUUID(s),
+          ev.queryExecution.analyzed.semanticHash()),
+        ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("vm").cast("double") - col("med")))
+          .cache())
       val mad = gatedPercentiles(ad, "event_type", "adev", Seq(0.5 -> "mad"))
       ad.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"))
