@@ -926,16 +926,24 @@ object Climate {
         .withColumn("time", tstr(date_trunc("day", col("ts"))))
         .withColumn("lat", floor(col("user_id") / 10).cast("long"))
         .withColumn("lon", hour(col("ts")).cast("long"))
-      def member(par: Int) = ev.filter(col("event_id") % 2 === par)
-        .groupBy(col("time"), col("lat"), col("lon"))
-        .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
-        .select(col("time"), col("lat"), col("lon"),
-          (col("sm").cast("double") / 1000000.0 / col("n")).as("value"))
+      // ONE events pass (r17 optimization round, guide §2.4): the
+      // member split used to run filter(par)+groupBy TWICE and union —
+      // two full fact scans for rows one aggregate keyed by (par,
+      // cell) already separates. The when() tag reproduces the union's
+      // dataset literals; par is never NULL on the event_id PK, and
+      // the isNotNull guard reproduces the old filters' null-drop
+      // exactly if a future fixture ships one.
       val tagged = ensembleCache.getOrElseUpdate(
         (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, "ensemble"), {
-          graft.Ensemble.of(member(0).withColumn("dataset", lit("ma")))
-            .addMember("mb", member(1))
-            .df.cache() // align reads the union 3×; it is |cells|-sized
+          ev.groupBy((col("event_id") % 2).as("par"),
+              col("time"), col("lat"), col("lon"))
+            .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+            .filter(col("par").isNotNull)
+            .select(col("time"), col("lat"), col("lon"),
+              (col("sm").cast("double") / 1000000.0 / col("n")).as("value"),
+              when(col("par") === 0, lit("ma")).otherwise(lit("mb"))
+                .as("dataset"))
+            .cache() // align reads the union 3×; it is |cells|-sized
         })
       graft.Ensemble.of(tagged)
         // declared count 2: member(1) can be legitimately EMPTY (a
@@ -1125,20 +1133,26 @@ object Climate {
           expr("make_dt_interval(CAST((user_id % 12) * 30 AS INT))"))
         .withColumn("lat", floor(col("user_id") / 10).cast("double"))
         .withColumn("lon", ((col("user_id") % 36) * 10).cast("double"))
-      def member(par: Int) = ev.filter(col("event_id") % 2 === par)
-        .groupBy(col("time"), col("lat"), col("lon"))
+      // ONE events pass for the member split (r17 optimization round,
+      // guide §2.4 — the q_climate_ensemble move): one aggregate keyed
+      // by (par, cell) + a when() tag replaces filter+groupBy per
+      // member (two full fact scans) and the union.
+      val cells = ev
+        .groupBy((col("event_id") % 2).as("par"),
+          col("time"), col("lat"), col("lon"))
         .agg(sum(col("m")).as("sm"))
+        .filter(col("par").isNotNull)
         .select(col("time"), col("lat"), col("lon"),
-          col("sm").cast("double").as("value"))
+          col("sm").cast("double").as("value"),
+          when(col("par") === 0, lit("ma")).otherwise(lit("mb")).as("dataset"))
       // Cache at the align boundary: by here the chain has reduced to
       // the coarse (dataset, day, 5°×60° cell) grid — alignMembers
       // reads its input 3× (member count, per-cell counts, semi base),
-      // and uncached each read re-executes BOTH members' full event
-      // scans (6 scans of the fact table per invocation; at 100 TB
-      // that's the difference between re-scanning the archive thrice
-      // and re-reading a few thousand materialized grid rows).
-      val pre = graft.Ensemble.of(member(0).withColumn("dataset", lit("ma")))
-        .addMember("mb", member(1))
+      // and uncached each read re-executes the full event scan per
+      // read (at 100 TB that's the difference between re-scanning the
+      // archive thrice and re-reading a few thousand materialized
+      // grid rows).
+      val pre = graft.Ensemble.of(cells)
         .homogenize()
         .subset(1, 13, -150, 150, "2024-01-05 00:00:00", "2024-12-20 00:00:00")
         .selectSeason(Seq(12, 1, 2)) // DJF

@@ -306,12 +306,23 @@ object TextAnalysis {
     val vocab = docs.filter(col("text").isNotNull)
       .select(explode(tk).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    pairsDoc
-      .join(bg, Seq("w1", "w2"))
-      .join(hist, Seq("w1"))
+    // attach the per-prefix totals and the vocab scalar to the
+    // VOCAB-BOUNDED pair table first, then join the corpus-sized
+    // bigram stream ONCE (r17 optimization round, guide §2.3/2.4: the
+    // previous chain joined pairsDoc → bg → hist → vocab, dragging
+    // every corpus bigram through three join stages; sq is a pure
+    // function of (cxy, hx, v), so it reduces on the small side).
+    // Inner equi-join reorder — identical rows, identical sq values.
+    val scoredBg = bg.join(hist, Seq("w1"))
       .crossJoin(vocab)
       .withColumn("sq",
         expr("((cxy + 1) * CAST(1000000000 AS BIGINT)) DIV (hx + v)"))
+    // merge-hinted: left to size estimates the planner broadcast the
+    // CORPUS-SIDED bigram stream here (the explode defeats its stats —
+    // guide §3.1), which is an executor OOM at crawl scale; the
+    // distinct-bigram table is itself corpus-heavy-tailed, so neither
+    // side may broadcast. One sort-merge shuffle of the stream, ever.
+    pairsDoc.join(scoredBg.hint("merge"), Seq("w1", "w2"))
   }
 
   // ---- exact substring-span dedup (r17) ----------------------------
