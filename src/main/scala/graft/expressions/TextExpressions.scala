@@ -119,9 +119,52 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** One-pass DISTINCT n-gram shingle md5 DIGESTS — the cross-engine
+  * 60-bit digest set behind the md5-graded dedup family
+  * (`conv(substring(md5(shingle), 1, 15), 16, 10)` in both engines'
+  * declarative forms). Value-identical as a SET to
+  * `rowDigest(explode(array_distinct(transform(..., concat_ws(" ",
+  * slice(toks, i+1, n))))))` ([[ShingleHashes]]'s byte-slice identity:
+  * single-space tokenization means every shingle string IS a slice of
+  * the text's own bytes, so md5 runs over the window bytes directly —
+  * zero token arrays, zero window strings, one digest per window
+  * instead of string-build + md5 + hex + conv), and digest-then-
+  * distinct equals distinct-then-digest EXACTLY (the digest is a
+  * function of the string; equal sets either way, no collision
+  * caveat). Docs with fewer than `n` tokens contribute NO digests,
+  * matching the declarative guard (r17 optimization round: the
+  * md5-family first-touch build was ~6.9 s of the bench's warm-up
+  * absorber at sf0.1, dominated by this materialization). */
+case class ShingleDigests(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, s"shingle size must be positive, got $n")
+
+  // input must be STRING; the call site (TextExpressions) casts
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleDigests(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.shingleDigests($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleDigests =
+    copy(child = newChild)
+}
+
 /** Static kernel the generated code calls (kept outside the case-class
   * companion so the codegen call target is an unambiguous static). */
 object TextKernels {
+
+  // MD5 instances are not thread-safe and not free to construct; one
+  // per task thread, reset implicitly by digest()
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   def bpeCount(s: UTF8String, charsPerTok: Int): Long = {
     val b = s.getBytes
     var total = 0L
@@ -226,6 +269,53 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(hs, out))
   }
+
+  /** See [[ShingleDigests]]: distinct 60-bit md5 window digests,
+    * ascending. The fold `(first 8 digest bytes, big-endian) >>> 4`
+    * equals `conv(substring(md5hex, 1, 15), 16, 10)`: hex char i is
+    * nibble i of the digest, so the first 15 hex chars are bytes 0–6
+    * plus byte 7's high nibble. Always non-negative (< 2⁶⁰). */
+  def shingleDigests(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = s.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = b.length
+    val md = md5Local.get()
+    val nWin = nTok - n + 1
+    val hs = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val st = starts(w)
+      md.update(b, st, ends(w + n - 1) - st)
+      val d = md.digest() // resets the instance
+      hs(w) = (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+        ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+        ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+        ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 1
+    i = 1
+    while (i < nWin) {
+      if (hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, out))
+  }
 }
 
 object TextExpressions {
@@ -245,6 +335,12 @@ object TextExpressions {
   /** Column API: one-pass distinct n-gram shingle hash set (ascending). */
   def shingle_hashes(text: Column, n: Int = 3): Column =
     GraftBridge.column(ShingleHashes(
+      Cast(GraftBridge.expression(text), StringType), n))
+
+  /** Column API: one-pass distinct n-gram 60-bit md5 digest set
+    * (ascending) — the cross-engine md5-family key. */
+  def shingle_digests(text: Column, n: Int = 3): Column =
+    GraftBridge.column(ShingleDigests(
       Cast(GraftBridge.expression(text), StringType), n))
 
   /** SQL registration: `SELECT bpe_token_count(text)`. */

@@ -434,7 +434,19 @@ object Text {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
-        hashShingles(Dedup.shingles(Tables.documents(s, dir))).cache()
+        // one-pass codegen'd digest build (r17 optimization round):
+        // md5 runs directly over each window's bytes instead of
+        // token-array + window-string + md5 + hex + conv per shingle —
+        // set-identical to hashShingles(Dedup.shingles(...)) by the
+        // byte-slice identity + digest∘distinct = distinct∘digest law
+        // (TextExpressionsSpec pins equality on fixture + edge + random
+        // unicode corpora). The family's first-touch build was ~6.9 s
+        // of the warm-up absorber at sf0.1.
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.expressions.TextExpressions
+              .shingle_digests(col("text"), 3)).as("h"))
+          .cache()
       })
 
   /** The md5-keyed MinHash-LSH candidate pairs `(a, b)` behind

@@ -141,6 +141,31 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle DIGEST set equals the declarative md5 reference on fixture " +
+    "and edge strings (r17: the one-pass kernel must reproduce " +
+    "conv(substring(md5(shingle),1,15),16,10) exactly)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val alphabet = "xy z 12  w üé日 "
+    val edge = Seq("", " ", "one", "one two", "one two three",
+      "a  b   c double  spaces", "exactly three tokens")
+    val synth = (edge ++ (1 to 300).map(_ =>
+      (0 until rnd.nextInt(100)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString))
+      .zipWithIndex.map { case (s, i) => (i.toLong, "en", s) }
+      .toDF("doc_id", "lang", "text")
+    Seq(synth, Tables.documents(spark, dir)).foreach { df =>
+      val native = df.select(col("doc_id"),
+          explode(TextExpressions.shingle_digests(col("text"), 3)).as("h"))
+        .groupBy("doc_id").agg(sort_array(collect_list("h")).as("hs"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+      val declarative = ops.Text.hashShingles(ops.Dedup.shingles(df))
+        .groupBy("doc_id").agg(sort_array(collect_list("h")).as("hs"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+      assert(native == declarative)
+      assert(native.nonEmpty)
+    }
+  }
+
   test("q_text_fingerprint runs the native winnow expression") {
     val p = SparkEntry.queries("q_text_fingerprint")(spark, dir)
       .queryExecution.executedPlan.toString
