@@ -30,7 +30,27 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
+    val fullLine =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+    println(fullLine)
+    // r18 (VERDICT r17 #1): the full line is ~6 KB, so the driver's
+    // 2000-char stdout tail has NEVER contained a parseable JSON line
+    // (BENCH_r01..r17 all have parsed:null). Additions-only fix: the
+    // full per-query map ALSO lands in a sidecar file, and a COMPACT
+    // line (total, sf, n, loadavg, sidecar path — well under 2000
+    // chars) prints LAST so the tail always ends with parseable JSON.
+    // /proc/loadavg is recorded so inflated host windows (r13/r17:
+    // ±60% between back-to-back runs of identical code) can be
+    // discounted mechanically instead of by re-running.
+    val resultsPath = java.nio.file.Paths.get("bench_results.json").toAbsolutePath
+    java.nio.file.Files.writeString(resultsPath, fullLine + "\n")
+    val loadavg =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Exception => "[]" }
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},""" +
+      s""""value":$total,"loadavg":$loadavg,"results":"$resultsPath"}""")
     spark.stop()
   }
 }
