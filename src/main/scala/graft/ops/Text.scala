@@ -89,7 +89,8 @@ object Text {
     // Production twin q_dedup_simhash_k stays on xxhash64 (rows-only
     // by necessity).
     "q_dedup_simhash_md5" -> { (s, dir) =>
-      simHashPairsMd5From(docShingles(s, dir)).orderBy(col("a"), col("b"))
+      simHashPairsMd5FromArrays(docShingleArrays(s, dir))
+        .orderBy(col("a"), col("b"))
     },
 
     // Token-distribution entropy + Gini diversity per language (r5) —
@@ -405,23 +406,21 @@ object Text {
     tfIdfCache.clear()
   }
 
-  /** The distinct per-doc shingle table behind ALL THREE md5 dedup
-    * twins, reduced to its 60-bit md5 digests `(doc_id, h)` — memoized
-    * and CACHED per (session, dir) so the MinHash and SimHash md5
-    * pipelines share ONE shingling-and-hashing pass instead of each
-    * re-deriving it (the r5 warm-bench heavy tail: q_dedup_simhash_md5
-    * re-shingled what minHashCandidatesMd5 had already computed).
+  /** The distinct per-doc shingle DIGEST SETS behind ALL THREE md5
+    * dedup twins — `(doc_id, hs: array<long>)`, memoized and CACHED
+    * per (session, dir) so the MinHash and SimHash md5 pipelines share
+    * ONE shingling-and-hashing pass instead of each re-deriving it
+    * (the r5 warm-bench heavy tail: q_dedup_simhash_md5 re-shingled
+    * what minHashCandidatesMd5 had already computed).
     * r14: the cache holds the 8-byte digest instead of the shingle
-    * STRING — every downstream consumer hashes immediately anyway
-    * (SimHash always did; MinHash now derives its 16 permutations from
-    * this one digest, see [[minHashCandidatesMd5From]]), so caching
-    * post-hash removes ~16 md5-of-string evaluations per shingle from
-    * the family's first touch and shrinks the cached rows to two
-    * longs. The digest is applied AFTER the distinct-on-string, so a
-    * (negligible) 60-bit collision yields the same duplicate-h rows
-    * on both engines — minima are multiset-min-invariant and the
-    * SimHash vote counts match because the oracle hashes the same
-    * distinct strings. */
+    * STRING — every downstream consumer hashes immediately anyway.
+    * r18: the digests stay as the per-doc ARRAY (one row per doc) —
+    * see the build comment in [[docShingleArrays]]. The digest is
+    * applied AFTER the distinct-on-string, so the set is identical on
+    * both engines (a negligible 60-bit collision dedups to the same
+    * set; minima are multiset-min-invariant and the SimHash vote
+    * counts match because the oracle hashes the same distinct
+    * strings). */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
@@ -431,7 +430,7 @@ object Text {
   private[graft] def hashShingles(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), Profiling.rowDigest(col("sh")).as("h"))
 
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private def docShingleArrays(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
         // one-pass codegen'd digest build (r17 optimization round):
@@ -440,12 +439,22 @@ object Text {
         // set-identical to hashShingles(Dedup.shingles(...)) by the
         // byte-slice identity + digest∘distinct = distinct∘digest law
         // (TextExpressionsSpec pins equality on fixture + edge + random
-        // unicode corpora). The family's first-touch build was ~6.9 s
-        // of the warm-up absorber at sf0.1.
+        // unicode corpora). r18 (VERDICT r17 #5/#6): the cache now
+        // holds the per-doc digest ARRAY instead of exploded rows —
+        // both signature families are pure per-doc functions of this
+        // set, so they reduce it in kernel PROJECTIONS
+        // ([[graft.expressions.MinHashAffineSigs]] /
+        // [[graft.expressions.SimHashFromSet]]) instead of exploding
+        // to a corpus-shingle-sized row stream and hash-shuffling it
+        // back to doc_id through two groupBy aggregates. The filter
+        // reproduces the explode's drop of null/short docs (< n tokens
+        // ⇒ no signature row), and the cached table shrinks from one
+        // row per distinct shingle to one per doc.
         Tables.documents(s, dir)
           .select(col("doc_id"),
-            explode(graft.expressions.TextExpressions
-              .shingle_digests(col("text"), 3)).as("h"))
+            graft.expressions.TextExpressions
+              .shingle_digests(col("text"), 3).as("hs"))
+          .filter(col("hs").isNotNull && size(col("hs")) > 0)
           .cache()
       })
 
@@ -487,7 +496,7 @@ object Text {
   private def minHashCandidatesMd5(s: SparkSession, dir: String): DataFrame =
     mhMd5Cache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), {
-        minHashCandidatesMd5From(docShingles(s, dir)).cache()
+        minHashCandidatesMd5FromArrays(docShingleArrays(s, dir)).cache()
       })
 
   /** MATERIALIZE the md5-family shared caches (the hashed shingle
@@ -521,6 +530,11 @@ object Text {
     1552932024L, 1909427119L, 754397042L)
   private val permP = 2147483647L // 2³¹ − 1 (prime)
 
+  /** The permutation factors as Seqs, for the spec-side law tests
+    * (r18: the kernel-vs-aggregate equality pins). */
+  private[graft] def permASeq: Seq[Long] = permA.toSeq
+  private[graft] def permBSeq: Seq[Long] = permB.toSeq
+
   /** The md5 MinHash-LSH candidate pipeline over a `(doc_id, h)`
     * hashed-shingle table ([[hashShingles]]): 16 permutation
     * min-hashes, 4-band signature split, band-equality self-join —
@@ -550,11 +564,37 @@ object Text {
     // explode-16×-then-groupBy-twice shape — same minima, same band
     // strings, two shuffles fewer; the map-side partial combine
     // reduces each doc to 16 longs before the shuffle either way, but
-    // the input side no longer materializes 16 rows per shingle)
+    // the input side no longer materializes 16 rows per shingle).
+    // This exploded-row entry point survives for the specs' variant
+    // corpora; the production path is [[minHashCandidatesMd5FromArrays]]
+    // (r18), law-pinned equal in MinHashAggSpec.
     val hp = col("h") % permP
     val mins = (0 until 16).map(p =>
       min((lit(permA(p)) * hp + permB(p)) % permP).as(s"mh$p"))
     val agg0 = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    minHashBandPairs(agg0, maxBucket)
+  }
+
+  /** r18 (VERDICT r17 #5): the same candidate pipeline from the
+    * per-doc digest ARRAYS ([[docShingleArrays]]) — the 16 permutation
+    * minima come out of ONE kernel projection per doc
+    * ([[graft.expressions.MinHashAffineSigs]]: same affine maps, same
+    * longs; minima are duplicate/order-invariant), so the signature
+    * build needs NO explode and NO groupBy shuffle at all. */
+  private[graft] def minHashCandidatesMd5FromArrays(arr: DataFrame,
+                                                    maxBucket: Long = 1000L): DataFrame = {
+    val mh = graft.expressions.TextExpressions
+      .minhash_affine_sigs(col("hs"), permA.toSeq, permB.toSeq, permP)
+    val agg0 = arr.select(col("doc_id"), mh.as("mh"))
+      .select(col("doc_id") +:
+        (0 until 16).map(p => element_at(col("mh"), p + 1).as(s"mh$p")): _*)
+    minHashBandPairs(agg0, maxBucket)
+  }
+
+  /** Shared back half of the md5 MinHash pipeline over the signature
+    * table (doc_id, mh0..mh15): 4-band split, hot-bucket cap,
+    * band-equality self-join, a<b + distinct. */
+  private def minHashBandPairs(agg0: DataFrame, maxBucket: Long): DataFrame = {
     // 4 band rows per doc, band value = the 4 minima in permutation
     // order (identical to the old array_sort(collect_list)-by-p build)
     val bandStructs = (0 until 4).map { b =>
@@ -600,7 +640,30 @@ object Text {
   private[graft] def simHashPairsMd5From(sh: DataFrame,
                                          maxBucket: Long = 1000L): DataFrame = {
     import graft.expressions.SimHashAgg.simhash_sig
+    // exploded-row entry point kept for the specs' variant corpora;
+    // the production path is [[simHashPairsMd5FromArrays]] (r18),
+    // law-pinned equal in MinHashAggSpec
     val sigs = sh.groupBy(col("doc_id")).agg(simhash_sig(col("h")).as("sig"))
+    simHashBandPairs(sigs, maxBucket)
+  }
+
+  /** r18 (VERDICT r17 #6): the same Hamming ≤ 3 pipeline from the
+    * per-doc digest ARRAYS — the bit-vote signature comes out of ONE
+    * kernel projection ([[graft.expressions.SimHashFromSet]], the
+    * identical ±1 vote math as SimHashAgg), so the family's private
+    * signature aggregate (explode + groupBy shuffle) disappears and
+    * the shared digest table is the only pre-pass. */
+  private[graft] def simHashPairsMd5FromArrays(arr: DataFrame,
+                                               maxBucket: Long = 1000L): DataFrame = {
+    val sigs = arr.select(col("doc_id"),
+      graft.expressions.TextExpressions.simhash_from_set(col("hs")).as("sig"))
+    simHashBandPairs(sigs, maxBucket)
+  }
+
+  /** Shared back half of the md5 SimHash pipeline over the signature
+    * table (doc_id, sig): 4×15-bit pigeonhole banding, hot-bucket cap,
+    * band self-join, Hamming ≤ 3 filter, distinct. */
+  private def simHashBandPairs(sigs: DataFrame, maxBucket: Long): DataFrame = {
     // cached pre-cap — same three-consumer rationale as the minhash
     // band table above (count + both join sides)
     val banded = trackPrecap(sigs

@@ -166,6 +166,55 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("binary byte sum equals the declarative hex/conv reference on " +
+    "random, empty and NULL payloads (r18: the frames_md5 pool kernel)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows: Seq[(Long, Array[Byte])] =
+      Seq((0L, Array.emptyByteArray), (1L, null)) ++
+        (2 to 300).map { i =>
+          val b = new Array[Byte](rnd.nextInt(64))
+          rnd.nextBytes(b)
+          (i.toLong, b)
+        }
+    val df = rows.toDF("id", "b")
+    // the r17-refuted declarative form: per-byte conv over the hex
+    // string. Compared on NON-EMPTY payloads only — on an empty binary
+    // sequence(0, length-1) = sequence(0, -1) degenerates to [0, -1]
+    // and the reference yields NULL, while the true byte sum (and the
+    // kernel) is 0; the graded query's frames are always 4 bytes.
+    val hexs = lower(hex(col("b")))
+    val declarative = aggregate(
+      transform(sequence(lit(0), length(col("b")) - 1),
+        i => conv(hexs.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val diff = df.filter(length(col("b")) > 0).select(col("id"),
+        TextExpressions.binary_byte_sum(col("b")).as("native"),
+        declarative.as("decl"))
+      .filter(!(col("native") <=> col("decl"))).count()
+    assert(diff == 0)
+    // NULL propagates; empty sums to 0
+    val nulls = df.filter(col("b").isNull)
+      .select(TextExpressions.binary_byte_sum(col("b"))).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+    val empty = df.filter(col("b").isNotNull && length(col("b")) === 0)
+      .select(TextExpressions.binary_byte_sum(col("b"))).collect()
+    assert(empty.forall(_.getLong(0) == 0L))
+    // kernel-level spot checks
+    assert(TextKernels.byteSum(Array[Byte](0, -1, 127, -128)) == 0L + 255 + 127 + 128)
+    assert(TextKernels.byteSum(Array.emptyByteArray) == 0L)
+  }
+
+  test("q_multimodal_frames_md5 runs BinaryByteSum; no conv-in-lambda re-hex " +
+    "(the r17 CollapseProject trap, VERDICT r17 #2)") {
+    val p = SparkEntry.queries("q_multimodal_frames_md5")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("binarybytesum"),
+      s"frames_md5 no longer runs the native byte-sum kernel:\n$p")
+    assert(!p.toLowerCase.contains("lambdafunction(conv"),
+      s"per-byte re-hex is back inside a lambda:\n$p")
+  }
+
   test("q_text_fingerprint runs the native winnow expression") {
     val p = SparkEntry.queries("q_text_fingerprint")(spark, dir)
       .queryExecution.executedPlan.toString
