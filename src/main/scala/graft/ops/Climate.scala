@@ -910,16 +910,17 @@ object Climate {
       // ONE events pass (r17 optimization round, guide §2.4): the
       // member split used to run filter(par)+groupBy TWICE and union —
       // two full fact scans for rows one aggregate keyed by (par,
-      // cell) already separates. The when() tag reproduces the union's
-      // dataset literals; par is never NULL on the event_id PK, and
-      // the isNotNull guard reproduces the old filters' null-drop
-      // exactly if a future fixture ships one.
+      // cell) already separates. r18 (ADVICE r17): the tag keys on
+      // par ∈ {0, 1} explicitly — Spark's % keeps the dividend's sign,
+      // so a negative odd event_id yields par = -1, which the old
+      // filter(=== 1) DROPPED but a bare otherwise("mb") would keep;
+      // isin(0, 1) also covers the NULL drop.
       val tagged = ensembleCache.getOrElseUpdate(
         (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, "ensemble"), {
           ev.groupBy((col("event_id") % 2).as("par"),
               col("time"), col("lat"), col("lon"))
             .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
-            .filter(col("par").isNotNull)
+            .filter(col("par").isin(0, 1))
             .select(col("time"), col("lat"), col("lon"),
               (col("sm").cast("double") / 1000000.0 / col("n")).as("value"),
               when(col("par") === 0, lit("ma")).otherwise(lit("mb"))
@@ -1117,12 +1118,14 @@ object Climate {
       // ONE events pass for the member split (r17 optimization round,
       // guide §2.4 — the q_climate_ensemble move): one aggregate keyed
       // by (par, cell) + a when() tag replaces filter+groupBy per
-      // member (two full fact scans) and the union.
+      // member (two full fact scans) and the union. isin(0, 1)
+      // reproduces the old filters' drop of negative-odd par = -1
+      // rows (and NULLs) — see the q_climate_ensemble note.
       val cells = ev
         .groupBy((col("event_id") % 2).as("par"),
           col("time"), col("lat"), col("lon"))
         .agg(sum(col("m")).as("sm"))
-        .filter(col("par").isNotNull)
+        .filter(col("par").isin(0, 1))
         .select(col("time"), col("lat"), col("lon"),
           col("sm").cast("double").as("value"),
           when(col("par") === 0, lit("ma")).otherwise(lit("mb")).as("dataset"))

@@ -177,10 +177,13 @@ object Profiling {
   def clearGateCache(): Unit = gateCache.clear()
 
   /** Memoized MAD deviation frames (events ⋈ per-group median, one
-    * row per event) — see the q_profile_mad comment; keyed on
-    * (session, analyzed input plan). */
+    * row per event) — see the q_profile_mad comment. r18 (ADVICE r17):
+    * keyed on (session, dir) like the sibling shingleCache /
+    * ensembleCache — the r17 key was a 32-bit semanticHash of the ev
+    * plan, where an Int collision across data dirs would silently
+    * serve the wrong persisted deviation frame. */
   private val madAdCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   /** Unpersist and drop the memoized MAD deviation frames. */
   def clearMadCache(): Unit = {
@@ -398,14 +401,13 @@ object Profiling {
       // probe, the mad percentile, the final flag aggregation) — each
       // would re-run the full events scan AND the med percentile job
       // buried in its subtree (r17 optimization round, guide §2.4:
-      // 3 passes → 1). Memoized per (session, ev plan) so spec parity
-      // suites reuse one cached copy — the Text.tfIdfCache pattern.
+      // 3 passes → 1). Memoized per (session, dir) so spec parity
+      // suites reuse one cached copy — the Text.shingleCache pattern.
       // projected to the three columns downstream reads before the
       // cache — un-projected it would materialize the full event row
       // (props payload included) where the uncached plans pruned it
       val ad = madAdCache.getOrElseUpdate(
-        (org.apache.spark.sql.GraftBridge.sessionUUID(s),
-          ev.queryExecution.analyzed.semanticHash()),
+        (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir),
         ev.join(broadcast(med), "event_type")
           .withColumn("adev", abs(col("vm").cast("double") - col("med")))
           .select(col("event_type"), col("adev"), col("med"))

@@ -39,6 +39,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite
     // whoever runs next
     ops.Text.clearMhMd5Cache()
     ops.Climate.clearEnsembleCache()
+    ops.Profiling.clearMadCache()
     spark.catalog.clearCache()
     super.afterAll()
   }

@@ -16,6 +16,7 @@ class PlanAuditSpec extends AnyFunSuite
     // registering tracked pre-cap caches — drain them on teardown
     ops.Text.clearMhMd5Cache()
     ops.Climate.clearEnsembleCache()
+    ops.Profiling.clearMadCache()
     super.afterAll()
   }
   lazy val spark: SparkSession = SparkSession.builder()
@@ -459,5 +460,39 @@ class PlanAuditSpec extends AnyFunSuite
       assert(names.contains("q_id") && !names.contains("c_id"),
         s"sq8 search broadcasts the wrong side (${names.mkString(",")}):\n$ps")
     }
+  }
+
+  test("r17 rewrites can't silently regress (r18, VERDICT r17 #8): one " +
+    "events pass for the member splits and bilinear scatter; lm_fluency " +
+    "keeps the merge-hinted stream join") {
+    import org.apache.spark.sql.execution.FormattedMode
+    def formatted(key: String): String =
+      SparkEntry.queries(key)(spark, dir)
+        .queryExecution.explainString(FormattedMode)
+    def eventsScans(p: String): Int =
+      "events\\.parquet".r.findAllIn(p).size
+    // pre-r17 shapes: ensemble/pipeline 2 scans (filter+groupBy per
+    // member + union), bilinear 4 (corner self-join); the r17 rewrites
+    // are one aggregate each — a revert doubles/quadruples the count
+    for (k <- Seq("q_climate_ensemble", "q_climate_pipeline",
+                  "q_climate_regrid_bilinear")) {
+      val p = formatted(k)
+      assert(eventsScans(p) == 1,
+        s"$k reads the events table ${eventsScans(p)}× (r17 rewrite reverted?):\n$p")
+    }
+    // q_profile_mad: one scan in the memoized deviation-cache build +
+    // one for the exact-gate probe — the pre-r17 shape had 3
+    ops.Profiling.clearMadCache() // count the cache BUILD's scan too
+    val pm = formatted("q_profile_mad")
+    assert(eventsScans(pm) <= 2,
+      s"q_profile_mad reads the events table ${eventsScans(pm)}×:\n$pm")
+    ops.Profiling.clearMadCache()
+    // lm_fluency: the corpus-sized bigram stream must keep its ONE
+    // merge-hinted join — the pre-r17 plan had zero SortMergeJoin
+    // (the planner broadcast the exploded corpus side, an OOM at
+    // crawl scale)
+    val pl = formatted("q_text_lm_fluency")
+    assert(pl.contains("SortMergeJoin"),
+      s"lm_fluency lost its merge-hinted stream join:\n$pl")
   }
 }
