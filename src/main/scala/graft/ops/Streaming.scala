@@ -296,11 +296,27 @@ object Streaming {
     // keep the session default)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // r18 (VERDICT r17 #3, UpsertProbe breakdown): after the 4 data
+    // batches Spark fires one NO-DATA micro-batch (noDataMicroBatches,
+    // default true) whose only effect in UPDATE mode is watermark/state
+    // bookkeeping — it emits zero rows, and the sink's merge of an
+    // empty batch is the identity, yet it still paid a full
+    // read-join-write snapshot generation (~0.7 s of the ~4.5 s warm
+    // replay). Update-mode fixpoints don't need it (no append-mode
+    // window finalization, no state timeout consumer — the query stops
+    // right after); the 4 data batches and the committed fixpoint rows
+    // are unchanged. Restored after, like the shuffle guard.
+    val prevNoData = s.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = graft.streaming.UpsertSink.start(stream, table,
         s"$root/checkpoint", Seq("w"))
       q.processAllAvailable(); q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     graft.streaming.UpsertSink.readTable(s, table)
       .getOrElse(sys.error("q_stream_upsert: sink committed no snapshot"))
       .select(tstr(col("w")).as("ws"), col("cnt"), col("sum_micros"))
