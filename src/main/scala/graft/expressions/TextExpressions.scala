@@ -222,6 +222,74 @@ case class SimHashFromSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The numPerm xxhash64-rehash MinHash minima over a per-doc shingle
+  * hash ARRAY (the [[ShingleHashes]] output) — the production-family
+  * twin of [[MinHashAffineSigs]] (r18): per permutation p the value is
+  * `min(xxhash64(lit(p), h0))`, replicated exactly as
+  * `hash(h0, LongType, hash(p, IntegerType, 42))` — the same
+  * left-to-right fold [[MinHashAgg]] replicates (law-tested there).
+  * One kernel projection replaces the shingle-row explode + groupBy +
+  * numPerm-min aggregate: minima are duplicate/order-invariant, and
+  * the corpus-shingle shuffle disappears. Empty arrays yield
+  * all-MaxValue minima — callers filter `size(hs) > 0` first, exactly
+  * where the groupBy form emitted no row. */
+case class MinHashXxSigs(child: Expression, numPerm: Int)
+    extends UnaryExpression {
+
+  require(numPerm > 0, s"numPerm must be positive, got $numPerm")
+
+  private lazy val seeds: Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
+    Array.tabulate(numPerm)(p => XxHash64Function.hash(p, IntegerType, 42L))
+  }
+
+  // input must be ARRAY<BIGINT> (the ShingleHashes output)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minHashXx(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("permSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.minHashXx($c, $sRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashXxSigs =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a text's TOKEN OCCURRENCES in one pass over the
+  * string bytes (r18): tokenize on the space byte (split(" ")
+  * semantics — empty tokens for consecutive/leading/trailing spaces
+  * vote too), xxhash64 each token's byte slice (seed 42, the
+  * [[ShingleHashes]] byte-slice identity), ±1 bit votes, bit set where
+  * the vote sum is positive. Value-identical to
+  * `explode(split(text,' ')) → xxhash64(tok) → groupBy(doc_id) →
+  * SimHashAgg` (vote sums are order-free integers; law-tested in
+  * SimHashAggSpec) — but the per-TOKEN-OCCURRENCE row stream and its
+  * hash shuffle back to doc_id disappear entirely. NULL text
+  * null-propagates; callers filter it exactly where the explode
+  * dropped the doc. */
+case class SimHashText(child: Expression) extends UnaryExpression {
+
+  // input must be STRING; the call site (TextExpressions) casts
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHashText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.TextKernels.simHashText($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
 /** One-pass unsigned-byte sum over a BINARY column — the "decode →
   * pool" reduction of the multimodal frame path. Value-identical to the
   * declarative `aggregate(transform(sequence(0, length(b)-1), i ->
@@ -450,6 +518,52 @@ object TextKernels {
     sig
   }
 
+  /** See [[MinHashXxSigs]]: per-permutation minima of the xxhash64
+    * long-rehash over the shingle hash array. */
+  def minHashXx(hs: org.apache.spark.sql.catalyst.util.ArrayData,
+                seeds: Array[Long]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    val out = Array.fill(seeds.length)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var p = 0
+      while (p < seeds.length) {
+        val v = XxHash64Function.hash(h, LongType, seeds(p))
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[SimHashText]]: tokenize on 0x20 (empty tokens included),
+    * xxhash64 each token's byte slice, ±1 votes per bit. */
+  def simHashText(s: UTF8String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val b = s.getBytes
+    val votes = new Array[Long](64)
+    var st = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == 0x20) {
+        val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + st, i - st, 42L)
+        var j = 0
+        while (j < 64) { votes(j) += ((h >>> j) & 1L) * 2 - 1; j += 1 }
+        st = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   /** See [[BinaryByteSum]]: Σ unsigned byte values, one pass. */
   def byteSum(b: Array[Byte]): Long = {
     var s = 0L
@@ -500,6 +614,17 @@ object TextExpressions {
     * array (see [[SimHashFromSet]]). */
   def simhash_from_set(hs: Column): Column =
     GraftBridge.column(SimHashFromSet(GraftBridge.expression(hs)))
+
+  /** Column API: xxhash64-rehash MinHash minima over a shingle hash
+    * array (see [[MinHashXxSigs]]; caller filters empties). */
+  def minhash_xx_sigs(hs: Column, numPerm: Int): Column =
+    GraftBridge.column(MinHashXxSigs(GraftBridge.expression(hs), numPerm))
+
+  /** Column API: one-pass SimHash over a text's token occurrences
+    * (see [[SimHashText]]; caller filters NULL text). */
+  def simhash_text(text: Column): Column =
+    GraftBridge.column(SimHashText(
+      Cast(GraftBridge.expression(text), StringType)))
 
   /** SQL registration: `SELECT bpe_token_count(text)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -94,11 +94,25 @@ object Dedup {
     * take the per-permutation min over the doc's shingle set — one
     * aggregation, no joins. */
   def minHashSignatures(docs: DataFrame, numPerm: Int): DataFrame = {
-    val base = shingleHashes(docs)
-    val aggs = (0 until numPerm).map(p =>
-      min(xxhash64(lit(p), col("h0"))).as(s"h$p"))
-    base.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    // r18: the minima come out of ONE kernel projection over the
+    // per-doc shingle hash array (graft.expressions.MinHashXxSigs —
+    // the identical hash(h0, LongType, hash(p, IntegerType, 42))
+    // rehash as min(xxhash64(lit(p), h0)); minima are duplicate- and
+    // order-invariant, law-pinned in MinHashAggSpec) instead of
+    // exploding to a corpus-shingle row stream and hash-shuffling it
+    // back to doc_id through a numPerm-min groupBy. The size filter
+    // reproduces the explode's drop of null/short docs. The `sig`
+    // alias is multi-referenced (numPerm element_at projections), so
+    // CollapseProject cannot re-inline the kernel per column —
+    // verified by plan (one minhashxxsigs per doc in the executed
+    // plan; DedupScaleSpec pin).
+    val arr = docs.select(col("doc_id"),
+        graft.expressions.TextExpressions.shingle_hashes(col("text"), 3).as("hs"))
+      .filter(col("hs").isNotNull && size(col("hs")) > 0)
+    arr.select(col("doc_id"),
+        graft.expressions.TextExpressions.minhash_xx_sigs(col("hs"), numPerm).as("sig"))
+      .select(col("doc_id") +:
+        (0 until numPerm).map(p => element_at(col("sig"), p + 1).as(s"h$p")): _*)
   }
 
   /** MinHash signature via the one-pass UDAF
@@ -446,11 +460,17 @@ object Dedup {
     * directly, so the per-(doc, token) count pre-aggregation (a whole
     * extra shuffle) disappears. */
   def simHashAgg(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(graft.expressions.SimHashAgg.simhash_sig(col("h")).as("simhash"))
+    // r18: one kernel pass over the text bytes
+    // (graft.expressions.SimHashText: split(" ") token boundaries,
+    // xxhash64 per token slice, ±1 votes — vote sums are order-free
+    // integers, law-pinned vs this former explode+UDAF form in
+    // SimHashAggSpec) instead of exploding one row per TOKEN
+    // OCCURRENCE and hash-shuffling the corpus token stream back to
+    // doc_id. The null filter reproduces the explode's drop of
+    // null-text docs.
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.expressions.TextExpressions.simhash_text(col("text")).as("simhash"))
 
   /** SimHash near-dup candidate pairs within Hamming distance ≤
     * `maxHamming`: split the 64-bit signature into `maxHamming + 1`

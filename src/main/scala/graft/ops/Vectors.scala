@@ -290,6 +290,15 @@ object Vectors {
     pqCache.getOrElseUpdate(
       (org.apache.spark.sql.GraftBridge.sessionUUID(e.sparkSession),
         e.queryExecution.analyzed.semanticHash(), m, subDim, k, iters), {
+        // sv feeds the seed join + both assign passes (3-4 evaluations
+        // per fit). Caching it was attempted and REVERTED in the r18
+        // optimization round (VERDICT r17 #4): A/B min-of-3 alternating
+        // fresh JVMs measured q_vec_pq 7.80 -> 8.30 s and q_vec_ann_pq
+        // 1.88 -> 2.01 s with a FLAT control (q_vec_knn 0.53/0.53) —
+        // the InMemoryRelation materialization of the m×-exploded
+        // corpus costs more than the re-derivations it saves (the
+        // q_climate_qmap revert, one module over). At archive scale the
+        // fit trains on a bounded sample upstream anyway.
         val sv = pqSubspaces(e, m, subDim)
         val seedIds = e.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
         val seeds = sv.join(broadcast(seedIds), "vec_id")

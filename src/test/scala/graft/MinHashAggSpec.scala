@@ -101,6 +101,23 @@ class MinHashAggSpec extends AnyFunSuite {
     assert(sigKernel == sigAgg)
   }
 
+  test("r18 kernel signature builders evaluate ONCE per doc in the executed " +
+    "plan (the CollapseProject trap: 16 element_at refs must not re-inline " +
+    "the kernel) and plan no groupBy shuffle") {
+    val docs = Tables.documents(spark, dir)
+    val pm = ops.Dedup.minHashSignatures(docs, numPerm)
+      .queryExecution.executedPlan.toString
+    val occurrences = "minhashxxsigs".r.findAllIn(pm.toLowerCase).size
+    assert(occurrences == 1,
+      s"minhashxxsigs appears $occurrences times (CollapseProject re-inline?):\n$pm")
+    assert(!pm.contains("Exchange"),
+      s"signature build still shuffles:\n$pm")
+    val ps = ops.Dedup.simHashAgg(docs)
+      .queryExecution.executedPlan.toString
+    assert(ps.toLowerCase.contains("simhashtext"), s"simhash kernel missing:\n$ps")
+    assert(!ps.contains("Exchange"), s"simhash build still shuffles:\n$ps")
+  }
+
   test("partial/final merge path: multi-partition input gives the same signature") {
     import spark.implicits._
     val hashes = (1L to 10000L).map(h => (1L, h * 2654435761L))
