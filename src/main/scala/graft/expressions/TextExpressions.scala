@@ -290,6 +290,41 @@ case class SimHashText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-doc bigram duplication stats in one pass over the text bytes
+  * (r18): `(n_2grams, nd_2grams, top_cnt)` = (number of adjacent
+  * token pairs, distinct pairs, max multiplicity of any pair) —
+  * the q_text_repetition statistics, which previously ran TWO
+  * corpus-bigram aggregations (groupBy(doc_id, g) then
+  * groupBy(doc_id)). Pairs are compared by xxhash64 of the bigram's
+  * byte slice (the [[ShingleHashes]] identity: single-space
+  * tokenization makes `concat_ws(" ", slice(toks, i+1, 2))` a slice
+  * of the text's own bytes), the exact keying the GRADED q_dedup_near
+  * already uses on its shingle self-join — a within-doc 64-bit
+  * collision (~1e-14 per 1k-bigram doc) is the accepted negligible
+  * trade. NULL for NULL text or < 2 tokens, matching the old
+  * empty-sequence explode's doc drop — callers filter isNotNull. */
+case class BigramStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("n", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nd", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("top", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bigramStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        graft.expressions.TextKernels.bigramStats($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramStats =
+    copy(child = newChild)
+}
+
 /** One-pass unsigned-byte sum over a BINARY column — the "decode →
   * pool" reduction of the multimodal frame path. Value-identical to the
   * declarative `aggregate(transform(sequence(0, length(b)-1), i ->
@@ -564,6 +599,49 @@ object TextKernels {
     sig
   }
 
+  /** See [[BigramStats]]: (occurrences, distinct, max multiplicity)
+    * of the adjacent-pair windows; null for < 2 tokens. */
+  def bigramStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val b = s.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok < 2) return null
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == 0x20) { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = b.length
+    val nWin = nTok - 1
+    val hs = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val st = starts(w)
+      hs(w) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + st,
+        ends(w + 1) - st, 42L)
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var nd = 1L
+    var top = 1L
+    var run = 1L
+    i = 1
+    while (i < nWin) {
+      if (hs(i) == hs(i - 1)) { run += 1; if (run > top) top = run }
+      else { nd += 1; run = 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWin.toLong, nd, top))
+  }
+
   /** See [[BinaryByteSum]]: Σ unsigned byte values, one pass. */
   def byteSum(b: Array[Byte]): Long = {
     var s = 0L
@@ -624,6 +702,12 @@ object TextExpressions {
     * (see [[SimHashText]]; caller filters NULL text). */
   def simhash_text(text: Column): Column =
     GraftBridge.column(SimHashText(
+      Cast(GraftBridge.expression(text), StringType)))
+
+  /** Column API: per-doc bigram duplication stats struct (n, nd, top)
+    * (see [[BigramStats]]; NULL for NULL text / < 2 tokens). */
+  def bigram_stats(text: Column): Column =
+    GraftBridge.column(BigramStats(
       Cast(GraftBridge.expression(text), StringType)))
 
   /** SQL registration: `SELECT bpe_token_count(text)`. */

@@ -232,24 +232,32 @@ object Text {
     // pipeline. Two aggregations over an exploded 2-gram stream (all
     // partial+final, no window); ratios are exact-integer divisions →
     // unrounded doubles are bit-stable cross-engine.
+    // r18: the three statistics are a pure per-doc function of the
+    // adjacent-pair multiset, so ONE BigramStats kernel projection
+    // replaces the former explode + groupBy(doc_id, g) +
+    // groupBy(doc_id) — two corpus-bigram shuffles gone. Pairs key on
+    // xxhash64 of the bigram byte slice (the q_dedup_near keying; a
+    // within-doc 64-bit collision is the accepted negligible trade),
+    // and the divisions run on the identical integer inputs
+    // (law-pinned equal to the two-aggregation form in
+    // TextExpressionsSpec). The null/short-doc drop is a CHEAP
+    // predicate BEFORE the projection (≥ 2 tokens ⟺ ≥ 1 space; split
+    // semantics count empties): filtering on the kernel result itself
+    // put a second bigramstats() into the pushed-down Filter — the
+    // CollapseProject/pushdown duplication trap again, caught by the
+    // evaluate-once plan pin.
     "q_text_repetition" -> { (s, dir) =>
-      val toked = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val idx = when(size(col("toks")) >= 2, sequence(lit(0), size(col("toks")) - 2))
-        .otherwise(array())
-      val grams = toked.select(col("doc_id"),
-        explode(transform(idx,
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))).as("g"))
-      grams.groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).cast("long").as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).cast("long").as("n_2grams"),
-          count(lit(1)).cast("long").as("nd_2grams"),
-          max(col("cnt")).cast("long").as("top_cnt"))
-        .select(col("doc_id"), col("n_2grams"), col("nd_2grams"),
-          ((col("n_2grams") - col("nd_2grams")).cast("double") / col("n_2grams"))
+      val st = graft.expressions.TextExpressions.bigram_stats(col("text"))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull &&
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))) >= 1)
+        .select(col("doc_id"), st.as("st"))
+        .select(col("doc_id"),
+          col("st.n").as("n_2grams"), col("st.nd").as("nd_2grams"),
+          ((col("st.n") - col("st.nd")).cast("double") / col("st.n"))
             .as("dup_frac"),
-          (col("top_cnt").cast("double") / col("n_2grams")).as("top_frac"))
+          (col("st.top").cast("double") / col("st.n")).as("top_frac"))
         .orderBy(col("doc_id"))
     }
   )

@@ -215,6 +215,61 @@ class TextExpressionsSpec extends AnyFunSuite {
       s"per-byte re-hex is back inside a lambda:\n$p")
   }
 
+  test("r18 BigramStats kernel == the two-aggregation reference on fixture, " +
+    "edge and random corpora (exact, divisions included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val alphabet = "ab  cd 12 üé日 ,. x"
+    val edge = Seq(null, "", " ", "one", "one two", "a a a a a",
+      "x y x y x y", "a  b   a  b", "trail ", " lead")
+    val synth = (edge ++ (1 to 300).map(_ =>
+      (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    def reference(docs: org.apache.spark.sql.DataFrame) = {
+      val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val idx = when(size(col("toks")) >= 2, sequence(lit(0), size(col("toks")) - 2))
+        .otherwise(array())
+      toked.select(col("doc_id"),
+          explode(transform(idx,
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(2))))).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_2grams"),
+          count(lit(1)).cast("long").as("nd_2grams"),
+          max(col("cnt")).cast("long").as("top_cnt"))
+        .select(col("doc_id"), col("n_2grams"), col("nd_2grams"),
+          ((col("n_2grams") - col("nd_2grams")).cast("double") / col("n_2grams"))
+            .as("dup_frac"),
+          (col("top_cnt").cast("double") / col("n_2grams")).as("top_frac"))
+    }
+    def viaKernel(docs: org.apache.spark.sql.DataFrame) =
+      docs.filter(col("text").isNotNull &&
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))) >= 1)
+        .select(col("doc_id"),
+          TextExpressions.bigram_stats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n").as("n_2grams"), col("st.nd").as("nd_2grams"),
+          ((col("st.n") - col("st.nd")).cast("double") / col("st.n")).as("dup_frac"),
+          (col("st.top").cast("double") / col("st.n")).as("top_frac"))
+    Seq(synth, Tables.documents(spark, dir)).foreach { docs =>
+      val ref = reference(docs).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+      val got = viaKernel(docs).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+      assert(got == ref)
+      assert(ref.nonEmpty)
+    }
+    // the plan evaluates the kernel once (multi-referenced alias) and
+    // shuffles nothing before the presentation sort
+    val p = SparkEntry.queries("q_text_repetition")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("bigramstats".r.findAllIn(p.toLowerCase).size == 1,
+      s"BigramStats re-inlined by CollapseProject:\n$p")
+    assert(!p.contains("HashAggregate"), s"repetition still aggregates:\n$p")
+  }
+
   test("q_text_fingerprint runs the native winnow expression") {
     val p = SparkEntry.queries("q_text_fingerprint")(spark, dir)
       .queryExecution.executedPlan.toString
